@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** Relational core: projection + arithmetic, predicate pushdown, hash
+  * aggregation (partial+final), distinct aggregation, date bucketing, and
+  * the join+top-k pattern (SURVEY.md §2.2/§2.4 rows P1-P4, A1-A2, O1-O2).
+  *
+  * Scale notes (100 TB): every query here is a single scan → partial agg →
+  * shuffle-on-group-keys → final agg (or TakeOrderedAndProject for top-k);
+  * filters and column pruning reach the parquet reader, so bytes read scale
+  * with selected columns, not table width. No driver-side collection.
+  */
+object Relational {
+
+  /** q1_pricing — TPC-H Q1-shaped pricing summary: scan-heavy group-agg with
+    * 7 aggregates over ~95% of lineitem. Map-side partial aggregation makes
+    * the shuffle 6 rows × partitions regardless of input size.
+    */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1PricingSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${sqlDsum6("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** filter_pushdown — compound predicate (comparison, BETWEEN, IN, LIKE,
+    * modulo, AND/OR) that Catalyst pushes into the parquet scan as row-group
+    * filters; projection prunes to 5 of 6 columns.
+    */
+  def filterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(
+        col("o_orderstatus") === "O" &&
+        col("o_totalprice").between(1000.0, 50000.0) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_custkey") % 10 =!= 3 &&
+        col("o_orderpriority").like("%-%"))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        fmtDate(col("o_orderdate")).as("o_orderdate_s"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val filterPushdownSql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice,
+       |  ${sqlFmtDate("o_orderdate")} AS o_orderdate_s, o_orderpriority
+       |FROM orders
+       |WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000.0 AND 50000.0
+       |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |  AND (o_custkey % 10) <> 3 AND o_orderpriority LIKE '%-%'
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** agg_distinct — exact multi-column COUNT(DISTINCT): Catalyst plans the
+    * Expand + two-phase aggregate; at scale the expand triples shuffle rows,
+    * which is the documented cost of exactness (approx twin: agg_approx_distinct).
+    */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** date_buckets — calendar bucketing (year/month/quarter/dow) + money agg;
+    * the shape of every time-partitioned rollup in a CDC sink.
+    */
+  def dateBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        davg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("yr"), col("qtr"))
+  }
+
+  val dateBucketsSql: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS revenue,
+       |  ${sqlDavg("o_totalprice")} AS avg_price
+       |FROM orders
+       |GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
+  /** q3_join_topk — TPC-H Q3-shaped: selective dim filter → 3-way join →
+    * group → top-10. customer is broadcast (small side); the limit plans as
+    * TakeOrderedAndProject so only k rows cross the final exchange.
+    */
+  def q3JoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), fmtDate(col("o_orderdate")).as("odate"), col("o_orderpriority"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String =
+    s"""SELECT l_orderkey, ${sqlFmtDate("o_orderdate")} AS odate, o_orderpriority,
+       |  ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       |GROUP BY l_orderkey, odate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "filter_pushdown" -> (filterPushdown _),
+    "agg_distinct" -> (aggDistinct _),
+    "date_buckets" -> (dateBuckets _),
+    "q3_join_topk" -> (q3JoinTopk _))
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "filter_pushdown" -> filterPushdownSql,
+    "agg_distinct" -> aggDistinctSql,
+    "date_buckets" -> dateBucketsSql,
+    "q3_join_topk" -> q3JoinTopkSql)
+}

@@ -1,0 +1,29 @@
+package graft.tools
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Builder-side probe: run each query twice to split codegen/warmup from
+  * steady-state. Not part of the driver contract. */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the session: tiny job
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-20s cold=${times(0)}%.3f warm=${times(1)}%.3f warm2=${times(2)}%.3f")
+    }
+    spark.stop()
+  }
+}
