@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracle))
+      (operators.Relational.queries, operators.Relational.oracle),
+      (operators.Joins.queries, operators.Joins.oracle),
+      (operators.Windows.queries, operators.Windows.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** Join family: multi-way equi joins, outer, semi/anti, non-equi range
+  * (theta), as-of, and set operations (SURVEY.md §2.3 J1-J5, §2.6 O3-O4).
+  *
+  * Scale notes (100 TB): dims (region/nation/supplier/customer bands) are
+  * broadcast — no shuffle of the fact side; fact⋈fact joins shuffle on the
+  * join key once and AQE handles skew. The as-of join deliberately avoids a
+  * join at all: it is a union + per-key ordered window (last non-null), so
+  * its cost is one shuffle-on-user_id sort — the only as-of formulation that
+  * survives a 1000-executor scale-up without range-explosion.
+  */
+object Joins {
+
+  /** q5_multijoin — TPC-H Q5-shaped 6-way star join. Join order written
+    * smallest-last so Catalyst broadcasts region/nation/supplier/customer;
+    * the lineitem⋈orders backbone is the single shuffled join.
+    */
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultijoinSql: String =
+    s"""SELECT n_name, ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** join_outer — left outer join with a join-side predicate (orders must be
+    * status F), preserving customers with no match; COUNT skips nulls.
+    */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey") && o("o_orderstatus") === "F", "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_f_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("f_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinOuterSql: String =
+    s"""SELECT c_custkey, c_name,
+       |  COUNT(o_orderkey) AS n_f_orders,
+       |  COALESCE(${sqlDsum("o_totalprice")}, 0.0) AS f_spend
+       |FROM customer LEFT JOIN orders
+       |  ON c_custkey = o_custkey AND o_orderstatus = 'F'
+       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  /** join_semi_anti — EXISTS as left-semi, NOT EXISTS as left-anti (the CDC
+    * delete-reconciliation shape), tagged and unioned into one result.
+    */
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+    val semi = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(lit("has_urgent").as("kind"), col("c_custkey"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("kind"), col("c_custkey"))
+    semi.unionByName(anti).orderBy(col("kind"), col("c_custkey"))
+  }
+
+  val joinSemiAntiSql: String =
+    """SELECT 'has_urgent' AS kind, c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT 'no_orders' AS kind, c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY kind, c_custkey""".stripMargin
+
+  /** join_range — non-equi band (theta) join: orders bucketed into price
+    * bands. The band table is tiny → BroadcastNestedLoopJoin, which is the
+    * right plan at any scale for a constant-size band dim.
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val bands = Seq(
+      ("b0_low", 0.0, 50000.0),
+      ("b1_mid", 50000.0, 150000.0),
+      ("b2_high", 150000.0, 1e12)).toDF("band", "lo", "hi")
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(bands), o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_value"))
+      .orderBy(col("band"))
+  }
+
+  val joinRangeSql: String =
+    s"""WITH bands(band, lo, hi) AS (VALUES
+       |  ('b0_low', 0.0, 50000.0),
+       |  ('b1_mid', 50000.0, 150000.0),
+       |  ('b2_high', 150000.0, 1e12))
+       |SELECT band, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS band_value
+       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+
+  /** join_asof — for each purchase event, the user's latest click at ts ≤
+    * purchase ts. Implemented WITHOUT a join: union-tag both sides, one
+    * shuffle on user_id, `last(..., ignoreNulls)` over an ordered window.
+    * O(n log n) per key at any scale — no quadratic range-join blowup.
+    * DuckDB oracle uses its native ASOF LEFT JOIN (same semantics, ts >=).
+    */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"),
+      lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+      lit(null).cast("double").as("pvalue"),
+      col("ts").as("click_ts"), col("value").as("click_value"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"),
+      lit(1).as("tag"), col("event_id"),
+      col("value").as("pvalue"),
+      lit(null).cast("timestamp").as("click_ts"),
+      lit(null).cast("double").as("click_value"))
+    // clicks sort before purchases at equal ts (tag 0 < 1) → '<=' semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        col("event_id"), col("user_id"), fmtTs(col("ts")).as("purchase_ts"),
+        col("pvalue").as("purchase_value"),
+        fmtTs(col("asof_click_ts")).as("last_click_ts"),
+        col("asof_click_value").as("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinAsofSql: String =
+    s"""SELECT p.event_id, p.user_id, ${sqlFmtTs("p.ts")} AS purchase_ts,
+       |  p.value AS purchase_value,
+       |  ${sqlFmtTs("c.ts")} AS last_click_ts,
+       |  c.value AS last_click_value
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id AND p.ts >= c.ts
+       |ORDER BY p.event_id""".stripMargin
+
+  /** setop_union — UNION ALL of two key streams + aggregation (the
+    * snapshot ∪ tail shape of a CDC bootstrap, SURVEY.md §2.1 S4).
+    */
+  def setopUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
+    c.unionByName(s).groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("nk"))
+  }
+
+  val setopUnionSql: String =
+    """SELECT nk, COUNT(*) AS n_entities
+      |FROM (SELECT c_nationkey AS nk FROM customer
+      |      UNION ALL SELECT s_nationkey AS nk FROM supplier)
+      |GROUP BY nk ORDER BY nk""".stripMargin
+
+  /** setop_diff — INTERSECT and EXCEPT (source-vs-sink reconciliation
+    * diff), tagged into one result.
+    */
+  def setopDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir).select(col("c_nationkey").as("nk"))
+    val sn = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk"))
+    val both = cn.intersect(sn).select(lit("both").as("kind"), col("nk"))
+    val custOnly = cn.distinct().except(sn).select(lit("cust_only").as("kind"), col("nk"))
+    both.unionByName(custOnly).orderBy(col("kind"), col("nk"))
+  }
+
+  val setopDiffSql: String =
+    """SELECT 'both' AS kind, nk
+      |FROM (SELECT c_nationkey AS nk FROM customer
+      |      INTERSECT SELECT s_nationkey AS nk FROM supplier)
+      |UNION ALL
+      |SELECT 'cust_only' AS kind, nk
+      |FROM (SELECT c_nationkey AS nk FROM customer
+      |      EXCEPT SELECT s_nationkey AS nk FROM supplier)
+      |ORDER BY kind, nk""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_multijoin" -> (q5Multijoin _),
+    "join_outer" -> (joinOuter _),
+    "join_semi_anti" -> (joinSemiAnti _),
+    "join_range" -> (joinRange _),
+    "join_asof" -> (joinAsof _),
+    "setop_union" -> (setopUnion _),
+    "setop_diff" -> (setopDiff _))
+
+  def oracle: Map[String, String] = Map(
+    "q5_multijoin" -> q5MultijoinSql,
+    "join_outer" -> joinOuterSql,
+    "join_semi_anti" -> joinSemiAntiSql,
+    "join_range" -> joinRangeSql,
+    "join_asof" -> joinAsofSql,
+    "setop_union" -> setopUnionSql,
+    "setop_diff" -> setopDiffSql)
+}

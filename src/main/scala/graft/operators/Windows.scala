@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** Window functions: ranking, analytic lag/lead, running frames, top-k per
+  * group (SURVEY.md §2.5 W1-W4).
+  *
+  * Scale notes (100 TB): window partitions shuffle once on the PARTITION BY
+  * key then sort within partitions — fine as long as no single key is huge
+  * (user_id / nation / brand cardinalities are safe). Every window ORDER BY
+  * carries a unique tiebreaker so results are deterministic under any
+  * task-level ordering.
+  */
+object Windows {
+
+  /** window_rank — row_number / rank / dense_rank / ntile over per-nation
+    * account balances.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  val windowRankSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  CAST(rank() OVER w AS BIGINT) AS rk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, rn""".stripMargin
+
+  /** window_lag_gap — lag/lead across per-user event sequences; gap in
+    * exact epoch microseconds (identical longs in both engines).
+    */
+  def windowLagGap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(
+        col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val windowLagGapSql: String =
+    s"""SELECT event_id, user_id, ${sqlFmtTs("ts")} AS ts_s,
+       |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+       |  lag(event_type, 1) OVER w AS prev_type,
+       |  lead(event_type, 1) OVER w AS next_type
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+
+  /** window_running — running exact-decimal sum + 4-row moving average per
+    * user (ROWS frames).
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = ord.rowsBetween(-3, Window.currentRow)
+    e.select(
+        col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"), col("value"),
+        sum(col("value").cast("decimal(18,2)")).over(run).cast("double").as("running_value"),
+        (sum(col("value").cast("decimal(18,2)")).over(mov).cast("double") /
+          count(lit(1)).over(mov)).as("moving_avg4"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val windowRunningSql: String =
+    s"""SELECT event_id, user_id, ${sqlFmtTs("ts")} AS ts_s, value,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER run AS DOUBLE) AS running_value,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER mov AS DOUBLE)
+       |    / COUNT(*) OVER mov AS moving_avg4
+       |FROM events
+       |WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |       mov AS (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, event_id""".stripMargin
+
+  /** topk_per_group — top-3 parts by retail price per brand via row_number
+    * filter (the scalable top-k: shuffle on group key, no global sort).
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    p.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    CAST(row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+      |  FROM part) t
+      |WHERE rn <= 3
+      |ORDER BY p_brand, rn""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rank" -> (windowRank _),
+    "window_lag_gap" -> (windowLagGap _),
+    "window_running" -> (windowRunning _),
+    "topk_per_group" -> (topkPerGroup _))
+
+  def oracle: Map[String, String] = Map(
+    "window_rank" -> windowRankSql,
+    "window_lag_gap" -> windowLagGapSql,
+    "window_running" -> windowRunningSql,
+    "topk_per_group" -> topkPerGroupSql)
+}
