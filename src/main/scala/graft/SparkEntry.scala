@@ -14,7 +14,9 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracle),
       (operators.Joins.queries, operators.Joins.oracle),
-      (operators.Windows.queries, operators.Windows.oracle))
+      (operators.Windows.queries, operators.Windows.oracle),
+      (operators.Cdc.queries, operators.Cdc.oracle),
+      (operators.Olap.queries, operators.Olap.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Det._
+
+/** CDC semantics over the bounded `events` log (SURVEY.md §2.1 S3/S6, §2.2
+  * P3): JSON event decode, upsert/delete log application (last-writer-wins),
+  * funnel metrics, and the batch twin of the stream-static enrichment join.
+  * The real Structured Streaming forms live in graft.streaming and are
+  * exercised by ScalaTest; these batch twins carry the DuckDB oracle.
+  *
+  * Scale notes (100 TB): cdc_apply is one shuffle on the document key and a
+  * per-key sort — the same plan Spark would use for any MERGE; no state is
+  * held on the driver. json parsing is per-row and codegen'd.
+  */
+object Cdc {
+
+  /** json_extract — decode the dynamic-schema JSON payload (the BSON
+    * stand-in) with both from_json (typed struct) and get_json_object.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val parsed = e.withColumn("k",
+      from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k"))
+      .withColumn("k2", get_json_object(col("props"), "$.k").cast("long"))
+    parsed.groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k2")).as("distinct_k"),
+        sum(when(col("k") =!= col("k2"), 1).otherwise(0)).cast("long").as("parser_disagreements"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type,
+      |  COUNT(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+      |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |  COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k,
+      |  CAST(0 AS BIGINT) AS parser_disagreements
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** cdc_apply — collapse a change log to final table state: op per event
+    * ('error' ⇒ delete, else upsert), last-writer-wins per key ordered by
+    * (ts, event_id), deletes drop the key. This is the core
+    * MongoDB-change-stream → MySQL apply semantics in one shuffle.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val log = e.select(
+      col("user_id"), col("ts"), col("event_id"), col("value"),
+      when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(
+        col("user_id"), fmtTs(col("ts")).as("last_ts"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcApplySql: String =
+    s"""WITH log AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+       |  FROM events),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM log)
+       |SELECT user_id, ${sqlFmtTs("ts")} AS last_ts,
+       |  event_id AS last_event_id, value AS last_value
+       |FROM ranked WHERE rn = 1 AND op <> 'delete'
+       |ORDER BY user_id""".stripMargin
+
+  /** event_funnel — conditional aggregation (CASE WHEN inside SUM) building
+    * a per-user view→click→purchase funnel with a derived stage label.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val agg = e.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+      sum(when(col("event_type") === "purchase", col("value").cast(DecimalType(18, 2))))
+        .cast("double").as("purchase_value"))
+    agg.withColumn("stage",
+        when(col("n_purchase") > 0, "purchased")
+          .when(col("n_click") > 0, "clicked")
+          .when(col("n_view") > 0, "viewed")
+          .otherwise("inactive"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH agg AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_view, n_click, n_purchase, purchase_value,
+      |  CASE WHEN n_purchase > 0 THEN 'purchased'
+      |       WHEN n_click > 0 THEN 'clicked'
+      |       WHEN n_view > 0 THEN 'viewed'
+      |       ELSE 'inactive' END AS stage
+      |FROM agg ORDER BY user_id""".stripMargin
+
+  /** join_stream_static — batch twin of the stream⋈static enrichment join
+    * (events enriched with the customer dim, revenue per segment). The
+    * streaming form (readStream ⋈ static broadcast) is in graft.streaming.
+    */
+  def joinStreamStatic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val c = Tables.customer(spark, dir)
+    e.join(broadcast(c), e("user_id") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val joinStreamStaticSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_extract" -> (jsonExtract _),
+    "cdc_apply" -> (cdcApply _),
+    "event_funnel" -> (eventFunnel _),
+    "join_stream_static" -> (joinStreamStatic _))
+
+  def oracle: Map[String, String] = Map(
+    "json_extract" -> jsonExtractSql,
+    "cdc_apply" -> cdcApplySql,
+    "event_funnel" -> eventFunnelSql,
+    "join_stream_static" -> joinStreamStaticSql)
+}

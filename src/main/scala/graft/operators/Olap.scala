@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** OLAP extras: approximate distinct, rollup/grouping sets, collect
+  * aggregation, and the batch twins of the streaming window operators
+  * (SURVEY.md §2.4 A3-A6, §2.9 ST1-ST3).
+  *
+  * Scale notes (100 TB): approx_count_distinct carries a constant-size HLL
+  * sketch through partial aggregation (the only way distinct-count scales);
+  * rollup expands rows before the shuffle but partial agg still collapses
+  * per grouping set; tumbling/sliding buckets are pure projections so the
+  * shuffle keys on (bucket, type) with full map-side combine.
+  */
+object Olap {
+
+  /** agg_approx_distinct — HLL approximate distinct next to the exact
+    * count; the oracle checks the exact column and that Spark's HLL landed
+    * within ±10% (DuckDB's own HLL differs, so the bound — not the sketch
+    * value — is the cross-engine contract).
+    */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users_raw"),
+        count(lit(1)).as("n_events"))
+      .withColumn("approx_within_10pct",
+        abs(col("approx_users_raw") - col("exact_users")) <=
+          col("exact_users") * 0.1)
+      .drop("approx_users_raw")
+      .orderBy(col("event_type"))
+  }
+
+  val aggApproxDistinctSql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n_events,
+      |  true AS approx_within_10pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** agg_rollup — ROLLUP(year, priority) with per-column GROUPING flags;
+    * subtotal rows carry NULL keys, so the final sort pins NULLS FIRST on
+    * both engines.
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority"), col("o_totalprice"))
+    o.rollup(col("yr"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        grouping(col("yr")).cast("long").as("g_yr"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+      .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val aggRollupSql: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       |  COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS revenue,
+       |  CAST(GROUPING(CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS g_yr,
+       |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+       |FROM orders
+       |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderpriority)
+       |ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** agg_collect — document re-assembly: per-nation sorted list of supplier
+    * names plus a joined string (relational → document shape for the
+    * MongoDB-side model).
+    */
+  def aggCollect(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    s.groupBy(col("s_nationkey"))
+      .agg(
+        sort_array(collect_list(col("s_name"))).as("suppliers"),
+        count(lit(1)).as("n_suppliers"))
+      .withColumn("suppliers_csv", array_join(col("suppliers"), ","))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val aggCollectSql: String =
+    """SELECT s_nationkey,
+      |  list(s_name ORDER BY s_name) AS suppliers,
+      |  COUNT(*) AS n_suppliers,
+      |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers_csv
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** events_tumbling_1h — batch twin of the 1-hour tumbling window
+    * aggregation (streaming form: window($"ts","1 hour") + watermark, in
+    * graft.streaming). Epoch-aligned hourly buckets == date_trunc('hour').
+    */
+  def eventsTumbling1h(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .select(
+        fmtTs(col("window.start")).as("win_start"), col("event_type"),
+        col("n_events"), col("n_users"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val eventsTumbling1hSql: String =
+    s"""SELECT ${sqlFmtTs("date_trunc('hour', ts)")} AS win_start, event_type,
+       |  COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** events_sliding — batch twin of the sliding window (1h size, 15min
+    * slide): each event lands in 4 windows. The DuckDB twin expands windows
+    * with a 4-row offset dim — same multiplicity, same buckets.
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(
+        fmtTs(col("window.start")).as("win_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("win_start"))
+  }
+
+  val eventsSlidingSql: String =
+    s"""SELECT ${sqlFmtTs("time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes'")} AS win_start,
+       |  COUNT(*) AS n_events,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events, (VALUES (0), (1), (2), (3)) AS offs(j)
+       |GROUP BY 1 ORDER BY win_start""".stripMargin
+
+  /** events_sessionize — gap-based sessionization (30 min) via lag + running
+    * flag sum: the deterministic batch twin of session_window (streaming form
+    * in graft.streaming). One shuffle on user_id; state is per-row, not
+    * per-driver.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord))
+    val flagged = e.withColumn("is_start",
+      when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+    val sess = flagged.withColumn("session_no",
+      sum(col("is_start")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("session_no"))
+      .agg(
+        fmtTs(min(col("ts"))).as("session_start"),
+        fmtTs(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  val eventsSessionizeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS is_start
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT *, CAST(SUM(is_start) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM flagged)
+       |SELECT user_id, session_no,
+       |  ${sqlFmtTs("MIN(ts)")} AS session_start,
+       |  ${sqlFmtTs("MAX(ts)")} AS session_end,
+       |  COUNT(*) AS n_events,
+       |  ${sqlDsum("value")} AS session_value
+       |FROM sess GROUP BY user_id, session_no
+       |ORDER BY user_id, session_no""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_collect" -> (aggCollect _),
+    "events_tumbling_1h" -> (eventsTumbling1h _),
+    "events_sliding" -> (eventsSliding _),
+    "events_sessionize" -> (eventsSessionize _))
+
+  def oracle: Map[String, String] = Map(
+    "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_rollup" -> aggRollupSql,
+    "agg_collect" -> aggCollectSql,
+    "events_tumbling_1h" -> eventsTumbling1hSql,
+    "events_sliding" -> eventsSlidingSql,
+    "events_sessionize" -> eventsSessionizeSql)
+}
