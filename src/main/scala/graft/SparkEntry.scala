@@ -16,7 +16,8 @@ object SparkEntry {
       (operators.Joins.queries, operators.Joins.oracle),
       (operators.Windows.queries, operators.Windows.oracle),
       (operators.Cdc.queries, operators.Cdc.oracle),
-      (operators.Olap.queries, operators.Olap.oracle))
+      (operators.Olap.queries, operators.Olap.oracle),
+      (operators.Docs.queries, operators.Docs.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,349 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-pipeline operators over the `documents` table (SURVEY.md §2.8 rows
+  * L1/L4/L6 + the driver-mandated text-analysis set: language-ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Determinism-by-construction conventions (SURVEY.md §5):
+  *  - all hashing is md5 (identical lowercase hex in Spark and DuckDB);
+  *  - no transcendental functions in compared output — TF-IDF uses a
+  *    rational idf (N/df) so every double op (int→double cast, one multiply,
+  *    one divide) is a single correctly-rounded IEEE op, identical in both
+  *    engines;
+  *  - tokenization is `split(lower(text), ' ')` after whitespace collapse,
+  *    mirrored as string_split in DuckDB.
+  *
+  * Scale notes (100 TB): every query is scan → narrow per-row transform
+  * (codegen'd string/array exprs) → hash agg or window on a key with
+  * data-proportional cardinality (doc_id, term). Token/shingle explodes grow
+  * rows ~100× but stay map-side (no shuffle of the exploded rows except the
+  * per-key partial-aggregated form). Nothing collects to the driver.
+  */
+object Docs {
+
+  /** Normalized text: lowercase, collapse runs of whitespace, trim. */
+  private def norm(c: org.apache.spark.sql.Column) =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+  private val sqlNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** doc_dedup (L1) — exact dedup on md5 of normalized text. Per language:
+    * rows in, distinct normalized hashes, dup rows removed, and the survivor
+    * id sum (keep-first = min doc_id per hash) as an order-free checksum of
+    * WHICH rows survive, not just how many.
+    *
+    * Scale: groupBy(hash) is one shuffle on a high-cardinality key —
+    * partial agg makes it ~1 row per distinct hash per partition; the
+    * canonical 100-TB exact-dedup plan.
+    */
+  def docDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val keepers = d
+      .select(col("lang"), md5(norm(col("text"))).as("h"), col("doc_id"))
+      .groupBy(col("lang"), col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_rows"))
+    keepers
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("n_rows")).as("n_docs"),
+        count(lit(1)).as("n_uniq"),
+        (sum(col("n_rows")) - count(lit(1))).as("n_removed"),
+        sum(col("keep_id")).as("keeper_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val docDedupSql: String =
+    s"""WITH keepers AS (
+       |  SELECT lang, md5($sqlNorm) AS h,
+       |         min(doc_id) AS keep_id, count(*) AS n_rows
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT lang, SUM(n_rows) AS n_docs, COUNT(*) AS n_uniq,
+       |       SUM(n_rows) - COUNT(*) AS n_removed,
+       |       SUM(keep_id) AS keeper_id_sum
+       |FROM keepers GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** doc_text_stats (L4) — per (lang, source): doc count, token totals, char
+    * totals, and vocabulary size (distinct tokens across the group).
+    */
+  def docTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", split(norm(col("text")), " "))
+    val perDoc = d.select(
+      col("lang"), col("source"), col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks"),
+      length(col("text")).cast("long").as("n_chars_m"))
+    val vocab = d
+      .select(col("lang"), col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    perDoc
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_toks"),
+        sum(col("n_chars_m")).as("total_chars"))
+      .join(vocab, Seq("lang", "source"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val docTextStatsSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, source, doc_id,
+       |         string_split($sqlNorm, ' ') AS t, length(text) AS nc
+       |  FROM documents),
+       |per_doc AS (
+       |  SELECT lang, source, count(*) AS n_docs,
+       |         SUM(CAST(len(t) AS BIGINT)) AS total_toks,
+       |         SUM(CAST(nc AS BIGINT)) AS total_chars
+       |  FROM toks GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT lang, source, COUNT(DISTINCT tok) AS vocab
+       |  FROM (SELECT lang, source, unnest(t) AS tok FROM toks)
+       |  GROUP BY 1, 2)
+       |SELECT p.lang, p.source, n_docs, total_toks, total_chars, vocab
+       |FROM per_doc p JOIN vocab v USING (lang, source)
+       |ORDER BY p.lang, p.source""".stripMargin
+
+  /** doc_tokens — token counting two ways per doc: whitespace tokens and a
+    * BPE-ish piece count (runs of [a-z0-9] plus single non-space symbols),
+    * the standard pre-tokenizer shape.
+    */
+  def docTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"),
+        size(split(norm(col("text")), " ")).cast("long").as("ws_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("bpe_pieces"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docTokensSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split($sqlNorm, ' ')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_pieces,
+       |  CAST(length(text) AS BIGINT) AS n_chars_m
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Tiny built-in stopword list shared by quality scoring and language-ID.
+    * (lang, marker-token) pairs — public-knowledge function words.
+    */
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "to",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "zu",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "de", "fr" -> "un",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "un",
+    "zh" -> "de", "zh" -> "shi", "zh" -> "le", "zh" -> "he", "zh" -> "zai")
+  private val sqlMarkers: String =
+    markers.map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+
+  /** doc_quality — per-doc quality features + a composite score: length
+    * saturation, stopword ratio, mean word length. All double math is the
+    * identical op sequence in both engines (casts of ints, one divide per
+    * feature, fixed-weight linear blend), so no rounding is needed.
+    */
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", split(norm(col("text")), " "))
+    val en = markers.filter(_._1 == "en").map(_._2)
+    val nTok = size(col("toks")).cast("double")
+    val nStop = size(filter(col("toks"), t => t.isin(en.map(lit): _*)))
+      .cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val stopRatio = nStop / nTok
+    val wordLen =
+      length(regexp_replace(norm(col("text")), " ", "")).cast("double") / nTok
+    d.select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        lenScore.as("len_score"),
+        stopRatio.as("stop_ratio"),
+        wordLen.as("avg_word_len"),
+        (lit(0.4) * lenScore + lit(0.3) * stopRatio +
+          lit(0.3) * least(wordLen / lit(8.0), lit(1.0))).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docQualitySql: String = {
+    val en = markers.filter(_._1 == "en").map("'" + _._2 + "'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($sqlNorm, ' ') AS toks, $sqlNorm AS nt
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE) AS n_stop,
+       |    CAST(length(replace(nt, ' ', '')) AS DOUBLE) AS n_letters
+       |  FROM t)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       |  least(n_tok / 100.0, 1.0) AS len_score,
+       |  n_stop / n_tok AS stop_ratio,
+       |  n_letters / n_tok AS avg_word_len,
+       |  0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (n_stop / n_tok)
+       |    + 0.3 * least((n_letters / n_tok) / 8.0, 1.0) AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** doc_lang_id — n-gram/marker-token language heuristic: score each
+    * candidate language by marker hits, pick argmax (ties and zero-hit docs
+    * resolve deterministically: score desc, then language asc, then
+    * 'unknown'). Output is the (actual, predicted) confusion matrix.
+    *
+    * Scale: explode tokens → broadcast-join the 25-row marker dim → count
+    * per (doc, lang) — the tiny dim side is the textbook broadcast join.
+    */
+  def docLangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = markers.toDF("cand", "tok")
+    val d = Tables.documents(spark, dir)
+    val hits = d
+      .select(col("doc_id"), col("lang"),
+        explode(split(norm(col("text")), " ")).as("tok"))
+      .join(broadcast(m), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(count(lit(1)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand"))
+    val best = hits
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("predicted"))
+    d.select(col("doc_id"), col("lang"))
+      .join(best.drop("lang"), Seq("doc_id"), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit("unknown")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val docLangIdSql: String =
+    s"""WITH m(cand, tok) AS (VALUES $sqlMarkers),
+       |toks AS (
+       |  SELECT doc_id, lang, unnest(string_split($sqlNorm, ' ')) AS tok
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lang, cand, count(*) AS score
+       |  FROM toks JOIN m USING (tok) GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT doc_id, cand AS predicted,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, cand) AS rn
+       |  FROM hits)
+       |SELECT d.lang, coalesce(b.predicted, 'unknown') AS predicted,
+       |       count(*) AS n_docs
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** doc_fingerprint — shingle-hash document fingerprint (winnowing-style:
+    * the extrema of the per-shingle hash set identify a document robustly
+    * under small edits). Emits min/max md5 of 4-token shingles + shingle
+    * count per doc.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", split(norm(col("text")), " "))
+    val sh = shingles(col("toks"), 4)
+    d.select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(
+        col("doc_id"),
+        array_min(transform(col("sh"), s => md5(s))).as("fp_min"),
+        array_max(transform(col("sh"), s => md5(s))).as("fp_max"),
+        size(col("sh")).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($sqlNorm, ' ') AS s FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    [md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3])
+       |     for i in range(1, len(s) - 2)] AS hs
+       |  FROM t WHERE len(s) >= 4)
+       |SELECT doc_id, list_min(hs) AS fp_min, list_max(hs) AS fp_max,
+       |       CAST(len(hs) AS BIGINT) AS n_shingles
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** doc_tfidf (L6) — top-3 distinguishing terms per doc. tf = term count in
+    * doc; idf = N/df as an exact rational in double (no ln → no libm
+    * divergence between engines); score = tf * N / df computed as
+    * (tf*N exact int product → double) / (df → double): two correctly-
+    * rounded IEEE ops, bit-identical in both engines.
+    */
+  def docTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = d.select(col("doc_id"),
+      explode(split(norm(col("text")), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .crossJoin(n)
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").as("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val docTfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split($sqlNorm, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term,
+       |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY CAST(tf * n_docs AS DOUBLE)
+       |                                / CAST(df AS DOUBLE) DESC,
+       |                                term) AS rn
+       |  FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score
+       |FROM scored WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** k-token shingles of a token-array column; empty when the doc is shorter
+    * than k (guards sequence() against a negative stop, which would flip it
+    * into a descending range).
+    */
+  private[operators] def shingles(toks: org.apache.spark.sql.Column, k: Int) =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dedup" -> (docDedup _),
+    "doc_text_stats" -> (docTextStats _),
+    "doc_tokens" -> (docTokens _),
+    "doc_quality" -> (docQuality _),
+    "doc_lang_id" -> (docLangId _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "doc_tfidf" -> (docTfidf _))
+
+  def oracle: Map[String, String] = Map(
+    "doc_dedup" -> docDedupSql,
+    "doc_text_stats" -> docTextStatsSql,
+    "doc_tokens" -> docTokensSql,
+    "doc_quality" -> docQualitySql,
+    "doc_lang_id" -> docLangIdSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "doc_tfidf" -> docTfidfSql)
+}
