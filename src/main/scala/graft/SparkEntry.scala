@@ -17,7 +17,8 @@ object SparkEntry {
       (operators.Windows.queries, operators.Windows.oracle),
       (operators.Cdc.queries, operators.Cdc.oracle),
       (operators.Olap.queries, operators.Olap.oracle),
-      (operators.Docs.queries, operators.Docs.oracle))
+      (operators.Docs.queries, operators.Docs.oracle),
+      (operators.NearDup.queries, operators.NearDup.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
