@@ -19,7 +19,8 @@ object SparkEntry {
       (operators.Olap.queries, operators.Olap.oracle),
       (operators.Docs.queries, operators.Docs.oracle),
       (operators.NearDup.queries, operators.NearDup.oracle),
-      (operators.Embeddings.queries, operators.Embeddings.oracle))
+      (operators.Embeddings.queries, operators.Embeddings.oracle),
+      (operators.Multimodal.queries, operators.Multimodal.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md task mandate): media assets are
+  * opaque `binary` payloads + typed metadata riding alongside relational
+  * columns; decode / feature-extraction runs as a partition-batched
+  * function over the binary column — the Scala/JVM analog of a
+  * `mapInPandas` batch UDF: one iterator per partition, constant per-batch
+  * setup (here the MessageDigest instance), streaming through rows without
+  * materializing the partition.
+  *
+  * The decode step is a STUB by design (no image/audio codecs in this
+  * environment): features are derived deterministically from the md5 of
+  * the payload bytes, so the whole pipeline — binary column, metadata
+  * struct, batched extraction, downstream relational ops — is real and
+  * oracle-checked, and a production decoder would replace exactly one
+  * function (`stubDecode`).
+  *
+  * Scale notes (100 TB): payloads never shuffle — extraction is map-side
+  * (mapPartitions preserves partitioning), and only the small feature rows
+  * flow into joins/aggregations. This is the only operator family in the
+  * engine that steps outside WholeStageCodegen, which is the honest cost
+  * of arbitrary-code decode; everything downstream of the features is
+  * codegen'd DataFrame ops again.
+  */
+object Multimodal {
+
+  /** Deterministic fake decode: media dims from the payload digest.
+    * Mirrored digit-by-digit by the DuckDB twin (hex → int via strpos).
+    */
+  private[operators] def stubDecode(md5hex: String): (Long, Long, Long) = {
+    def hexVal(from: Int, len: Int): Long =
+      md5hex.substring(from, from + len).foldLeft(0L) { (acc, c) =>
+        acc * 16 + Character.digit(c, 16)
+      }
+    val width = 1L + hexVal(0, 6) % 1920L
+    val height = 1L + hexVal(6, 6) % 1080L
+    val nFrames = 1L + hexVal(12, 4) % 240L
+    (width, height, nFrames)
+  }
+
+  /** SQL twin of hexVal over md5(text): positional fold of hex digits. */
+  private def sqlHexVal(from: Int, len: Int): String =
+    (from until from + len).map(j =>
+      s"(strpos('0123456789abcdef', substring(md5(text), ${j + 1}, 1)) - 1) * ${math.pow(16, from + len - 1 - j).toLong}")
+      .mkString("(", " + ", ")")
+
+  /** The opaque-asset table: payload bytes + typed metadata. Derived from
+    * `documents` (text bytes stand in for media bytes — same plumbing).
+    */
+  private def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      col("lang").as("fmt"),
+      col("n_chars").as("n_bytes"))
+
+  /** Partition-batched feature extraction over the binary column. */
+  private def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    assets(spark, dir)
+      .select(col("doc_id"), col("payload"), col("fmt"), col("n_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload, fmt, nBytes) =>
+          md.reset()
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          val (w, h, f) = stubDecode(hex)
+          (id, fmt, nBytes, w, h, f)
+        }
+      }
+      .toDF("doc_id", "fmt", "n_bytes", "width", "height", "n_frames")
+  }
+
+  private val sqlFeatures: String =
+    s"""feat AS (SELECT doc_id, lang AS fmt, n_chars AS n_bytes,
+       |  1 + ${sqlHexVal(0, 6)} % 1920 AS width,
+       |  1 + ${sqlHexVal(6, 6)} % 1080 AS height,
+       |  1 + ${sqlHexVal(12, 4)} % 240 AS n_frames
+       |  FROM documents)""".stripMargin
+
+  /** mm_decode — per-asset stub-decoded features joined back to relational
+    * metadata, aggregated per format: the canonical "decode then analyze"
+    * multimodal pipeline shape.
+    */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .groupBy(col("fmt"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("n_frames")).as("total_frames"),
+        max(col("width")).as("max_width"))
+      .orderBy(col("fmt"))
+
+  val mmDecodeSql: String =
+    s"""WITH $sqlFeatures
+       |SELECT fmt, count(*) AS n_assets,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(width) AS BIGINT) AS sum_width,
+       |  CAST(SUM(height) AS BIGINT) AS sum_height,
+       |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+       |  max(width) AS max_width
+       |FROM feat GROUP BY fmt ORDER BY fmt""".stripMargin
+
+  /** mm_frame_sample — generator over decoded metadata: sample every 10th
+    * frame index per asset, tagging each sampled frame with a stub
+    * perceptual hash. Explode stays map-side; output rows ~ n_frames/10.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    features(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(10L)))
+          .as("frame_idx"))
+      .withColumn("phash",
+        substring(md5(concat_ws(":", col("doc_id"), col("frame_idx"))), 1, 8))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val mmFrameSampleSql: String =
+    s"""WITH $sqlFeatures
+       |SELECT doc_id, frame_idx,
+       |  substring(md5(doc_id || ':' || frame_idx), 1, 8) AS phash
+       |FROM (SELECT doc_id, unnest(range(0, n_frames, 10)) AS frame_idx
+       |      FROM feat)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode" -> (mmDecode _),
+    "mm_frame_sample" -> (mmFrameSample _))
+
+  def oracle: Map[String, String] = Map(
+    "mm_decode" -> mmDecodeSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
+}
