@@ -1,0 +1,194 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's CDC/analytics operators
+  * (SURVEY.md §2.9 rows ST1–ST7). Each transformation takes a DataFrame
+  * that may be bounded (batch replay — what the DuckDB-oracled twins in
+  * graft.operators run) or unbounded (readStream/MemoryStream — what the
+  * ScalaTest suite runs), because Structured Streaming's contract is
+  * exactly that the incremental plan computes the batch answer.
+  *
+  * Scale notes (100 TB/day of change events): all stateful ops key their
+  * state by a high-cardinality column (user_id), so state shards across
+  * executors via the same hash partitioning as the shuffle; watermarks
+  * bound state size by evicting windows/sessions/dedup keys older than the
+  * lateness budget. The foreachBatch upsert emits one idempotent MERGE per
+  * micro-batch — the pattern that scales to a real MySQL/warehouse sink
+  * because the per-batch work is proportional to the batch, not the table.
+  */
+object Streams {
+
+  /** Debezium-style change-event envelope (the `events` table's shape). */
+  case class ChangeEvent(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** A closed (or final) user session emitted by the stateful sessionizer. */
+  case class UserSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long)
+
+  /** ST1 — tumbling 1-hour windows with a 10-minute watermark: count +
+    * value sum per (window, event_type). Append-mode-safe.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** ST2 — sliding 1-hour windows every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
+  /** ST3 — gap-based session windows (30-minute inactivity gap) via the
+    * native session_window; watermark closes sessions and evicts state.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** ST3 (custom-state form) — sessionization with explicit per-user state
+    * via flatMapGroupsWithState + event-time timeout: demonstrates the
+    * KeyValueGroupedDataset state API for semantics session_window can't
+    * express (e.g. emitting session *updates*, per-key session caps).
+    * State per user is the single open session; a closed session is
+    * emitted when a new event starts a later session or when the watermark
+    * times the state out.
+    */
+  def sessionizeWithState(events: Dataset[ChangeEvent], gapMinutes: Int)
+      : Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Timestamp, Timestamp, Long), UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[ChangeEvent],
+         state: GroupState[(Timestamp, Timestamp, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator(UserSession(userId, s, e, n))
+          } else {
+            val sorted = it.toSeq.sortBy(ev => (ev.ts.getTime, ev.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { ev =>
+              open match {
+                case Some((s, e, n)) if ev.ts.getTime - e.getTime <= gapMs =>
+                  open = Some((s, ev.ts, n + 1))
+                case Some((s, e, n)) =>
+                  closed += UserSession(userId, s, e, n)
+                  open = Some((ev.ts, ev.ts, 1L))
+                case None =>
+                  open = Some((ev.ts, ev.ts, 1L))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st._2.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** ST5 — streaming exactly-once-per-key dedup: drops events whose
+    * event_id was already seen within the watermark horizon (the resume-
+    * token replay guard of a CDC consumer restart).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** ST7 — stream ⋈ static dimension enrichment (broadcast the dim). */
+  def enrich(events: DataFrame, customerDim: DataFrame): DataFrame =
+    events.join(broadcast(customerDim),
+      events("user_id") === customerDim("c_custkey"))
+
+  /** Last-writer-wins collapse of a change log fragment: one row per key,
+    * ordered by (ts, event_id); 'error' events are tombstones. Pure — the
+    * same function serves the batch twin (Cdc.cdcApply), the per-batch
+    * step of the streaming upsert, and the associativity test that proves
+    * incremental == batch.
+    */
+  def applyLog(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    log
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "error", "delete").otherwise("upsert")
+          .as("op"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("op"))
+  }
+
+  /** Merge a collapsed micro-batch into the collapsed sink state
+    * (associative: applying batches incrementally ≡ applying the whole
+    * log at once). Tombstones persist in state so late duplicates of
+    * deleted keys stay dead; `finalState` filters them for presentation.
+    */
+  def mergeState(state: DataFrame, batch: DataFrame): DataFrame =
+    applyLog(state.withColumn("event_type",
+        when(col("op") === "delete", "error").otherwise("upsert"))
+      .drop("op")
+      .unionByName(batch.withColumn("event_type",
+        when(col("op") === "delete", "error").otherwise("upsert"))
+        .drop("op")))
+
+  /** Live rows of a collapsed state (tombstones dropped). */
+  def finalState(state: DataFrame): DataFrame =
+    state.filter(col("op") =!= "delete").drop("op")
+
+  /** ST6 — the streaming CDC upsert: foreachBatch collapses each
+    * micro-batch and MERGEs it into a parquet-backed sink table (the
+    * stand-in for `INSERT … ON DUPLICATE KEY UPDATE` on MySQL). Returns
+    * the started query; sink state lives at `sinkDir`.
+    */
+  def cdcUpsertQuery(spark: SparkSession, events: DataFrame,
+      sinkDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val collapsed = applyLog(batch.toDF())
+        val sink = new java.io.File(sinkDir)
+        val merged =
+          if (sink.exists() && sink.listFiles().exists(_.getName.endsWith(".parquet")))
+            mergeState(spark.read.parquet(sinkDir), collapsed)
+          else collapsed
+        val tmp = sinkDir + ".tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val committed = spark.read.parquet(tmp)
+        committed.coalesce(1).write.mode("overwrite").parquet(sinkDir)
+        ()
+      }
+      .start()
+  }
+}

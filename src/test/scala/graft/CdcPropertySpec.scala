@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.streaming.Streams
+import graft.streaming.Streams.ChangeEvent
+
+/** Property-based checks of the CDC apply/merge algebra (SURVEY.md §5.4):
+  * over random op logs, the distributed last-writer-wins collapse must
+  * agree with a sequential reference fold, splitting the log into
+  * arbitrary micro-batches must not change the result (associativity — the
+  * exactly-once restart story), and applying twice must be a no-op
+  * (idempotence). Uses raw ScalaCheck generators over fixed seeds (the
+  * scalatest bridge artifact isn't on the offline classpath).
+  */
+class CdcPropertySpec extends SparkSpec {
+
+  private val genEvent: Gen[ChangeEvent] = for {
+    id <- Gen.choose(1L, 500L)
+    tsMin <- Gen.choose(0, 1000)
+    user <- Gen.choose(1L, 8L)
+    typ <- Gen.oneOf("view", "click", "purchase", "error")
+    value <- Gen.choose(0, 10000).map(_ / 100.0)
+  } yield ChangeEvent(id, new Timestamp(1700000000000L + tsMin * 60000L),
+    user, typ, value, "{}")
+
+  /** Unique event ids: (ts, event_id) is the apply order's tiebreaker. */
+  private val genLog: Gen[List[ChangeEvent]] =
+    Gen.listOfN(60, genEvent).map(
+      _.groupBy(_.event_id).values.map(_.head).toList)
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  /** Sequential reference: fold the log in (ts, id) order into a map. */
+  private def referenceFold(log: Seq[ChangeEvent]): Map[Long, Long] =
+    log.sortBy(e => (e.ts.getTime, e.event_id))
+      .foldLeft(Map.empty[Long, (Long, Boolean)]) { (m, e) =>
+        m.updated(e.user_id, (e.event_id, e.event_type == "error"))
+      }
+      .collect { case (u, (id, dead)) if !dead => u -> id }
+
+  private def stateToMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Streams.finalState(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("applyLog over random logs equals the sequential reference fold") {
+    import spark.implicits._
+    for (seed <- 1L to 12L) {
+      val log = sample(genLog, seed)
+      assert(stateToMap(Streams.applyLog(log.toDF())) == referenceFold(log),
+        s"seed=$seed")
+    }
+  }
+
+  test("incremental mergeState over any batch split equals one-shot apply") {
+    import spark.implicits._
+    for (seed <- 1L to 8L) {
+      val log = sample(genLog, seed)
+      val nSplits = 1 + (seed % 4).toInt
+      val batches = log.grouped(math.max(1, log.size / nSplits)).toSeq
+      val incremental = batches.map(b => Streams.applyLog(b.toDF()))
+        .reduce((s, b) => Streams.mergeState(s, b))
+      assert(stateToMap(incremental) == referenceFold(log), s"seed=$seed")
+    }
+  }
+
+  test("merging a state with itself is a no-op (idempotent restart replay)") {
+    import spark.implicits._
+    for (seed <- 20L to 24L) {
+      val log = sample(genLog, seed)
+      val once = Streams.applyLog(log.toDF())
+      assert(stateToMap(Streams.mergeState(once, once)) == referenceFold(log),
+        s"seed=$seed")
+    }
+  }
+}

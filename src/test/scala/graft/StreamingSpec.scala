@@ -1,0 +1,201 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.ChangeEvent
+
+/** Structured Streaming correctness (SURVEY.md §2.9, ST1–ST7): each
+  * streaming form is driven through MemoryStream micro-batches and checked
+  * against either its batch twin on the same data (the Structured
+  * Streaming contract) or an explicitly constructed expectation
+  * (watermark/late-data behavior, which only exists in streaming).
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** minute offsets from 2024-01-01T00:00:00Z — epoch-based so window
+    * alignment is immune to the JVM's default timezone. */
+  private def ts(minute: Int): Timestamp =
+    new Timestamp(1704067200000L + minute * 60000L)
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String,
+      value: Double = 1.0): ChangeEvent =
+    ChangeEvent(id, ts(minute), user, typ, value, """{"k": 1}""")
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable()
+  }
+
+  test("ST1 tumbling window agg over a stream equals the batch twin") {
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val events = Seq(
+      ev(1, 10, 1, "view"), ev(2, 20, 1, "click"), ev(3, 70, 2, "view"),
+      ev(4, 75, 2, "view"), ev(5, 130, 3, "purchase", 9.5))
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("st1")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      drain(q)
+      // watermark: append mode only emits windows the watermark passed;
+      // push it far forward so every window closes.
+      input.addData(Seq(ev(99, 24 * 60, 9, "view")))
+      drain(q)
+      val got = spark.table("st1")
+        .select("win_start", "event_type", "n_events", "total_value")
+        .collect().map(_.toString).sorted.toSeq
+      val expected = Streams.tumblingCounts(events.toDF())
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("ST2 sliding windows place events in every overlapping window") {
+    import spark.implicits._
+    val events = Seq(ev(1, 40, 1, "view"))
+    // batch form of the same transformation: one event at minute 40 must
+    // appear in the 4 sliding windows [0:45..0:40-1:40].
+    val wins = Streams.slidingCounts(events.toDF()).collect()
+    assert(wins.length == 4)
+    assert(wins.forall(_.getLong(2) == 1L))
+  }
+
+  test("ST3 session_window groups by inactivity gap (stream = batch)") {
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val events = Seq(
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "view"),   // session A (gap 10 < 30)
+      ev(3, 60, 1, "view"),                         // session B (gap 50 > 30)
+      ev(4, 5, 2, "view"))                          // user 2
+    val q = Streams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("st3")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      drain(q)
+      input.addData(Seq(ev(99, 24 * 60, 9, "view")))
+      drain(q)
+      val got = spark.table("st3")
+        .filter(col("user_id") < 9)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toString).sorted.toSeq
+      val expected = Streams.sessionCounts(events.toDF())
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+      assert(got.size == 3, s"expected 3 sessions, got $got")
+    } finally q.stop()
+  }
+
+  test("ST3' flatMapGroupsWithState sessionizer emits closed sessions") {
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val q = Streams.sessionizeWithState(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("st3s")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1, 0, 1, "view"), ev(2, 10, 1, "view")))
+      drain(q)
+      // A much later event closes user 1's open session (gap > 30min) and
+      // drags the watermark forward so the timeout fires.
+      input.addData(Seq(ev(3, 300, 1, "view"), ev(4, 600, 2, "view")))
+      drain(q)
+      input.addData(Seq(ev(5, 2000, 3, "view")))
+      drain(q)
+      val sessions = spark.table("st3s").as[Streams.UserSession].collect()
+      val u1 = sessions.filter(_.user_id == 1L)
+      assert(u1.exists(s =>
+        s.session_start == ts(0) && s.session_end == ts(10) && s.n_events == 2),
+        s"expected closed session [0,10]x2 for user 1, got ${u1.toSeq}")
+    } finally q.stop()
+  }
+
+  test("ST4 watermark drops events later than the lateness budget") {
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("st4")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1, 30, 1, "view")))
+      drain(q)
+      input.addData(Seq(ev(2, 600, 2, "view")))   // watermark → 9:50
+      drain(q)
+      input.addData(Seq(ev(3, 35, 1, "view")))    // late: hour-0 already closed
+      drain(q)
+      input.addData(Seq(ev(4, 1500, 3, "view")))  // close everything
+      drain(q)
+      val hour0 = spark.table("st4")
+        .filter(col("win_start") === ts(0)).collect()
+      assert(hour0.length == 1 && hour0.head.getLong(2) == 1L,
+        s"late event must not reopen the closed window: ${hour0.toSeq}")
+    } finally q.stop()
+  }
+
+  test("ST5 dropDuplicatesWithinWatermark dedups replayed event ids") {
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val q = Streams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("st5")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1, 0, 1, "view"), ev(2, 1, 1, "click")))
+      drain(q)
+      // replay the same ids (CDC consumer restart), plus one new event
+      input.addData(Seq(ev(1, 0, 1, "view"), ev(2, 1, 1, "click"),
+        ev(3, 2, 2, "view")))
+      drain(q)
+      val ids = spark.table("st5").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"expected deduped ids, got $ids")
+    } finally q.stop()
+  }
+
+  test("ST6 foreachBatch upsert: incremental merge equals batch apply") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st6").toString
+    val input = MemoryStream[ChangeEvent](spark)
+    val events1 = Seq(
+      ev(1, 0, 1, "view", 1.0), ev(2, 10, 1, "click", 2.0),
+      ev(3, 5, 2, "view", 3.0))
+    val events2 = Seq(
+      ev(4, 20, 2, "error", 0.0),                 // tombstone for user 2
+      ev(5, 30, 3, "purchase", 7.0))
+    val q = Streams.cdcUpsertQuery(spark, input.toDF(),
+      s"$tmp/sink", s"$tmp/ckpt")
+    try {
+      input.addData(events1); drain(q)
+      input.addData(events2); drain(q)
+      val got = Streams.finalState(spark.read.parquet(s"$tmp/sink"))
+        .select("user_id", "event_id", "value")
+        .collect().map(_.toString).sorted.toSeq
+      val expected = Streams.finalState(
+          Streams.applyLog((events1 ++ events2).toDF()))
+        .select("user_id", "event_id", "value")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+      assert(got.size == 2, s"user 2 must be deleted: $got")
+    } finally q.stop()
+  }
+
+  test("ST7 stream-static join enriches events with the customer dim") {
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val dim = Tables.customer(spark, sfTiny)
+    val q = Streams.enrich(input.toDF(), dim)
+      .select("event_id", "user_id", "c_mktsegment")
+      .writeStream.format("memory").queryName("st7")
+      .outputMode("append").start()
+    try {
+      val someKey = dim.select("c_custkey").head().getLong(0)
+      input.addData(Seq(ev(1, 0, someKey, "view"), ev(2, 1, -1L, "view")))
+      drain(q)
+      val got = spark.table("st7").collect()
+      assert(got.length == 1 && got.head.getLong(1) == someKey,
+        "only the event matching a dim row survives the inner join")
+    } finally q.stop()
+  }
+}
