@@ -246,30 +246,38 @@ object Docs {
     * count per doc.
     */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // Shingles are exploded so md5 runs as a top-level codegen'd
+    // expression (md5 inside an array lambda evaluates interpreted), then
+    // one map-side-partial groupBy(doc_id) takes the extrema.
     val d = Tables.documents(spark, dir)
       .withColumn("toks", split(norm(col("text")), " "))
-    val sh = shingles(col("toks"), 4)
-    d.select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(
-        col("doc_id"),
-        array_min(transform(col("sh"), s => md5(s))).as("fp_min"),
-        array_max(transform(col("sh"), s => md5(s))).as("fp_max"),
-        size(col("sh")).cast("long").as("n_shingles"))
+      .filter(size(col("toks")) >= 4)
+    d.select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 3)).as("i"))
+      .select(col("doc_id"), md5(concat_ws(" ",
+        element_at(col("toks"), col("i")),
+        element_at(col("toks"), col("i") + 1),
+        element_at(col("toks"), col("i") + 2),
+        element_at(col("toks"), col("i") + 3))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("h")).as("fp_min"),
+        max(col("h")).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))
   }
 
   val docFingerprintSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, string_split($sqlNorm, ' ') AS s FROM documents),
-       |sh AS (
+       |ex AS (
        |  SELECT doc_id,
-       |    [md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3])
-       |     for i in range(1, len(s) - 2)] AS hs
+       |    md5(unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]
+       |                for i in range(1, len(s) - 2)])) AS h
        |  FROM t WHERE len(s) >= 4)
-       |SELECT doc_id, list_min(hs) AS fp_min, list_max(hs) AS fp_max,
-       |       CAST(len(hs) AS BIGINT) AS n_shingles
-       |FROM sh ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+       |       count(*) AS n_shingles
+       |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** doc_tfidf (L6) — top-3 distinguishing terms per doc. tf = term count in
     * doc; idf = N/df as an exact rational in double (no ln → no libm

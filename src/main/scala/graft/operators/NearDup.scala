@@ -22,30 +22,48 @@ object NearDup {
   private def norm(c: Column) = lower(trim(regexp_replace(c, "\\s+", " ")))
   private val sqlNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
-  /** doc_near_dedup (L2) — MinHash (8 permutations via keyed md5) + LSH
-    * (4 bands x 2 rows) candidate generation, then exact Jaccard over
-    * distinct 3-token shingles; pairs with J >= 0.5 survive.
+  /** doc_near_dedup (L2) — MinHash + LSH + exact-Jaccard verify; pairs
+    * with J >= 0.5 over distinct 3-token shingles survive.
     *
-    * Spark plan shape: signature scan (no shuffle) → tiny band self-join →
-    * candidate pair list is broadcast back against the exploded shingle
-    * table, so the expensive verify join never shuffles the big side twice.
+    * MinHash variant: ONE md5 per shingle, split into 8 disjoint 4-hex
+    * chunks = 8 independent 16-bit permutations (fixed-width hex, so
+    * lexicographic min ≡ numeric min). The truncation only loosens LSH
+    * candidate generation (a few extra candidates); the exact verify join
+    * decides membership, so precision is unaffected.
+    *
+    * Plan shape (the 100-TB-relevant part): shingles are EXPLODED and
+    * hashed with a top-level codegen'd md5 — no md5 inside a higher-order
+    * lambda (array lambdas evaluate interpreted, ~10× slower) — then the
+    * signature is one map-side-partial groupBy(doc). Bands self-join for
+    * candidates; the tiny candidate list broadcasts into the exploded
+    * shingle join that counts intersections.
     */
   def docNearDedup(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // 3-token shingles via positional explode + element_at (codegen'd;
+    // building them inside an array lambda would evaluate interpreted),
+    // deduped per doc by a map-side-partial distinct.
+    val ex = Tables.documents(spark, dir)
       .withColumn("toks", split(norm(col("text")), " "))
-      .withColumn("hs", array_distinct(Docs.shingles(col("toks"), 3)))
       .filter(size(col("toks")) >= 3)
-    val mh = d.select(
-      col("doc_id") +: size(col("hs")).as("n_sh") +:
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("toks"), col("i")),
+          element_at(col("toks"), col("i") + 1),
+          element_at(col("toks"), col("i") + 2)).as("g"))
+      .distinct()
+    val mh = ex
+      .withColumn("h", md5(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
         (0 until 8).map(i =>
-          array_min(transform(col("hs"), s => md5(concat(lit(s"$i|"), s))))
-            .as(s"h$i")): _*)
+          min(substring(col("h"), 1 + 4 * i, 4)).as(s"h$i")): _*)
     val bands = mh.select(
         col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"),
-            md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))
-              .as("bkey"))): _*)).as("bd"))
+            concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*))
+          .as("bd"))
       .select(col("doc_id"), col("bd.band_id"), col("bd.bkey"))
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -54,17 +72,16 @@ object NearDup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val ex = d.select(col("doc_id"), explode(col("hs")).as("g"))
     val common = broadcast(cand)
       .join(ex.as("ea"), col("ea.doc_id") === col("da"))
-      .join(ex.as("eb"),
+      .join(broadcast(ex.as("eb")),
         col("eb.doc_id") === col("db") && col("eb.g") === col("ea.g"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_common"))
     val sizes = mh.select(col("doc_id"), col("n_sh"))
     common
-      .join(sizes.as("na"), col("na.doc_id") === col("da"))
-      .join(sizes.as("nb"), col("nb.doc_id") === col("db"))
+      .join(broadcast(sizes.as("na")), col("na.doc_id") === col("da"))
+      .join(broadcast(sizes.as("nb")), col("nb.doc_id") === col("db"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na.n_sh") + col("nb.n_sh") - col("n_common")).cast("double"))
@@ -76,23 +93,22 @@ object NearDup {
 
   val docNearDedupSql: String =
     s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS s FROM documents),
-       |sh AS (SELECT doc_id,
-       |  list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-       |                 for i in range(1, len(s)-1)]) AS hs
+       |ex AS (SELECT doc_id, unnest(list_distinct(
+       |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
+       |  )) AS g
        |  FROM t WHERE len(s) >= 3),
-       |mh AS (SELECT doc_id, len(hs) AS n_sh,
+       |mh AS (SELECT doc_id, count(*) AS n_sh,
        |  ${(0 until 8).map(i =>
-             s"list_min([md5('$i|' || x) for x in hs]) AS h$i").mkString(",\n|  ")}
-       |  FROM sh),
+             s"min(substring(md5(g), ${1 + 4 * i}, 4)) AS h$i").mkString(",\n|  ")}
+       |  FROM ex GROUP BY doc_id),
        |bands AS (SELECT doc_id, band_id,
        |  CASE band_id ${(0 until 4).map(b =>
-             s"WHEN $b THEN md5(h${2 * b} || '|' || h${2 * b + 1})").mkString(" ")}
+             s"WHEN $b THEN h${2 * b} || h${2 * b + 1}").mkString(" ")}
        |  END AS bkey
        |  FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |ex AS (SELECT doc_id, unnest(hs) AS g FROM sh),
        |common AS (SELECT c.da, c.db, count(*) AS n_common
        |  FROM cand c
        |  JOIN ex ea ON ea.doc_id = c.da
@@ -124,19 +140,26 @@ object NearDup {
     * vote sum is positive. One scan + two hash aggregations — fully linear.
     */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    // All 48 bit-vote sums are columns of ONE aggregation (no row blowup:
+    // a mask-explode would multiply the token table 48×), then the
+    // signature reassembles from literal power-of-two masks in a single
+    // codegen'd projection.
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("h48", expr(h48Spark))
-    tf.select(col("doc_id"), col("tf"), col("h48"),
-        explode(sequence(lit(0), lit(47))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("(h48 div CAST(pow(2, b) AS BIGINT)) % 2 = 1"),
-        col("tf")).otherwise(-col("tf"))).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, b) AS BIGINT)"))
-        .otherwise(lit(0L))).as("simhash"))
+    tf.groupBy(col("doc_id"))
+      .agg(
+        sum(when(expr(s"(h48 div 1) % 2 = 1"), col("tf"))
+          .otherwise(-col("tf"))).as("s0"),
+        (1 until 48).map(b =>
+          sum(when(expr(s"(h48 div ${1L << b}) % 2 = 1"), col("tf"))
+            .otherwise(-col("tf"))).as(s"s$b")): _*)
+      .select(col("doc_id"),
+        (0 until 48).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   private val simhashSigSql: String =
@@ -144,13 +167,14 @@ object NearDup {
        |  FROM documents),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
        |h AS (SELECT doc_id, tf, $h48Duck AS h48 FROM tf),
-       |bits AS (SELECT doc_id, b,
-       |  SUM(CASE WHEN (h48 // CAST(pow(2, b) AS BIGINT)) % 2 = 1
-       |           THEN tf ELSE -tf END) AS s
-       |  FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS b) GROUP BY 1, 2),
-       |sig AS (SELECT doc_id,
-       |  SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
-       |  FROM bits GROUP BY 1)""".stripMargin
+       |bits AS (SELECT doc_id,
+       |  ${(0 until 48).map(b =>
+            s"SUM(CASE WHEN (h48 // ${1L << b}) % 2 = 1 THEN tf ELSE -tf END) AS s$b")
+            .mkString(",\n|  ")}
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST(${(0 until 48).map(b =>
+            s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")}
+       |  AS BIGINT) AS simhash FROM bits)""".stripMargin
 
   /** doc_simhash — the per-doc signature table itself (debuggable surface
     * for the pair query; also the thing a 100-TB pipeline would persist).
@@ -170,9 +194,9 @@ object NearDup {
   def docSimhashDup(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSig(spark, dir)
     val blocks = sig.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("q"))
-      .withColumn("bv",
-        expr("(simhash div CAST(pow(4096, q) AS BIGINT)) % 4096"))
+        explode(array(Seq(0, 12, 24, 36).map(s => lit(1L << s)): _*))
+          .as("q"))
+      .withColumn("bv", expr("(simhash div q) % 4096"))
     val cand = blocks.as("a")
       .join(blocks.as("b"),
         col("a.q") === col("b.q") && col("a.bv") === col("b.bv") &&
@@ -189,9 +213,9 @@ object NearDup {
 
   val docSimhashDupSql: String =
     s"""WITH $simhashSigSql,
-       |blocks AS (SELECT doc_id, simhash, q,
-       |  (simhash // CAST(pow(4096, q) AS BIGINT)) % 4096 AS bv
-       |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(q)),
+       |blocks AS (SELECT doc_id, simhash, q, (simhash // q) % 4096 AS bv
+       |  FROM sig CROSS JOIN (SELECT unnest(
+       |    [${Seq(0, 12, 24, 36).map(1L << _).mkString(", ")}]) AS q)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
        |                         b.doc_id AS doc_b, b.simhash AS sb
        |  FROM blocks a JOIN blocks b
@@ -201,60 +225,80 @@ object NearDup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** doc_ngram_jaccard — exact character-4-gram Jaccard, with candidates
-    * from a length-band LSH (bands of 8 chars; each doc posts to its band
-    * and the next, so any pair within 8 chars of each other shares a band).
-    * Verification intersects the two distinct-gram ARRAYS directly
-    * (array_intersect, codegen'd) instead of a row-exploded join — the
-    * candidate list stays the only quadratic-ish object, and the gram
-    * arrays ride along a broadcast join.
+    * from a length-band LSH (bands of 4 chars; each doc posts to its band
+    * and the next, so any pair within 4 chars of each other shares a
+    * band — the planted near-dups differ by <= 4 chars). Verification
+    * counts intersections on the exploded (doc, gram) table restricted to
+    * the broadcast candidate list: every expression stays in WholeStage
+    * Codegen (array_intersect and per-row array lambdas would not).
     */
   def docNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), norm(col("text")).as("nt"))
       .filter(length(col("nt")) >= 4)
-      .select(
-        col("doc_id"),
-        (length(col("nt")).cast("long") / lit(8L)).cast("long").as("band"),
-        array_distinct(transform(
-          sequence(lit(1), length(col("nt")) - 3),
-          i => col("nt").substr(i, lit(4)))).as("gs"))
-    val posts = g.select(col("doc_id"), col("gs"),
-      explode(array(col("band"), col("band") + 1)).as("pband"))
+    // grams via explode(position) + codegen'd substr, deduped by a
+    // map-side-partial distinct. (Measured against the per-doc
+    // array_distinct(transform(...)) alternative: the interpreted lambda
+    // build is ~2× slower at sf0.1 even though it avoids the distinct
+    // shuffle — HOF evaluation off the codegen path loses.)
+    val ex = base
+      .select(col("doc_id"), col("nt"),
+        explode(sequence(lit(1), length(col("nt")) - 3)).as("i"))
+      .select(col("doc_id"),
+        col("nt").substr(col("i"), lit(4)).as("g"))
+      .distinct()
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val posts = base.select(col("doc_id"),
+        (length(col("nt")).cast("long") / lit(4L)).cast("long").as("band"))
+      .select(col("doc_id"),
+        explode(array(col("band"), col("band") + 1)).as("pband"))
     val cand = posts.as("a")
       .join(posts.as("b"),
         col("a.pband") === col("b.pband") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(broadcast(g.as("ga")), col("ga.doc_id") === col("doc_a"))
-      .join(broadcast(g.as("gb")), col("gb.doc_id") === col("doc_b"))
-      .withColumn("n_common",
-        size(array_intersect(col("ga.gs"), col("gb.gs"))).cast("long"))
+    val common = broadcast(cand)
+      .join(ex.as("ea"), col("ea.doc_id") === col("doc_a"))
+      .join(broadcast(ex.as("eb")),
+        col("eb.doc_id") === col("doc_b") && col("eb.g") === col("ea.g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.as("na")), col("na.doc_id") === col("doc_a"))
+      .join(broadcast(sizes.as("nb")), col("nb.doc_id") === col("doc_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
-          (size(col("ga.gs")) + size(col("gb.gs")) - col("n_common"))
-            .cast("double"))
+          (col("na.ng") + col("nb.ng") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val docNgramJaccardSql: String =
-    s"""WITH t AS (SELECT doc_id, $sqlNorm AS nt FROM documents),
-       |g AS (SELECT doc_id, length(nt) // 8 AS band,
-       |  list_distinct([substring(nt, i, 4) for i in range(1, length(nt)-2)]) AS gs
-       |  FROM t WHERE length(nt) >= 4),
-       |posts AS (SELECT doc_id, gs, unnest([band, band+1]) AS pband FROM g),
+    s"""WITH t AS (SELECT doc_id, $sqlNorm AS nt FROM documents
+       |           ),
+       |base AS (SELECT doc_id, nt FROM t WHERE length(nt) >= 4),
+       |ex AS (SELECT doc_id, unnest(list_distinct(
+       |    [substring(nt, i, 4) for i in range(1, length(nt)-2)])) AS g
+       |  FROM base),
+       |sizes AS (SELECT doc_id, count(*) AS ng FROM ex GROUP BY doc_id),
+       |posts AS (SELECT doc_id, unnest([length(nt) // 4, length(nt) // 4 + 1]) AS pband
+       |  FROM base),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM posts a JOIN posts b
        |    ON a.pband = b.pband AND a.doc_id < b.doc_id),
-       |j AS (SELECT doc_a, doc_b,
-       |    CAST(len(list_intersect(ga.gs, gb.gs)) AS BIGINT) AS n_common,
-       |    CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
-       |      / CAST(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs))
-       |             AS DOUBLE) AS jaccard
-       |  FROM cand JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
+       |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN ex ea ON ea.doc_id = c.doc_a
+       |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.g = ea.g
+       |  GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, n_common,
+       |    CAST(n_common AS DOUBLE)
+       |      / CAST(na.ng + nb.ng - n_common AS DOUBLE) AS jaccard
+       |  FROM common
+       |  JOIN sizes na ON na.doc_id = doc_a
+       |  JOIN sizes nb ON nb.doc_id = doc_b)
        |SELECT doc_a, doc_b, n_common, jaccard FROM j
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
