@@ -192,22 +192,24 @@ object NearDup {
     * (block_id, block_value) has perfect recall with ~uniform bucket sizes.
     */
   def docSimhashDup(spark: SparkSession, dir: String): DataFrame = {
+    // The Hamming filter runs BEFORE the dedup-across-blocks distinct: a
+    // pair can match in up to 4 blocks, and filtering first shrinks the
+    // distinct's input from every block collision to just the true
+    // near-pairs. (Persisting the signature frame was measured and LOST —
+    // the cache boundary defeats the joins' broadcast planning.)
     val sig = simhashSig(spark, dir)
     val blocks = sig.select(col("doc_id"), col("simhash"),
         explode(array(Seq(0, 12, 24, 36).map(s => lit(1L << s)): _*))
           .as("q"))
       .withColumn("bv", expr("(simhash div q) % 4096"))
-    val cand = blocks.as("a")
+    blocks.as("a")
       .join(blocks.as("b"),
         col("a.q") === col("b.q") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sa"),
-        col("b.doc_id").as("doc_b"), col("b.simhash").as("sb"))
+      .filter(expr("bit_count(a.simhash ^ b.simhash) <= 3"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .distinct()
-    cand
-      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -216,12 +218,12 @@ object NearDup {
        |blocks AS (SELECT doc_id, simhash, q, (simhash // q) % 4096 AS bv
        |  FROM sig CROSS JOIN (SELECT unnest(
        |    [${Seq(0, 12, 24, 36).map(1L << _).mkString(", ")}]) AS q)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
-       |                         b.doc_id AS doc_b, b.simhash AS sb
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |  FROM blocks a JOIN blocks b
-       |    ON a.q = b.q AND a.bv = b.bv AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |    ON a.q = b.q AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+       |SELECT DISTINCT doc_a, doc_b, hamming FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** doc_ngram_jaccard — exact character-4-gram Jaccard, with candidates
