@@ -28,12 +28,15 @@ import graft.Tables
   */
 object Embeddings {
 
-  /** Exact BIGINT dot of two vector columns at 1e14 scale (see scaladoc). */
+  /** Exact BIGINT dot of two vector columns at 1e14 scale: the native
+    * codegen'd expression (graft.functions.VectorExprs.DotScaled). The
+    * equivalent HOF formulation — aggregate(zip_with(a, b, (x,y) =>
+    * floor(x*y*1e14)::long), 0L, _+_) — computes the identical value but
+    * evaluates interpreted per element; VectorExprsSpec pins the
+    * equivalence.
+    */
   private def dotS(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        floor(x.cast("double") * y.cast("double") * lit(1e14)).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotScaled(a, b)
 
   private def sqlDotS(a: String, b: String): String =
     s"CAST(list_sum([CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e14) AS BIGINT) for i in range(1, 65)]) AS BIGINT)"
