@@ -76,4 +76,11 @@ object VectorExprs {
     */
   def dotScaled(a: Column, b: Column): Column =
     Bridge.column(DotScaled(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Expose the native expression to SQL (`SELECT dot_scaled(a, b)`) on a
+    * session — idempotent; temp-function scope, no catalog mutation.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_scaled", exprs => DotScaled(exprs(0), exprs(1)), "built-in")
 }

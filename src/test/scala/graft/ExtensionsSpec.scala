@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MinHashAgg, VectorExprs}
+import graft.operators.Skew
+import graft.sources.ChangeLog
+
+/** Specs for the extension/plumbing surface: the typed CDC source (batch
+  * and file-stream forms), the deterministic salted join, the typed
+  * MinHash Aggregator, and the SQL registration of the native expression.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("ChangeLog.stream over the parquet landing zone equals batch") {
+    val q = ChangeLog.stream(spark, sfTiny)
+      .writeStream.format("memory").queryName("cdc_src")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cdc_src")
+      val batch = ChangeLog.batch(spark, sfTiny).toDF()
+      assert(streamed.count() == batch.count())
+      val sCols = streamed.select("event_id", "ts", "user_id")
+        .collect().map(_.toString).sorted.toSeq
+      val bCols = batch.select("event_id", "ts", "user_id")
+        .collect().map(_.toString).sorted.toSeq
+      assert(sCols == bCols, "stream and batch reads must agree row-for-row")
+    } finally q.stop()
+  }
+
+  test("saltedJoin is row-identical to the plain join") {
+    val e = Tables.events(spark, sfTiny)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dim = Tables.customer(spark, sfTiny)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = e.join(dim, Seq("user_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(e, dim, "user_id",
+        discriminator = col("event_id"), fanout = 8)
+      .select(e.columns.map(col) :+ col("c_mktsegment"): _*)
+      .collect().map(_.toString).sorted.toSeq
+    // same multiset of rows (column order normalized via explicit select)
+    val plainNorm = e.join(dim, Seq("user_id"))
+      .select(e.columns.map(col) :+ col("c_mktsegment"): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plainNorm && plain.size == salted.size)
+  }
+
+  test("MinHashAgg Aggregator equals the relational min(substring(md5)) form") {
+    val sh = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"),
+        explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+          " ")).as("g"))
+      .distinct()
+    val relational = sh
+      .withColumn("h", md5(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(min(substring(col("h"), 1, 4)).as("h0"),
+        (1 until 8).map(i =>
+          min(substring(col("h"), 1 + 4 * i, 4)).as(s"h$i")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(i => r.getString(i + 1)))
+      .toMap
+    val typed = sh
+      .groupBy(col("doc_id"))
+      .agg(MinHashAgg.minhashSig(col("g")).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toIndexedSeq)
+      .toMap
+    assert(typed == relational)
+  }
+
+  test("dot_scaled is callable from SQL after registration") {
+    VectorExprs.register(spark)
+    Tables.embeddings(spark, sfTiny).createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      "SELECT vec_id, dot_scaled(embedding, embedding) AS d FROM emb_sql")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaColumn = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"),
+        VectorExprs.dotScaled(col("embedding"), col("embedding")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaColumn)
+  }
+}
