@@ -20,7 +20,9 @@ object SparkEntry {
       (operators.Docs.queries, operators.Docs.oracle),
       (operators.NearDup.queries, operators.NearDup.oracle),
       (operators.Embeddings.queries, operators.Embeddings.oracle),
-      (operators.Multimodal.queries, operators.Multimodal.oracle))
+      (operators.Multimodal.queries, operators.Multimodal.oracle),
+      (operators.Analytics.queries, operators.Analytics.oracle),
+      (operators.Scalar.queries, operators.Scalar.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** OLAP analytics beyond the rollup family (SURVEY.md §2.4 extensions):
+  * full CUBE, PIVOT (wide conditional aggregation), and exact median via an
+  * engine-portable rank formulation.
+  *
+  * Scale notes (100 TB): cube multiplies shuffle rows by the number of
+  * grouping sets (4 here) before partial aggregation collapses them; pivot
+  * is a single hash aggregation whose width is the (bounded, declared)
+  * pivot domain; the median query is one shuffle + per-key sort — the same
+  * cost envelope as any window rank, with no driver-side percentile state.
+  */
+object Analytics {
+
+  /** agg_cube — CUBE over (returnflag, linestatus): all four grouping sets
+    * with GROUPING markers (engine-portable; subtotal rows are identified
+    * by the markers, not by null-sentinel collisions).
+    */
+  def aggCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("revenue"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  val aggCubeSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       |  ${sqlDsum("l_extendedprice")} AS revenue,
+       |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  private val segments = Seq(
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** pivot_segment — orders joined to customers, pivoted to one revenue
+    * column per market segment (declared pivot domain → single-pass wide
+    * aggregation; no second job to discover values).
+    */
+  def pivotSegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .groupBy(col("nation"))
+      .pivot(col("c_mktsegment"), segments)
+      .agg(dsum(col("o_totalprice")))
+      .na.fill(0.0, segments)
+      .orderBy(col("nation"))
+  }
+
+  val pivotSegmentSql: String = {
+    val cols = segments.map(s =>
+      s"""coalesce(${sqlDsum(s"CASE WHEN c_mktsegment = '$s' THEN o_totalprice END")}, 0.0) AS "$s"""")
+      .mkString(",\n|  ")
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |  $cols
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY nation""".stripMargin
+  }
+
+  /** agg_median — exact per-group median, formulated as the mean of the
+    * two middle-ranked rows (identical in any engine; avoids
+    * percentile/quantile builtins whose interpolation arithmetic differs
+    * between engines in the last IEEE bit).
+    */
+  def aggMedian(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("o_orderpriority"))))
+      .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        (dsum(col("o_totalprice")) / count(lit(1))).as("median_price"),
+        max(col("n")).cast("long").as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val aggMedianSql: String =
+    s"""WITH ranked AS (
+       |  SELECT o_orderpriority, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+       |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders)
+       |SELECT o_orderpriority,
+       |  ${sqlDsum("o_totalprice")} / COUNT(*) AS median_price,
+       |  CAST(max(n) AS BIGINT) AS n_orders
+       |FROM ranked
+       |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cube" -> (aggCube _),
+    "pivot_segment" -> (pivotSegment _),
+    "agg_median" -> (aggMedian _))
+
+  def oracle: Map[String, String] = Map(
+    "agg_cube" -> aggCubeSql,
+    "pivot_segment" -> pivotSegmentSql,
+    "agg_median" -> aggMedianSql)
+}
