@@ -108,13 +108,37 @@ object Analytics {
        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** sql_subquery — the spark.sql entry path (SURVEY.md §3.2) with a
+    * correlated scalar subquery: customers above their nation's average
+    * balance. Catalyst's RewriteCorrelatedScalarSubquery decorrelates it
+    * into an aggregate + join — the identical ANSI text runs on DuckDB as
+    * the oracle. The threshold average uses the exact decimal-sum
+    * convention so the boundary comparison is engine-identical.
+    */
+  def sqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(sqlSubquerySqlOn("customer_v"))
+  }
+
+  private def sqlSubquerySqlOn(table: String): String =
+    s"""SELECT c_custkey, c_name, c_acctbal FROM $table c
+       |WHERE c_acctbal > (
+       |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       |         / COUNT(*)
+       |  FROM $table c2 WHERE c2.c_nationkey = c.c_nationkey)
+       |ORDER BY c_custkey""".stripMargin
+
+  val sqlSubquerySql: String = sqlSubquerySqlOn("customer")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
-    "agg_median" -> (aggMedian _))
+    "agg_median" -> (aggMedian _),
+    "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
     "agg_cube" -> aggCubeSql,
     "pivot_segment" -> pivotSegmentSql,
-    "agg_median" -> aggMedianSql)
+    "agg_median" -> aggMedianSql,
+    "sql_subquery" -> sqlSubquerySql)
 }
