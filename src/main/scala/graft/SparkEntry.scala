@@ -22,7 +22,8 @@ object SparkEntry {
       (operators.Embeddings.queries, operators.Embeddings.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.Analytics.queries, operators.Analytics.oracle),
-      (operators.Scalar.queries, operators.Scalar.oracle))
+      (operators.Scalar.queries, operators.Scalar.oracle),
+      (operators.Collections.queries, operators.Collections.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Collection-type surface (SURVEY.md §2.7 array/map rows, §1.3 BSON
+  * mapping): MapType built from the dynamic-schema JSON payload and
+  * round-tripped through map operators, and the higher-order array
+  * function family over embedding vectors.
+  *
+  * Both queries keep maps/arrays strictly INTERNAL and emit scalar rows:
+  * collection columns in the output would couple the oracle to engine
+  * physical encodings (map entry order is undefined in both engines);
+  * exploding back to rows is also what a MySQL-side CDC sink needs anyway.
+  */
+object Collections {
+
+  /** map_ops — parse `props` into a typed map, enrich it (map_concat),
+    * then explode to (key, value) rows and aggregate per event_type/key:
+    * the BSON-embedded-document lifecycle (decode → transform → flatten).
+    */
+  def mapOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val withMap = e.select(
+        col("event_type"), col("user_id"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .withColumn("m2",
+        map_concat(col("m"), map(lit("uid_mod"), col("user_id") % 7)))
+    withMap
+      .select(col("event_type"), explode(col("m2")).as(Seq("k", "v")))
+      .groupBy(col("event_type"), col("k"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("event_type"), col("k"))
+  }
+
+  val mapOpsSql: String =
+    """WITH kv AS (
+      |  SELECT event_type, 'k' AS k, CAST(props->>'$.k' AS BIGINT) AS v
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_type, 'uid_mod' AS k, user_id % 7 AS v FROM events)
+      |SELECT event_type, k, COUNT(*) AS n,
+      |  CAST(SUM(v) AS BIGINT) AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v
+      |FROM kv GROUP BY 1, 2 ORDER BY event_type, k""".stripMargin
+
+  /** array_hof — the higher-order function family (transform / filter /
+    * exists / aggregate / zip_with / slice) over embedding vectors, with
+    * every emitted number scaled-integer-exact (Embeddings.scala
+    * conventions).
+    */
+  def arrayHof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    e.select(
+        col("vec_id"),
+        // transform + aggregate: sum of |x| at 1e7 scale
+        aggregate(
+          transform(col("embedding"),
+            x => floor(abs(x.cast("double")) * lit(1e7)).cast("long")),
+          lit(0L), (acc, v) => acc + v).as("l1_scaled"),
+        // filter: how many strictly-positive components
+        size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"),
+        // exists: any component beyond |0.3|
+        exists(col("embedding"),
+          x => abs(x.cast("double")) > lit(0.3)).as("has_large"),
+        // zip_with against the reversed self: sum of pairwise products =
+        // a deterministic scaled convolution-ish scalar
+        aggregate(
+          zip_with(col("embedding"), reverse(col("embedding")), (x, y) =>
+            floor(x.cast("double") * y.cast("double") * lit(1e14))
+              .cast("long")),
+          lit(0L), (acc, v) => acc + v).as("rev_dot_scaled"),
+        // slice head: first element at 1e7 scale
+        floor(element_at(col("embedding"), 1).cast("double") * lit(1e7))
+          .cast("long").as("head_scaled"))
+      .orderBy(col("vec_id"))
+  }
+
+  val arrayHofSql: String =
+    """SELECT vec_id,
+      |  CAST(list_sum([CAST(floor(abs(CAST(x AS DOUBLE)) * 1e7) AS BIGINT)
+      |                 for x in embedding]) AS BIGINT) AS l1_scaled,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 0.3)) > 0 AS has_large,
+      |  CAST(list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE)
+      |      * CAST(embedding[65 - i] AS DOUBLE) * 1e14) AS BIGINT)
+      |    for i in range(1, 65)]) AS BIGINT) AS rev_dot_scaled,
+      |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e7) AS BIGINT) AS head_scaled
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "map_ops" -> (mapOps _),
+    "array_hof" -> (arrayHof _))
+
+  def oracle: Map[String, String] = Map(
+    "map_ops" -> mapOpsSql,
+    "array_hof" -> arrayHofSql)
+}
