@@ -181,6 +181,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST6' checkpoint recovery: restart resumes without reprocessing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st6r").toString
+    val input1 = MemoryStream[ChangeEvent](spark)
+    val q1 = Streams.cdcUpsertQuery(spark, input1.toDF(),
+      s"$tmp/sink", s"$tmp/ckpt")
+    try {
+      input1.addData(Seq(ev(1, 0, 1, "view", 1.0), ev(2, 5, 2, "view", 2.0)))
+      drain(q1)
+    } finally q1.stop()
+    // New query, SAME checkpoint+sink: the resume-token semantics. The
+    // checkpoint says offset 0 is committed, so the restarted query must
+    // SKIP the first batch of the new source — we prove it by making that
+    // batch a poison tombstone that would delete user 2 if reprocessed —
+    // and apply only data past the committed offset.
+    val input2 = MemoryStream[ChangeEvent](spark)
+    input2.addData(Seq(ev(99, 50, 2, "error", 0.0)))    // replayed offset: must be skipped
+    val q2 = Streams.cdcUpsertQuery(spark, input2.toDF(),
+      s"$tmp/sink", s"$tmp/ckpt")
+    try {
+      drain(q2)
+      input2.addData(Seq(ev(3, 10, 1, "click", 9.0)))   // new offset: must apply
+      drain(q2)
+      val state = Streams.finalState(spark.read.parquet(s"$tmp/sink"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(state == Map(1L -> 3L, 2L -> 2L),
+        s"restart must skip committed offsets and apply only new data: $state")
+    } finally q2.stop()
+  }
+
   test("ST7 stream-static join enriches events with the customer dim") {
     import spark.implicits._
     val input = MemoryStream[ChangeEvent](spark)
