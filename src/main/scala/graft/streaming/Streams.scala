@@ -171,11 +171,18 @@ object Streams {
     * the started query; sink state lives at `sinkDir`.
     */
   def cdcUpsertQuery(spark: SparkSession, events: DataFrame,
-      sinkDir: String, checkpointDir: String)
+      sinkDir: String, checkpointDir: String,
+      availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    events.writeStream
+    val writer = events.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
+    // AvailableNow = the S4 bootstrap: drain everything currently in the
+    // landing zone in bounded micro-batches, then terminate; a later
+    // restart with the same checkpoint tails only what arrived since.
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val collapsed = applyLog(batch.toDF())
         val sink = new java.io.File(sinkDir)

@@ -28,6 +28,25 @@ class ExtensionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S4 bootstrap: AvailableNow over the landing zone equals batch apply") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s4").toString
+    val q = graft.streaming.Streams.cdcUpsertQuery(spark,
+      ChangeLog.stream(spark, sfTiny), s"$tmp/sink", s"$tmp/ckpt",
+      availableNow = true)
+    try q.awaitTermination(120000)
+    finally q.stop()
+    val got = graft.streaming.Streams
+      .finalState(spark.read.parquet(s"$tmp/sink"))
+      .select("user_id", "event_id")
+      .collect().map(_.toString).sorted.toSeq
+    val expected = graft.streaming.Streams
+      .finalState(graft.streaming.Streams.applyLog(
+        Tables.events(spark, sfTiny)))
+      .select("user_id", "event_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("saltedJoin is row-identical to the plain join") {
     val e = Tables.events(spark, sfTiny)
       .select(col("event_id"), col("user_id"), col("value"))
