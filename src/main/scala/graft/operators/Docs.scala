@@ -326,17 +326,6 @@ object Docs {
        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score
        |FROM scored WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
 
-  /** k-token shingles of a token-array column; empty when the doc is shorter
-    * than k (guards sequence() against a negative stop, which would flip it
-    * into a descending range).
-    */
-  private[operators] def shingles(toks: org.apache.spark.sql.Column, k: Int) =
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ",
-          (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup" -> (docDedup _),
     "doc_text_stats" -> (docTextStats _),

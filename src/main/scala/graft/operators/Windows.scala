@@ -116,15 +116,46 @@ object Windows {
       |WHERE rn <= 3
       |ORDER BY p_brand, rn""".stripMargin
 
+  /** window_range_frame — time-based RANGE frame (W3's second half): the
+    * trailing-1-hour event count and value sum per user, ordered by event
+    * time. Spark range frames need a numeric ordering column, so both
+    * engines order by epoch seconds and bound the frame at -3600 — the
+    * engine-portable formulation of `RANGE INTERVAL 1 HOUR PRECEDING`.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    e.select(
+        col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("value_trailing_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val windowRangeFrameSql: String =
+    s"""SELECT event_id, user_id, ${sqlFmtTs("ts")} AS ts_s,
+       |  COUNT(*) OVER w AS n_trailing_1h,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       |    AS value_trailing_1h
+       |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+       |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_rank" -> (windowRank _),
     "window_lag_gap" -> (windowLagGap _),
     "window_running" -> (windowRunning _),
+    "window_range_frame" -> (windowRangeFrame _),
     "topk_per_group" -> (topkPerGroup _))
 
   def oracle: Map[String, String] = Map(
     "window_rank" -> windowRankSql,
     "window_lag_gap" -> windowLagGapSql,
     "window_running" -> windowRunningSql,
+    "window_range_frame" -> windowRangeFrameSql,
     "topk_per_group" -> topkPerGroupSql)
 }
