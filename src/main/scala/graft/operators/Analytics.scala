@@ -130,15 +130,67 @@ object Analytics {
 
   val sqlSubquerySql: String = sqlSubquerySqlOn("customer")
 
+  /** agg_stats — variance / stddev / correlation per group, assembled from
+    * exact decimal power sums instead of the builtin Welford-style
+    * aggregates (whose partition-merge order makes the last IEEE bit both
+    * engine- and run-dependent). From exact s1=Σx, s2=Σx², sxy=Σxy the
+    * moments are a fixed sequence of correctly-rounded double ops —
+    * bit-identical everywhere, and still one map-side-partial hash agg.
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // power sums via DECIMAL×DECIMAL products: the 2dp inputs are
+    // decimal-exact, so the products and sums are exact — casting the
+    // DOUBLE product to decimal instead would hit engine-dependent
+    // half-way rounding (measured: last-bit corr/stddev mismatches).
+    def dprod(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("double")
+    val n = count(lit(1)).cast("double")
+    val sx = dsum(col("l_quantity"))
+    val sy = dsum(col("l_extendedprice"))
+    val sx2 = dprod(col("l_quantity"), col("l_quantity"))
+    val sy2 = dprod(col("l_extendedprice"), col("l_extendedprice"))
+    val sxy = dprod(col("l_quantity"), col("l_extendedprice"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        ((sx2 - sx * sx / n) / n).as("var_pop_qty"),
+        sqrt((sy2 - sy * sy / n) / n).as("stddev_pop_price"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggStatsSql: String = {
+    def dprod(a: String, b: String) =
+      s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    val sx = sqlDsum("l_quantity")
+    val sy = sqlDsum("l_extendedprice")
+    val sx2 = dprod("l_quantity", "l_quantity")
+    val sy2 = dprod("l_extendedprice", "l_extendedprice")
+    val sxy = dprod("l_quantity", "l_extendedprice")
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+       |  (($sx2 - $sx * $sx / $n) / $n) AS var_pop_qty,
+       |  sqrt(($sy2 - $sy * $sy / $n) / $n) AS stddev_pop_price,
+       |  (($n * $sxy - $sx * $sy)
+       |    / (sqrt($n * $sx2 - $sx * $sx) * sqrt($n * $sy2 - $sy * $sy)))
+       |    AS corr_qty_price
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
     "agg_median" -> (aggMedian _),
+    "agg_stats" -> (aggStats _),
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
     "agg_cube" -> aggCubeSql,
     "pivot_segment" -> pivotSegmentSql,
     "agg_median" -> aggMedianSql,
+    "agg_stats" -> aggStatsSql,
     "sql_subquery" -> sqlSubquerySql)
 }
