@@ -151,13 +151,18 @@ object Analytics {
     val sx2 = dprod(col("l_quantity"), col("l_quantity"))
     val sy2 = dprod(col("l_extendedprice"), col("l_extendedprice"))
     val sxy = dprod(col("l_quantity"), col("l_extendedprice"))
+    // Outputs rounded to 6dp: the decimal power sums are exact, but their
+    // decimal→double casts double-round differently across engines once
+    // the unscaled value exceeds 2^53, wobbling the last IEEE bit of the
+    // derived moments (measured at sf0.001). 6dp is 8+ orders above that
+    // noise and far below any analytical use of a variance.
     li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_rows"),
-        ((sx2 - sx * sx / n) / n).as("var_pop_qty"),
-        sqrt((sy2 - sy * sy / n) / n).as("stddev_pop_price"),
-        ((n * sxy - sx * sy) /
-          (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)))
+        round((sx2 - sx * sx / n) / n, 6).as("var_pop_qty"),
+        round(sqrt((sy2 - sy * sy / n) / n), 6).as("stddev_pop_price"),
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
           .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
@@ -172,10 +177,10 @@ object Analytics {
     val sy2 = dprod("l_extendedprice", "l_extendedprice")
     val sxy = dprod("l_quantity", "l_extendedprice")
     s"""SELECT l_returnflag, COUNT(*) AS n_rows,
-       |  (($sx2 - $sx * $sx / $n) / $n) AS var_pop_qty,
-       |  sqrt(($sy2 - $sy * $sy / $n) / $n) AS stddev_pop_price,
-       |  (($n * $sxy - $sx * $sy)
-       |    / (sqrt($n * $sx2 - $sx * $sx) * sqrt($n * $sy2 - $sy * $sy)))
+       |  round((($sx2 - $sx * $sx / $n) / $n), 6) AS var_pop_qty,
+       |  round(sqrt(($sy2 - $sy * $sy / $n) / $n), 6) AS stddev_pop_price,
+       |  round((($n * $sxy - $sx * $sy)
+       |    / (sqrt($n * $sx2 - $sx * $sx) * sqrt($n * $sy2 - $sy * $sy))), 6)
        |    AS corr_qty_price
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
