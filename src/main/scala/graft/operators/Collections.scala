@@ -93,11 +93,48 @@ object Collections {
       |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e7) AS BIGINT) AS head_scaled
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** json_malformed — decode-error handling, the unglamorous half of CDC
+    * ingestion: a third of the payloads are deterministically truncated
+    * (event_id % 3 == 0), and the pipeline must quarantine-count them and
+    * aggregate only clean rows — from_json's PERMISSIVE null instead of a
+    * job failure. At 100 TB a poison payload that kills the job is an
+    * outage; one that silently disappears is corruption — this surfaces
+    * both counts.
+    */
+  def jsonMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("payload",
+        when(col("event_id") % 3 === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .otherwise(col("props")))
+      .withColumn("parsed",
+        from_json(col("payload"), MapType(StringType, LongType)))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("parsed").isNotNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(element_at(col("parsed"), "k")).as("sum_k_valid"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonMalformedSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_valid,
+      |  CAST(SUM(CASE WHEN event_id % 3 <> 0
+      |    THEN CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS sum_k_valid
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "map_ops" -> (mapOps _),
-    "array_hof" -> (arrayHof _))
+    "array_hof" -> (arrayHof _),
+    "json_malformed" -> (jsonMalformed _))
 
   def oracle: Map[String, String] = Map(
     "map_ops" -> mapOpsSql,
-    "array_hof" -> arrayHofSql)
+    "array_hof" -> arrayHofSql,
+    "json_malformed" -> jsonMalformedSql)
 }
