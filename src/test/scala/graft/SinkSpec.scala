@@ -32,6 +32,26 @@ class SinkSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("schema drift: mergeSchema reads v1+v2 landing files as one table") {
+    // CDC landing zones drift: a new upstream field appears mid-stream.
+    // Old files lack the column (null-filled on read), new files carry it.
+    val dir = tmp("drift")
+    val v1 = Tables.events(spark, sfTiny)
+      .select("event_id", "user_id", "event_type")
+      .filter(col("event_id") % 2 === 0)
+    val v2 = Tables.events(spark, sfTiny)
+      .select("event_id", "user_id", "event_type", "value")
+      .filter(col("event_id") % 2 === 1)
+    v1.write.parquet(s"$dir/batch=1")
+    v2.write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("event_id", "user_id", "event_type", "value", "batch"))
+    assert(merged.count() == Tables.events(spark, sfTiny).count())
+    assert(merged.filter(col("value").isNull).count() == v1.count(),
+      "pre-drift rows must null-fill the new column")
+  }
+
   test("csv round-trip preserves the relational core") {
     val dir = tmp("csv")
     val li = Tables.lineitem(spark, sfTiny)
