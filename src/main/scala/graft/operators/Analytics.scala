@@ -185,11 +185,81 @@ object Analytics {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** unpivot_measures — the inverse of pivot (melt): each order row emits
+    * one (measure, value) row per declared measure via the stack
+    * generator, then re-aggregates per (priority, measure). Wide→long is
+    * how a CDC sink feeds a metrics store.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(col("o_orderpriority"),
+        expr("""stack(2,
+          'total_price', o_totalprice,
+          'cust_key', CAST(o_custkey AS DOUBLE)) AS (measure, val)"""))
+      .groupBy(col("o_orderpriority"), col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("val")).as("sum_val"))
+      .orderBy(col("o_orderpriority"), col("measure"))
+  }
+
+  val unpivotMeasuresSql: String =
+    s"""WITH long AS (
+       |  SELECT o_orderpriority, 'total_price' AS measure, o_totalprice AS val
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderpriority, 'cust_key', CAST(o_custkey AS DOUBLE)
+       |  FROM orders)
+       |SELECT o_orderpriority, measure, COUNT(*) AS n,
+       |  ${sqlDsum("val")} AS sum_val
+       |FROM long GROUP BY 1, 2 ORDER BY o_orderpriority, measure""".stripMargin
+
+  /** null_semantics — the null algebra a correct engine must honor:
+    * NULLIF-constructed nulls, COUNT(*) vs COUNT(col), SUM/MIN over
+    * all-null groups, COALESCE fallback, and null-safe equality (Spark
+    * `<=>` ≡ SQL IS NOT DISTINCT FROM).
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("bal_or_null",
+        when(col("c_acctbal") < 0, col("c_acctbal")))
+      .withColumn("seg_or_null", nullif(col("c_mktsegment"), lit("BUILDING")))
+    c.groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("bal_or_null")).as("n_negative"),
+        dsum(col("bal_or_null")).as("sum_negative"),
+        sum(when(col("seg_or_null").isNull, 1L).otherwise(0L))
+          .as("n_building"),
+        count(col("seg_or_null")).as("n_other_seg"),
+        sum(when(col("seg_or_null") <=> lit(null), 1L).otherwise(0L))
+          .as("n_nullsafe_eq"),
+        min(coalesce(col("bal_or_null"), lit(0.0))).as("min_neg_or_zero"))
+      .orderBy(col("nation"))
+  }
+
+  val nullSemanticsSql: String =
+    s"""WITH c AS (
+       |  SELECT c_nationkey,
+       |    CASE WHEN c_acctbal < 0 THEN c_acctbal END AS bal_or_null,
+       |    nullif(c_mktsegment, 'BUILDING') AS seg_or_null
+       |  FROM customer)
+       |SELECT CAST(c_nationkey AS BIGINT) AS nation, COUNT(*) AS n_rows,
+       |  COUNT(bal_or_null) AS n_negative,
+       |  ${sqlDsum("bal_or_null")} AS sum_negative,
+       |  CAST(SUM(CASE WHEN seg_or_null IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_building,
+       |  COUNT(seg_or_null) AS n_other_seg,
+       |  CAST(SUM(CASE WHEN seg_or_null IS NOT DISTINCT FROM NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+       |  MIN(coalesce(bal_or_null, 0.0)) AS min_neg_or_zero
+       |FROM c GROUP BY 1 ORDER BY nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
     "agg_median" -> (aggMedian _),
     "agg_stats" -> (aggStats _),
+    "unpivot_measures" -> (unpivotMeasures _),
+    "null_semantics" -> (nullSemantics _),
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
@@ -197,5 +267,7 @@ object Analytics {
     "pivot_segment" -> pivotSegmentSql,
     "agg_median" -> aggMedianSql,
     "agg_stats" -> aggStatsSql,
+    "unpivot_measures" -> unpivotMeasuresSql,
+    "null_semantics" -> nullSemanticsSql,
     "sql_subquery" -> sqlSubquerySql)
 }
