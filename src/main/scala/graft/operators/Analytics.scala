@@ -253,7 +253,39 @@ object Analytics {
        |  MIN(coalesce(bal_or_null, 0.0)) AS min_neg_or_zero
        |FROM c GROUP BY 1 ORDER BY nation""".stripMargin
 
+  /** having_filter — post-aggregation predicate (HAVING) against a scalar
+    * subquery threshold: suppliers whose total balance-weighted activity
+    * exceeds the global per-supplier average. The scalar aggregate is
+    * broadcast as a 1-row cross join; the HAVING is a filter above the
+    * hash aggregate — no second scan of the fact side.
+    */
+  def havingFilter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perSupp = li.groupBy(col("l_suppkey"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+    // revenue doubles are exact images of 6dp decimals, so the decimal
+    // re-cast in this average is exact (no rounding-boundary risk)
+    val threshold = perSupp.agg(
+      (dsum6(col("revenue")) / count(lit(1))).as("avg_rev"))
+    perSupp.crossJoin(broadcast(threshold))
+      .filter(col("revenue") > col("avg_rev"))
+      .select(col("l_suppkey"), col("revenue"), col("n_items"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val havingFilterSql: String =
+    s"""WITH per_supp AS (
+       |  SELECT l_suppkey,
+       |    ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |    COUNT(*) AS n_items
+       |  FROM lineitem GROUP BY l_suppkey)
+       |SELECT l_suppkey, revenue, n_items FROM per_supp
+       |WHERE revenue > (SELECT ${sqlDsum6("revenue")} / COUNT(*) FROM per_supp)
+       |ORDER BY l_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "having_filter" -> (havingFilter _),
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
     "agg_median" -> (aggMedian _),
@@ -263,6 +295,7 @@ object Analytics {
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
+    "having_filter" -> havingFilterSql,
     "agg_cube" -> aggCubeSql,
     "pivot_segment" -> pivotSegmentSql,
     "agg_median" -> aggMedianSql,

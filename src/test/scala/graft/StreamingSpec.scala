@@ -154,6 +154,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST5+ST1 chained stateful ops: dedup feeding a windowed aggregation") {
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    // the watermark is declared ONCE (by dedupEvents) and flows into the
+    // downstream window — redeclaring it between stateful ops is an error
+    val chained = Streams.dedupEvents(input.toDF())
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+    val q = chained
+      .writeStream.format("memory").queryName("st_chain")
+      .outputMode("append").start()
+    try {
+      // duplicates of event 1 within one batch and replayed across batches
+      input.addData(Seq(ev(1, 10, 1, "view"), ev(1, 10, 1, "view"),
+        ev(2, 20, 1, "view")))
+      drain(q)
+      input.addData(Seq(ev(1, 10, 1, "view"), ev(3, 30, 2, "view")))
+      drain(q)
+      input.addData(Seq(ev(99, 24 * 60, 9, "view")))
+      drain(q)
+      val hour0 = spark.table("st_chain").filter(col("win_start") === ts(0))
+        .collect()
+      assert(hour0.length == 1 && hour0.head.getLong(2) == 3L,
+        s"dedup upstream of the window must collapse replays: ${hour0.toSeq}")
+    } finally q.stop()
+  }
+
   test("ST6 foreachBatch upsert: incremental merge equals batch apply") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-st6").toString
