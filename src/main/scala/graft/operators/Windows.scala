@@ -145,7 +145,47 @@ object Windows {
        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** window_dist — the distribution/navigation window family:
+    * percent_rank, cume_dist, ntile quartiles, first/last/nth value over
+    * an explicit full-partition frame (last_value under the default frame
+    * is a classic wrong-answer trap — the running row, not the partition
+    * max). All ratios are exact integer-derived divisions, engine-identical.
+    */
+  def windowDist(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val ord = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    val full = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    s.select(
+        col("s_nationkey").cast("long").as("nation"),
+        col("s_suppkey"), col("s_acctbal"),
+        percent_rank().over(ord).as("pct_rank"),
+        cume_dist().over(ord).as("cume"),
+        ntile(4).over(ord).cast("long").as("quartile"),
+        first_value(col("s_suppkey")).over(full).as("poorest_supp"),
+        last_value(col("s_suppkey")).over(full).as("richest_supp"),
+        nth_value(col("s_suppkey"), 2).over(full).as("second_supp"))
+      .orderBy(col("nation"), col("s_suppkey"))
+  }
+
+  val windowDistSql: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nation, s_suppkey, s_acctbal,
+      |  percent_rank() OVER ord AS pct_rank,
+      |  cume_dist() OVER ord AS cume,
+      |  CAST(ntile(4) OVER ord AS BIGINT) AS quartile,
+      |  first_value(s_suppkey) OVER wfull AS poorest_supp,
+      |  last_value(s_suppkey) OVER wfull AS richest_supp,
+      |  nth_value(s_suppkey, 2) OVER wfull AS second_supp
+      |FROM supplier
+      |WINDOW ord AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey),
+      |       wfull AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+      |                ROWS BETWEEN UNBOUNDED PRECEDING
+      |                         AND UNBOUNDED FOLLOWING)
+      |ORDER BY nation, s_suppkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_dist" -> (windowDist _),
     "window_rank" -> (windowRank _),
     "window_lag_gap" -> (windowLagGap _),
     "window_running" -> (windowRunning _),
@@ -153,6 +193,7 @@ object Windows {
     "topk_per_group" -> (topkPerGroup _))
 
   def oracle: Map[String, String] = Map(
+    "window_dist" -> windowDistSql,
     "window_rank" -> windowRankSql,
     "window_lag_gap" -> windowLagGapSql,
     "window_running" -> windowRunningSql,
