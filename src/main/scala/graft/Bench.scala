@@ -1,6 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Execute the query's FULL physical plan. `df.count()` lets Catalyst
+    * prune every unused projection (a pure-projection query would be timed
+    * as a row-count scan); `toRdd.count()` runs the exact compiled plan
+    * that Verify writes to parquet — all columns computed — without
+    * driver-side collection.
+    */
+  private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract is local[32] (the driver may or may not export the env)
@@ -8,23 +16,26 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // One untimed query warms the session (JIT, codegen compiler, parquet
     // footer cache) so the first timed query isn't charged JVM startup;
     // every query's own first execution is still what gets timed.
-    try { SparkEntry.queries("q1_pricing")(spark, sfDir).count() }
-    catch { case _: Throwable => () }
+    force(SparkEntry.queries("q1_pricing")(spark, sfDir))
     // Per query: best of two executions. The first execution still pays
     // that query's own plan/codegen compile; the min discards one-off
     // scheduler/GC stragglers (this host shows bursty multi-second stalls
     // under external load), which is standard benchmarking practice and
     // what steady-state throughput actually looks like.
+    // A query that THROWS is not caught: a broken query must fail the
+    // bench run loudly, never masquerade as a near-zero timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        force(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())

@@ -1,10 +1,17 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Central table catalog over the driver-provided parquet star schema
   * (TESTDATA.md). One parquet file per table; `spark.read.parquet` gives the
   * vectorized columnar scan, and Catalyst pushes filters/projections into it.
+  *
+  * Resolved readers are cached per (session, dir, table): repeated queries
+  * against the same catalog entry reuse one analyzed relation instead of
+  * re-reading parquet footers and re-resolving the schema on every call —
+  * the same role a metastore catalog plays on a real cluster. Logical plans
+  * are immutable, so sharing the DataFrame across queries is safe.
   *
   * At 100 TB the only change is the path: a partitioned parquet/iceberg
   * layout (e.g. orders partitioned by month) makes the same calls
@@ -16,8 +23,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  private val cache =
+    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -30,12 +41,17 @@ object Tables {
     * rejects; read it as a long (legacy conf) and convert to a microsecond
     * timestamp with exact integer division (floor — matching DuckDB's
     * epoch_us truncation, so oracle twins agree to the microsecond).
+    * The conf is set once per session (guarded — a library must not churn
+    * session-global state on every catalog call); graft-owned entry points
+    * (Bench/Verify) also set it at session build.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cache.computeIfAbsent((s, d, "events@ts"), _ =>
+      load(s, d, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

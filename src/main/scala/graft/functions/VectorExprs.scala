@@ -2,11 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native Catalyst expression for the engine's exact scaled dot product
   * over two float-vector columns (SURVEY.md §2.10): returns
@@ -29,6 +30,23 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 case class DotScaled(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  /** Declared input check makes a mistyped SQL call (`dot_scaled(text, x)`)
+    * an ANALYSIS error instead of a runtime ClassCastException deep in
+    * codegen. NULL-ELEMENT semantics: a null array element is read as 0.0f
+    * (contributes 0 to the dot) — this deliberately diverges from the
+    * zip_with/aggregate HOF twin, which would return NULL for the whole
+    * row; the embeddings tables carry containsNull=false vectors, where
+    * the two formulations are bit-identical.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_scaled requires (array<float>, array<float>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
 
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_scaled"

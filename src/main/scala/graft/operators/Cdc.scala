@@ -46,7 +46,9 @@ object Cdc {
       |  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
       |  COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k,
-      |  CAST(0 AS BIGINT) AS parser_disagreements
+      |  CAST(0 AS BIGINT) AS parser_disagreements -- oracle CONSTANT by contract:
+      |  -- Spark must still PROVE its two parsers (from_json vs
+      |  -- get_json_object) agree on every row by computing the count
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** cdc_apply — collapse a change log to final table state: op per event

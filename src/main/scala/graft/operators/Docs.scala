@@ -60,9 +60,9 @@ object Docs {
        |  SELECT lang, md5($sqlNorm) AS h,
        |         min(doc_id) AS keep_id, count(*) AS n_rows
        |  FROM documents GROUP BY 1, 2)
-       |SELECT lang, SUM(n_rows) AS n_docs, COUNT(*) AS n_uniq,
-       |       SUM(n_rows) - COUNT(*) AS n_removed,
-       |       SUM(keep_id) AS keeper_id_sum
+       |SELECT lang, CAST(SUM(n_rows) AS BIGINT) AS n_docs, COUNT(*) AS n_uniq,
+       |       CAST(SUM(n_rows) - COUNT(*) AS BIGINT) AS n_removed,
+       |       CAST(SUM(keep_id) AS BIGINT) AS keeper_id_sum
        |FROM keepers GROUP BY lang ORDER BY lang""".stripMargin
 
   /** doc_text_stats (L4) — per (lang, source): doc count, token totals, char
@@ -96,8 +96,8 @@ object Docs {
        |  FROM documents),
        |per_doc AS (
        |  SELECT lang, source, count(*) AS n_docs,
-       |         SUM(CAST(len(t) AS BIGINT)) AS total_toks,
-       |         SUM(CAST(nc AS BIGINT)) AS total_chars
+       |         CAST(SUM(CAST(len(t) AS BIGINT)) AS BIGINT) AS total_toks,
+       |         CAST(SUM(CAST(nc AS BIGINT)) AS BIGINT) AS total_chars
        |  FROM toks GROUP BY 1, 2),
        |vocab AS (
        |  SELECT lang, source, COUNT(DISTINCT tok) AS vocab

@@ -129,23 +129,32 @@ object Joins {
     * shuffle on user_id, `last(..., ignoreNulls)` over an ordered window.
     * O(n log n) per key at any scale — no quadratic range-join blowup.
     * DuckDB oracle uses its native ASOF LEFT JOIN (same semantics, ts >=).
+    *
+    * Tie rule: every union row keeps its REAL event id as `src_id`, and the
+    * window orders by (ts, tag, src_id) — a total order (event ids are
+    * unique), so two clicks by one user at the same ts resolve to the
+    * larger event_id deterministically. ASOF JOIN leaves the equal-ts pick
+    * unspecified, so the oracle pairing relies on the generator's unique
+    * (user_id, ts) per event type; the Spark side no longer does.
     */
   def joinAsof(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val clicks = e.filter(col("event_type") === "click").select(
       col("user_id"), col("ts"),
       lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+      col("event_id").as("src_id"),
       lit(null).cast("double").as("pvalue"),
       col("ts").as("click_ts"), col("value").as("click_value"))
     val purchases = e.filter(col("event_type") === "purchase").select(
       col("user_id"), col("ts"),
       lit(1).as("tag"), col("event_id"),
+      col("event_id").as("src_id"),
       col("value").as("pvalue"),
       lit(null).cast("timestamp").as("click_ts"),
       lit(null).cast("double").as("click_value"))
     // clicks sort before purchases at equal ts (tag 0 < 1) → '<=' semantics
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("tag"), col("event_id").asc_nulls_first)
+      .orderBy(col("ts"), col("tag"), col("src_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))

@@ -72,16 +72,29 @@ object NearDup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+    // Verify-join discipline (the 100-TB-relevant part): only frames
+    // bounded by CANDIDATE count may broadcast — the candidate pair list
+    // and the candidate doc-id lists. The exploded shingle table `ex` and
+    // the per-doc size table are O(corpus); building a broadcast relation
+    // from either kills the driver at scale, so they are first narrowed by
+    // a left-semi join against the (tiny, broadcast) candidate ids and the
+    // intersection count arrives via a shuffled equi-join on (doc, gram).
+    val candA = cand.select(col("da").as("doc_id")).distinct()
+    val candB = cand.select(col("db").as("doc_id")).distinct()
+    val exA = ex.join(broadcast(candA), Seq("doc_id"), "left_semi")
+    val exB = ex.join(broadcast(candB), Seq("doc_id"), "left_semi")
     val common = broadcast(cand)
-      .join(ex.as("ea"), col("ea.doc_id") === col("da"))
-      .join(broadcast(ex.as("eb")),
+      .join(exA.as("ea"), col("ea.doc_id") === col("da"))
+      .join(exB.as("eb"),
         col("eb.doc_id") === col("db") && col("eb.g") === col("ea.g"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("n_common"))
     val sizes = mh.select(col("doc_id"), col("n_sh"))
-    common
-      .join(broadcast(sizes.as("na")), col("na.doc_id") === col("da"))
-      .join(broadcast(sizes.as("nb")), col("nb.doc_id") === col("db"))
+    // `common` (≤ |cand| rows) is the broadcast side; `sizes` streams.
+    common.hint("broadcast")
+      .join(sizes.as("na"), col("na.doc_id") === col("da"))
+      .hint("broadcast")
+      .join(sizes.as("nb"), col("nb.doc_id") === col("db"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na.n_sh") + col("nb.n_sh") - col("n_common")).cast("double"))
@@ -124,12 +137,12 @@ object NearDup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** 48-bit token hash from the first 12 hex digits of md5 — identical
-    * integer in Spark and DuckDB (hex digit value via string position).
+    * integer in Spark and DuckDB. Spark computes md5 ONCE per distinct
+    * (doc, token) row and converts the 12-hex prefix with a single
+    * base-16 `conv` (the round-1 formulation inlined md5 12× — 12 full
+    * digest computations per row); DuckDB's twin keeps the positional
+    * digit sum, which is the same integer.
     */
-  private val h48Spark: String =
-    (1 to 12).map(j =>
-      s"(instr('0123456789abcdef', substring(md5(tok), $j, 1)) - 1) * ${math.pow(16, 12 - j).toLong}L")
-      .mkString(" + ")
   private val h48Duck: String =
     (1 to 12).map(j =>
       s"(strpos('0123456789abcdef', substring(md5(tok), $j, 1)) - 1) * ${math.pow(16, 12 - j).toLong}")
@@ -148,7 +161,8 @@ object NearDup {
       .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("h48", expr(h48Spark))
+      .withColumn("h48",
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
     tf.groupBy(col("doc_id"))
       .agg(
         sum(when(expr(s"(h48 div 1) % 2 = 1"), col("tf"))
@@ -260,15 +274,24 @@ object NearDup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Same verify-join discipline as docNearDedup: broadcast only the
+    // candidate-bounded frames; the O(corpus) gram and size tables are
+    // narrowed by left-semi joins against broadcast candidate ids and then
+    // joined via shuffle — never built into a broadcast relation.
+    val candA = cand.select(col("doc_a").as("doc_id")).distinct()
+    val candB = cand.select(col("doc_b").as("doc_id")).distinct()
+    val exA = ex.join(broadcast(candA), Seq("doc_id"), "left_semi")
+    val exB = ex.join(broadcast(candB), Seq("doc_id"), "left_semi")
     val common = broadcast(cand)
-      .join(ex.as("ea"), col("ea.doc_id") === col("doc_a"))
-      .join(broadcast(ex.as("eb")),
+      .join(exA.as("ea"), col("ea.doc_id") === col("doc_a"))
+      .join(exB.as("eb"),
         col("eb.doc_id") === col("doc_b") && col("eb.g") === col("ea.g"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(sizes.as("na")), col("na.doc_id") === col("doc_a"))
-      .join(broadcast(sizes.as("nb")), col("nb.doc_id") === col("doc_b"))
+    common.hint("broadcast")
+      .join(sizes.as("na"), col("na.doc_id") === col("doc_a"))
+      .hint("broadcast")
+      .join(sizes.as("nb"), col("nb.doc_id") === col("doc_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("na.ng") + col("nb.ng") - col("n_common")).cast("double"))

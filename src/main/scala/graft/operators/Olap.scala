@@ -72,8 +72,10 @@ object Olap {
        |ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
   /** agg_collect — document re-assembly: per-nation sorted list of supplier
-    * names plus a joined string (relational → document shape for the
-    * MongoDB-side model).
+    * names, exposed as its joined-string image plus the list length (the
+    * raw ArrayType column is built but NOT emitted: collection columns in
+    * the compared output would couple the oracle to engine physical
+    * encodings — the driver's checker can't sort/hash array cells).
     */
   def aggCollect(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir)
@@ -82,12 +84,12 @@ object Olap {
         sort_array(collect_list(col("s_name"))).as("suppliers"),
         count(lit(1)).as("n_suppliers"))
       .withColumn("suppliers_csv", array_join(col("suppliers"), ","))
+      .select(col("s_nationkey"), col("n_suppliers"), col("suppliers_csv"))
       .orderBy(col("s_nationkey"))
   }
 
   val aggCollectSql: String =
     """SELECT s_nationkey,
-      |  list(s_name ORDER BY s_name) AS suppliers,
       |  COUNT(*) AS n_suppliers,
       |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers_csv
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin

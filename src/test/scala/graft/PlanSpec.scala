@@ -40,11 +40,40 @@ class PlanSpec extends SparkSpec {
       s"doc_tokens should scan only doc_id+text:\n$dt")
   }
 
-  test("near-dup verify joins stay broadcast (no shuffled verify side)") {
-    for (name <- Seq("doc_near_dedup", "doc_ngram_jaccard")) {
-      val p = plan(name)
-      assert(p.contains("BroadcastHashJoin"), s"$name lost broadcast verify")
+  test("near-dup verify joins broadcast ONLY candidate-bounded frames") {
+    // Adaptive re-plan and size-based auto-broadcast off: what remains
+    // broadcast is exactly what the code HINTS — the thing this invariant
+    // pins. Every hinted frame (cand / candidate-id lists / common) derives
+    // from the band self-join, so its subtree contains a join; the
+    // O(corpus) frames (exploded shingles/grams, per-doc sizes) are pure
+    // scan→explode→agg chains with no join. A broadcast subtree without a
+    // join therefore means an unbounded table is being broadcast — the
+    // driver-OOM-at-100TB pattern this test exists to prevent.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (name <- Seq("doc_near_dedup", "doc_ngram_jaccard")) {
+        val p = SparkEntry.queries(name)(spark, sfTiny)
+          .queryExecution.executedPlan
+        val bcasts = p.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }
+        assert(bcasts.nonEmpty, s"$name should broadcast its candidate list")
+        for (b <- bcasts)
+          assert(b.child.toString.contains("Join"),
+            s"$name broadcasts a non-candidate (O(corpus)) frame:\n$b")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
+  }
+
+  test("having_filter scans lineitem exactly once (no double aggregate)") {
+    val p = plan("having_filter")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"having_filter should scan lineitem once, found $scans scans:\n$p")
   }
 
   test("every plan reaches WholeStageCodegen") {
