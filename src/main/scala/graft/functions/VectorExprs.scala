@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StringType}
 
 /** Native Catalyst expression for the engine's exact scaled dot product
   * over two float-vector columns (SURVEY.md §2.10): returns
@@ -88,12 +88,105 @@ case class DotScaled(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: exact |A ∩ B| of two SORTED arrays
+  * (ascending, distinct, no null elements — what
+  * sort_array(collect_list(...)) over a distinct gram/shingle table
+  * produces) as BIGINT, via a two-pointer merge. Accepts array<string>
+  * (UTF8String.compareTo — the SAME ordering sort_array uses) or
+  * array<long> (packed-gram codes; see NearDup's 64-bit gram packing).
+  *
+  * Why not `size(array_intersect(a, b))`: ArrayIntersect builds a hash set
+  * per ROW-PAIR with per-element generic handling (measured ~40 µs per
+  * ~300×300 pair at sf0.1 — it made the near-dup verify SLOWER than the
+  * row-explosion plan it replaced). This merge is O(|A|+|B|) comparisons
+  * with zero allocation inside WholeStageCodegen, which is what makes the
+  * array-verify formulation in graft.operators.NearDup win at any scale.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<string> or two " +
+          s"array<long> inputs, got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  private def isLongElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val na = xs.numElements()
+    val nb = ys.numElements()
+    val longs = isLongElems
+    var ia = 0
+    var ib = 0
+    var cnt = 0L
+    while (ia < na && ib < nb) {
+      val c =
+        if (longs) java.lang.Long.compare(xs.getLong(ia), ys.getLong(ib))
+        else xs.getUTF8String(ia).compareTo(ys.getUTF8String(ib))
+      if (c == 0) { cnt += 1; ia += 1; ib += 1 }
+      else if (c < 0) ia += 1
+      else ib += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val ia = ctx.freshName("ia")
+      val ib = ctx.freshName("ib")
+      val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      val cmp =
+        if (isLongElems)
+          s"java.lang.Long.compare($a.getLong($ia), $b.getLong($ib))"
+        else
+          s"$a.getUTF8String($ia).compareTo($b.getUTF8String($ib))"
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $ia = 0; int $ib = 0; long $cnt = 0L;
+         |while ($ia < $na && $ib < $nb) {
+         |  int $c = $cmp;
+         |  if ($c == 0) { $cnt++; $ia++; $ib++; }
+         |  else if ($c < 0) { $ia++; } else { $ib++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column wrapper: exact BIGINT dot of two Array[Float] columns at 1e14
     * scale, codegen'd.
     */
   def dotScaled(a: Column, b: Column): Column =
     Bridge.column(DotScaled(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: exact BIGINT intersection size of two sorted
+    * string-array columns, codegen'd.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
   /** Expose the native expression to SQL (`SELECT dot_scaled(a, b)`) on a
     * session — idempotent; temp-function scope, no catalog mutation.

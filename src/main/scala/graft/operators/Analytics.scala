@@ -131,7 +131,7 @@ object Analytics {
   val sqlSubquerySql: String = sqlSubquerySqlOn("customer")
 
   /** agg_stats — variance / stddev / correlation per group, assembled from
-    * exact decimal power sums instead of the builtin Welford-style
+    * exact fixed-point power sums instead of the builtin Welford-style
     * aggregates (whose partition-merge order makes the last IEEE bit both
     * engine- and run-dependent). From exact s1=Σx, s2=Σx², sxy=Σxy the
     * moments are a fixed sequence of correctly-rounded double ops —
@@ -139,18 +139,16 @@ object Analytics {
     */
   def aggStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    // power sums via DECIMAL×DECIMAL products: the 2dp inputs are
-    // decimal-exact, so the products and sums are exact — casting the
-    // DOUBLE product to decimal instead would hit engine-dependent
-    // half-way rounding (measured: last-bit corr/stddev mismatches).
-    def dprod(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")).cast("double")
+    // power sums via exact fixed-point products (Det.dprodSum): the 2dp
+    // inputs scale to exact i64s, so the products and split sums are exact
+    // — summing the DOUBLE product directly would hit order-dependent
+    // rounding (measured: last-bit corr/stddev mismatches).
     val n = count(lit(1)).cast("double")
     val sx = dsum(col("l_quantity"))
     val sy = dsum(col("l_extendedprice"))
-    val sx2 = dprod(col("l_quantity"), col("l_quantity"))
-    val sy2 = dprod(col("l_extendedprice"), col("l_extendedprice"))
-    val sxy = dprod(col("l_quantity"), col("l_extendedprice"))
+    val sx2 = dprodSum(col("l_quantity"), col("l_quantity"))
+    val sy2 = dprodSum(col("l_extendedprice"), col("l_extendedprice"))
+    val sxy = dprodSum(col("l_quantity"), col("l_extendedprice"))
     // Outputs rounded to 6dp: the decimal power sums are exact, but their
     // decimal→double casts double-round differently across engines once
     // the unscaled value exceeds 2^53, wobbling the last IEEE bit of the
@@ -168,14 +166,12 @@ object Analytics {
   }
 
   val aggStatsSql: String = {
-    def dprod(a: String, b: String) =
-      s"CAST(SUM(CAST($a AS DECIMAL(18,2)) * CAST($b AS DECIMAL(18,2))) AS DOUBLE)"
     val n = "CAST(COUNT(*) AS DOUBLE)"
     val sx = sqlDsum("l_quantity")
     val sy = sqlDsum("l_extendedprice")
-    val sx2 = dprod("l_quantity", "l_quantity")
-    val sy2 = dprod("l_extendedprice", "l_extendedprice")
-    val sxy = dprod("l_quantity", "l_extendedprice")
+    val sx2 = sqlDprodSum("l_quantity", "l_quantity")
+    val sy2 = sqlDprodSum("l_extendedprice", "l_extendedprice")
+    val sxy = sqlDprodSum("l_quantity", "l_extendedprice")
     s"""SELECT l_returnflag, COUNT(*) AS n_rows,
        |  round((($sx2 - $sx * $sx / $n) / $n), 6) AS var_pop_qty,
        |  round(sqrt(($sy2 - $sy * $sy / $n) / $n), 6) AS stddev_pop_price,
@@ -269,13 +265,14 @@ object Analytics {
     val perSupp = li.groupBy(col("l_suppkey"))
       .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"), count(lit(1)).as("n_items"))
-    // revenue doubles are exact images of 6dp decimals, so the decimal
-    // re-cast in this average is exact (no rounding-boundary risk)
+    // revenue doubles are exact images of 6dp values (see Det), so the
+    // re-scaling in this average is exact (no rounding-boundary risk); the
+    // window holds one row per supplier, so the unsplit i64 is safe
     val all = Window.partitionBy()
     perSupp
       .withColumn("avg_rev",
-        sum(col("revenue").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .over(all).cast("double") / count(lit(1)).over(all))
+        sum(scaledLong(col("revenue"), 1000000L)).over(all).cast("double")
+          / 1000000L / count(lit(1)).over(all))
       .filter(col("revenue") > col("avg_rev"))
       .select(col("l_suppkey"), col("revenue"), col("n_items"))
       .orderBy(col("l_suppkey"))

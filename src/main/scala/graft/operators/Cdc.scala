@@ -94,8 +94,8 @@ object Cdc {
       sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
       sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
       sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
-      sum(when(col("event_type") === "purchase", col("value").cast(DecimalType(18, 2))))
-        .cast("double").as("purchase_value"))
+      dsum(when(col("event_type") === "purchase", col("value")))
+        .as("purchase_value"))
     agg.withColumn("stage",
         when(col("n_purchase") > 0, "purchased")
           .when(col("n_click") > 0, "clicked")
@@ -110,8 +110,8 @@ object Cdc {
       |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
       |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-      |    CAST(SUM(CASE WHEN event_type = 'purchase'
-      |      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+      |    (CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE) / 100) AS purchase_value
       |  FROM events GROUP BY user_id)
       |SELECT user_id, n_view, n_click, n_purchase, purchase_value,
       |  CASE WHEN n_purchase > 0 THEN 'purchased'

@@ -35,8 +35,9 @@ object NearDup {
     * hashed with a top-level codegen'd md5 — no md5 inside a higher-order
     * lambda (array lambdas evaluate interpreted, ~10× slower) — then the
     * signature is one map-side-partial groupBy(doc). Bands self-join for
-    * candidates; the tiny candidate list broadcasts into the exploded
-    * shingle join that counts intersections.
+    * candidates; the tiny candidate list broadcasts, and the exact verify
+    * is a per-pair array_intersect over candidate-narrowed shingle arrays
+    * (see the inline verify-join discipline note).
     */
   def docNearDedup(spark: SparkSession, dir: String): DataFrame = {
     // 3-token shingles via positional explode + element_at (codegen'd;
@@ -74,30 +75,32 @@ object NearDup {
       .distinct()
     // Verify-join discipline (the 100-TB-relevant part): only frames
     // bounded by CANDIDATE count may broadcast — the candidate pair list
-    // and the candidate doc-id lists. The exploded shingle table `ex` and
-    // the per-doc size table are O(corpus); building a broadcast relation
-    // from either kills the driver at scale, so they are first narrowed by
-    // a left-semi join against the (tiny, broadcast) candidate ids and the
-    // intersection count arrives via a shuffled equi-join on (doc, gram).
-    val candA = cand.select(col("da").as("doc_id")).distinct()
-    val candB = cand.select(col("db").as("doc_id")).distinct()
-    val exA = ex.join(broadcast(candA), Seq("doc_id"), "left_semi")
-    val exB = ex.join(broadcast(candB), Seq("doc_id"), "left_semi")
-    val common = broadcast(cand)
-      .join(exA.as("ea"), col("ea.doc_id") === col("da"))
-      .join(exB.as("eb"),
-        col("eb.doc_id") === col("db") && col("eb.g") === col("ea.g"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("n_common"))
-    val sizes = mh.select(col("doc_id"), col("n_sh"))
-    // `common` (≤ |cand| rows) is the broadcast side; `sizes` streams.
-    common.hint("broadcast")
-      .join(sizes.as("na"), col("na.doc_id") === col("da"))
-      .hint("broadcast")
-      .join(sizes.as("nb"), col("nb.doc_id") === col("db"))
+    // and the candidate doc-id list. The exploded shingle table `ex` is
+    // O(corpus); it is narrowed to candidate docs by a left-semi join
+    // against the (tiny, broadcast) candidate ids, collected into one
+    // sorted shingle array per candidate doc, and the exact intersection
+    // is a codegen'd sorted-merge count per pair (SortedIntersectCount)
+    // — no |cand|·|shingles| row
+    // explosion, and nothing O(corpus) is ever broadcast. The second
+    // attach join shuffles only candidate-bounded rows (hinted
+    // shuffle-hash: the arrays make sort-merge pointless).
+    val candIds = cand
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct()
+    val arr = ex.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("nsh"))
+    broadcast(cand)
+      .join(arr.select(col("doc_id").as("da"), col("gs").as("gsa"),
+        col("nsh").as("na")), Seq("da"))
+      .join(arr.select(col("doc_id").as("db"), col("gs").as("gsb"),
+        col("nsh").as("nb")).hint("shuffle_hash"), Seq("db"))
+      .withColumn("n_common",
+        graft.functions.VectorExprs.sortedIntersectCount(col("gsa"), col("gsb")))
       .withColumn("jaccard",
         col("n_common").cast("double") /
-          (col("na.n_sh") + col("nb.n_sh") - col("n_common")).cast("double"))
+          (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("n_common"), col("jaccard"))
@@ -209,14 +212,19 @@ object NearDup {
     // The Hamming filter runs BEFORE the dedup-across-blocks distinct: a
     // pair can match in up to 4 blocks, and filtering first shrinks the
     // distinct's input from every block collision to just the true
-    // near-pairs. (Persisting the signature frame was measured and LOST —
-    // the cache boundary defeats the joins' broadcast planning.)
+    // near-pairs. The self-join is HINTED to sort-merge: both sides are
+    // the identical signature subplan shuffled on the identical (q, bv)
+    // key, so ReusedExchange computes the two-aggregation signature ONCE;
+    // the auto-chosen broadcast join has asymmetric sides and re-executes
+    // it twice (measured ~2× the whole signature cost). (Persisting the
+    // frame instead was measured and LOST — the cache boundary defeats
+    // join planning downstream.)
     val sig = simhashSig(spark, dir)
     val blocks = sig.select(col("doc_id"), col("simhash"),
         explode(array(Seq(0, 12, 24, 36).map(s => lit(1L << s)): _*))
           .as("q"))
       .withColumn("bv", expr("(simhash div q) % 4096"))
-    blocks.as("a")
+    blocks.as("a").hint("merge")
       .join(blocks.as("b"),
         col("a.q") === col("b.q") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -243,10 +251,23 @@ object NearDup {
   /** doc_ngram_jaccard — exact character-4-gram Jaccard, with candidates
     * from a length-band LSH (bands of 4 chars; each doc posts to its band
     * and the next, so any pair within 4 chars of each other shares a
-    * band — the planted near-dups differ by <= 4 chars). Verification
-    * counts intersections on the exploded (doc, gram) table restricted to
-    * the broadcast candidate list: every expression stays in WholeStage
-    * Codegen (array_intersect and per-row array lambdas would not).
+    * band — the planted near-dups differ by <= 4 chars).
+    *
+    * Verification is a per-pair SET INTERSECTION, not a row explosion:
+    * each doc's distinct grams are collected once into a sorted array,
+    * arrays ride the band posts through one shuffle-by-band, and the band
+    * self-join computes the exact intersection count pipelined inside the join
+    * (sorted_intersect_count — a codegen'd two-pointer merge, see
+    * graft.functions.SortedIntersectCount)
+    * stage — the arrays never shuffle again. The round-1 formulation
+    * expanded every candidate pair by all of doc_a's grams (|cand|·|grams|
+    * ≈ 87M rows at sf0.1) and shuffled that for the matching join;
+    * measured 13.5 s vs ~1 s for this shape. At 100 TB the shuffle here is
+    * O(corpus · bands-per-doc) array payloads, and the quadratic term is
+    * bounded by band occupancy — the same bound the candidate join already
+    * has. The self-join's two sides are identical subplans with identical
+    * band partitioning, so Spark's ReusedExchange materializes the gram
+    * arrays once.
     */
   def docNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
@@ -257,44 +278,73 @@ object NearDup {
     // array_distinct(transform(...)) alternative: the interpreted lambda
     // build is ~2× slower at sf0.1 even though it avoids the distinct
     // shuffle — HOF evaluation off the codegen path loses.)
+    // Each 4-char gram is PACKED into one BIGINT (4×16-bit code points) —
+    // an exact bijection for BMP text (the corpus is ASCII; any collision
+    // would fail the DuckDB hash-compare, which stays on the string
+    // formulation). Packed arrays are ~6× smaller than string arrays, so
+    // the per-pair row copies in the verify join shrink accordingly, and
+    // the sorted-merge compares longs instead of byte strings.
+    def packed(g: Column): Column =
+      ((ascii(g.substr(1, 1)).cast("long") * 65536L +
+        ascii(g.substr(2, 1)).cast("long")) * 65536L +
+        ascii(g.substr(3, 1)).cast("long")) * 65536L +
+        ascii(g.substr(4, 1)).cast("long")
     val ex = base
       .select(col("doc_id"), col("nt"),
         explode(sequence(lit(1), length(col("nt")) - 3)).as("i"))
       .select(col("doc_id"),
-        col("nt").substr(col("i"), lit(4)).as("g"))
+        packed(col("nt").substr(col("i"), lit(4))).as("g"))
       .distinct()
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val arr = ex.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("ng"))
     val posts = base.select(col("doc_id"),
         (length(col("nt")).cast("long") / lit(4L)).cast("long").as("band"))
       .select(col("doc_id"),
         explode(array(col("band"), col("band") + 1)).as("pband"))
-    val cand = posts.as("a")
-      .join(posts.as("b"),
+      .join(arr, Seq("doc_id"))
+    // SALTED self-join: document lengths cluster, so one band can hold a
+    // large share of all candidate pairs — joined on pband alone that
+    // band's quadratic verify work lands in a single task (measured: one
+    // straggler task carries ~4 s while 31 cores idle). Each side is
+    // salted into an S×S grid — A fixes si=hash(doc)%S and replicates
+    // over sj, B the reverse — so every pair meets in EXACTLY one
+    // (pband, si, sj) cell and the per-cell work is ~1/S² of the band.
+    // The S-fold array replication is the price; S=8 keeps it ~3× the
+    // unsalted shuffle while spreading the compute over 64 cells/band.
+    // The verify stage is CPU-bound, not byte-bound: its shuffle input is
+    // only tens of MB, so AQE's byte-based coalescing would hand the whole
+    // per-pair merge loop to 1-2 tasks (measured: a ~3 s single-core
+    // stage). An EXPLICIT repartition on the join keys pins the stage at
+    // full parallelism — user-specified partition counts are exempt from
+    // AQE coalescing — and both sides share it, so the join adds no
+    // further exchange.
+    val S = 8
+    val nPart = spark.sparkContext.defaultParallelism * 2
+    val saltKeys = Seq(col("pband"), col("si"), col("sj"))
+    val pa = posts
+      .withColumn("si", pmod(hash(col("doc_id")), lit(S)))
+      .withColumn("sj", explode(sequence(lit(0), lit(S - 1))))
+      .repartition(nPart, saltKeys: _*)
+    val pb = posts
+      .withColumn("sj", pmod(hash(col("doc_id")), lit(S)))
+      .withColumn("si", explode(sequence(lit(0), lit(S - 1))))
+      .repartition(nPart, saltKeys: _*)
+    pa.as("a")
+      .join(pb.as("b"),
         col("a.pband") === col("b.pband") &&
+          col("a.si") === col("b.si") && col("a.sj") === col("b.sj") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.VectorExprs.sortedIntersectCount(col("a.gs"), col("b.gs"))
+          .as("n_common"),
+        col("a.ng").as("nga"), col("b.ng").as("ngb"))
+      // a pair within 4 chars shares BOTH its bands → identical rows; the
+      // distinct runs on scalars only (arrays are already projected away)
       .distinct()
-    // Same verify-join discipline as docNearDedup: broadcast only the
-    // candidate-bounded frames; the O(corpus) gram and size tables are
-    // narrowed by left-semi joins against broadcast candidate ids and then
-    // joined via shuffle — never built into a broadcast relation.
-    val candA = cand.select(col("doc_a").as("doc_id")).distinct()
-    val candB = cand.select(col("doc_b").as("doc_id")).distinct()
-    val exA = ex.join(broadcast(candA), Seq("doc_id"), "left_semi")
-    val exB = ex.join(broadcast(candB), Seq("doc_id"), "left_semi")
-    val common = broadcast(cand)
-      .join(exA.as("ea"), col("ea.doc_id") === col("doc_a"))
-      .join(exB.as("eb"),
-        col("eb.doc_id") === col("doc_b") && col("eb.g") === col("ea.g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common.hint("broadcast")
-      .join(sizes.as("na"), col("na.doc_id") === col("doc_a"))
-      .hint("broadcast")
-      .join(sizes.as("nb"), col("nb.doc_id") === col("doc_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
-          (col("na.ng") + col("nb.ng") - col("n_common")).cast("double"))
+          (col("nga") + col("ngb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

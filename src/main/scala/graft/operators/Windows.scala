@@ -66,8 +66,8 @@ object Windows {
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        |ORDER BY user_id, event_id""".stripMargin
 
-  /** window_running — running exact-decimal sum + 4-row moving average per
-    * user (ROWS frames).
+  /** window_running — running exact fixed-point sum + 4-row moving average
+    * per user (ROWS frames).
     */
   def windowRunning(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -76,16 +76,20 @@ object Windows {
     val mov = ord.rowsBetween(-3, Window.currentRow)
     e.select(
         col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"), col("value"),
-        sum(col("value").cast("decimal(18,2)")).over(run).cast("double").as("running_value"),
-        (sum(col("value").cast("decimal(18,2)")).over(mov).cast("double") /
+        // single-level fixed-point window sum: one user's history is
+        // bounded, so the unsplit i64 never nears 2^63 (see Det)
+        (sum(scaledLong(col("value"), 100)).over(run).cast("double") / 100)
+          .as("running_value"),
+        (sum(scaledLong(col("value"), 100)).over(mov).cast("double") / 100 /
           count(lit(1)).over(mov)).as("moving_avg4"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
   val windowRunningSql: String =
     s"""SELECT event_id, user_id, ${sqlFmtTs("ts")} AS ts_s, value,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER run AS DOUBLE) AS running_value,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER mov AS DOUBLE)
+       |  (CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER run AS DOUBLE) / 100)
+       |    AS running_value,
+       |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER mov AS DOUBLE) / 100
        |    / COUNT(*) OVER mov AS moving_avg4
        |FROM events
        |WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -130,7 +134,7 @@ object Windows {
     e.select(
         col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_s"),
         count(lit(1)).over(w).as("n_trailing_1h"),
-        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+        (sum(scaledLong(col("value"), 100)).over(w).cast("double") / 100)
           .as("value_trailing_1h"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -138,7 +142,7 @@ object Windows {
   val windowRangeFrameSql: String =
     s"""SELECT event_id, user_id, ${sqlFmtTs("ts")} AS ts_s,
        |  COUNT(*) OVER w AS n_trailing_1h,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       |  (CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100)
        |    AS value_trailing_1h
        |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec

@@ -42,8 +42,8 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("total_value"))
+        (sum(graft.functions.Det.scaledLong(col("value"), 100))
+          .cast("double") / 100).as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("total_value"))
 

@@ -58,10 +58,19 @@ class PlanSpec extends SparkSpec {
         val bcasts = p.collect {
           case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
         }
-        assert(bcasts.nonEmpty, s"$name should broadcast its candidate list")
-        for (b <- bcasts)
-          assert(b.child.toString.contains("Join"),
+        // doc_ngram_jaccard's banded array plan broadcasts nothing at all;
+        // doc_near_dedup must still broadcast its candidate frames
+        if (name == "doc_near_dedup")
+          assert(bcasts.nonEmpty, s"$name should broadcast its candidate list")
+        // Candidate-derived frames show either the band Join itself or a
+        // ReusedExchange of the candidate shuffle; the O(corpus) frames
+        // (exploded shingles/grams, per-doc sizes) are pure
+        // scan→explode→agg chains that can contain neither.
+        for (b <- bcasts) {
+          val sub = b.child.toString
+          assert(sub.contains("Join") || sub.contains("ReusedExchange"),
             s"$name broadcasts a non-candidate (O(corpus)) frame:\n$b")
+        }
       }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
