@@ -11,6 +11,8 @@ object BenchProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -19,7 +21,9 @@ object BenchProbe {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // same full-plan forcer as Bench: count() would let Catalyst prune
+        // every computed column out of a pure-projection query
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-20s cold=${times(0)}%.3f warm=${times(1)}%.3f warm2=${times(2)}%.3f")
