@@ -23,7 +23,8 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.Analytics.queries, operators.Analytics.oracle),
       (operators.Scalar.queries, operators.Scalar.oracle),
-      (operators.Collections.queries, operators.Collections.oracle))
+      (operators.Collections.queries, operators.Collections.oracle),
+      (operators.Pipeline.queries, operators.Pipeline.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -129,4 +129,30 @@ class QueriesSpec extends SparkSpec {
     val b = operators.Multimodal.mmDecode(spark, sfTiny).collect().toSeq
     assert(a.map(_.toString) == b.map(_.toString))
   }
+
+  test("dedup_clusters is a valid components partition of the pair graph") {
+    val pairs = operators.NearDup.docSimhashDup(spark, sfTiny)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val clusters = operators.Pipeline.dedupClusters(spark, sfTiny).collect()
+    // every cluster is labeled by its minimum member and has >= 2 members
+    clusters.foreach { r =>
+      assert(r.getLong(0) == r.getLong(3), s"cluster label != min member: $r")
+      assert(r.getLong(1) >= 2, s"singleton cluster from a pair graph: $r")
+    }
+    // clusters partition exactly the nodes that appear in pairs
+    assert(clusters.map(_.getLong(1)).sum == nodes.size)
+    // both endpoints of every pair landed in the same cluster: rebuild
+    // membership from a reference union-find and compare cluster sizes
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ref = nodes.groupBy(find).map { case (r, ms) => (ms.min, ms.size.toLong) }
+    val got = clusters.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref, s"cluster partition differs from union-find reference")
+  }
 }

@@ -64,4 +64,37 @@ class VectorExprsSpec extends SparkSpec {
       math.floor(3.0 * 1e14).toLong + math.floor(8.0 * 1e14).toLong)
     assert(got(1).isNullAt(0) && got(2).isNullAt(0))
   }
+
+  test("SortedIntersectCount matches size(array_intersect) on random sorted sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randSet(): Seq[Long] =
+      Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
+    val rows = Seq.fill(500)((randSet(), randSet()))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        VectorExprs.sortedIntersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("native") =!= col("ref"))
+      .count()
+    assert(diff == 0)
+    // string variant with the same comparator sort_array uses
+    val srows = rows.map { case (a, b) =>
+      (a.map(x => f"g$x%03d").sorted, b.map(x => f"g$x%03d").sorted)
+    }
+    val sdiff = srows.toDF("a", "b").select(
+        VectorExprs.sortedIntersectCount(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("native") =!= col("ref"))
+      .count()
+    assert(sdiff == 0)
+  }
+
+  test("SortedIntersectCount rejects mismatched input types at analysis") {
+    import spark.implicits._
+    val df = Seq((Seq(1L), Seq("a"))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExprs.sortedIntersectCount(col("a"), col("b"))).collect()
+    }
+  }
 }
