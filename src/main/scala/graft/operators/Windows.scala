@@ -188,13 +188,31 @@ object Windows {
       |                         AND UNBOUNDED FOLLOWING)
       |ORDER BY nation, s_suppkey""".stripMargin
 
+  /** topk_native — the SAME top-3-per-brand result computed by the
+    * engine's native whole-operator extension (graft.plans.TopK: custom
+    * LogicalPlan + Strategy + two-phase bounded-heap SparkPlan) instead of
+    * the window composition. Shares topk_per_group's oracle: identical
+    * output is exactly the point — the operator replaces a full
+    * per-partition sort with O(groups·k) heaps and a k-bounded shuffle.
+    */
+  def topkNative(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    graft.plans.TopK.topKPerGroup(p,
+        Seq("p_brand"),
+        Seq(("p_retailprice", true), ("p_partkey", false)), 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"),
+        col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_dist" -> (windowDist _),
     "window_rank" -> (windowRank _),
     "window_lag_gap" -> (windowLagGap _),
     "window_running" -> (windowRunning _),
     "window_range_frame" -> (windowRangeFrame _),
-    "topk_per_group" -> (topkPerGroup _))
+    "topk_per_group" -> (topkPerGroup _),
+    "topk_native" -> (topkNative _))
 
   def oracle: Map[String, String] = Map(
     "window_dist" -> windowDistSql,
@@ -202,5 +220,6 @@ object Windows {
     "window_lag_gap" -> windowLagGapSql,
     "window_running" -> windowRunningSql,
     "window_range_frame" -> windowRangeFrameSql,
-    "topk_per_group" -> topkPerGroupSql)
+    "topk_per_group" -> topkPerGroupSql,
+    "topk_native" -> topkPerGroupSql)
 }

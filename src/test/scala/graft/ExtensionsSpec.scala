@@ -101,4 +101,18 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaSql == viaColumn)
   }
+
+  test("native top-k operator plans two-phase heaps and matches the window form") {
+    val native = operators.Windows.topkNative(spark, sfTiny)
+    val physical = native.queryExecution.executedPlan.toString
+    // custom Strategy fired: both phases present, and the partial runs
+    // BELOW the exchange (map-side, k-bounded shuffle)
+    assert(physical.contains("TopKPerGroup"), s"strategy did not fire:\n$physical")
+    assert(physical.contains("TopKPartial"), s"no map-side partial:\n$physical")
+    val window = operators.Windows.topkPerGroup(spark, sfTiny)
+    assert(native.columns.toSeq == window.columns.toSeq)
+    val n = native.collect().map(_.toString).toSeq
+    val w = window.collect().map(_.toString).toSeq
+    assert(n == w, "native top-k differs from the window formulation")
+  }
 }
