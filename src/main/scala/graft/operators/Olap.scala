@@ -41,7 +41,10 @@ object Olap {
     """SELECT event_type,
       |  COUNT(DISTINCT user_id) AS exact_users,
       |  COUNT(*) AS n_events,
-      |  true AS approx_within_10pct
+      |  true AS approx_within_10pct -- oracle CONSTANT by contract: the
+      |  -- sketch estimate is engine-specific, so the compared claim is
+      |  -- the ACCURACY BOUND — Spark must still run its HLL sketch and
+      |  -- prove |approx - exact| <= 10% per group to produce `true`
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** agg_rollup — ROLLUP(year, priority) with per-column GROUPING flags;
