@@ -1,6 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Central table catalog over the driver-provided parquet star schema
@@ -11,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * against the same catalog entry reuse one analyzed relation instead of
   * re-reading parquet footers and re-resolving the schema on every call —
   * the same role a metastore catalog plays on a real cluster. Logical plans
-  * are immutable, so sharing the DataFrame across queries is safe.
+  * are immutable, so sharing the DataFrame across queries is safe; the
+  * cache is LRU-bounded so it cannot pin dead sessions (see below).
   *
   * At 100 TB the only change is the path: a partitioned parquet/iceberg
   * layout (e.g. orders partitioned by month) makes the same calls
@@ -23,8 +23,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val cache =
-    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // Bounded LRU, not an unbounded strong-keyed map: cached DataFrames
+  // strongly reference their SparkSession, so an unbounded cache would pin
+  // every session ever seen (stopped test sessions, REPL restarts) for the
+  // JVM lifetime. 256 entries covers many sessions × all tables while
+  // letting old sessions age out and become collectible.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame])
+          : Boolean = size() > 256
+    })
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, sfDir, name),
@@ -48,10 +58,13 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // load() runs BEFORE the outer computeIfAbsent: a nested
+    // computeIfAbsent on the same map throws ConcurrentModificationException
+    // (the mapping function must not modify the map)
+    val base = load(s, d, "events")
     cache.computeIfAbsent((s, d, "events@ts"), _ =>
-      load(s, d, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))))
+      base.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000"))))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

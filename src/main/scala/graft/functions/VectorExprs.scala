@@ -107,13 +107,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      // containsNull inputs are REJECTED, not tolerated: the merge loop
+      // reads elements with getLong/getUTF8String, which on a null slot
+      // would return garbage bytes instead of failing — make misuse an
+      // analysis error (the documented contract is sorted, distinct,
+      // null-free arrays, which sort_array(collect_list(...)) produces)
+      case (ArrayType(StringType, false), ArrayType(StringType, false)) =>
         TypeCheckResult.TypeCheckSuccess
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"sorted_intersect_count requires two array<string> or two " +
-          s"array<long> inputs, got (${l.catalogString}, ${r.catalogString})")
+          s"array<long> inputs with non-null elements, got " +
+          s"(${l.catalogString}, ${r.catalogString})")
     }
 
   override def dataType: DataType = LongType
@@ -188,10 +194,17 @@ object VectorExprs {
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Expose the native expression to SQL (`SELECT dot_scaled(a, b)`) on a
-    * session — idempotent; temp-function scope, no catalog mutation.
+  /** Expose the native expressions to SQL (`SELECT dot_scaled(a, b)`,
+    * `sorted_intersect_count(a, b)`) on a session — idempotent;
+    * temp-function scope, no catalog mutation. Sessions built with
+    * `spark.sql.extensions=graft.plans.GraftExtensions` get the same
+    * functions injected at build time.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_scaled", exprs => DotScaled(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
 }

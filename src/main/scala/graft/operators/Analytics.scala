@@ -266,13 +266,21 @@ object Analytics {
       .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"), count(lit(1)).as("n_items"))
     // revenue doubles are exact images of 6dp values (see Det), so the
-    // re-scaling in this average is exact (no rounding-boundary risk); the
-    // window holds one row per supplier, so the unsplit i64 is safe
+    // re-scaling in this average is exact (no rounding-boundary risk).
+    // The GLOBAL window sum gets the same hi/lo i64 split as Det.splitSum:
+    // a single unsplit micro-scaled sum of ALL revenue would wrap i64 long
+    // before 100 TB (total·1e6 ≈ 1e22 ≫ 2^63) — safety depends on total
+    // magnitude, not on rows-per-supplier.
     val all = Window.partitionBy()
+    val sc = scaledLong(col("revenue"), 1000000L)
+    val exactTotal =
+      (sum(shiftright(sc, 20)).over(all)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * (1L << 20) +
+        sum(sc.bitwiseAND(lit((1L << 20) - 1))).over(all)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
     perSupp
       .withColumn("avg_rev",
-        sum(scaledLong(col("revenue"), 1000000L)).over(all).cast("double")
-          / 1000000L / count(lit(1)).over(all))
+        exactTotal.cast("double") / 1000000L / count(lit(1)).over(all))
       .filter(col("revenue") > col("avg_rev"))
       .select(col("l_suppkey"), col("revenue"), col("n_items"))
       .orderBy(col("l_suppkey"))

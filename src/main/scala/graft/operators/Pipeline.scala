@@ -126,7 +126,10 @@ object Pipeline {
     d.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"),
-        sum(when(sampled, col("doc_id"))).as("sampled_id_sum"),
+        // membership checksum via XOR, not SUM: order-independent like a
+        // sum but cannot overflow at any corpus size (a plain i64 id sum
+        // wraps silently where DuckDB's HUGEINT->BIGINT cast would error)
+        bit_xor(when(sampled, col("doc_id"))).as("sampled_id_xor"),
         min(when(sampled, col("doc_id"))).as("min_sampled_id"),
         max(when(sampled, col("doc_id"))).as("max_sampled_id"))
       .orderBy(col("lang"))
@@ -138,7 +141,7 @@ object Pipeline {
       |  FROM documents)
       |SELECT lang, COUNT(*) AS n_total,
       |  CAST(SUM(CASE WHEN smp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-      |  CAST(SUM(CASE WHEN smp THEN doc_id END) AS BIGINT) AS sampled_id_sum,
+      |  CAST(bit_xor(CASE WHEN smp THEN doc_id END) AS BIGINT) AS sampled_id_xor,
       |  MIN(CASE WHEN smp THEN doc_id END) AS min_sampled_id,
       |  MAX(CASE WHEN smp THEN doc_id END) AS max_sampled_id
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
@@ -188,7 +191,9 @@ object Pipeline {
     }
     labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"),
-        sum(col("id")).as("member_id_sum"),
+        // XOR membership checksum — overflow-free at any scale (see
+        // sample_stratified)
+        bit_xor(col("id")).as("member_id_xor"),
         min(col("id")).as("min_member"),
         max(col("id")).as("max_member"))
       .orderBy(col("cluster"))
@@ -208,7 +213,7 @@ object Pipeline {
        |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
        |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
        |SELECT cluster, COUNT(*) AS n_members,
-       |  CAST(SUM(node) AS BIGINT) AS member_id_sum,
+       |  CAST(bit_xor(node) AS BIGINT) AS member_id_xor,
        |  MIN(node) AS min_member, MAX(node) AS max_member
        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
   }

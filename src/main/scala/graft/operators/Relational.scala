@@ -89,9 +89,12 @@ object Relational {
     */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // count(col) not count(*): COUNT(DISTINCT c) ignores NULL c, so the
+    // distinct+count rewrite must too (latent on TPC-H keys, load-bearing
+    // on any nullable column)
     def dcount(c: String, as: String) =
       li.select(col("l_returnflag"), col(c)).distinct()
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+        .groupBy(col("l_returnflag")).agg(count(col(c)).as(as))
     li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
       .join(dcount("l_orderkey", "n_orders"), Seq("l_returnflag"))
       .join(dcount("l_partkey", "n_parts"), Seq("l_returnflag"))

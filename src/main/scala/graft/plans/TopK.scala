@@ -180,11 +180,26 @@ object TopK {
       .find(_.name.equalsIgnoreCase(n))
       .getOrElse(throw new IllegalArgumentException(
         s"column $n not in ${child.output.map(_.name).mkString(",")}"))
+    // float/double group keys are normalized (-0.0 -> 0.0, canonical NaN)
+    // the way Catalyst's NormalizeFloatingNumbers rule does for
+    // Aggregate/Window keys — that rule only rewrites known node types,
+    // so a custom operator must normalize its own grouping to keep
+    // byte-equality grouping (heap map + hash shuffle) consistent with
+    // the window formulation's semantics
+    def groupExpr(n: String): Expression = {
+      val a = attr(n)
+      a.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType =>
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(a)
+        case _ => a
+      }
+    }
     val ord = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
     Bridge.ofRows(df.sparkSession,
-      TopKPerGroupPlan(group.map(attr), ord, k,
+      TopKPerGroupPlan(group.map(groupExpr), ord, k,
         AttributeReference("rn", LongType, nullable = false)(),
         child))
   }
@@ -192,10 +207,22 @@ object TopK {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the library's
   * session-extension entry point: injects the top-k planner strategy and
-  * the native expressions as SQL functions.
+  * the native expressions as SQL functions
+  * (`dot_scaled`, `sorted_intersect_count`).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.{DotScaled, SortedIntersectCount}
+
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectFunction((FunctionIdentifier("dot_scaled"),
+      new ExpressionInfo(classOf[DotScaled].getName, "dot_scaled"),
+      (exprs: Seq[Expression]) => DotScaled(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
   }
 }

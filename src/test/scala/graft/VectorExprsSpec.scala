@@ -66,13 +66,22 @@ class VectorExprsSpec extends SparkSpec {
   }
 
   test("SortedIntersectCount matches size(array_intersect) on random sorted sets") {
-    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val rnd = new scala.util.Random(42)
     def randSet(): Seq[Long] =
       Seq.fill(rnd.nextInt(50))(rnd.nextInt(60).toLong).distinct.sorted
     val rows = Seq.fill(500)((randSet(), randSet()))
-    val df = rows.toDF("a", "b")
-    val diff = df.select(
+    // explicit containsNull=false schemas: the expression's declared
+    // contract (and what sort_array(collect_list(...)) produces); the
+    // Scala encoder's default containsNull=true is rejected at analysis
+    def df(data: Seq[(Seq[Any], Seq[Any])], et: DataType) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data.map(r => Row(r._1, r._2))),
+        StructType(Seq(
+          StructField("a", ArrayType(et, containsNull = false)),
+          StructField("b", ArrayType(et, containsNull = false)))))
+    val diff = df(rows, LongType).select(
         VectorExprs.sortedIntersectCount(col("a"), col("b")).as("native"),
         size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
       .filter(col("native") =!= col("ref"))
@@ -80,9 +89,10 @@ class VectorExprsSpec extends SparkSpec {
     assert(diff == 0)
     // string variant with the same comparator sort_array uses
     val srows = rows.map { case (a, b) =>
-      (a.map(x => f"g$x%03d").sorted, b.map(x => f"g$x%03d").sorted)
+      (a.map(x => f"g$x%03d").sorted: Seq[Any],
+        b.map(x => f"g$x%03d").sorted: Seq[Any])
     }
-    val sdiff = srows.toDF("a", "b").select(
+    val sdiff = df(srows, StringType).select(
         VectorExprs.sortedIntersectCount(col("a"), col("b")).as("native"),
         size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
       .filter(col("native") =!= col("ref"))
@@ -90,11 +100,18 @@ class VectorExprsSpec extends SparkSpec {
     assert(sdiff == 0)
   }
 
-  test("SortedIntersectCount rejects mismatched input types at analysis") {
+  test("SortedIntersectCount rejects mismatched and nullable-element inputs") {
     import spark.implicits._
     val df = Seq((Seq(1L), Seq("a"))).toDF("a", "b")
     intercept[org.apache.spark.sql.AnalysisException] {
       df.select(VectorExprs.sortedIntersectCount(col("a"), col("b"))).collect()
+    }
+    // containsNull=true (the encoder default for non-primitive elements)
+    // must be an ANALYSIS error: the merge loop would read garbage bytes
+    // from a null slot
+    val nullable = Seq((Seq("a"), Seq("b"))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      nullable.select(VectorExprs.sortedIntersectCount(col("a"), col("b"))).collect()
     }
   }
 }
