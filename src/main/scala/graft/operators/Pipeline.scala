@@ -171,8 +171,15 @@ object Pipeline {
       .localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with the FIRST propagation round for free: label(v) =
+    // min(v, min neighbor) — every (node, neighbor) pair is already a row
+    // of `edges`, so one aggregation replaces what would otherwise be the
+    // loop's first join+checkpoint+count cycle (each cycle is 2 Spark
+    // jobs; near-dup components are shallow, so one round is a real share)
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
