@@ -108,6 +108,49 @@ object Analytics {
        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** agg_quantiles — exact per-group p25/p50/p75 via the inverse-ECDF
+    * ("type 1") definition: the value at rank ceil(q·n) under a total
+    * order. Integer rank arithmetic and no interpolation, so any engine
+    * picks the identical row — the same portability trick as agg_median,
+    * generalized to the quantile family. One window pass + one
+    * conditional aggregate; at scale this is a shuffle on the group key
+    * and a per-group sort, never a global one.
+    */
+  def aggQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(when(col("rn") === expr("(n * 25 + 99) div 100"),
+          col("o_totalprice"))).as("p25"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"),
+          col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === expr("(n * 75 + 99) div 100"),
+          col("o_totalprice"))).as("p75"),
+        max(col("n")).cast("long").as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val aggQuantilesSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN o_totalprice END) AS p25,
+      |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN o_totalprice END) AS p50,
+      |  MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN o_totalprice END) AS p75,
+      |  CAST(max(n) AS BIGINT) AS n_orders
+      |FROM ranked
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** sql_subquery — the spark.sql entry path (SURVEY.md §3.2) with a
     * correlated scalar subquery: customers above their nation's average
     * balance. Catalyst's RewriteCorrelatedScalarSubquery decorrelates it
@@ -329,6 +372,7 @@ object Analytics {
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
     "agg_median" -> (aggMedian _),
+    "agg_quantiles" -> (aggQuantiles _),
     "agg_stats" -> (aggStats _),
     "unpivot_measures" -> (unpivotMeasures _),
     "null_semantics" -> (nullSemantics _),
@@ -340,6 +384,7 @@ object Analytics {
     "agg_cube" -> aggCubeSql,
     "pivot_segment" -> pivotSegmentSql,
     "agg_median" -> aggMedianSql,
+    "agg_quantiles" -> aggQuantilesSql,
     "agg_stats" -> aggStatsSql,
     "unpivot_measures" -> unpivotMeasuresSql,
     "null_semantics" -> nullSemanticsSql,
