@@ -185,13 +185,52 @@ object Olap {
        |FROM sess GROUP BY user_id, session_no
        |ORDER BY user_id, session_no""".stripMargin
 
+  /** events_retention — day-over-day cohort retention: for every active
+    * day, how many of that day's distinct users return the next day. The
+    * classic event-analytics shape (activation → retention) a CDC sink
+    * feeds: one distinct pass builds the (user, day) activity set, a
+    * self-join on (user, day+1) marks returners, one aggregate computes
+    * the ratio. At scale both sides shuffle on (user_id, day) — the
+    * self-join is a two-column equi-join, never row-quadratic, and the
+    * distinct pass has map-side partials.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    daily.as("a")
+      .join(daily.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.d") === date_add(col("a.d"), 1), "left")
+      .groupBy(col("a.d"))
+      .agg(count(lit(1)).as("n_active"),
+        count(col("b.user_id")).as("n_retained"),
+        (count(col("b.user_id")).cast("double") / count(lit(1)))
+          .as("retention"))
+      .select(fmtDate(col("a.d")).as("day"), col("n_active"),
+        col("n_retained"), col("retention"))
+      .orderBy(col("day"))
+  }
+
+  val eventsRetentionSql: String =
+    s"""WITH daily AS (
+       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+       |SELECT ${sqlFmtDate("a.d")} AS day,
+       |  COUNT(*) AS n_active,
+       |  COUNT(b.user_id) AS n_retained,
+       |  CAST(COUNT(b.user_id) AS DOUBLE) / COUNT(*) AS retention
+       |FROM daily a LEFT JOIN daily b
+       |  ON a.user_id = b.user_id AND b.d = a.d + 1
+       |GROUP BY a.d ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_collect" -> (aggCollect _),
     "events_tumbling_1h" -> (eventsTumbling1h _),
     "events_sliding" -> (eventsSliding _),
-    "events_sessionize" -> (eventsSessionize _))
+    "events_sessionize" -> (eventsSessionize _),
+    "events_retention" -> (eventsRetention _))
 
   def oracle: Map[String, String] = Map(
     "agg_approx_distinct" -> aggApproxDistinctSql,
@@ -199,5 +238,6 @@ object Olap {
     "agg_collect" -> aggCollectSql,
     "events_tumbling_1h" -> eventsTumbling1hSql,
     "events_sliding" -> eventsSlidingSql,
-    "events_sessionize" -> eventsSessionizeSql)
+    "events_sessionize" -> eventsSessionizeSql,
+    "events_retention" -> eventsRetentionSql)
 }
