@@ -151,16 +151,19 @@ object Pipeline {
     * pair detection and survivor election: A~B and B~C must collapse to
     * one cluster {A,B,C} even though (A,C) was never a candidate pair.
     *
-    * Distributed min-label propagation (Pregel-style): every node starts
-    * labeled with its own id; each round, a node adopts the minimum label
-    * among itself and its neighbors; at fixpoint every member carries the
-    * component's minimum id. Rounds = component diameter (near-dup
-    * clusters are shallow); each round is one shuffle join of the label
-    * frame with the edge list — O(E) distributed work, and the driver
-    * sees only the one-row convergence count. localCheckpoint pins each
-    * round's result so the lineage (and recomputation) cannot grow with
-    * the iteration count. The DuckDB oracle computes the same fixpoint as
-    * a recursive reachability CTE.
+    * Distributed min-label propagation WITH POINTER JUMPING: every node
+    * starts labeled with its own id; each round a node adopts the
+    * minimum of its own label, its neighbors' labels, AND its label's
+    * label (label(label(v)) — the path-halving step). Plain neighbor
+    * propagation needs diameter-many rounds (a 10k-long chain of
+    * near-dups = 10k shuffles); the jump makes label chains halve each
+    * round, so convergence is O(log diameter) — the large-star/
+    * small-star bound. Each round is two shuffle joins over the label
+    * frame — O(E + V) distributed work, the driver sees only a one-row
+    * convergence count, and localCheckpoint pins each round's result so
+    * lineage cannot grow with the iteration count. The fixpoint is the
+    * same component minimum (both steps only ever lower a label toward
+    * it), so the DuckDB recursive-reachability oracle is unchanged.
     *
     * Pairs come from the SimHash Hamming<=3 detector (doc_simhash_dup) —
     * the transitive-closure-worthy signal in this corpus.
@@ -168,6 +171,26 @@ object Pipeline {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = NearDup.docSimhashDup(spark, dir)
       .select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs)
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        // XOR membership checksum — overflow-free at any scale (see
+        // sample_stratified)
+        bit_xor(col("id")).as("member_id_xor"),
+        min(col("id")).as("min_member"),
+        max(col("id")).as("max_member"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Reusable components engine: given undirected pairs (two long
+    * columns), returns (id, label) with label = the component's minimum
+    * member id. Exposed separately so any pair source (SimHash, MinHash,
+    * embedding near-dup) can be resolved to clusters.
+    */
+  def connectedComponents(rawPairs: DataFrame): DataFrame = {
+    val cols = rawPairs.columns
+    val pairs = rawPairs
+      .select(col(cols(0)).as("doc_a"), col(cols(1)).as("doc_b"))
       .localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -186,24 +209,23 @@ object Pipeline {
       val prop = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(prop, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"),
-          (col("nbr_min").isNotNull && col("nbr_min") < col("label"))
-            .as("chg"))
+      val next = labels.as("x")
+        .join(prop, col("x.id") === col("dst"), "left")
+        .withColumn("l1",
+          least(col("x.label"), coalesce(col("nbr_min"), col("x.label"))))
+        // pointer jump: also adopt label(label(v)) — label chains halve
+        // every round, turning O(diameter) rounds into O(log diameter)
+        .join(labels.as("y").select(col("id").as("yid"),
+          col("label").as("ylabel")), col("l1") === col("yid"), "left")
+        .withColumn("l2",
+          least(col("l1"), coalesce(col("ylabel"), col("l1"))))
+        .select(col("x.id").as("id"), col("l2").as("label"),
+          (col("l2") < col("x.label")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("label"))
     }
-    labels.groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("n_members"),
-        // XOR membership checksum — overflow-free at any scale (see
-        // sample_stratified)
-        bit_xor(col("id")).as("member_id_xor"),
-        min(col("id")).as("min_member"),
-        max(col("id")).as("max_member"))
-      .orderBy(col("cluster"))
+    labels
   }
 
   val dedupClustersSql: String = {

@@ -130,6 +130,23 @@ class QueriesSpec extends SparkSpec {
     assert(a.map(_.toString) == b.map(_.toString))
   }
 
+  test("connectedComponents resolves a long chain (pointer jumping converges)") {
+    import spark.implicits._
+    // a 60-node path graph: diameter 59 — plain neighbor propagation
+    // would need ~59 rounds; pointer jumping must still converge (to the
+    // single component labeled by the minimum id) in logarithmically few
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = operators.Pipeline.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 59L).toSet)
+    assert(labels.values.forall(_ == 0L), s"chain must collapse to one component: $labels")
+    // two disjoint components keep separate minima
+    val two = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val l2 = operators.Pipeline.connectedComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("dedup_clusters is a valid components partition of the pair graph") {
     val pairs = operators.NearDup.docSimhashDup(spark, sfTiny)
       .select(col("doc_a"), col("doc_b")).collect()
