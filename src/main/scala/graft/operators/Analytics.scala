@@ -294,36 +294,35 @@ object Analytics {
 
   /** having_filter — post-aggregation predicate (HAVING) against a scalar
     * threshold: suppliers whose discounted revenue exceeds the global
-    * per-supplier average. The threshold is computed from the ALREADY
-    * AGGREGATED per-supplier rows via an empty-partition window, so the
-    * lineitem fact is scanned exactly once. (A crossJoin(broadcast(agg))
-    * formulation re-executes the whole aggregate subplan — Spark does not
-    * reuse uncached subtrees — doubling the fact scan; measured 11 s vs
-    * sub-second at sf0.1.) The single-partition window holds one row per
-    * supplier — O(|suppliers|), not O(|lineitem|) — which is driver-safe
-    * at any scale.
+    * per-supplier average. `localCheckpoint` pins the per-supplier
+    * aggregate (O(|suppliers|) rows), so the lineitem fact is scanned
+    * exactly once and BOTH consumers — the 1-row threshold aggregate and
+    * the final filter — read the checkpointed rows. (A naive
+    * crossJoin(broadcast(agg)) without the checkpoint re-executes the
+    * whole aggregate subplan — Spark does not reuse uncached subtrees —
+    * doubling the fact scan; measured 11 s vs sub-second at sf0.1. The
+    * round-2 shape used an empty-partition window instead: also
+    * single-scan, but its one-task WindowExec becomes the straggler once
+    * the group key is high-cardinality. This shape has no partition-less
+    * window at ANY key cardinality — PlanSpec now asserts that invariant
+    * suite-wide.)
     */
   def havingFilter(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val perSupp = li.groupBy(col("l_suppkey"))
       .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"), count(lit(1)).as("n_items"))
+      .localCheckpoint()
     // revenue doubles are exact images of 6dp values (see Det), so the
     // re-scaling in this average is exact (no rounding-boundary risk).
-    // The GLOBAL window sum gets the same hi/lo i64 split as Det.splitSum:
-    // a single unsplit micro-scaled sum of ALL revenue would wrap i64 long
+    // The GLOBAL sum gets the same hi/lo i64 split as every Det sum: a
+    // single unsplit micro-scaled sum of ALL revenue would wrap i64 long
     // before 100 TB (total·1e6 ≈ 1e22 ≫ 2^63) — safety depends on total
     // magnitude, not on rows-per-supplier.
-    val all = Window.partitionBy()
-    val sc = scaledLong(col("revenue"), 1000000L)
-    val exactTotal =
-      (sum(shiftright(sc, 20)).over(all)
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * (1L << 20) +
-        sum(sc.bitwiseAND(lit((1L << 20) - 1))).over(all)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-    perSupp
-      .withColumn("avg_rev",
-        exactTotal.cast("double") / 1000000L / count(lit(1)).over(all))
+    val thr = perSupp.agg(
+      (splitSum(scaledLong(col("revenue"), 1000000L)).cast("double")
+        / 1000000L / count(lit(1))).as("avg_rev"))
+    perSupp.crossJoin(broadcast(thr))
       .filter(col("revenue") > col("avg_rev"))
       .select(col("l_suppkey"), col("revenue"), col("n_items"))
       .orderBy(col("l_suppkey"))

@@ -147,16 +147,28 @@ object Docs {
     * feature, fixed-weight linear blend), so no rounding is needed.
     */
   def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    // `nt` is computed ONCE and every feature derives from it arithmetically
+    // — the round-2 shape both re-ran `norm` for the letter count and
+    // filtered tokens with an array lambda (HOF lambdas evaluate
+    // INTERPRETED per token; the repo-wide discipline note bans them from
+    // hot paths). Stopwords are counted by a codegen'd regexp_count over
+    // the normalized text: tokens are single-space separated, so the
+    // space-delimited alternation `(^| )(w1|...|wN)(?= |$)` counts exactly
+    // the tokens the isin-filter counted (the lookahead leaves the
+    // trailing separator unconsumed, so consecutive stopwords all match).
     val d = Tables.documents(spark, dir)
-      .withColumn("toks", split(norm(col("text")), " "))
+      .withColumn("nt", norm(col("text")))
+      .withColumn("toks", split(col("nt"), " "))
     val en = markers.filter(_._1 == "en").map(_._2)
     val nTok = size(col("toks")).cast("double")
-    val nStop = size(filter(col("toks"), t => t.isin(en.map(lit): _*)))
-      .cast("double")
+    val nStop = regexp_count(col("nt"),
+      lit(s"(^| )(${en.mkString("|")})(?= |$$)")).cast("double")
     val lenScore = least(nTok / lit(100.0), lit(1.0))
     val stopRatio = nStop / nTok
+    // nt is trimmed, single-space separated: letters = len(nt) - (nTok-1).
+    // Exact integer identity with length(replace(nt, ' ', '')), no rescan.
     val wordLen =
-      length(regexp_replace(norm(col("text")), " ", "")).cast("double") / nTok
+      (length(col("nt")) - (size(col("toks")) - 1)).cast("double") / nTok
     d.select(
         col("doc_id"),
         nTok.cast("long").as("n_tokens"),

@@ -153,30 +153,48 @@ object NearDup {
 
   /** Per-doc weighted 48-bit SimHash signature: each distinct token votes
     * +tf/-tf on every bit of its 48-bit hash; signature bit b is 1 iff the
-    * vote sum is positive. One scan + two hash aggregations — fully linear.
+    * vote sum is positive. ONE scan + ONE hash aggregation — fully linear.
+    *
+    * Vote algebra that makes the single pass possible: summing ±tf over
+    * DISTINCT tokens equals summing ±1 over token OCCURRENCES, so the tf
+    * intermediate (a second full aggregation in the round-2 shape) is
+    * unnecessary. And with per-occurrence weight 1 the signed vote for bit
+    * b is `2·c_b − T` where `c_b` counts occurrences whose hash has bit b
+    * set and `T` is the doc's total occurrence count — so only UNSIGNED
+    * counters are needed, and 3 of them pack into one 64-bit sum column at
+    * 21-bit offsets (no carry while every per-doc count < 2^21 ≈ 2M
+    * tokens/doc — far beyond any real document; a longer doc would need a
+    * 4-way split, not a different algorithm). 16 packed sums + 1 count
+    * replace the 48 branchy conditional sums: ~3× less per-row aggregate
+    * work, one fewer shuffle.
     */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
-    // All 48 bit-vote sums are columns of ONE aggregation (no row blowup:
-    // a mask-explode would multiply the token table 48×), then the
-    // signature reassembles from literal power-of-two masks in a single
-    // codegen'd projection.
-    val tf = Tables.documents(spark, dir)
+    // Bit layout: packed column c_j (j in 0..15) holds counters for bits
+    // j, j+16, j+32 at offsets 0, 21, 42. All arithmetic is integer and
+    // order-independent; the signature reassembles from literal
+    // power-of-two masks in a single codegen'd projection.
+    val occ = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
       .withColumn("h48",
         conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
-    tf.groupBy(col("doc_id"))
+    occ.groupBy(col("doc_id"))
       .agg(
-        sum(when(expr(s"(h48 div 1) % 2 = 1"), col("tf"))
-          .otherwise(-col("tf"))).as("s0"),
-        (1 until 48).map(b =>
-          sum(when(expr(s"(h48 div ${1L << b}) % 2 = 1"), col("tf"))
-            .otherwise(-col("tf"))).as(s"s$b")): _*)
+        count(lit(1)).as("t"),
+        (0 until 16).map { j =>
+          sum(expr(
+            s"(h48 div ${1L << j}) % 2" +
+              s" + ((h48 div ${1L << (j + 16)}) % 2) * ${1L << 21}" +
+              s" + ((h48 div ${1L << (j + 32)}) % 2) * ${1L << 42}"))
+            .as(s"c$j")
+        }: _*)
       .select(col("doc_id"),
-        (0 until 48).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        (0 until 48).map { b =>
+          val j = b % 16
+          val off = (b / 16) * 21
+          // vote_b > 0  ⟺  2·c_b > T  (exact integers; ties = bit 0)
+          when(expr(s"((c$j div ${1L << off}) % ${1L << 21}) * 2 > t"),
+            lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
 
   private val simhashSigSql: String =
@@ -214,7 +232,7 @@ object NearDup {
     // distinct's input from every block collision to just the true
     // near-pairs. The self-join is HINTED to sort-merge: both sides are
     // the identical signature subplan shuffled on the identical (q, bv)
-    // key, so ReusedExchange computes the two-aggregation signature ONCE;
+    // key, so ReusedExchange computes the signature aggregation ONCE;
     // the auto-chosen broadcast join has asymmetric sides and re-executes
     // it twice (measured ~2× the whole signature cost). (Persisting the
     // frame instead was measured and LOST — the cache boundary defeats

@@ -49,6 +49,8 @@ class PlanSpec extends SparkSpec {
     // scan→explode→agg chains with no join. A broadcast subtree without a
     // join therefore means an unbounded table is being broadcast — the
     // driver-OOM-at-100TB pattern this test exists to prevent.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -73,16 +75,39 @@ class PlanSpec extends SparkSpec {
         }
       }
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // restore what was SAVED, not hard-coded defaults — the shared
+      // session may run with non-default settings
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
     }
   }
 
   test("having_filter scans lineitem exactly once (no double aggregate)") {
+    // The per-supplier aggregate is localCheckpoint'ed: the single fact
+    // scan happens in the checkpoint job, and the query plan proper reads
+    // the pinned rows (ExistingRDD) for both the threshold aggregate and
+    // the filter — so the final plan must contain NO parquet scan at all.
+    // A FileScan reappearing here means the checkpoint stopped pinning and
+    // the double-aggregate-subplan bug (round 1: 11 s) is back.
     val p = plan("having_filter")
     val scans = "FileScan parquet".r.findAllIn(p).length
-    assert(scans == 1,
-      s"having_filter should scan lineitem once, found $scans scans:\n$p")
+    assert(scans == 0 && p.contains("ExistingRDD"),
+      s"having_filter should read only the checkpointed aggregate, found $scans file scans:\n$p")
+  }
+
+  test("no query plans a partition-less (single-task) WindowExec") {
+    // A window with an empty partitionSpec funnels every row through ONE
+    // task — fine at |groups| rows, a straggler at 100 TB. The engine has
+    // no legitimate use for one (global thresholds use checkpoint +
+    // broadcast instead), so any appearance is a regression.
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val wins = fn(spark, sfTiny).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(wins.isEmpty,
+        s"$name plans a partition-less WindowExec (single task at any scale)")
+    }
   }
 
   test("every plan reaches WholeStageCodegen") {
