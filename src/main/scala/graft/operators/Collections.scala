@@ -128,13 +128,98 @@ object Collections {
       |    THEN CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS sum_k_valid
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** json_evolution — schema evolution in the event stream, the CDC
+    * reality json_malformed doesn't cover: producers upgrade (a NEW key
+    * appears), old payloads keep flowing (the key is absent → null), and
+    * the occasional out-of-contract key must be QUARANTINED, not silently
+    * dropped. Payload drift is simulated deterministically (event_id%5==0
+    * gains `ver`, event_id%7==0 gains an undeclared `legacy` key), then:
+    *
+    *  - the SUPERSET struct schema (k, ver) decodes every generation in
+    *    one pass — absent keys surface as null, so old/new cohorts are
+    *    countable and `ver` aggregates over exactly the upgraded rows;
+    *  - undeclared keys are detected via the map decode: any key outside
+    *    the declared set marks the row quarantined, with a bit_xor
+    *    membership checksum proving WHICH rows (order-free, no overflow).
+    *
+    * Scale: one scan, two codegen'd JSON parses per row, one hash agg —
+    * the same envelope as json_malformed; nothing here grows with schema
+    * count except the declared struct itself.
+    */
+  def jsonEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    // textual payload drift: splice new keys before the closing brace (the
+    // DuckDB twin does the identical string surgery, so both engines parse
+    // the identical payloads)
+    val body = expr("substring(props, 1, length(props) - 1)")
+    val payload =
+      when(col("event_id") % 5 === 0 && col("event_id") % 7 === 0,
+        concat(body, lit(", \"ver\": 2, \"legacy\": 1}")))
+        .when(col("event_id") % 5 === 0, concat(body, lit(", \"ver\": 2}")))
+        .when(col("event_id") % 7 === 0, concat(body, lit(", \"legacy\": 1}")))
+        .otherwise(col("props"))
+    val declared = StructType(Seq(
+      StructField("k", LongType), StructField("ver", LongType)))
+    val known = array_contains(map_keys(col("m")), "k").cast("int") +
+      array_contains(map_keys(col("m")), "ver").cast("int")
+    e.withColumn("payload", payload)
+      .withColumn("s", from_json(col("payload"), declared))
+      .withColumn("m", from_json(col("payload"), MapType(StringType, LongType)))
+      .withColumn("n_extra", size(col("m")) - known)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("s.ver").isNull, 1L).otherwise(0L)).as("n_old_schema"),
+        sum(when(col("s.ver").isNotNull, 1L).otherwise(0L)).as("n_new_schema"),
+        sum(col("s.k")).as("sum_k"),
+        sum(col("s.ver")).as("sum_ver"),
+        sum(when(col("n_extra") > 0, 1L).otherwise(0L)).as("n_quarantine"),
+        bit_xor(when(col("n_extra") > 0, col("event_id"))).as("quarantine_xor"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonEvolutionSql: String =
+    """WITH drift AS (
+      |  SELECT event_type, event_id,
+      |    CASE
+      |      WHEN event_id % 5 = 0 AND event_id % 7 = 0 THEN
+      |        substring(props, 1, length(props) - 1) || ', "ver": 2, "legacy": 1}'
+      |      WHEN event_id % 5 = 0 THEN
+      |        substring(props, 1, length(props) - 1) || ', "ver": 2}'
+      |      WHEN event_id % 7 = 0 THEN
+      |        substring(props, 1, length(props) - 1) || ', "legacy": 1}'
+      |      ELSE props
+      |    END AS payload
+      |  FROM events),
+      |parsed AS (
+      |  SELECT event_type, event_id,
+      |    CAST(payload->>'$.k' AS BIGINT) AS k,
+      |    CAST(payload->>'$.ver' AS BIGINT) AS ver,
+      |    len(list_filter(json_keys(payload),
+      |        x -> x NOT IN ('k', 'ver'))) AS n_extra
+      |  FROM drift)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN ver IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_old_schema,
+      |  CAST(SUM(CASE WHEN ver IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new_schema,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(ver) AS BIGINT) AS sum_ver,
+      |  CAST(SUM(CASE WHEN n_extra > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quarantine,
+      |  CAST(bit_xor(CASE WHEN n_extra > 0 THEN event_id END) AS BIGINT)
+      |    AS quarantine_xor
+      |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "map_ops" -> (mapOps _),
     "array_hof" -> (arrayHof _),
-    "json_malformed" -> (jsonMalformed _))
+    "json_malformed" -> (jsonMalformed _),
+    "json_evolution" -> (jsonEvolution _))
 
   def oracle: Map[String, String] = Map(
     "map_ops" -> mapOpsSql,
     "array_hof" -> arrayHofSql,
-    "json_malformed" -> jsonMalformedSql)
+    "json_malformed" -> jsonMalformedSql,
+    "json_evolution" -> jsonEvolutionSql)
 }

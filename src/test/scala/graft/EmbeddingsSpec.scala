@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN-quality invariants for the embedding operators: the trained IVF
+  * quantizer must actually EARN its training pass. Correctness of values is
+  * the DuckDB oracle's job; this spec pins the retrieval-quality claim the
+  * oracle can't see (recall against the exact-scan ground truth).
+  */
+class EmbeddingsSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("q_id"), col("neighbor"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("trained IVF (iters=2, nprobe=3) does not lose recall@3 vs the untrained query it replaced") {
+    // sf0.01, not sf0.001: 16 trained cells over the tiny corpus is
+    // degenerate (fewer vectors than cells deserve), and the recall claim
+    // is about the realistic layout
+    val exact = pairs(SparkEntry.queries("embedding_knn")(spark, sfSmall)
+      .filter(col("rank") <= 3))
+    def recall(iters: Int, nprobe: Int): Double =
+      pairs(graft.operators.Embeddings.ivfKnn(spark, sfSmall, iters, nprobe))
+        .intersect(exact).size.toDouble / exact.size
+    // the round-2 query was untrained nprobe=1 (measured 0.958); the
+    // shipped query is trained nprobe=3 (measured 1.000) — training
+    // balances cells (bounded per-cell work at scale), nprobe buys the
+    // recall back
+    val replaced = recall(0, 1)
+    val shipped = recall(2, 3)
+    assert(shipped >= replaced,
+      s"trained IVF LOST recall@3: shipped=$shipped replaced=$replaced")
+  }
+}
