@@ -36,6 +36,12 @@ object Tables {
           : Boolean = size() > 256
     })
 
+  /** IMMUTABLE-INPUT assumption: the cache is never invalidated, so a
+    * parquet file REWRITTEN under sfDir mid-session would serve the stale
+    * cached relation (schema + footer). That is the bench/verify contract
+    * (driver testdata never changes during a session); a catalog over
+    * mutable paths would need an invalidate(dir) hook here.
+    */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))

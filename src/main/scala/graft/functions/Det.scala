@@ -38,9 +38,14 @@ object Det {
     *  - The i64 sum is SPLIT into hi=floorDiv(2^20) and lo=floorMod(2^20)
     *    (shiftright/bitwiseAND — exact for negatives in two's complement):
     *    two codegen'd long sums, recombined exactly in ONE per-group
-    *    decimal op. Exact while n·|x|·s < 2^83 ≈ 9.7e24 — at 100 TB
-    *    (~7e11 lineitem rows, money ≤1e7, s=100) that is ~1e4× headroom,
-    *    where a single unsplit i64 sum would already have overflowed.
+    *    decimal op. TWO exactness constraints, both needed: the hi-sum
+    *    magnitude bound n·|x|·s < 2^83 ≈ 9.7e24 — at 100 TB (~7e11
+    *    lineitem rows, money ≤1e7, s=100) that is ~1e4× headroom, where a
+    *    single unsplit i64 sum would already have overflowed — AND the
+    *    lo-sum row-count bound: each lo term is < 2^20 regardless of value
+    *    magnitude, so sum(long) wraps (silently, in non-ANSI Spark) past
+    *    ~2^43 ≈ 8.8e12 rows per group. Both bounds dwarf any real group;
+    *    the point is that neither alone is the guarantee.
     *  - Total → double (nearest) → /s mirrors DuckDB's
     *    CAST(HUGEINT SUM AS DOUBLE)/s op-for-op, so results are
     *    bit-identical.

@@ -92,13 +92,22 @@ object Relational {
     // count(col) not count(*): COUNT(DISTINCT c) ignores NULL c, so the
     // distinct+count rewrite must too (latent on TPC-H keys, load-bearing
     // on any nullable column)
+    // sub-frames alias the key to "rf" so the recombining joins stay
+    // unambiguous (the shared lineitem lineage makes dropped duplicate
+    // attributes unresolvable after Spark's self-join dedup rewrite)
     def dcount(c: String, as: String) =
-      li.select(col("l_returnflag"), col(c)).distinct()
-        .groupBy(col("l_returnflag")).agg(count(col(c)).as(as))
-    li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
-      .join(dcount("l_orderkey", "n_orders"), Seq("l_returnflag"))
-      .join(dcount("l_partkey", "n_parts"), Seq("l_returnflag"))
-      .join(dcount("l_suppkey", "n_supps"), Seq("l_returnflag"))
+      li.select(col("l_returnflag").as("rf"), col(c)).distinct()
+        .groupBy(col("rf")).agg(count(col(c)).as(as))
+    // null-SAFE join keys (<=>): GROUP BY keeps a NULL group, and a plain
+    // equality join would silently drop it from the recombined result —
+    // latent on TPC-H (l_returnflag is non-null) but the rewrite must not
+    // depend on that
+    def nsJoin(a: DataFrame, b: DataFrame) =
+      a.join(b, a("l_returnflag") <=> b("rf")).drop("rf")
+    Seq(dcount("l_orderkey", "n_orders"), dcount("l_partkey", "n_parts"),
+      dcount("l_suppkey", "n_supps"))
+      .foldLeft(li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows")))(nsJoin)
       .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
         col("n_supps"), col("n_rows"))
       .orderBy(col("l_returnflag"))

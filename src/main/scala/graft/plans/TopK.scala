@@ -160,9 +160,14 @@ object TopK {
     * sessions built with the conf; this covers externally-built ones).
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // synchronized: the check-then-append below is not atomic, and two
+    // concurrent callers would otherwise register the strategy twice
+    // (benign duplicate planning work, but why allow it)
+    TopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
 
   /** DataFrame API: append `rn` = 1..k within each group under `order`
     * ((column, descending) pairs) and keep only those rows. `order` must

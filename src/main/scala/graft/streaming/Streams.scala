@@ -198,4 +198,26 @@ object Streams {
       }
       .start()
   }
+
+  /** ST6 (relational form) — the same foreachBatch upsert, but the sink is
+    * a REAL keyed SQL table behind a JDBC url (the MySQL side of the CDC
+    * pipeline; embedded Derby in SinkSpec). Each micro-batch collapses to
+    * one row per key and applies as batched portable DELETE+INSERT — see
+    * graft.sources.JdbcApply for the dialect/ordering/scale reasoning.
+    */
+  def cdcUpsertJdbcQuery(events: DataFrame, url: String, table: String,
+      checkpointDir: String, availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow)
+       writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else writer)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.JdbcApply.upsertDelete(applyLog(batch.toDF()), url, table)
+        ()
+      }
+      .start()
+  }
 }

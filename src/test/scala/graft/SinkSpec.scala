@@ -73,4 +73,79 @@ class SinkSpec extends SparkSpec {
     assert(back.collect().map(_.toString).sorted.toSeq ==
       e.collect().map(_.toString).sorted.toSeq)
   }
+
+  // ---- JDBC sink (S5 relational form): embedded Derby stands in for the
+  // MySQL side of the CDC pipeline; same statements, different URL. ----
+
+  private def withDerby(db: String)(f: java.sql.Connection => Unit): Unit = {
+    val conn = java.sql.DriverManager
+      .getConnection(s"jdbc:derby:memory:$db;create=true")
+    try f(conn) finally conn.close()
+  }
+
+  private def tableState(conn: java.sql.Connection): Map[Long, (Long, Double)] = {
+    val rs = conn.createStatement()
+      .executeQuery("SELECT user_id, event_id, value FROM sink_t")
+    val b = Map.newBuilder[Long, (Long, Double)]
+    while (rs.next()) b += (rs.getLong(1) -> (rs.getLong(2), rs.getDouble(3)))
+    b.result()
+  }
+
+  test("JDBC sink: insert, upsert, delete round-trip against Derby") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    withDerby("graftjdbc") { conn =>
+      conn.createStatement().execute(
+        """CREATE TABLE sink_t (user_id BIGINT PRIMARY KEY,
+          |ts TIMESTAMP, event_id BIGINT, value DOUBLE)""".stripMargin)
+      def ev(id: Long, minute: Int, user: Long, typ: String, value: Double) =
+        Streams.ChangeEvent(id, new java.sql.Timestamp(
+          1704067200000L + minute * 60000L), user, typ, value, """{"k": 1}""")
+      // batch 1: three inserts
+      graft.sources.JdbcApply.upsertDelete(Streams.applyLog(Seq(
+        ev(1, 0, 1, "view", 1.0), ev(2, 1, 2, "view", 2.0),
+        ev(3, 2, 3, "view", 3.0)).toDF()), url, "sink_t")
+      assert(tableState(conn) ==
+        Map(1L -> (1L, 1.0), 2L -> (2L, 2.0), 3L -> (3L, 3.0)))
+      // batch 2: update user 1, DELETE user 2 (tombstone), insert user 4
+      graft.sources.JdbcApply.upsertDelete(Streams.applyLog(Seq(
+        ev(4, 10, 1, "click", 9.5), ev(5, 11, 2, "error", 0.0),
+        ev(6, 12, 4, "view", 4.0)).toDF()), url, "sink_t")
+      assert(tableState(conn) ==
+        Map(1L -> (4L, 9.5), 3L -> (3L, 3.0), 4L -> (6L, 4.0)),
+        "upsert must replace, delete must remove, insert must add")
+    }
+  }
+
+  test("JDBC sink: streaming foreachBatch upsert equals the batch apply") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    withDerby("graftstream") { conn =>
+      conn.createStatement().execute(
+        """CREATE TABLE sink_t (user_id BIGINT PRIMARY KEY,
+          |ts TIMESTAMP, event_id BIGINT, value DOUBLE)""".stripMargin)
+      def ev(id: Long, minute: Int, user: Long, typ: String, value: Double) =
+        Streams.ChangeEvent(id, new java.sql.Timestamp(
+          1704067200000L + minute * 60000L), user, typ, value, """{"k": 1}""")
+      val events1 = Seq(ev(1, 0, 1, "view", 1.0), ev(2, 1, 2, "view", 2.0))
+      val events2 = Seq(ev(3, 10, 1, "click", 5.0), ev(4, 11, 2, "error", 0.0),
+        ev(5, 12, 3, "view", 3.0))
+      val input = MemoryStream[Streams.ChangeEvent](spark)
+      val q = Streams.cdcUpsertJdbcQuery(input.toDF(), url, "sink_t",
+        tmp("jdbc-ckpt"))
+      try {
+        input.addData(events1); q.processAllAvailable()
+        input.addData(events2); q.processAllAvailable()
+      } finally q.stop()
+      val expected = Streams.finalState(
+          Streams.applyLog((events1 ++ events2).toDF()))
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(tableState(conn) == expected,
+        "incremental JDBC apply must equal the one-shot batch apply")
+    }
+  }
 }
