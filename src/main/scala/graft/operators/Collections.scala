@@ -135,14 +135,15 @@ object Collections {
     * dropped. Payload drift is simulated deterministically (event_id%5==0
     * gains `ver`, event_id%7==0 gains an undeclared `legacy` key), then:
     *
-    *  - the SUPERSET struct schema (k, ver) decodes every generation in
-    *    one pass — absent keys surface as null, so old/new cohorts are
-    *    countable and `ver` aggregates over exactly the upgraded rows;
+    *  - the SUPERSET declared schema (k, ver) reads every generation in
+    *    one pass — absent keys surface as null (element_at on the typed
+    *    map ≡ the superset-struct field), so old/new cohorts are countable
+    *    and `ver` aggregates over exactly the upgraded rows;
     *  - undeclared keys are detected via the map decode: any key outside
     *    the declared set marks the row quarantined, with a bit_xor
     *    membership checksum proving WHICH rows (order-free, no overflow).
     *
-    * Scale: one scan, two codegen'd JSON parses per row, one hash agg —
+    * Scale: one scan, ONE JSON parse per row, one hash agg —
     * the same envelope as json_malformed; nothing here grows with schema
     * count except the declared struct itself.
     */
@@ -158,21 +159,24 @@ object Collections {
         .when(col("event_id") % 5 === 0, concat(body, lit(", \"ver\": 2}")))
         .when(col("event_id") % 7 === 0, concat(body, lit(", \"legacy\": 1}")))
         .otherwise(col("props"))
-    val declared = StructType(Seq(
-      StructField("k", LongType), StructField("ver", LongType)))
+    // ONE JSON parse per row: the map decode serves both the superset-
+    // schema read (element_at on a declared key ≡ the struct field, null
+    // when absent) and the undeclared-key detection — a separate struct
+    // parse would double the per-row parser cost for nothing
     val known = array_contains(map_keys(col("m")), "k").cast("int") +
       array_contains(map_keys(col("m")), "ver").cast("int")
     e.withColumn("payload", payload)
-      .withColumn("s", from_json(col("payload"), declared))
       .withColumn("m", from_json(col("payload"), MapType(StringType, LongType)))
+      .withColumn("k", element_at(col("m"), "k"))
+      .withColumn("ver", element_at(col("m"), "ver"))
       .withColumn("n_extra", size(col("m")) - known)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(when(col("s.ver").isNull, 1L).otherwise(0L)).as("n_old_schema"),
-        sum(when(col("s.ver").isNotNull, 1L).otherwise(0L)).as("n_new_schema"),
-        sum(col("s.k")).as("sum_k"),
-        sum(col("s.ver")).as("sum_ver"),
+        sum(when(col("ver").isNull, 1L).otherwise(0L)).as("n_old_schema"),
+        sum(when(col("ver").isNotNull, 1L).otherwise(0L)).as("n_new_schema"),
+        sum(col("k")).as("sum_k"),
+        sum(col("ver")).as("sum_ver"),
         sum(when(col("n_extra") > 0, 1L).otherwise(0L)).as("n_quarantine"),
         bit_xor(when(col("n_extra") > 0, col("event_id"))).as("quarantine_xor"))
       .orderBy(col("event_type"))

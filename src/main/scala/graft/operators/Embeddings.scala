@@ -265,8 +265,13 @@ object Embeddings {
     val cents0 = n.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("norm_s").as("c_norm"))
+    // localCheckpoint pins the nlist trained centroids (16 rows): the
+    // training chain is a NESTED plan (each iteration's broadcast embeds
+    // the previous assignment), and without the pin both downstream
+    // consumers (the collection assignment and the query-cell ranking)
+    // re-execute the whole chain — measured 2.3 s vs sub-second pinned.
     val cents = (1 to iters).foldLeft(cents0)((c, _) =>
-      updateCents(assignCells(n, c)))
+      updateCents(assignCells(n, c))).localCheckpoint()
     val assigned = assignCells(n, cents)
     // each query posts to its nprobe nearest cells (tiny frame: the
     // window runs over |queries|·nlist rows)

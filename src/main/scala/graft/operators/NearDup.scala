@@ -195,6 +195,14 @@ object NearDup {
           when(expr(s"((c$j div ${1L << off}) % ${1L << 21}) * 2 > t"),
             lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _).as("simhash"))
+      // localCheckpoint pins the (doc_id, simhash) table — 2 longs per doc,
+      // tiny relative to the corpus at any scale (it IS the thing a real
+      // pipeline would persist). Without it every consumer replays the
+      // reduce side of the signature aggregation: the global sort's range-
+      // sampling pass alone re-executed it once more (measured ~0.6 s of
+      // doc_simhash's 1.4 s), and the pair query's block explode sat on
+      // top of the same replay.
+      .localCheckpoint()
   }
 
   private val simhashSigSql: String =
