@@ -32,6 +32,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // experiment knob: in theory AQE's re-planning jobs are pure
+      // overhead at a pinned 32-partition local layout. Measured round 2
+      // (quiet host): AQE on/off made NO difference to the per-query
+      // floor; round-3 off-runs were load-poisoned (loadavg 8-14, the
+      // telemetry below flagged them) and showed no improvement either.
+      // No evidence of a win, and AQE's skew-join safety matters at real
+      // scale — the default stays ON.
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg
