@@ -120,6 +120,61 @@ object Cdc {
       |       ELSE 'inactive' END AS stage
       |FROM agg ORDER BY user_id""".stripMargin
 
+  /** cdc_incremental_agg — incremental aggregate-view maintenance, the
+    * second core CDC op after the row-level apply: a MATERIALIZED per-key
+    * aggregate (count / exact sum / last-writer-wins latest event) absorbs
+    * a change batch ALGEBRAICALLY — counts and exact scaled sums ADD, the
+    * LWW struct takes the greatest (ts, event_id) — instead of rescanning
+    * history. The split is deterministic (event_id % 4 == 3 is "the
+    * arriving batch"); the oracle recomputes everything from scratch over
+    * history ∪ delta and must hash-match — the proof that the merge is
+    * exact.
+    *
+    * Scale: this is the plan that keeps a 100 TB aggregate sink fresh —
+    * per-batch work is O(|delta| + |touched keys|), never O(|log|); the
+    * checkpointed state stands in for the persisted aggregate table.
+    * Exact fixed-point sums are what make the merge associative (float
+    * sums would drift between the incremental and recomputed paths, and
+    * the hash compare would catch it).
+    */
+  def cdcIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def aggState(df: DataFrame) = df.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(scaledLong(col("value"), 100L)).as("v100"),
+      max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+    // history state materialized once (localCheckpoint = the persisted
+    // aggregate table); only the delta is aggregated fresh
+    val state = aggState(e.filter(col("event_id") % 4 =!= 3)).localCheckpoint()
+    val delta = aggState(e.filter(col("event_id") % 4 === 3))
+    state.as("s").join(delta.as("d"), Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+          .as("n_events"),
+        ((coalesce(col("s.v100"), lit(0L)) + coalesce(col("d.v100"), lit(0L)))
+          .cast("double") / 100).as("total_value"),
+        greatest(col("s.last"), col("d.last")).as("last"))
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        fmtTs(col("last.ts")).as("last_ts"),
+        col("last.event_type").as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcIncrementalAggSql: String =
+    s"""WITH agg AS (
+       |  SELECT user_id, COUNT(*) AS n_events,
+       |    ${sqlDsum("value")} AS total_value
+       |  FROM events GROUP BY user_id),
+       |ranked AS (
+       |  SELECT user_id, ts, event_type, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events)
+       |SELECT a.user_id, n_events, total_value,
+       |  ${sqlFmtTs("r.ts")} AS last_ts, r.event_type AS last_type
+       |FROM agg a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
+       |ORDER BY a.user_id""".stripMargin
+
   /** join_stream_static — batch twin of the stream⋈static enrichment join
     * (events enriched with the customer dim, revenue per segment). The
     * streaming form (readStream ⋈ static broadcast) is in graft.streaming.
@@ -146,12 +201,14 @@ object Cdc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
+    "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "event_funnel" -> (eventFunnel _),
     "join_stream_static" -> (joinStreamStatic _))
 
   def oracle: Map[String, String] = Map(
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
+    "cdc_incremental_agg" -> cdcIncrementalAggSql,
     "event_funnel" -> eventFunnelSql,
     "join_stream_static" -> joinStreamStaticSql)
 }
