@@ -64,22 +64,33 @@ object Bench {
     // run loudly, never masquerade as a near-zero timing.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Wall-clock insurance: a severely load-stalled pass 1 must not push
+    // the whole run into a driver-side timeout (a missing artifact is
+    // worse than a one-pass artifact). Later passes are skipped once the
+    // measurement loop has burned more than half the budget.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    val tLoop = System.nanoTime()
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map.empty[String, Double]
-    val passTotals = (1 to passes).map { _ =>
-      val passTimes = names.map { name =>
-        val fn = SparkEntry.queries(name)
-        val t = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          // Rebuild the DataFrame each rep: re-running a cached plan object
-          // would reuse shuffle outputs and AQE stage results (dishonest).
-          force(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
-        t
+    val passTotals = (1 to passes).flatMap { p =>
+      if (p > 1 && (System.nanoTime() - tLoop) / 1e9 > budgetSec / 2) None
+      else Some {
+        val passTimes = names.map { name =>
+          val fn = SparkEntry.queries(name)
+          val t = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            // Rebuild the DataFrame each rep: re-running a cached plan
+            // object would reuse shuffle outputs and AQE stage results
+            // (dishonest).
+            force(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+          t
+        }
+        ms(passTimes.sum)
       }
-      ms(passTimes.sum)
     }
     val qs = names.map(k => s"\"" + k + "\":" + ms(best(k))).mkString("{", ",", "}")
     val total = ms(names.map(best).sum)
