@@ -175,6 +175,56 @@ object Cdc {
        |FROM agg a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
        |ORDER BY a.user_id""".stripMargin
 
+  /** cdc_scd2 — build a Type-2 slowly-changing dimension from the change
+    * log: every upsert opens a version row with `effective_from` = its ts;
+    * the version closes at the NEXT event for that key (upsert supersedes,
+    * delete terminates), so `effective_to` is `lead(ts)` computed over the
+    * FULL per-key log before the upsert filter; a version still open at the
+    * end of the log is the current one. This is how a CDC feed becomes a
+    * time-travelable dimension table in the warehouse.
+    *
+    * Scale: one shuffle on the key; both window functions share the same
+    * (partition, order) spec so Catalyst plans a single Exchange + sort and
+    * evaluates them in one WindowExec pass. Versions are numbered AFTER the
+    * upsert filter so deletes leave no gap in the version sequence.
+    */
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val log = e.select(
+      col("user_id"), col("ts"), col("event_id"), col("value"),
+      when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    log.withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("op") === "upsert")
+      .withColumn("version", row_number().over(w))
+      .select(
+        col("user_id"), col("version"), col("value"),
+        fmtTs(col("ts")).as("effective_from"),
+        fmtTs(col("next_ts")).as("effective_to"),
+        when(col("next_ts").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val cdcScd2Sql: String =
+    s"""WITH log AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+       |  FROM events),
+       |spans AS (
+       |  SELECT *, lead(ts) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+       |  FROM log),
+       |versions AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS version
+       |  FROM spans WHERE op = 'upsert')
+       |SELECT user_id, CAST(version AS INT) AS version, value,
+       |  ${sqlFmtTs("ts")} AS effective_from,
+       |  ${sqlFmtTs("next_ts")} AS effective_to,
+       |  CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+       |FROM versions ORDER BY user_id, version""".stripMargin
+
   /** join_stream_static — batch twin of the stream⋈static enrichment join
     * (events enriched with the customer dim, revenue per segment). The
     * streaming form (readStream ⋈ static broadcast) is in graft.streaming.
@@ -202,6 +252,7 @@ object Cdc {
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
+    "cdc_scd2" -> (cdcScd2 _),
     "event_funnel" -> (eventFunnel _),
     "join_stream_static" -> (joinStreamStatic _))
 
@@ -209,6 +260,7 @@ object Cdc {
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
     "cdc_incremental_agg" -> cdcIncrementalAggSql,
+    "cdc_scd2" -> cdcScd2Sql,
     "event_funnel" -> eventFunnelSql,
     "join_stream_static" -> joinStreamStaticSql)
 }

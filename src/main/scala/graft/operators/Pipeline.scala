@@ -247,15 +247,130 @@ object Pipeline {
        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  /** doc_chunk (L11) — split each document into fixed-size overlapping
+    * token windows (16 tokens, stride 12 ⇒ 4-token overlap), the standard
+    * pre-embedding/pre-training chunking step. Chunk starts are a
+    * `sequence(1, n_tokens, stride)` posexplode; the chunk body is a
+    * codegen'd `slice` + `concat_ws` — no higher-order lambda anywhere.
+    * The tail chunk may be short (`n_tokens` < 16), never empty.
+    *
+    * Scale: explode grows rows ~n/stride per doc but stays map-side —
+    * no shuffle at all until the final presentation ORDER BY; at 100 TB
+    * chunking is a pure narrow map stage that pipelines into whatever
+    * consumes the chunks.
+    */
+  def docChunk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val C = 16 // chunk size (tokens)
+    val S = 12 // stride (tokens)
+    d.select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(S))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start_tok"),
+        least(lit(C), col("n") - col("col") + 1).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("col"), lit(C))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val docChunkSql: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, string_split($sqlNorm, ' ') AS t FROM documents),
+       |starts AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    unnest(range(1, len(t) + 1, 12)) AS start_tok
+       |  FROM toked)
+       |SELECT doc_id,
+       |  CAST((start_tok - 1) // 12 AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(least(16, n - start_tok + 1) AS BIGINT) AS n_tokens,
+       |  array_to_string(t[start_tok : least(start_tok + 15, n)], ' ')
+       |    AS chunk_text
+       |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** doc_decontaminate (L12) — benchmark-overlap decontamination: remove
+    * from the training corpus any document sharing an 8-token n-gram with
+    * the held-out benchmark set (here the deterministic `doc_id % 50 = 0`
+    * slice stands in for the benchmark suite). Grams are md5 of the
+    * space-joined token window; docs under 8 tokens generate none.
+    *
+    * Scale: the benchmark side is ≪ corpus by construction (a benchmark
+    * suite is KBs–MBs against a 100 TB corpus), so its distinct gram set
+    * BROADCASTS and the corpus gram stream left-semi-joins against it
+    * map-side — corpus grams never shuffle; the only exchange is the
+    * distinct over contaminated doc_ids, bounded by the hit count. This is
+    * the canonical at-scale decontamination plan (GPT-3 appendix C shape).
+    */
+  def docDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toked = d.select(col("doc_id"), col("lang"),
+        split(norm(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    def grams(df: DataFrame): DataFrame = df
+      .filter(col("n") >= 8)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - 7)).as("s"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(8)))).as("g"))
+    val benchGrams = grams(toked.filter(col("doc_id") % 50 === 0))
+      .select(col("g")).distinct()
+    val contaminated = grams(toked.filter(col("doc_id") % 50 =!= 0))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    toked.filter(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+        coalesce(sum(when(col("hit").isNotNull, col("doc_id"))), lit(0L))
+          .as("contaminated_id_sum"))
+      .withColumn("contam_rate",
+        col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  val docDecontaminateSql: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, lang, string_split($sqlNorm, ' ') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(
+       |    [md5(array_to_string(t[s : s + 7], ' '))
+       |     for s in range(1, len(t) - 6)]) AS g
+       |  FROM toked WHERE len(t) >= 8),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)),
+       |corpus AS (SELECT doc_id, lang FROM toked WHERE doc_id % 50 <> 0)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_contaminated,
+       |  CAST(COALESCE(SUM(CASE WHEN c.doc_id IS NOT NULL
+       |    THEN corpus.doc_id END), 0) AS BIGINT) AS contaminated_id_sum,
+       |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS contam_rate
+       |FROM corpus LEFT JOIN contam c ON c.doc_id = corpus.doc_id
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_repetition" -> (docRepetition _),
     "doc_pii_scrub" -> (docPiiScrub _),
+    "doc_chunk" -> (docChunk _),
+    "doc_decontaminate" -> (docDecontaminate _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_clusters" -> (dedupClusters _))
 
   def oracle: Map[String, String] = Map(
     "doc_repetition" -> docRepetitionSql,
     "doc_pii_scrub" -> docPiiScrubSql,
+    "doc_chunk" -> docChunkSql,
+    "doc_decontaminate" -> docDecontaminateSql,
     "sample_stratified" -> sampleStratifiedSql,
     "dedup_clusters" -> dedupClustersSql)
 }
