@@ -24,7 +24,8 @@ import graft.Tables
   * The LSH and IVF variants are the documented scale path: candidates come
   * from an equi-join on a bucket key, so cost is bucket-occupancy-bounded
   * exactly like the NearDup banding. IVF centroid assignment is a
-  * broadcast-join argmax (nlist centroids always fit in memory).
+  * literal-centroid map-side argmax (nlist centroids always fit in the
+  * plan).
   */
 object Embeddings {
 
@@ -194,54 +195,126 @@ object Embeddings {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine, bucket
        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
-  /** One k-means (Lloyd's) assignment pass: every vector keeps its
-    * max-cosine centroid (ties → lowest cent_id). Argmax is a single
-    * map-side-partial aggregation over the broadcast-NL candidate stream —
-    * the struct max is ordered by (c_cos, -cent_id), so the partial agg
-    * collapses the 16 candidate rows per vector BEFORE any shuffle; a
-    * row_number window here would shuffle the full candidate stream with
-    * its array payloads instead.
+  /** A trained centroid held driver-side: id, components, and the exact
+    * scaled squared norm. The norm is computed with the SAME IEEE ops as
+    * DotScaled (float→double casts are exact, x·x·1e14 is a correctly-
+    * rounded multiply chain, floor, order-independent i64 sum), so it
+    * equals dotS(c_emb, c_emb) bit-for-bit and the cosine downstream is
+    * engine-identical.
     */
-  private def assignCells(n: DataFrame, cents: DataFrame): DataFrame =
-    n.crossJoin(broadcast(cents))
-      .withColumn("c_cos",
-        cosine(dotS(col("embedding"), col("c_emb")),
-          col("norm_s"), col("c_norm")))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("c_cos"), (-col("cent_id")).as("nc"),
-        col("cent_id"), col("embedding"), col("norm_s"))).as("b"))
-      .select(col("vec_id"), col("b.embedding").as("embedding"),
-        col("b.norm_s").as("norm_s"), col("b.cent_id").as("cell"))
+  private final case class Cent(id: Long, emb: Array[Float]) {
+    /** Exact scaled dot vs another vector — the driver-side twin of
+      * DotScaled, op for op. */
+    def dot(o: Array[Float]): Long = {
+      val m = math.min(emb.length, o.length)
+      var acc = 0L
+      var i = 0
+      while (i < m) {
+        acc += math.floor(emb(i).toDouble * o(i).toDouble * 1e14).toLong
+        i += 1
+      }
+      acc
+    }
+    val norm: Long = dot(emb)
+  }
 
-  /** One k-means update pass: per-cell component means in exact arithmetic.
-    * Components are scaled to i64 (floor(x·1e7)) and summed exactly
-    * (order-independent; wraps only past ~9e11 rows per cell), the mean is
-    * floored back to the 1e7 grid via one correctly-rounded double divide,
-    * and the float image of that grid point is the new centroid component —
-    * every step is a single IEEE op with an op-for-op DuckDB twin, so the
-    * trained centroids are bit-identical in both engines. Cells that lose
-    * all members simply disappear (both engines agree).
+  /** Max-cosine cell of the `embedding`/`norm_s` columns against a LITERAL
+    * centroid set: greatest() over nlist candidate structs ordered by
+    * (c_cos, -cent_id) — highest cosine, ties → lowest id. Pure map-side
+    * narrow expression: the centroids ride inside the plan as literals (the
+    * degenerate broadcast every IVF engine uses for its coarse quantizer),
+    * so assignment adds NO join, NO shuffle, and stays inside
+    * WholeStageCodegen with the codegen'd DotScaled per candidate.
+    * greatest() and NOT array_max(array(...)): ArrayMax is CodegenFallback,
+    * which drops the whole candidate subtree — 16 DotScaled loops, struct
+    * allocs, interpreted ordering — to per-row interpreted eval (measured
+    * ~385 µs/row = 0.77 s for the sf0.1 assignment); Greatest generates
+    * compiled struct comparisons.
     */
-  private def updateCents(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("cell"), col("i"))
-      .agg(sum(floor(col("x").cast("double") * lit(1e7))).as("s"),
-        count(lit(1)).as("cnt"))
-      .withColumn("m",
-        (floor(col("s").cast("double") / col("cnt")).cast("double")
-          / lit(1e7)).cast("float"))
-      .groupBy(col("cell"))
-      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("im"))
-      .select(col("cell").as("cent_id"),
-        transform(col("im"), e => e.getField("m")).as("c_emb"))
-      .withColumn("c_norm", dotS(col("c_emb"), col("c_emb")))
+  private def cellOf(cents: Seq[Cent]): Column = {
+    val cands = cents.map { c =>
+      struct(
+        cosine(dotS(col("embedding"), litFloats(c.emb)),
+          col("norm_s"), lit(c.norm)).as("c_cos"),
+        lit(-c.id).as("nc"), lit(c.id).as("cent_id"))
+    }
+    val best =
+      if (cands.lengthCompare(1) == 0) cands.head else greatest(cands: _*)
+    best.getField("cent_id")
+  }
+
+  /** A literal array<float> WITHOUT containsNull — Literal.create directly;
+    * typedLit would be equivalent but pays a scala-reflection encoder
+    * derivation per call.
+    */
+  private def litFloats(v: Array[Float]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))
+
+  /** Lloyd's k-means with DRIVER-SIDE centroid updates — the same shape
+    * Spark MLlib's KMeans uses (each iteration collects only the nlist·d
+    * per-cell component sums, never vectors): one narrow job per iteration
+    * computes cellOf (map-side argmax) + posexplode + a single
+    * (cell, component) aggregation, and the driver turns the ≤ nlist·d
+    * summary rows into the next literal centroid set. Collect volume is
+    * nlist·d ints — independent of collection size N — so this is NOT a
+    * data collect; it is the standard coarse-quantizer training pattern,
+    * the same driver-sees-only-summaries contract as the Pregel
+    * convergence count in Pipeline.connectedComponents.
+    *
+    * Arithmetic is exact and oracle-twinned op-for-op: components scale to
+    * i64 via floor(x·1e7) (Spark floor yields BIGINT; the sum is an exact
+    * order-independent i64), the mean is floored back to the 1e7 grid with
+    * one correctly-rounded divide, and the float image of that grid point
+    * is the new component. Cells that lose all members simply disappear (both engines
+    * agree).
+    *
+    * vs the round-3 formulation (a nested DataFrame fold of broadcast
+    * assign + two-shuffle update passes, localCheckpoint-pinned): identical
+    * values, but the nested chain cost 3 broadcast-NL passes over the
+    * collection plus ~4 shuffles; this runs one single-shuffle job per
+    * iteration and makes the final assignment shuffle-free — measured
+    * 0.89 s → ~0.4 s quiet at sf0.1.
+    */
+  private def trainCents(n: DataFrame, init: IndexedSeq[Cent],
+      iters: Int): IndexedSeq[Cent] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      val sums = n
+        // cell is computed in its OWN projection UNDER the generate: a
+        // combined select would put the argmax in the Project ABOVE the
+        // Generate, re-evaluating all nlist dot products once per EXPLODED
+        // component (64× the work — measured 1.2 s vs 0.35 s per
+        // iteration at sf0.1)
+        .select(cellOf(cents).as("cell"), col("embedding"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(floor(col("x").cast("double") * lit(1e7))).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        val d = rows.map(_.getInt(1)).max + 1
+        val emb = new Array[Float](d)
+        rows.foreach { r =>
+          // Spark floor() yields BIGINT, so s is an exact i64 sum; the
+          // mean repeats the oracle's ops: double divide, floor, 1e7 grid
+          emb(r.getInt(1)) =
+            (math.floor(r.getLong(2).toDouble / r.getLong(3)) / 1e7).toFloat
+        }
+        Cent(cell, emb)
+      }.toIndexedSeq.sortBy(_.id)
+    }
+    cents
+  }
 
   /** embedding_ivf_knn — IVF-flat ANN with a TRAINED coarse quantizer:
     * `iters` deterministic k-means iterations (init = first 16 vectors,
     * exact scaled-int component means — see updateCents) produce the
     * centroids; every vector is assigned to its max-cosine centroid
-    * (broadcast argmax) and each query (vec_id < 8) searches its `nprobe`
+    * (map-side literal-centroid argmax) and each query (vec_id < 8)
+    * searches its `nprobe`
     * nearest cells, top-3. Training BALANCES cell occupancy — which is the
     * whole point at scale (bounded per-cell work) but means nprobe=1 can
     * LOSE recall vs an untrained skewed quantizer whose giant cells were
@@ -252,43 +325,66 @@ object Embeddings {
     * holds). EmbeddingsSpec pins that the shipped (2, 3) config never
     * loses to the untrained (0, 1) query it replaced.
     *
-    * Scale: each iteration is one broadcast-NL pass over the collection
-    * plus one component aggregation — O(iters·N·nlist) dot products, no
-    * shuffle of vector payloads beyond the per-cell partial sums. nlist
-    * stays driver-small by construction, so the centroid table always
-    * broadcasts, and search cost is nprobe/nlist of the balanced
-    * collection per query.
+    * Scale: training cost is O(iters·N·nlist) dot products in narrow
+    * single-shuffle jobs (see trainCents); nlist stays driver-small by
+    * construction, so the trained centroids embed in every downstream plan
+    * as literals, assignment is shuffle-free, and search cost is
+    * nprobe/nlist of the balanced collection per query.
     */
   private[graft] def ivfKnn(spark: SparkSession, dir: String,
       iters: Int, nprobe: Int): DataFrame = {
     val n = withNorm(spark, dir)
-    val cents0 = n.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-        col("norm_s").as("c_norm"))
-    // localCheckpoint pins the nlist trained centroids (16 rows): the
-    // training chain is a NESTED plan (each iteration's broadcast embeds
-    // the previous assignment), and without the pin both downstream
-    // consumers (the collection assignment and the query-cell ranking)
-    // re-execute the whole chain — measured 2.3 s vs sub-second pinned.
-    val cents = (1 to iters).foldLeft(cents0)((c, _) =>
-      updateCents(assignCells(n, c))).localCheckpoint()
-    val assigned = assignCells(n, cents)
-    // each query posts to its nprobe nearest cells (tiny frame: the
-    // window runs over |queries|·nlist rows)
-    val wQ = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("qc_cos").desc, col("cent_id"))
-    val qCells = n.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm_s").as("q_norm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("qc_cos",
-        cosine(dotS(col("q_emb"), col("c_emb")),
-          col("q_norm"), col("c_norm")))
-      .withColumn("qrn", row_number().over(wQ))
-      .filter(col("qrn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_norm"),
-        col("cent_id").as("cell"))
+    // ONE init collect serves both coarse-quantizer seeds (the first
+    // nlist=16 vectors) and the query set (vec_id < 8 — a subset of the
+    // seeds). Both are driver-small BY CONTRACT: nlist is the quantizer
+    // knob and the query set is what a kNN engine broadcasts anyway —
+    // materializing it as literals is the same thing minus a scan job.
+    // Training runs with AQE off: its shuffles are bounded at nlist·d rows
+    // AT ANY COLLECTION SIZE (the map side is narrow, the reduce side is
+    // the fixed-size stats table), so adaptive re-planning has nothing to
+    // adapt and each of its per-stage job round-trips is pure floor —
+    // measured 2 extra jobs per iteration. Restored before returning; the
+    // result plan itself executes under the session's own settings.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    val (first16, cents) =
+      try {
+        spark.conf.set(aqeKey, "false")
+        val f16 = n.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .collect()
+          .map(r => Cent(r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_.id).toIndexedSeq
+        (f16, trainCents(n, f16, iters))
+      } finally spark.conf.set(aqeKey, aqePrev)
+    val assigned = n.withColumn("cell", cellOf(cents))
+    // each query posts to its nprobe nearest cells (cosine desc, ties →
+    // lowest cent_id) — an 8×nlist driver-side ranking with the exact
+    // engine arithmetic (Cent.dot/norm are DotScaled's ops), emitted as a
+    // LocalRelation: the broadcast side of the probe join costs no job
+    val queries = first16.filter(_.id < 8)
+    val qRows: Seq[org.apache.spark.sql.Row] = queries.flatMap { q =>
+      cents.map(c =>
+          (c, q.dot(c.emb).toDouble /
+            math.sqrt(q.norm.toDouble * c.norm.toDouble)))
+        .sortBy { case (c, cos) => (-cos, c.id) }
+        .take(nprobe)
+        .map { case (c, _) =>
+          org.apache.spark.sql.Row(q.id, q.emb.toSeq, q.norm, c.id) }
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("q_emb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = false),
+      org.apache.spark.sql.types.StructField("q_norm",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val qCells = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))

@@ -18,7 +18,11 @@ object BenchProbe {
     spark.sparkContext.setLogLevel("WARN")
     // warm the session: tiny job
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    // optional args = query-name substrings to probe (default: all)
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      args.isEmpty || args.exists(n.contains)
+    }
+    for ((name, fn) <- wanted) {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         // same full-plan forcer as Bench: count() would let Catalyst prune
