@@ -24,7 +24,8 @@ object SparkEntry {
       (operators.Analytics.queries, operators.Analytics.oracle),
       (operators.Scalar.queries, operators.Scalar.oracle),
       (operators.Collections.queries, operators.Collections.oracle),
-      (operators.Pipeline.queries, operators.Pipeline.oracle))
+      (operators.Pipeline.queries, operators.Pipeline.oracle),
+      (sources.Partitioned.queries, sources.Partitioned.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -82,6 +82,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("events_pruned prunes partitions at the scan (3 of 30 days)") {
+    // sparkPlan, not executedPlan: AQE wraps the tree in
+    // AdaptiveSparkPlanExec whose children are hidden until execution
+    val scans = SparkEntry.queries("events_pruned")(spark, sfTiny)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.nonEmpty, "events_pruned lost its file scan")
+    for (f <- scans) {
+      assert(f.partitionFilters.nonEmpty,
+        s"events_pruned scan has no PartitionFilters:\n$f")
+      // listing actually selected 3 of the 30 event_date directories —
+      // the read-side behavior the filters exist to produce
+      assert(f.selectedPartitions.partitionCount == 3,
+        s"expected 3 pruned partitions, got ${f.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("having_filter scans lineitem exactly once (no double aggregate)") {
     // The per-supplier aggregate is localCheckpoint'ed: the single fact
     // scan happens in the checkpoint job, and the query plan proper reads
