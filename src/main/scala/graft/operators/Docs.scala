@@ -55,6 +55,22 @@ object Docs {
       .orderBy(col("lang"))
   }
 
+  /** Row-filtering form of docDedup's survivor rule: keep the min-doc_id
+    * row per normalized-text hash (same norm + md5 expressions). This is
+    * what a pipeline actually APPLIES downstream — docDedup is its audit
+    * report. Idempotent by construction (dedup∘dedup = dedup — pinned as a
+    * ScalaCheck property in QueriesSpec); the window shuffles on the
+    * high-cardinality hash exactly like the groupBy form.
+    */
+  def dedupRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(norm(col("text"))))
+    docs
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("keep_id")
+  }
+
   val docDedupSql: String =
     s"""WITH keepers AS (
        |  SELECT lang, md5($sqlNorm) AS h,

@@ -36,6 +36,78 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  // ---- algebraic properties over random inputs (SURVEY.md §5.4) ----
+
+  private def sample[A](g: org.scalacheck.Gen[A], seed: Long): A =
+    g.pureApply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(seed))
+
+  test("property: dedupRows is idempotent — dedup(dedup(x)) = dedup(x)") {
+    import spark.implicits._
+    // texts drawn from a small pool with whitespace/case variations, so
+    // normalization collapses variants into real duplicate groups
+    val genDoc = for {
+      id <- org.scalacheck.Gen.choose(1L, 10000L)
+      base <- org.scalacheck.Gen.oneOf(
+        "the quick brown fox", "lorem ipsum dolor", "data all the way down",
+        "short", "a b c d e")
+      variant <- org.scalacheck.Gen.oneOf(
+        identity[String] _,
+        (s: String) => s.toUpperCase,
+        (s: String) => s"  $s  ",
+        (s: String) => s.replace(" ", "   "))
+    } yield (id, variant(base))
+    val genDocs = org.scalacheck.Gen.listOfN(40, genDoc)
+      .map(_.distinctBy(_._1))
+    for (seed <- 1L to 8L) {
+      val docs = sample(genDocs, seed).toDF("doc_id", "text")
+      val once = operators.Docs.dedupRows(docs)
+      val twice = operators.Docs.dedupRows(once)
+      val a = once.collect().map(_.toString).sorted.toSeq
+      val b = twice.collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"seed=$seed: dedup not idempotent")
+      // and the survivor rule held: one row per normalized text, min id
+      val perText = once
+        .groupBy(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        .count().collect()
+      assert(perText.forall(_.getLong(1) == 1L),
+        s"seed=$seed: duplicate normalized texts survived")
+    }
+  }
+
+  test("property: running window sum at the last row equals the group sum") {
+    import spark.implicits._
+    // the invariant that ties the two aggregation families together: a
+    // per-key running sum, read at each key's final row, IS that key's
+    // group-by sum. Integer values keep equality exact.
+    val genRow = for {
+      k <- org.scalacheck.Gen.choose(1L, 6L)
+      seq <- org.scalacheck.Gen.choose(1L, 100000L)
+      v <- org.scalacheck.Gen.choose(-1000L, 1000L)
+    } yield (k, seq, v)
+    val genRows = org.scalacheck.Gen.listOfN(80, genRow)
+      .map(_.distinctBy(r => (r._1, r._2)))  // (k, seq) unique: total order
+    for (seed <- 1L to 8L) {
+      val df = sample(genRows, seed).toDF("k", "seq", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("seq"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val lastRunning = df
+        .withColumn("run", sum(col("v")).over(w))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("seq").desc)))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("run"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val groupSum = df.groupBy(col("k")).agg(sum(col("v")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lastRunning == groupSum,
+        s"seed=$seed: window running sum != group sum")
+    }
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -148,4 +148,54 @@ class SinkSpec extends SparkSpec {
         "incremental JDBC apply must equal the one-shot batch apply")
     }
   }
+
+  test("JDBC sink: kill + restart from checkpoint converges (exactly-once)") {
+    // The crash-restart boundary SURVEY §3.2 names: a consumer dies after
+    // the sink commit + offset commit of batch 1, restarts FROM THE SAME
+    // CHECKPOINT against a source whose early offsets are replayed. The
+    // restarted query must (a) skip the already-committed offset — proven
+    // by poisoning the replayed batch with a tombstone that would delete a
+    // live key if reprocessed — and (b) keep applying new offsets, so the
+    // Derby table converges to exactly applyLog's one-shot batch answer.
+    import spark.implicits._
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val url = "jdbc:derby:memory:graftrestart;create=true"
+    withDerby("graftrestart") { conn =>
+      conn.createStatement().execute(
+        """CREATE TABLE sink_t (user_id BIGINT PRIMARY KEY,
+          |ts TIMESTAMP, event_id BIGINT, value DOUBLE)""".stripMargin)
+      def ev(id: Long, minute: Int, user: Long, typ: String, value: Double) =
+        Streams.ChangeEvent(id, new java.sql.Timestamp(
+          1704067200000L + minute * 60000L), user, typ, value, """{"k": 1}""")
+      val ckpt = tmp("jdbc-restart-ckpt")
+      val events1 = Seq(ev(1, 0, 1, "view", 1.0), ev(2, 1, 2, "view", 2.0))
+      val events2 = Seq(ev(3, 10, 2, "click", 9.0), ev(4, 11, 3, "view", 3.0))
+
+      val input1 = MemoryStream[Streams.ChangeEvent](spark)
+      val q1 = Streams.cdcUpsertJdbcQuery(input1.toDF(), url, "sink_t", ckpt)
+      try {
+        input1.addData(events1); q1.processAllAvailable()
+      } finally q1.stop() // the "crash": query killed, checkpoint survives
+      assert(tableState(conn) == Map(1L -> (1L, 1.0), 2L -> (2L, 2.0)))
+
+      val input2 = MemoryStream[Streams.ChangeEvent](spark)
+      // replayed offset 0: a poison tombstone for user 1 — if the restart
+      // reprocessed it, user 1 would vanish from the sink
+      input2.addData(Seq(ev(99, 50, 1, "error", 0.0)))
+      val q2 = Streams.cdcUpsertJdbcQuery(input2.toDF(), url, "sink_t", ckpt)
+      try {
+        q2.processAllAvailable()
+        input2.addData(events2); q2.processAllAvailable()
+      } finally q2.stop()
+
+      val expected = Streams.finalState(
+          Streams.applyLog((events1 ++ events2).toDF()))
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(tableState(conn) == expected,
+        "restart must skip committed offsets, apply new ones, and " +
+          s"converge to the batch answer; got ${tableState(conn)}")
+    }
+  }
 }
