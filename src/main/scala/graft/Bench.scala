@@ -82,6 +82,23 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Abort insurance: if the driver's external timeout kills the JVM
+    // (SIGTERM) mid-pass, the per-query bests gathered so far still become
+    // an artifact — a partial line beats a missing one. Printed at most
+    // once: the normal end-of-run print wins when the loop completes.
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emit(): Unit = if (printed.compareAndSet(false, true)) {
+      val done = names.filter(best.contains)
+      val qs = done.map(k => s"\"" + k + "\":" + ms(best(k)))
+        .mkString("{", ",", "}")
+      val total = ms(done.map(best).sum)
+      val passesJson = passTotals.mkString("[", ",", "]")
+      val passLoadJson = passLoads.mkString("[", ",", "]")
+      println(
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"pass_load":$passLoadJson,"reps":$reps,"load_start":$loadStart,"load_end":$loadAvg}""")
+    }
+    val hook = new Thread(() => emit())
+    Runtime.getRuntime.addShutdownHook(hook)
     var p = 0
     var continue = true
     while (p < passes && continue) {
@@ -108,12 +125,8 @@ object Bench {
         passLoads += loadAvg
       }
     }
-    val qs = names.map(k => s"\"" + k + "\":" + ms(best(k))).mkString("{", ",", "}")
-    val total = ms(names.map(best).sum)
-    val passesJson = passTotals.mkString("[", ",", "]")
-    val passLoadJson = passLoads.mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"pass_load":$passLoadJson,"reps":$reps,"load_start":$loadStart,"load_end":$loadAvg}""")
+    emit()
+    Runtime.getRuntime.removeShutdownHook(hook)
     spark.stop()
   }
 }

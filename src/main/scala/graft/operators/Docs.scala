@@ -63,12 +63,18 @@ object Docs {
     * high-cardinality hash exactly like the groupBy form.
     */
   def dedupRows(docs: DataFrame): DataFrame = {
+    // row_number, not min-equality: min(doc_id)==doc_id keeps EVERY row
+    // carrying the min id, so duplicate doc_ids sharing a normalized text
+    // would all survive. row_number picks exactly one survivor per hash
+    // regardless of id collisions (ties broken by partition order among
+    // equal doc_ids — deterministically one row either way).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(norm(col("text"))))
+      .orderBy(col("doc_id"))
     docs
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keep_id"))
-      .drop("keep_id")
+      .withColumn("rn__", row_number().over(w))
+      .filter(col("rn__") === 1)
+      .drop("rn__")
   }
 
   val docDedupSql: String =

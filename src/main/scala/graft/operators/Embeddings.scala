@@ -367,7 +367,16 @@ object Embeddings {
       cents.map(c =>
           (c, q.dot(c.emb).toDouble /
             math.sqrt(q.norm.toDouble * c.norm.toDouble)))
-        .sortBy { case (c, cos) => (-cos, c.id) }
+        // Engine/oracle NaN semantics, replicated in the driver sort: an
+        // all-zero cell yields a zero-norm centroid and cos = NaN, which
+        // Spark/DuckDB ORDER BY cos DESC place FIRST — but Scala's
+        // TotalOrdering on -cos would place it LAST (and splits -0.0/0.0).
+        // Map NaN below any real -cos (cosine ∈ [-1,1] so -cos ≥ -1; -2
+        // sorts first) and collapse signed zero.
+        .sortBy { case (c, cos) =>
+          val key = if (cos.isNaN) -2.0 else if (cos == 0.0) 0.0 else -cos
+          (key, c.id)
+        }
         .take(nprobe)
         .map { case (c, _) =>
           org.apache.spark.sql.Row(q.id, q.emb.toSeq, q.norm, c.id) }

@@ -31,12 +31,29 @@ object Partitioned {
   private val prepared =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Fingerprint of the source parquet (size + mtime, recursing into a
+    * directory-shaped table): part of the landing path, so a REGENERATED
+    * events.parquet at the same dir lands a fresh partitioned copy instead
+    * of silently serving the previous JVM's stale _SUCCESS-gated one.
+    */
+  private def srcStamp(dir: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
+          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
+        }
+      else (f.length, f.lastModified)
+    val (sz, mt) = walk(new java.io.File(dir, "events.parquet"))
+    s"${sz}_$mt"
+  }
+
   /** Land (once) and return the date-partitioned events copy for sfDir. */
   private[graft] def eventsByDay(spark: SparkSession, dir: String): String =
     prepared.getOrElseUpdate(dir, {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val out = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_part_$safe/events_by_day")
+        sys.props("java.io.tmpdir"),
+        s"graft_part_$safe/events_by_day_${srcStamp(dir)}")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         Tables.events(spark, dir)
           .withColumn("event_date", to_date(col("ts")))

@@ -82,7 +82,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("events_pruned prunes partitions at the scan (3 of 30 days)") {
+  test("events_pruned prunes partitions at the scan (window days only)") {
+    // Expected counts come from the DATA, not a hardcoded 3-of-30: a
+    // regenerated testdata set with a different date span must not fail
+    // this test while pruning still works. The query's window is fixed
+    // (2024-01-10..12, Partitioned.eventsPruned), so count the distinct
+    // event dates inside/outside it.
+    import org.apache.spark.sql.functions.{col, to_date}
+    val days = Tables.events(spark, sfTiny)
+      .select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().collect().map(_.getString(0))
+    val inWindow = days.count(d => d >= "2024-01-10" && d <= "2024-01-12")
+    assert(inWindow > 0 && inWindow < days.length,
+      s"testdata no longer straddles the query window ($inWindow of ${days.length} days) — pruning unobservable")
     // sparkPlan, not executedPlan: AQE wraps the tree in
     // AdaptiveSparkPlanExec whose children are hidden until execution
     val scans = SparkEntry.queries("events_pruned")(spark, sfTiny)
@@ -93,10 +105,10 @@ class PlanSpec extends SparkSpec {
     for (f <- scans) {
       assert(f.partitionFilters.nonEmpty,
         s"events_pruned scan has no PartitionFilters:\n$f")
-      // listing actually selected 3 of the 30 event_date directories —
-      // the read-side behavior the filters exist to produce
-      assert(f.selectedPartitions.partitionCount == 3,
-        s"expected 3 pruned partitions, got ${f.selectedPartitions.partitionCount}")
+      // listing actually selected only the in-window event_date
+      // directories — the read-side behavior the filters exist to produce
+      assert(f.selectedPartitions.partitionCount == inWindow,
+        s"expected $inWindow pruned partitions (of ${days.length}), got ${f.selectedPartitions.partitionCount}")
     }
   }
 
