@@ -325,8 +325,14 @@ object Docs {
       explode(split(norm(col("text")), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df DERIVED from tf: tf's groups are exactly the distinct (doc, term)
+    // pairs, so counting tf rows per term IS the document frequency — the
+    // naive `toks.distinct().groupBy(term)` formulation re-scans and
+    // re-explodes every document and shuffles the distinct pairs a second
+    // time (measured ~0.35 s of the 1.05 s query at sf0.1); this form
+    // reuses tf's exchange (ReusedExchange) and shuffles only per-term
+    // counts.
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.select(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

@@ -31,6 +31,10 @@ object Partitioned {
   private val prepared =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Drop the in-JVM memo so a test can simulate a fresh JVM observing a
+    * regenerated source (the cross-JVM staleness path srcStamp guards). */
+  private[graft] def resetMemoForTest(): Unit = prepared.clear()
+
   /** Fingerprint of the source parquet (size + mtime, recursing into a
     * directory-shaped table): part of the landing path, so a REGENERATED
     * events.parquet at the same dir lands a fresh partitioned copy instead

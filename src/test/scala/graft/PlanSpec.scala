@@ -112,6 +112,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned landing copy re-lands when the source parquet changes") {
+    // srcStamp keys the tmpdir landing path on the source's size/mtime:
+    // a fresh JVM (simulated via resetMemoForTest) over an UNCHANGED
+    // source reuses the landed copy; over a touched source it must land a
+    // NEW path instead of serving the stale _SUCCESS-gated one.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stamp").toFile
+    try {
+      val src = new java.io.File(tmp, "events.parquet")
+      java.nio.file.Files.copy(
+        new java.io.File(sfTiny, "events.parquet").toPath, src.toPath)
+      val p1 = graft.sources.Partitioned.eventsByDay(spark, tmp.getAbsolutePath)
+      graft.sources.Partitioned.resetMemoForTest()
+      val p2 = graft.sources.Partitioned.eventsByDay(spark, tmp.getAbsolutePath)
+      assert(p1 == p2, "unchanged source must reuse the landed copy")
+      // regenerate-in-place: same bytes, new mtime (what a rewrite does)
+      assert(src.setLastModified(src.lastModified + 10000))
+      graft.sources.Partitioned.resetMemoForTest()
+      val p3 = graft.sources.Partitioned.eventsByDay(spark, tmp.getAbsolutePath)
+      assert(p3 != p1, "touched source must land a fresh partitioned copy")
+    } finally {
+      graft.sources.Partitioned.resetMemoForTest()
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
+
   test("having_filter scans lineitem exactly once (no double aggregate)") {
     // The per-supplier aggregate is localCheckpoint'ed: the single fact
     // scan happens in the checkpoint job, and the query plan proper reads

@@ -75,6 +75,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("dedupRows keeps exactly one survivor even under duplicate doc_ids") {
+    import spark.implicits._
+    // the advisory edge case: with min-equality survivor selection, two
+    // rows sharing BOTH the min doc_id and a normalized text both
+    // survived. row_number must keep exactly one row per hash regardless.
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (1L, "  THE QUICK  BROWN FOX "),   // same id, same normalized text
+      (2L, "the quick brown fox"),       // higher id, same text
+      (3L, "lorem ipsum"),
+      (3L, "unrelated text")             // duplicate id, DIFFERENT text
+    ).toDF("doc_id", "text")
+    val out = operators.Docs.dedupRows(docs)
+    val perText = out
+      .groupBy(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .count().collect()
+    assert(perText.forall(_.getLong(1) == 1L),
+      "a normalized text kept more than one survivor")
+    assert(out.count() == 3, s"expected 3 survivors, got ${out.count()}")
+    // survivor of the fox group carries the minimum doc_id
+    assert(out.filter(lower(col("text")).contains("fox"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("property: running window sum at the last row equals the group sum") {
     import spark.implicits._
     // the invariant that ties the two aggregation families together: a
