@@ -79,7 +79,11 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
     val tLoop = System.nanoTime()
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    // TrieMap, not mutable.Map: the shutdown hook reads `best` from its own
+    // thread while the loop writes it — an unsynchronized HashMap has no
+    // visibility guarantee there (the hook could observe an empty or
+    // mid-resize map).
+    val best = scala.collection.concurrent.TrieMap.empty[String, Double]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     // Abort insurance: if the driver's external timeout kills the JVM
@@ -97,7 +101,10 @@ object Bench {
       println(
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"pass_load":$passLoadJson,"reps":$reps,"load_start":$loadStart,"load_end":$loadAvg}""")
     }
-    val hook = new Thread(() => emit())
+    // The hook prints only once at least one query has a timing: a kill
+    // during session-warmup would otherwise emit an empty-queries line,
+    // which reads as "suite measured, total 0" rather than "no data".
+    val hook = new Thread(() => if (best.nonEmpty) emit())
     Runtime.getRuntime.addShutdownHook(hook)
     var p = 0
     var continue = true
@@ -123,6 +130,14 @@ object Bench {
         }
         passTotals += ms(passTimes.sum)
         passLoads += loadAvg
+        // Per-pass progress line, DISTINCT key ("bench_partial", never
+        // "metric") so the driver's artifact parser cannot mistake it for
+        // the canonical line. Already-flushed lines survive even the kill
+        // the shutdown hook cannot: the driver timing out and killing the
+        // PARENT sbt process, which takes the stdout pipe down with it
+        // (measured: hook line lost under sbt kill, delivered under a
+        // direct JVM SIGTERM).
+        println(s"""{"bench_partial":$p,"sum_best":${ms(best.values.sum)},"pass_wall":${passTotals.last},"load":${passLoads.last}}""")
       }
     }
     emit()
