@@ -41,6 +41,17 @@ object Bench {
       // scale — the default stays ON.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Bench-session knob, library-neutral: single-machine shuffles move
+      // through page cache, so lz4 on every exchange is CPU with no I/O to
+      // save at this scale. Interleaved A/B at sf0.1 (2-pass best-sums):
+      // off 47.2/51.2 vs on 57.6/52.1 under ambient load 2-3 — within
+      // noise but never worse, and strictly less per-exchange work. A real
+      // cluster (network + disk spill) keeps compression ON; this config
+      // lives only in the bench/local entry point, not in any operator.
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg

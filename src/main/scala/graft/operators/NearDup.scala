@@ -276,8 +276,19 @@ object NearDup {
 
   /** doc_ngram_jaccard — exact character-4-gram Jaccard, with candidates
     * from a length-band LSH (bands of 4 chars; each doc posts to its band
-    * and the next, so any pair within 4 chars of each other shares a
-    * band — the planted near-dups differ by <= 4 chars).
+    * and the next, so a pair is a candidate iff their normalized lengths
+    * land within one band: |len_a/4 - len_b/4| <= 1).
+    *
+    * The window is the DECLARED candidate envelope, not incidental: J >=
+    * 0.5 only bounds sizes to a 2:1 ratio, so pairs with a length gap
+    * beyond the window exist and are not candidates (4 such at sf0.001 —
+    * found by NearDupRecallSpec's unrestricted all-pairs sweep; the DuckDB
+    * twin encodes the same envelope and misses them identically). Closing
+    * them universally needs ratio-2 log-bands whose bucket occupancy makes
+    * the exact verify quadratic in the corpus — a scale-killer; a wider
+    * linear window is the tunable knob if a deployment's near-dups drift
+    * more than 4 chars. Within the envelope the result is exact (precision
+    * AND recall 1.0, spec-pinned).
     *
     * Verification is a per-pair SET INTERSECTION, not a row explosion:
     * each doc's distinct grams are collected once into a sorted array,
