@@ -248,13 +248,78 @@ object Cdc {
        |FROM events JOIN customer ON user_id = c_custkey
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Core purchase←click interval join (ST8's shared heart): each
+    * 'purchase' row pairs with the same user's 'click' rows from the
+    * preceding hour (inclusive bounds). Pure over two pre-filtered frames
+    * so the batch twin below and the watermarked stream⋈stream form
+    * (graft.streaming.Streams.joinStreams) are the SAME join — the twin
+    * pattern every ST row follows.
+    *
+    * Scale: an equi-join on user_id with a time-range residual — shuffles
+    * both sides on the key, and the per-user time window bounds the match
+    * fan-out (clicks-per-user-hour), never |clicks|·|purchases|. In the
+    * streaming form the same window is what lets watermarks expire join
+    * state.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(
+      col("user_id").as("c_user"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+    val p = purchases.select(
+      col("event_id").as("purchase_id"), col("user_id"),
+      col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .drop("c_user")
+  }
+
+  /** events_attribution — batch twin of the ST8 stream⋈stream interval
+    * join: purchases attributed to the same user's clicks in the preceding
+    * hour, one row per matched purchase (click count, latest click, and a
+    * bit_xor membership checksum proving WHICH clicks matched).
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    attributionJoin(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"))
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"))
+      .agg(
+        count(lit(1)).as("n_clicks_1h"),
+        max(col("click_ts")).as("last_click_ts"),
+        bit_xor(col("click_id")).as("click_id_xor"))
+      .select(col("purchase_id"), col("user_id"),
+        fmtTs(col("purchase_ts")).as("purchase_ts"),
+        col("purchase_value"), col("n_clicks_1h"),
+        fmtTs(col("last_click_ts")).as("last_click_ts"),
+        col("click_id_xor"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val eventsAttributionSql: String =
+    s"""SELECT p.event_id AS purchase_id, p.user_id,
+       |  ${sqlFmtTs("p.ts")} AS purchase_ts,
+       |  p.value AS purchase_value,
+       |  COUNT(*) AS n_clicks_1h,
+       |  ${sqlFmtTs("MAX(c.ts)")} AS last_click_ts,
+       |  CAST(bit_xor(c.event_id) AS BIGINT) AS click_id_xor
+       |FROM events p JOIN events c
+       |  ON c.user_id = p.user_id AND c.event_type = 'click'
+       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY 1, 2, p.ts, 4 ORDER BY purchase_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_scd2" -> (cdcScd2 _),
     "event_funnel" -> (eventFunnel _),
-    "join_stream_static" -> (joinStreamStatic _))
+    "join_stream_static" -> (joinStreamStatic _),
+    "events_attribution" -> (eventsAttribution _))
 
   def oracle: Map[String, String] = Map(
     "json_extract" -> jsonExtractSql,
@@ -262,5 +327,6 @@ object Cdc {
     "cdc_incremental_agg" -> cdcIncrementalAggSql,
     "cdc_scd2" -> cdcScd2Sql,
     "event_funnel" -> eventFunnelSql,
-    "join_stream_static" -> joinStreamStaticSql)
+    "join_stream_static" -> joinStreamStaticSql,
+    "events_attribution" -> eventsAttributionSql)
 }

@@ -129,6 +129,24 @@ object Streams {
     events.join(broadcast(customerDim),
       events("user_id") === customerDim("c_custkey"))
 
+  /** ST8 — stream ⋈ STREAM interval join: purchases attributed to the same
+    * user's clicks from the preceding hour, the two-changelog join a CDC
+    * consumer needs when both sides are live (e.g. correlating a clickstream
+    * topic with an order topic). The join itself is
+    * Cdc.attributionJoin — identical to the batch twin
+    * (`events_attribution`), which carries the DuckDB oracle; this form adds
+    * the watermarks that let Spark expire buffered rows once no future match
+    * can arrive: a click can only match purchases up to 1 hour later, so
+    * with both watermarks at 2 hours every buffered row has a provable
+    * expiry. Inner join ⇒ matches emit as soon as both sides arrive
+    * (Append mode); state stays bounded by (watermark horizon × arrival
+    * rate), not stream length.
+    */
+  def joinStreams(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    graft.operators.Cdc.attributionJoin(
+      clicks.withWatermark("ts", "2 hours"),
+      purchases.withWatermark("ts", "2 hours"))
+
   /** Last-writer-wins collapse of a change log fragment: one row per key,
     * ordered by (ts, event_id); 'error' events are tombstones. Pure — the
     * same function serves the batch twin (Cdc.cdcApply), the per-batch

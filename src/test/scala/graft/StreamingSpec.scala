@@ -257,4 +257,43 @@ class StreamingSpec extends SparkSpec {
         "only the event matching a dim row survives the inner join")
     } finally q.stop()
   }
+
+  test("ST8 stream-stream interval join equals the batch attribution join") {
+    import spark.implicits._
+    val clicks = MemoryStream[ChangeEvent](spark)
+    val purchases = MemoryStream[ChangeEvent](spark)
+    val clickEvents = Seq(
+      ev(10, 0, 1, "click"),   // 30 min before u1's purchase → matches
+      ev(11, 25, 1, "click"),  // 5 min before → matches
+      ev(12, 100, 1, "click"), // AFTER the purchase → no match
+      ev(13, 0, 2, "click"),   // u2's purchase is 90 min later → outside 1h
+      ev(14, 20, 3, "click"))  // matching user never purchases
+    val purchaseEvents = Seq(
+      ev(20, 30, 1, "purchase", 9.5),
+      ev(21, 90, 2, "purchase", 4.0),
+      ev(22, 40, 4, "purchase", 2.0)) // user with no clicks at all
+    val q = Streams.joinStreams(clicks.toDF(), purchases.toDF())
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("st8")
+      .outputMode("append").start()
+    try {
+      // interleaved arrival across micro-batches: a purchase arriving
+      // BEFORE its matching click still pairs (both sides buffer)
+      clicks.addData(clickEvents.take(2))
+      purchases.addData(purchaseEvents)
+      drain(q)
+      clicks.addData(clickEvents.drop(2))
+      drain(q)
+      val got = spark.table("st8").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expected = graft.operators.Cdc.attributionJoin(
+          clickEvents.toDF(), purchaseEvents.toDF())
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(expected == Seq((20L, 10L), (20L, 11L)),
+        s"batch twin fixture drifted: $expected")
+      assert(got == expected,
+        s"stream result $got != batch twin $expected")
+    } finally q.stop()
+  }
 }
