@@ -25,6 +25,7 @@ object SparkEntry {
       (operators.Scalar.queries, operators.Scalar.oracle),
       (operators.Collections.queries, operators.Collections.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
+      (operators.Skew.queries, operators.Skew.oracle),
       (sources.Partitioned.queries, sources.Partitioned.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

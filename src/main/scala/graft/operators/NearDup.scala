@@ -168,12 +168,20 @@ object NearDup {
     * replace the 48 branchy conditional sums: ~3× less per-row aggregate
     * work, one fewer shuffle.
     */
-  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    simhashSigOf(Tables.documents(spark, dir))
+
+  /** Signature over ANY (doc_id, text) frame — the whole-corpus form above
+    * and Pipeline.corpusClean's gated-subset form share this. norm() is
+    * idempotent, so feeding already-normalized text yields the identical
+    * token stream.
+    */
+  private[operators] def simhashSigOf(docs: DataFrame): DataFrame = {
     // Bit layout: packed column c_j (j in 0..15) holds counters for bits
     // j, j+16, j+32 at offsets 0, 21, 42. All arithmetic is integer and
     // order-independent; the signature reassembles from literal
     // power-of-two masks in a single codegen'd projection.
-    val occ = Tables.documents(spark, dir)
+    val occ = docs
       .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
       .withColumn("h48",
         conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
@@ -205,9 +213,13 @@ object NearDup {
       .localCheckpoint()
   }
 
-  private val simhashSigSql: String =
+  private val simhashSigSql: String = simhashSigSqlFrom("documents")
+
+  /** The signature CTE chain over any (doc_id, text) source relation —
+    * DuckDB twin of simhashSigOf. Emits CTEs toks/tf/h/bits/sig. */
+  private[operators] def simhashSigSqlFrom(src: String): String =
     s"""toks AS (SELECT doc_id, unnest(string_split($sqlNorm, ' ')) AS tok
-       |  FROM documents),
+       |  FROM $src),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
        |h AS (SELECT doc_id, tf, $h48Duck AS h48 FROM tf),
        |bits AS (SELECT doc_id,
@@ -234,7 +246,15 @@ object NearDup {
     * must agree on at least one block (pigeonhole), so the equi-join on
     * (block_id, block_value) has perfect recall with ~uniform bucket sizes.
     */
-  def docSimhashDup(spark: SparkSession, dir: String): DataFrame = {
+  def docSimhashDup(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(simhashSig(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Hamming<=3 pairs from a (doc_id, simhash) signature frame via the
+    * 4×12-bit multi-index pigeonhole blocks — shared by docSimhashDup
+    * (whole corpus) and Pipeline.corpusClean (gated subset).
+    */
+  private[operators] def simhashPairsOf(sig: DataFrame): DataFrame = {
     // The Hamming filter runs BEFORE the dedup-across-blocks distinct: a
     // pair can match in up to 4 blocks, and filtering first shrinks the
     // distinct's input from every block collision to just the true
@@ -245,7 +265,6 @@ object NearDup {
     // it twice (measured ~2× the whole signature cost). (Persisting the
     // frame instead was measured and LOST — the cache boundary defeats
     // join planning downstream.)
-    val sig = simhashSig(spark, dir)
     val blocks = sig.select(col("doc_id"), col("simhash"),
         explode(array(Seq(0, 12, 24, 36).map(s => lit(1L << s)): _*))
           .as("q"))
@@ -258,7 +277,6 @@ object NearDup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val docSimhashDupSql: String =

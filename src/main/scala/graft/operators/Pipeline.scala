@@ -358,11 +358,271 @@ object Pipeline {
        |FROM corpus LEFT JOIN contam c ON c.doc_id = corpus.doc_id
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** doc_line_dedup (L13) — corpus-wide LINE-level exact dedup, the
+    * C4/MassiveText cleaning step between document-level dedup and model
+    * training: a line occurring anywhere else in the corpus keeps only its
+    * FIRST occurrence (global (doc_id, position) order) and every other
+    * occurrence is dropped from its document. This corpus has no newlines,
+    * so "lines" are the deterministic stand-in: non-overlapping 4-token
+    * windows of the normalized text (the tail line may be short).
+    *
+    * Output per doc: line counts plus the md5 of the cleaned text (kept
+    * lines re-joined in document order), so the reconstruction itself is
+    * oracle-checked, not just the drop counts.
+    *
+    * Scale: lines explode map-side (no shuffle); the keep/drop decision is
+    * one row_number window partitioned BY LINE TEXT — a hash shuffle whose
+    * per-partition work is bounded by line-frequency (the same occupancy
+    * bound as every banded join here; a pathological line repeated across
+    * the whole corpus would need the count-then-threshold variant, which
+    * drops ALL occurrences of over-frequent lines and needs no global
+    * order). Reassembly is one groupBy(doc_id) with a sorted collect —
+    * rows never exceed the original line count.
+    */
+  def docLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val L = 4 // tokens per synthetic line
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(L))).as("s"))
+      .select(col("doc_id"), col("s"),
+        concat_ws(" ", slice(col("toks"), col("s"), lit(L))).as("line"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("line")).orderBy(col("doc_id"), col("s"))
+    lines.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        // kept lines re-joined in document order: collect (s, line) structs
+        // (nulls for dropped lines are skipped by collect_list), sort by
+        // position — deterministic regardless of collect order — then strip
+        // the positions. md5 keeps the checked value bounded.
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("rn") === 1, struct(col("s"), col("line"))))),
+          x => x.getField("line")), " ")).as("clean_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docLineDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($sqlNorm, ' ') AS toks FROM documents),
+       |lines AS (
+       |  SELECT doc_id, s, array_to_string(toks[s : s + 3], ' ') AS line
+       |  FROM t, unnest(range(1, len(toks) + 1, 4)) u(s)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY line
+       |        ORDER BY doc_id, s) AS rn FROM lines)
+       |SELECT doc_id, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' '
+       |    ORDER BY s), '')) AS clean_h
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** doc_shard_pack (L14) — token-budget shard packing: assign documents
+    * (in deterministic doc_id order, per language) to training shards of
+    * ~2000 tokens by running token count — the sequence-packing step that
+    * turns a cleaned corpus into fixed-budget training units. A document
+    * lands in the shard its PRECEDING cumulative token count falls in, so
+    * shards can overflow by at most one document (greedy packing, no doc
+    * splitting).
+    *
+    * Scale: the running sum partitions BY LANGUAGE — the packing unit a
+    * real pipeline would use (per-source/per-shard-group), never a single
+    * global ordering (a partition-less window is a one-task serialization;
+    * PlanSpec bans it suite-wide). Skewed group sizes are the window's
+    * occupancy bound; finer packing units (lang × date, per-source) widen
+    * parallelism without changing the operator.
+    */
+  def docShardPack(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2000L
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id", expr(s"(cum - n_tokens) div $cap"))
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard_id"))
+  }
+
+  val docShardPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split($sqlNorm, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT lang, (cum - n_tokens) // 2000 AS shard_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin
+
+  /** corpus_clean (L15) — the END-TO-END training-corpus cleaning pipeline,
+    * composing the engine's own stages in the order a real data pipeline
+    * runs them (RefinedWeb/Dolma shape):
+    *
+    *   1. benchmark split-off: the held-out slice (doc_id % 50 = 0) never
+    *      enters the corpus (doc_decontaminate's convention);
+    *   2. DECONTAMINATE — drop any doc sharing an 8-token gram with the
+    *      benchmark slice (broadcast bench-gram semi-join, corpus grams
+    *      never shuffle);
+    *   3. QUALITY GATE — drop docs under 16 tokens or composite quality
+    *      < 0.35 (doc_quality's exact feature arithmetic);
+    *   4. NEAR-DUP SURVIVOR ELECTION — SimHash Hamming<=3 pairs among the
+    *      remaining docs (signatures computed only for gate survivors),
+    *      connected components, keep each cluster's minimum doc_id.
+    *
+    * Output: per-language funnel counts after each stage plus the XOR
+    * membership checksum of the final kept set — the decision itself is
+    * oracle-checked end to end, through all four stages at once. The
+    * single-stage queries (doc_decontaminate, doc_quality,
+    * doc_simhash_dup, dedup_clusters) remain the debuggable per-stage
+    * surfaces.
+    *
+    * Scale: every stage is the already-audited at-scale shape — broadcast
+    * semi-join decontamination, linear quality arithmetic, banded simhash
+    * pair generation over the (strictly smaller) gated corpus, O(log d)
+    * pointer-jumping components. Stage composition adds NO new shuffle
+    * class; the funnel aggregation is one groupBy(lang) over flags.
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val toked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), norm(col("text")).as("nt"))
+      .withColumn("toks", split(col("nt"), " "))
+      .withColumn("n", size(col("toks")))
+    def grams(df: DataFrame): DataFrame = df
+      .filter(col("n") >= 8)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - 7)).as("s"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(8)))).as("g"))
+    val corpus = toked.filter(col("doc_id") % 50 =!= 0)
+    // stage 2: decontaminate (same plan as doc_decontaminate: the bench
+    // gram set is ≪ corpus, broadcasts; corpus grams never shuffle)
+    val benchGrams = grams(toked.filter(col("doc_id") % 50 === 0))
+      .select(col("g")).distinct()
+    val contaminated = grams(corpus)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    // stage 3: quality features — doc_quality's exact ops (casts of ints,
+    // one divide per feature, fixed-weight blend; stopwords via a
+    // codegen'd regexp_count, no HOF lambda)
+    val nTok = col("n").cast("double")
+    val nStop = regexp_count(col("nt"),
+      lit("(^| )(the|a|of|and|to)(?= |$)")).cast("double")
+    val wordLen = (length(col("nt")) - (col("n") - 1)).cast("double") / nTok
+    val quality =
+      lit(0.4) * least(nTok / lit(100.0), lit(1.0)) +
+        lit(0.3) * (nStop / nTok) +
+        lit(0.3) * least(wordLen / lit(8.0), lit(1.0))
+    val flagged = corpus
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .withColumn("f_dec", col("contam").isNull)
+      .withColumn("f_q",
+        col("f_dec") && col("n") >= 16 && quality >= 0.35)
+      .localCheckpoint() // pins the gate flags: the near-dup stage and the
+    // funnel aggregation both consume them; without the pin the gram join
+    // and quality arithmetic replay once per consumer
+    // stage 4: near-dup survivor election among gate survivors only —
+    // signatures are computed for the gated subset, not the corpus
+    val eligible = flagged.filter(col("f_q"))
+      .select(col("doc_id"), col("nt").as("text"))
+    val pairs = NearDup.simhashPairsOf(NearDup.simhashSigOf(eligible))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
+      .select(col("id"), col("label"))
+    flagged.join(labels, flagged("doc_id") === labels("id"), "left_outer")
+      .withColumn("f_final",
+        col("f_q") && (col("label").isNull || col("label") === col("doc_id")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("f_dec"), 1L).otherwise(0L)).as("n_decontaminated"),
+        sum(when(col("f_q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("f_final"), 1L).otherwise(0L)).as("n_final"),
+        bit_xor(when(col("f_final"), col("doc_id"))).as("kept_id_xor"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusCleanSql: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, lang, $sqlNorm AS nt,
+       |    string_split($sqlNorm, ' ') AS tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(
+       |    [md5(array_to_string(tk[s : s + 7], ' '))
+       |     for s in range(1, len(tk) - 6)]) AS g
+       |  FROM t WHERE len(tk) >= 8),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)),
+       |flg AS (
+       |  SELECT t.doc_id, t.lang,
+       |    (c.doc_id IS NULL) AS f_dec,
+       |    (c.doc_id IS NULL) AND len(tk) >= 16 AND
+       |      (0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+       |       + 0.3 * (CAST(len(list_filter(tk,
+       |           x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+       |           / CAST(len(tk) AS DOUBLE))
+       |       + 0.3 * least((CAST(length(replace(nt, ' ', '')) AS DOUBLE)
+       |           / CAST(len(tk) AS DOUBLE)) / 8.0, 1.0)) >= 0.35 AS f_q
+       |  FROM t LEFT JOIN contam c ON c.doc_id = t.doc_id
+       |  WHERE t.doc_id % 50 <> 0),
+       |elig AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN flg ON flg.doc_id = d.doc_id WHERE flg.f_q),
+       |${NearDup.simhashSigSqlFrom("elig")},
+       |blocks AS (SELECT doc_id, simhash, q, (simhash // q) % 4096 AS bv
+       |  FROM sig CROSS JOIN (SELECT unnest(
+       |    [${Seq(0, 12, 24, 36).map(1L << _).mkString(", ")}]) AS q)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocks a JOIN blocks b
+       |    ON a.q = b.q AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node),
+       |fin AS (
+       |  SELECT flg.lang, flg.doc_id, flg.f_dec, flg.f_q,
+       |    flg.f_q AND (l.cluster IS NULL OR l.cluster = flg.doc_id)
+       |      AS f_final
+       |  FROM flg LEFT JOIN lab l ON l.node = flg.doc_id)
+       |SELECT lang, COUNT(*) AS n_input,
+       |  CAST(SUM(CASE WHEN f_dec THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_decontaminated,
+       |  CAST(SUM(CASE WHEN f_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(SUM(CASE WHEN f_final THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       |  CAST(bit_xor(CASE WHEN f_final THEN doc_id END) AS BIGINT)
+       |    AS kept_id_xor
+       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_repetition" -> (docRepetition _),
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_chunk" -> (docChunk _),
     "doc_decontaminate" -> (docDecontaminate _),
+    "doc_line_dedup" -> (docLineDedup _),
+    "doc_shard_pack" -> (docShardPack _),
+    "corpus_clean" -> (corpusClean _),
     "sample_stratified" -> (sampleStratified _),
     "dedup_clusters" -> (dedupClusters _))
 
@@ -371,6 +631,9 @@ object Pipeline {
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_chunk" -> docChunkSql,
     "doc_decontaminate" -> docDecontaminateSql,
+    "doc_line_dedup" -> docLineDedupSql,
+    "doc_shard_pack" -> docShardPackSql,
+    "corpus_clean" -> corpusCleanSql,
     "sample_stratified" -> sampleStratifiedSql,
     "dedup_clusters" -> dedupClustersSql)
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
 
 /** Skew-mitigation helpers (SURVEY.md §4 "skew handling"). AQE's runtime
   * skew-join split covers most cases for free; this is the explicit salting
@@ -35,4 +37,40 @@ object Skew {
       explode(sequence(lit(0), lit(fanout - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** join_skew — the salted join as an oracle-gated QUERY, not just a
+    * spec: lineitem (big, salted 8 ways on a near-unique discriminator)
+    * ⋈ urgent orders (small side, replicated once per salt), revenue per
+    * order status. Row-identical to the plain join — the oracle SQL IS the
+    * plain join — while the physical plan spreads any hot orderkey over 8
+    * shuffle partitions. SkewSpec pins the row-identity generally; this
+    * entry makes the driver's hash-compare gate it per round.
+    */
+  def joinSkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"),
+        col("l_discount"), col("l_partkey"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    saltedJoin(li, urgent, "okey", col("l_partkey"), 8)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val joinSkewSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_lines,
+       |  ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew" -> (joinSkew _))
+
+  def oracle: Map[String, String] = Map(
+    "join_skew" -> joinSkewSql)
 }
