@@ -358,6 +358,63 @@ object Pipeline {
        |FROM corpus LEFT JOIN contam c ON c.doc_id = corpus.doc_id
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** doc_decontaminate_xl — the SAME contamination decision (and oracle)
+    * as doc_decontaminate, restructured for the regime where the benchmark
+    * gram set itself no longer fits a broadcast: a corpus-scale held-out
+    * suite, or corpus-vs-corpus decontamination. This is the canonical
+    * runtime-filter two-phase shape:
+    *
+    *   phase 1 — PREFILTER, map-side: bench grams project to 22-bit hash
+    *     buckets (xxhash64 mod 2^22). The distinct bucket set is bounded
+    *     at 4M longs (~32 MB hashed relation) no matter how large the
+    *     benchmark grows, so it ALWAYS broadcasts; corpus grams semi-join
+    *     it without shuffling. The projection is conservative — every true
+    *     hit survives — and false positives pass at ~|bench|/2^22.
+    *   phase 2 — EXACT VERIFY, shuffled: only prefilter survivors (true
+    *     hits + the FP trickle) continue into an exact semi-join against
+    *     the full bench gram set, as a shuffle-hash join: at this stage
+    *     NEITHER side is assumed broadcastable, which is the point.
+    *
+    * At sf0.1 the prefilter is pure overhead versus broadcasting the grams
+    * directly (the bench side is small here); the query exists to
+    * oracle-gate the at-scale plan shape. PlanSpec asserts the two-phase
+    * structure: a broadcast bucket join feeding a non-broadcast gram join.
+    */
+  def docDecontaminateXl(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toked = d.select(col("doc_id"), col("lang"),
+        split(norm(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    def grams(df: DataFrame): DataFrame = df
+      .filter(col("n") >= 8)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - 7)).as("s"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(8)))).as("g"))
+    val benchGrams = grams(toked.filter(col("doc_id") % 50 === 0))
+      .select(col("g")).distinct()
+    val bucket = pmod(xxhash64(col("g")), lit(1L << 22))
+    val benchBuckets = benchGrams.select(bucket.as("bkt")).distinct()
+    val candidates = grams(toked.filter(col("doc_id") % 50 =!= 0))
+      .withColumn("bkt", bucket)
+      .join(broadcast(benchBuckets), Seq("bkt"), "left_semi")
+    val contaminated = candidates
+      .join(benchGrams.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    toked.filter(col("doc_id") % 50 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+        coalesce(sum(when(col("hit").isNotNull, col("doc_id"))), lit(0L))
+          .as("contaminated_id_sum"))
+      .withColumn("contam_rate",
+        col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("lang"))
+  }
+
   /** doc_line_dedup (L13) — corpus-wide LINE-level exact dedup, the
     * C4/MassiveText cleaning step between document-level dedup and model
     * training: a line occurring anywhere else in the corpus keeps only its
@@ -620,6 +677,7 @@ object Pipeline {
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_chunk" -> (docChunk _),
     "doc_decontaminate" -> (docDecontaminate _),
+    "doc_decontaminate_xl" -> (docDecontaminateXl _),
     "doc_line_dedup" -> (docLineDedup _),
     "doc_shard_pack" -> (docShardPack _),
     "corpus_clean" -> (corpusClean _),
@@ -631,6 +689,10 @@ object Pipeline {
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_chunk" -> docChunkSql,
     "doc_decontaminate" -> docDecontaminateSql,
+    // the xl variant makes the identical decision by construction; the
+    // oracle is the same SQL — what differs is the physical plan, which
+    // PlanSpec asserts.
+    "doc_decontaminate_xl" -> docDecontaminateSql,
     "doc_line_dedup" -> docLineDedupSql,
     "doc_shard_pack" -> docShardPackSql,
     "corpus_clean" -> corpusCleanSql,

@@ -82,6 +82,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("doc_decontaminate_xl plans the two-phase runtime-filter shape") {
+    // Phase 1 must BROADCAST the bounded bucket set; phase 2's exact gram
+    // verify must NOT broadcast (at real scale neither side fits): the
+    // shuffle_hash hint has to survive optimization. Auto-broadcast off so
+    // the sf0.001 bench-gram frame can't sneak into a broadcast the
+    // 100-TB plan wouldn't have.
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("doc_decontaminate_xl")(spark, sfTiny)
+        .queryExecution.executedPlan
+      val bcastSemi = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType.toString == "LeftSemi" => j
+      }
+      assert(bcastSemi.nonEmpty,
+        "bucket prefilter should be a broadcast left-semi join")
+      // every broadcast side must be the bucket projection (bounded), never
+      // the gram strings (unbounded)
+      for (b <- bcastSemi)
+        assert(b.leftKeys.toString.contains("bkt") ||
+          b.rightKeys.toString.contains("bkt"),
+          s"broadcast semi-join keyed on grams, not buckets:\n$b")
+      val shuffledSemi = p.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType.toString == "LeftSemi" => j
+      }
+      assert(shuffledSemi.nonEmpty,
+        "exact gram verify should stay a shuffled hash join (hint lost?)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
+    }
+  }
+
   test("events_pruned prunes partitions at the scan (window days only)") {
     // Expected counts come from the DATA, not a hardcoded 3-of-30: a
     // regenerated testdata set with a different date span must not fail

@@ -136,6 +136,68 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("doc_decontaminate_xl makes the identical decision to the exact plan") {
+    // same oracle SQL by declaration; this pins the equivalence engine-side
+    // too (a prefilter bug that DROPPED a true hit would also fail the
+    // oracle, but this failure reads as what it is)
+    for (sf <- Seq(sfTiny, sfSmall)) {
+      val exact = operators.Pipeline.docDecontaminate(spark, sf)
+        .collect().map(_.toString).toSeq
+      val xl = operators.Pipeline.docDecontaminateXl(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(xl == exact, s"xl decontamination diverged at $sf")
+    }
+  }
+
+  test("doc_shard_pack: shards partition each language's docs in order") {
+    val shards = operators.Pipeline.docShardPack(spark, sfTiny).collect()
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+          " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val cap = 2000L
+    for ((lang, ss) <- shards.groupBy(_.getString(0))) {
+      val sorted = ss.sortBy(_.getLong(1))
+      // shard ids contiguous from 0 (greedy packing leaves no gaps)
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq,
+        s"$lang: shard ids not contiguous")
+      // every doc in exactly one shard: doc counts add up
+      val langDocs = docs.filter(_._1 == lang)
+      assert(sorted.map(_.getLong(2)).sum == langDocs.length,
+        s"$lang: shard doc counts don't cover the language")
+      // doc-id ranges are disjoint and ordered (first_doc/last_doc cols)
+      val ranges = sorted.map(r => (r.getLong(4), r.getLong(5)))
+      for (Seq((_, aEnd), (bStart, _)) <- ranges.toSeq.sliding(2))
+        assert(aEnd < bStart, s"$lang: shard doc ranges overlap")
+      // greedy overflow bound: a shard exceeds cap only via its LAST doc
+      val maxDoc = langDocs.map(_._3).max
+      for (s <- sorted)
+        assert(s.getLong(3) <= cap + maxDoc,
+          s"$lang shard ${s.getLong(1)}: tokens ${s.getLong(3)} exceed cap+maxdoc")
+    }
+  }
+
+  test("doc_line_dedup conserves lines and keeps one copy per distinct line") {
+    val out = operators.Pipeline.docLineDedup(spark, sfTiny).collect()
+    for (r <- out)
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"doc ${r.getLong(0)}: kept+dropped != lines")
+    // global invariant: total kept = number of DISTINCT lines in the corpus
+    // (first-occurrence-wins keeps exactly one of each), measured by an
+    // independent distinct count over the same synthetic line split
+    val L = 4
+    val distinctLines = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), split(lower(trim(
+        regexp_replace(col("text"), "\\s+", " "))), " ").as("toks"))
+      .select(explode(sequence(lit(1), size(col("toks")), lit(L))).as("s"),
+        col("toks"))
+      .select(concat_ws(" ", slice(col("toks"), col("s"), lit(L))).as("line"))
+      .distinct().count()
+    assert(out.map(_.getLong(2)).sum == distinctLines,
+      "sum of kept lines != distinct corpus lines")
+  }
+
   test("filter_pushdown actually pushes predicates into the parquet scan") {
     val df = operators.Relational.filterPushdown(spark, sfTiny)
     val physical = df.queryExecution.executedPlan.toString
