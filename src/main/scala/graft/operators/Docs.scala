@@ -366,8 +366,63 @@ object Docs {
        |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, score
        |FROM scored WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** doc_quality_model (L16) — MODEL-BASED quality filtering: a hashed
+    * bag-of-words linear classifier, the fastText/CCNet step that sits
+    * between heuristic quality scoring (doc_quality) and training. Tokens
+    * hash into 4096 buckets (md5-based, engine-portable); each bucket
+    * carries a FIXED integer weight in [-500, 500] (multiplicative-hash
+    * mixing of the bucket id — a deterministic stand-in for trained
+    * weights; a real trained vector is a 4096-row table that swaps in as
+    * a broadcast join or, as here, a pure expression). A document's margin
+    * is the exact i64 sum of its token weights; the decision is
+    * margin/n_tokens >= 0 with exactly one double division per doc.
+    *
+    * Scale: explode → two narrow codegen'd exprs → groupBy(doc_id) with
+    * map-side partial agg — the same linear shape as doc_tokens. No
+    * weight-table shuffle at any model size: 4096 (or 2^21, fastText's
+    * default) weights broadcast; the margin agg is the only exchange.
+    */
+  def docQualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(norm(col("text")), " ")).as("tok"))
+    val bucket = pmod(
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(4096L))
+    // multiplicative mixing (Knuth's 2654435761) spreads adjacent buckets
+    // across [-500, 500]; operands are nonnegative so pmod ≡ % in DuckDB
+    val weight = pmod(bucket * lit(2654435761L), lit(1001L)) - lit(500L)
+    toks.select(col("doc_id"), col("lang"), weight.as("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("margin"))
+      .withColumn("margin_per_token",
+        col("margin").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep", col("margin_per_token") >= lit(0.0))
+      .orderBy(col("doc_id"))
+  }
+
+  private def sqlHex8(expr: String): String =
+    (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substring(md5($expr), $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+      .mkString("(", " + ", ")")
+
+  val docQualityModelSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, unnest(string_split($sqlNorm, ' ')) AS tok
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, lang,
+       |    ((${sqlHex8("tok")} % 4096) * 2654435761) % 1001 - 500 AS w
+       |  FROM t)
+       |SELECT doc_id, lang, COUNT(*) AS n_tokens,
+       |  CAST(SUM(w) AS BIGINT) AS margin,
+       |  CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS margin_per_token,
+       |  (CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) >= 0.0 AS keep
+       |FROM w GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup" -> (docDedup _),
+    "doc_quality_model" -> (docQualityModel _),
     "doc_text_stats" -> (docTextStats _),
     "doc_tokens" -> (docTokens _),
     "doc_quality" -> (docQuality _),
@@ -377,6 +432,7 @@ object Docs {
 
   def oracle: Map[String, String] = Map(
     "doc_dedup" -> docDedupSql,
+    "doc_quality_model" -> docQualityModelSql,
     "doc_text_stats" -> docTextStatsSql,
     "doc_tokens" -> docTokensSql,
     "doc_quality" -> docQualitySql,
