@@ -365,8 +365,79 @@ object Analytics {
 
   val aggGroupingSetsSql: String = aggGroupingSetsSqlOn("orders")
 
+  /** events_anomaly — per-type outlier detection, the data-quality gate an
+    * event pipeline runs before training on telemetry: flag events whose
+    * value sits more than 3σ from the per-type mean. Two passes, both
+    * engine-exact: pass 1 is one map-side-partial hash agg computing exact
+    * fixed-point moments (n, Σv, Σv²) per type — 5 rows out no matter the
+    * event volume; pass 2 broadcasts those 5 rows back onto the stream and
+    * flags |v−μ| > 3σ row-by-row. μ/σ derive from the exact sums through a
+    * fixed sequence of correctly-rounded double ops (same contract as
+    * agg_stats), so the FLAG ITSELF is bit-identical in both engines — the
+    * xor membership checksum proves which events tripped it, not just how
+    * many. The moment table is localCheckpoint-pinned so the flag pass
+    * cannot re-run the aggregate (two scans total, zero driver state).
+    *
+    * Scale: the classic two-pass z-score shape — each pass is one linear
+    * scan; the broadcast side is |event_type| rows. At 100 TB nothing
+    * changes: moments stay 5 rows, and dprodSum's 3-way split keeps Σv²
+    * exact out to ~4e12 rows per type.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val nD = col("n_events").cast("double")
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("s1"),
+        dprodSum(col("value"), col("value")).as("s2"))
+      .withColumn("mu", col("s1") / nD)
+      .withColumn("sigma",
+        sqrt((col("s2") - col("s1") * col("s1") / nD) / nD))
+      .localCheckpoint()
+    val z = abs(col("value") - col("mu")) / col("sigma")
+    val anom = abs(col("value") - col("mu")) > col("sigma") * lit(3.0)
+    val flagged = ev
+      .join(broadcast(stats.select(col("event_type"), col("mu"),
+        col("sigma"))), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(anom, 1L).otherwise(0L)).as("n_anomalies"),
+        bit_xor(when(anom, col("event_id"))).as("anom_id_xor"),
+        round(max(when(anom, z)), 6).as("max_z"))
+    stats
+      .select(col("event_type"), col("n_events"),
+        round(col("mu"), 6).as("mean_value"),
+        round(col("sigma"), 6).as("stddev_value"))
+      .join(flagged, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsAnomalySql: String =
+    s"""WITH st AS (SELECT event_type, COUNT(*) AS n_events,
+       |    ${sqlDsum("value")} AS s1, ${sqlDprodSum("value", "value")} AS s2
+       |  FROM events GROUP BY event_type),
+       |m AS (SELECT event_type, n_events,
+       |    s1 / CAST(n_events AS DOUBLE) AS mu,
+       |    sqrt((s2 - s1 * s1 / CAST(n_events AS DOUBLE))
+       |      / CAST(n_events AS DOUBLE)) AS sigma
+       |  FROM st),
+       |f AS (SELECT e.event_type, e.event_id,
+       |    abs(e.value - m.mu) > m.sigma * 3.0 AS an,
+       |    abs(e.value - m.mu) / m.sigma AS z
+       |  FROM events e JOIN m USING (event_type)),
+       |a AS (SELECT event_type,
+       |    CAST(SUM(CASE WHEN an THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       |    CAST(bit_xor(CASE WHEN an THEN event_id END) AS BIGINT) AS anom_id_xor,
+       |    round(max(CASE WHEN an THEN z END), 6) AS max_z
+       |  FROM f GROUP BY event_type)
+       |SELECT m.event_type, m.n_events, round(m.mu, 6) AS mean_value,
+       |  round(m.sigma, 6) AS stddev_value,
+       |  a.n_anomalies, a.anom_id_xor, a.max_z
+       |FROM m JOIN a USING (event_type) ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "having_filter" -> (havingFilter _),
+    "events_anomaly" -> (eventsAnomaly _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
@@ -379,6 +450,7 @@ object Analytics {
 
   def oracle: Map[String, String] = Map(
     "having_filter" -> havingFilterSql,
+    "events_anomaly" -> eventsAnomalySql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_cube" -> aggCubeSql,
     "pivot_segment" -> pivotSegmentSql,

@@ -420,8 +420,56 @@ object Docs {
        |  (CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) >= 0.0 AS keep
        |FROM w GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
 
+  /** doc_bpe_pairs (L19) — adjacent-token-pair frequencies, top-20 per
+    * language: the statistic a BPE/WordPiece tokenizer trainer computes to
+    * pick its next merge (the argmax pair IS the first merge rule), and
+    * the corpus report a tokenizer-fit audit reads. Pairs are built
+    * map-side by zipping each token list against its own tail — no join,
+    * no per-doc state; a 1-token doc contributes zero pairs (zero-length
+    * slices zip to an empty array, no guard branch).
+    *
+    * Scale: explode grows rows ~tokens-per-doc × docs, but partial
+    * aggregation collapses them to one row per distinct (lang, pair) per
+    * partition before the only shuffle; the top-20 window runs on the
+    * aggregated pair table (vocab², not corpus, cardinality), partitioned
+    * by lang. The canonical first step of distributed tokenizer training.
+    */
+  def docBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = split(norm(col("text")), " ")
+    val prs = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+    d.select(col("lang"), toks.as("toks"))
+      .select(col("lang"), explode(prs).as("pair"))
+      .groupBy(col("lang"), col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("lang"), col("rank"), col("pair"), col("n_occurrences"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val docBpePairsSql: String =
+    s"""WITH tk AS (SELECT lang, string_split($sqlNorm, ' ') AS t
+       |  FROM documents),
+       |pr AS (SELECT lang,
+       |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS pair
+       |  FROM tk),
+       |c AS (SELECT lang, pair, COUNT(*) AS n_occurrences
+       |  FROM pr GROUP BY lang, pair),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY n_occurrences DESC, pair) AS rank FROM c)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, pair, n_occurrences
+       |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup" -> (docDedup _),
+    "doc_bpe_pairs" -> (docBpePairs _),
     "doc_quality_model" -> (docQualityModel _),
     "doc_text_stats" -> (docTextStats _),
     "doc_tokens" -> (docTokens _),
@@ -432,6 +480,7 @@ object Docs {
 
   def oracle: Map[String, String] = Map(
     "doc_dedup" -> docDedupSql,
+    "doc_bpe_pairs" -> docBpePairsSql,
     "doc_quality_model" -> docQualityModelSql,
     "doc_text_stats" -> docTextStatsSql,
     "doc_tokens" -> docTokensSql,

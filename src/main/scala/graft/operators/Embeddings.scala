@@ -337,29 +337,34 @@ object Embeddings {
     * as literals, assignment is shuffle-free, and search cost is
     * nprobe/nlist of the balanced collection per query.
     */
-  private[graft] def ivfKnn(spark: SparkSession, dir: String,
-      iters: Int, nprobe: Int): DataFrame = {
-    val n = withNorm(spark, dir)
-    // ONE init collect serves both coarse-quantizer seeds (the first
-    // nlist=16 vectors) and the query set (vec_id < 8 — a subset of the
-    // seeds). Both are driver-small BY CONTRACT: nlist is the quantizer
-    // knob and the query set is what a kNN engine broadcasts anyway —
-    // materializing it as literals is the same thing minus a scan job.
-    // Training runs with AQE off: its shuffles are bounded at nlist·d rows
-    // AT ANY COLLECTION SIZE (the map side is narrow, the reduce side is
-    // the fixed-size stats table), so adaptive re-planning has nothing to
-    // adapt and each of its per-stage job round-trips is pure floor —
-    // measured 2 extra jobs per iteration. Restored before returning; the
-    // result plan itself executes under the session's own settings.
-    // The trained quantizer is a persisted INDEX ARTIFACT, not a query
-    // intermediate — the exact analogue of Partitioned.eventsByDay's
-    // landed copy: an IVF deployment trains centroids once per corpus and
-    // serves every search from them (FAISS's train/add/search contract).
-    // Cached per (corpus dir, iters) under the same immutable-input
-    // contract as Tables; values are deterministic, so a cache hit returns
-    // bit-identical centroids to a retrain. Search-time cost is then one
-    // scan-assign-join job, which is what an IVF engine's query latency IS.
-    val (first16, cents) = Embeddings.centCache.getOrElseUpdate((dir, iters), {
+  /** The trained coarse quantizer for a corpus: (init seeds, centroids).
+    *
+    * ONE init collect serves both coarse-quantizer seeds (the first
+    * nlist=16 vectors) and the kNN query set (vec_id < 8 — a subset of the
+    * seeds). Both are driver-small BY CONTRACT: nlist is the quantizer
+    * knob and the query set is what a kNN engine broadcasts anyway —
+    * materializing it as literals is the same thing minus a scan job.
+    * Training runs with AQE off: its shuffles are bounded at nlist·d rows
+    * AT ANY COLLECTION SIZE (the map side is narrow, the reduce side is
+    * the fixed-size stats table), so adaptive re-planning has nothing to
+    * adapt and each of its per-stage job round-trips is pure floor —
+    * measured 2 extra jobs per iteration. Restored before returning; the
+    * result plan itself executes under the session's own settings.
+    * The trained quantizer is a persisted INDEX ARTIFACT, not a query
+    * intermediate — the exact analogue of Partitioned.eventsByDay's
+    * landed copy: an IVF deployment trains centroids once per corpus and
+    * serves every search from them (FAISS's train/add/search contract).
+    * Cached per (corpus dir, iters) under the same immutable-input
+    * contract as Tables; values are deterministic, so a cache hit returns
+    * bit-identical centroids to a retrain. Search-time cost is then one
+    * scan-assign-join job, which is what an IVF engine's query latency IS.
+    * embedding_semantic_dedup shares this index with embedding_ivf_knn —
+    * one corpus, one quantizer, many consumers.
+    */
+  private def trained(spark: SparkSession, dir: String, iters: Int)
+      : (IndexedSeq[Cent], IndexedSeq[Cent]) =
+    Embeddings.centCache.getOrElseUpdate((dir, iters), {
+      val n = withNorm(spark, dir)
       val aqeKey = "spark.sql.adaptive.enabled"
       val aqePrev = spark.conf.get(aqeKey, "true")
       try {
@@ -372,6 +377,11 @@ object Embeddings {
         (f16, trainCents(n, f16, iters))
       } finally spark.conf.set(aqeKey, aqePrev)
     })
+
+  private[graft] def ivfKnn(spark: SparkSession, dir: String,
+      iters: Int, nprobe: Int): DataFrame = {
+    val n = withNorm(spark, dir)
+    val (first16, cents) = trained(spark, dir, iters)
     val assigned = n.withColumn("cell", cellOf(cents))
     // each query posts to its nprobe nearest cells (cosine desc, ties →
     // lowest cent_id) — an 8×nlist driver-side ranking with the exact
@@ -512,11 +522,88 @@ object Embeddings {
        |SELECT vec_a, vec_b, cosine, vec_a AS keep_id
        |FROM p WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** embedding_semantic_dedup (L18) — SemDeDup-shaped semantic
+    * deduplication: duplicates are detected WITHIN the cells of the
+    * trained coarse quantizer (k-means clusters), not across the whole
+    * collection — the published recipe for embedding-level dedup of
+    * web-scale corpora (cluster first, compare only within a cluster,
+    * keep one survivor per similar group). A vector is dropped iff a
+    * LOWER-id vector in its cell has cosine ≥ 0.3 with it; the report is
+    * per-cell (size, dropped, kept, dropped-membership xor) so the dedup
+    * decision itself is oracle-checked.
+    *
+    * Shares the persisted quantizer index with embedding_ivf_knn
+    * (`trained` cache — one corpus, one training run, many consumers);
+    * assignment is the same map-side literal-centroid argmax, so the only
+    * join in the plan is the within-cell self-join.
+    *
+    * Scale: the whole point of the cluster-first design — the quadratic
+    * compare is bounded per cell, and training BALANCES cells, so total
+    * verify work is Σ|cell|² ≈ N²/nlist with nlist chosen so each cell
+    * fits an executor (FAISS sizing: nlist grows with √N, keeping cells
+    * near-constant). The self-join shuffles on the cell key and reuses
+    * one exchange for both sides; nothing broadcasts the collection.
+    */
+  def embeddingSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cents) = trained(spark, dir, 2)
+    val assigned = withNorm(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("norm_s"))
+      .withColumn("cell", cellOf(cents))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        cosine(dotS(col("a.embedding"), col("b.embedding")),
+          col("a.norm_s"), col("b.norm_s")))
+      .filter(col("cosine") >= 0.3)
+    val drops = pairs
+      .select(col("a.cell").as("cell"), col("b.vec_id").as("dropped"))
+      .distinct()
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_dropped"),
+        bit_xor(col("dropped")).as("dropped_id_xor"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(drops, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        col("dropped_id_xor"))
+      .orderBy(col("cell"))
+  }
+
+  val embeddingSemanticDedupSql: String =
+    s"""WITH $sqlWithNorm,
+       |cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, norm_s AS c_norm
+       |  FROM n WHERE vec_id < 16),
+       |${sqlAssign("cents0", "a1")},
+       |${sqlUpdate("a1", "c1")},
+       |${sqlAssign("c1", "a2")},
+       |${sqlUpdate("a2", "c2")},
+       |${sqlAssign("c2", "assigned")},
+       |p AS (SELECT a.cell, b.vec_id AS dropped,
+       |    CAST(${sqlDotS("a.embedding", "b.embedding")} AS DOUBLE)
+       |      / sqrt(CAST(a.norm_s AS DOUBLE) * CAST(b.norm_s AS DOUBLE)) AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |d AS (SELECT DISTINCT cell, dropped FROM p WHERE cosine >= 0.3),
+       |dc AS (SELECT cell, COUNT(*) AS n_dropped,
+       |    CAST(bit_xor(dropped) AS BIGINT) AS dropped_id_xor
+       |  FROM d GROUP BY cell),
+       |cv AS (SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell)
+       |SELECT cv.cell, cv.n_vecs,
+       |  CAST(COALESCE(dc.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  CAST(cv.n_vecs - COALESCE(dc.n_dropped, 0) AS BIGINT) AS n_kept,
+       |  dc.dropped_id_xor
+       |FROM cv LEFT JOIN dc USING (cell) ORDER BY cv.cell""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "array_ops" -> (arrayOps _),
     "embedding_knn" -> (embeddingKnn _),
     "embedding_knn_lsh" -> (embeddingKnnLsh _),
     "embedding_ivf_knn" -> (embeddingIvfKnn _),
+    "embedding_semantic_dedup" -> (embeddingSemanticDedup _),
     "embedding_near_dedup" -> (embeddingNearDedup _))
 
   def oracle: Map[String, String] = Map(
@@ -524,5 +611,6 @@ object Embeddings {
     "embedding_knn" -> embeddingKnnSql,
     "embedding_knn_lsh" -> embeddingKnnLshSql,
     "embedding_ivf_knn" -> embeddingIvfKnnSql,
+    "embedding_semantic_dedup" -> embeddingSemanticDedupSql,
     "embedding_near_dedup" -> embeddingNearDedupSql)
 }

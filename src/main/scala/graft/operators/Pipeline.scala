@@ -672,7 +672,100 @@ object Pipeline {
        |    AS kept_id_xor
        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** corpus_mix (L17) — temperature-rebalanced mixture sampling, the
+    * knob every multilingual/multi-source training recipe turns (mT5's
+    * α-smoothing, the Pile's per-source epochs): low-resource strata keep
+    * more of their data, dominant strata are downsampled, and the total
+    * stays on a declared char budget. Recipe: per-lang char share p_l →
+    * smoothed weight √p_l (α = 0.5) → target share = normalized weight →
+    * per-lang keep rate = min(1, 0.5·target/actual) — half the corpus,
+    * re-mixed. Membership is hash-threshold (the L9 idiom): a doc survives
+    * iff its md5 bucket (first 4 hex digits as an integer, 0..65535) falls
+    * under floor(rate·65536) — RNG-free, retry-stable, engine-portable.
+    *
+    * Every decision is engine-exact: char totals are exact i64 sums; the
+    * smoothed weight is floored onto a 1e9 grid BEFORE normalization so
+    * the weight sum is an order-independent integer, and the remaining
+    * rate arithmetic is a fixed sequence of correctly-rounded double ops.
+    * The xor checksum proves membership, not just counts.
+    *
+    * Scale: one hash agg over the corpus (5 rows out), two 1-row
+    * reductions of that 5-row frame, then one broadcast join + map-side
+    * filter — a single full scan plus a scan-shaped sample pass; the
+    * rate table is |lang| rows at any corpus size. The 5-row stats frame
+    * is localCheckpoint-pinned so its three consumers cannot re-run the
+    * corpus aggregate.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val stats = d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("lang_chars"))
+      .localCheckpoint()
+    // grand totals as 1-row frames, cross-joined back (broadcast): the
+    // windowless alternative — sum() OVER () — would plan the
+    // partition-less WindowExec PlanSpec bans suite-wide.
+    val tot = stats.agg(sum(col("lang_chars")).as("total_chars"))
+    val w9c = floor(sqrt(col("lang_chars").cast("double") /
+      col("total_chars").cast("double")) * lit(1e9)).cast("long")
+    val weighted = stats.crossJoin(broadcast(tot))
+      .withColumn("w9", w9c)
+      .localCheckpoint()
+    val norm = weighted.agg(sum(col("w9")).as("norm9"))
+    val rate = least(
+      (col("w9").cast("double") / col("norm9").cast("double")) *
+        (col("total_chars").cast("double") / col("lang_chars").cast("double")) *
+        lit(0.5),
+      lit(1.0))
+    val rates = weighted.crossJoin(broadcast(norm))
+      .withColumn("thr", floor(rate * lit(65536)).cast("long"))
+      .select(col("lang"), col("n_docs"), col("lang_chars"), col("thr"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long")
+    val sampled = col("bucket") < col("thr")
+    d.join(broadcast(rates), Seq("lang"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("lang"), col("n_docs"), col("lang_chars"), col("thr"))
+      .agg(
+        sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(sampled, col("n_chars")).otherwise(0L)).as("chars_after"),
+        bit_xor(when(sampled, col("doc_id"))).as("sampled_id_xor"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusMixSql: String =
+    """WITH s AS (SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(lang_chars) AS BIGINT) AS total_chars FROM s),
+      |w AS (SELECT s.*, t.total_chars,
+      |    CAST(floor(sqrt(CAST(lang_chars AS DOUBLE)
+      |      / CAST(total_chars AS DOUBLE)) * 1e9) AS BIGINT) AS w9
+      |  FROM s, t),
+      |nw AS (SELECT CAST(SUM(w9) AS BIGINT) AS norm9 FROM w),
+      |r AS (SELECT w.lang, w.n_docs, w.lang_chars,
+      |    CAST(floor(least(
+      |      (CAST(w9 AS DOUBLE) / CAST(norm9 AS DOUBLE))
+      |        * (CAST(total_chars AS DOUBLE) / CAST(lang_chars AS DOUBLE))
+      |        * 0.5,
+      |      1.0) * 65536) AS BIGINT) AS thr
+      |  FROM w, nw),
+      |b AS (SELECT d.lang, d.doc_id, d.n_chars, r.n_docs, r.lang_chars,
+      |    r.thr,
+      |    CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+      |      AS BIGINT) AS bucket
+      |  FROM documents d JOIN r USING (lang))
+      |SELECT lang, n_docs, lang_chars, thr,
+      |  CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled,
+      |  CAST(SUM(CASE WHEN bucket < thr THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS chars_after,
+      |  CAST(bit_xor(CASE WHEN bucket < thr THEN doc_id END) AS BIGINT)
+      |    AS sampled_id_xor
+      |FROM b GROUP BY lang, n_docs, lang_chars, thr
+      |ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix" -> (corpusMix _),
     "doc_repetition" -> (docRepetition _),
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_chunk" -> (docChunk _),
@@ -685,6 +778,7 @@ object Pipeline {
     "dedup_clusters" -> (dedupClusters _))
 
   def oracle: Map[String, String] = Map(
+    "corpus_mix" -> corpusMixSql,
     "doc_repetition" -> docRepetitionSql,
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_chunk" -> docChunkSql,

@@ -330,4 +330,84 @@ class QueriesSpec extends SparkSpec {
     val got = clusters.map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == ref, s"cluster partition differs from union-find reference")
   }
+
+  test("corpus_mix rebalances: dominant stratum is sampled hardest") {
+    // (lang, n_docs, lang_chars, thr, n_sampled, chars_after, xor)
+    val rows = operators.Pipeline.corpusMix(spark, sfSmall).collect()
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), s"sampled more docs than exist: $r")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 65536, s"thr out of range: $r")
+      assert(r.getLong(5) <= r.getLong(2), s"kept more chars than exist: $r")
+    }
+    // α<1 temperature smoothing keeps MORE of small strata than of the
+    // dominant one: the largest-chars lang must have the smallest threshold
+    val byChars = rows.sortBy(_.getLong(2))
+    assert(byChars.last.getLong(3) == rows.map(_.getLong(3)).min,
+      "dominant stratum does not have the lowest keep rate")
+    // global char budget: kept chars stay in the (0.5·total, total) band —
+    // smoothing shifts mass to small strata (they clamp at keep-all), so
+    // the realized total lands above the 0.5 target, never at/above 1.0
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    val kept = rows.map(_.getLong(5)).sum.toDouble
+    assert(kept / total > 0.4 && kept / total < 0.95,
+      s"kept char fraction ${kept / total} outside the plausible band")
+  }
+
+  test("embedding_semantic_dedup: cells conserve vectors and keep a survivor") {
+    // (cell, n_vecs, n_dropped, n_kept, dropped_id_xor)
+    val rows = operators.Embeddings.embeddingSemanticDedup(spark, sfSmall)
+      .collect()
+    val nVecs = graft.Tables.embeddings(spark, sfSmall).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs,
+      "cells do not partition the collection")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), s"kept+dropped!=n: $r")
+      // the lowest-id vector of a cell has no lower-id in-cell neighbor,
+      // so a nonempty cell can never drop everything
+      assert(r.getLong(3) >= 1, s"cell dropped every vector: $r")
+      assert((r.getLong(2) == 0) == r.isNullAt(4),
+        s"xor null-ness disagrees with drop count: $r")
+    }
+  }
+
+  test("doc_bpe_pairs: ranks dense, counts monotone, pairs well-formed") {
+    val rows = operators.Docs.docBpePairs(spark, sfSmall).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"$lang ranks not dense")
+      val counts = sorted.map(_.getLong(3))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"$lang counts not non-increasing")
+      sorted.foreach { r =>
+        val parts = r.getString(2).split(" ", -1)
+        assert(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"malformed pair '${r.getString(2)}'")
+      }
+    }
+  }
+
+  test("events_anomaly agrees with an independently-computed 3-sigma rule") {
+    import org.apache.spark.sql.functions.{abs => fAbs}
+    val rows = operators.Analytics.eventsAnomaly(spark, sfSmall).collect()
+    // independent recompute with Spark's own Welford aggregates: counts
+    // must agree (the 3σ boundary sits far from any float-rounding edge)
+    val ev = graft.Tables.events(spark, sfSmall)
+    val ref = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"),
+        stddev_pop(col("value")).as("sigma"))
+    val refCounts = ev.join(ref, Seq("event_type"))
+      .filter(fAbs(col("value") - col("mu")) > col("sigma") * lit(3.0))
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (et, n) = (r.getString(0), r.getLong(4))
+      assert(n == refCounts.getOrElse(et, 0L),
+        s"$et anomaly count $n != welford-reference ${refCounts.get(et)}")
+      // >= not >: max_z is rounded to 6dp, which can floor a just-past-3σ
+      // z (e.g. 3.0000004) back onto the boundary
+      if (n > 0) assert(r.getDouble(6) >= 3.0, s"$et max_z not beyond 3σ: $r")
+      assert((n == 0) == r.isNullAt(5), s"$et xor null-ness wrong: $r")
+    }
+  }
 }
