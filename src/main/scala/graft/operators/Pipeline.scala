@@ -204,26 +204,52 @@ object Pipeline {
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("id"), col("label"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst"))
-        .agg(min(col("label")).as("nbr_min"))
-      val next = labels.as("x")
-        .join(prop, col("x.id") === col("dst"), "left")
-        .withColumn("l1",
-          least(col("x.label"), coalesce(col("nbr_min"), col("x.label"))))
-        // pointer jump: also adopt label(label(v)) — label chains halve
-        // every round, turning O(diameter) rounds into O(log diameter)
-        .join(labels.as("y").select(col("id").as("yid"),
-          col("label").as("ylabel")), col("l1") === col("yid"), "left")
-        .withColumn("l2",
-          least(col("l1"), coalesce(col("ylabel"), col("l1"))))
-        .select(col("x.id").as("id"), col("l2").as("label"),
-          (col("l2") < col("x.label")).as("chg"))
-        .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.select(col("id"), col("label"))
+    // ITERATION SCOPE: AQE off + narrow shuffle fan-out. The loop's
+    // frames are label/edge tables bounded by the candidate-pair count —
+    // pair detection already collapsed the corpus, so they are kilobytes
+    // at any input scale — yet under AQE each round's checkpoint
+    // materialization splits into one Spark job PER SHUFFLE STAGE
+    // (measured ~6 jobs/round at sf0.1, pure driver round-trips), and
+    // with AQE simply off the static 32-partition shuffles pay 32 task
+    // launches per exchange for rows that fit one partition. Four
+    // partitions keeps the loop distributed (no single-task funnel) while
+    // cutting both costs; the seed/pair materialization above and the
+    // caller's downstream plan keep the session's own settings, same
+    // scope discipline as the IVF trainer (Embeddings.trained). At true
+    // scale this knob RISES with pair volume — it bounds work per task,
+    // not the algorithm.
+    val spark = rawPairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    val partPrev = spark.conf.get(partKey, "32")
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(partKey, "4")
+    try {
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, col("src") === col("id"))
+          .groupBy(col("dst"))
+          .agg(min(col("label")).as("nbr_min"))
+        val next = labels.as("x")
+          .join(prop, col("x.id") === col("dst"), "left")
+          .withColumn("l1",
+            least(col("x.label"), coalesce(col("nbr_min"), col("x.label"))))
+          // pointer jump: also adopt label(label(v)) — label chains halve
+          // every round, turning O(diameter) rounds into O(log diameter)
+          .join(labels.as("y").select(col("id").as("yid"),
+            col("label").as("ylabel")), col("l1") === col("yid"), "left")
+          .withColumn("l2",
+            least(col("l1"), coalesce(col("ylabel"), col("l1"))))
+          .select(col("x.id").as("id"), col("l2").as("label"),
+            (col("l2") < col("x.label")).as("chg"))
+          .localCheckpoint()
+        changed = next.filter(col("chg")).count()
+        labels = next.select(col("id"), col("label"))
+      }
+    } finally {
+      spark.conf.set(aqeKey, aqePrev)
+      spark.conf.set(partKey, partPrev)
     }
     labels
   }
