@@ -383,10 +383,16 @@ object Analytics {
     * changes: moments stay 5 rows, and dprodSum's 3-way split keeps Σv²
     * exact out to ~4e12 rows per type.
     */
-  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  /** Per-type exact moments (n, μ, σ) — the "trained" side of the anomaly
+    * gate, shared by the batch report (eventsAnomaly) and the streaming
+    * filter (Streams.anomalyGate): the standard compute-moments-in-batch /
+    * serve-on-the-stream split. Pinned so consumers can't re-run the
+    * corpus aggregate.
+    */
+  private[graft] def eventMoments(spark: SparkSession, dir: String)
+      : DataFrame = {
     val nD = col("n_events").cast("double")
-    val stats = ev.groupBy(col("event_type"))
+    Tables.events(spark, dir).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         dsum(col("value")).as("s1"),
         dprodSum(col("value"), col("value")).as("s2"))
@@ -394,6 +400,11 @@ object Analytics {
       .withColumn("sigma",
         sqrt((col("s2") - col("s1") * col("s1") / nD) / nD))
       .localCheckpoint()
+  }
+
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = eventMoments(spark, dir)
     val z = abs(col("value") - col("mu")) / col("sigma")
     val anom = abs(col("value") - col("mu")) > col("sigma") * lit(3.0)
     val flagged = ev

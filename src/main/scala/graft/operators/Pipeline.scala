@@ -30,6 +30,14 @@ object Pipeline {
     * dup_frac is one correctly-rounded double division of exact counts.
     */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // explode + shuffle, NOT a per-row HOF: the tempting all-map-side
+    // form — transform(sequence(...)) to build each doc's trigram array
+    // + size(array_distinct(...)) — is semantically identical and
+    // shuffle-free, but transform/array_distinct evaluate interpreted
+    // per element, and it measured SLOWER (1.03 s vs 0.81 s warm at
+    // sf0.1) than exploding codegen'd concat_ws rows through one
+    // partial-aggregated exchange. Same lesson as the round-3 de-HOF
+    // passes: the shuffle is cheaper than leaving codegen.
     val tri = Tables.documents(spark, dir)
       .withColumn("toks", split(norm(col("text")), " "))
       .filter(size(col("toks")) >= 3)

@@ -147,6 +147,28 @@ object Streams {
       clicks.withWatermark("ts", "2 hours"),
       purchases.withWatermark("ts", "2 hours"))
 
+  /** ST9 — streaming telemetry outlier gate: the deployed form of
+    * events_anomaly (L20). The per-type moments (μ/σ) come from the batch
+    * two-pass job (`Analytics.eventMoments`) as a STATIC broadcast table —
+    * the standard train-in-batch / serve-on-the-stream split — so the gate
+    * is a stateless map-side filter: no watermark, no state store, no
+    * shuffle; each micro-batch flags in one narrow pass, and the moment
+    * table refreshes by restarting the query (or a foreachBatch re-read)
+    * exactly like any model-serving join. Flag arithmetic is the batch
+    * twin's, so stream and batch agree row-for-row.
+    */
+  def anomalyGate(events: DataFrame, moments: DataFrame): DataFrame = {
+    val anom = abs(col("value") - col("mu")) > col("sigma") * lit(3.0)
+    events.join(
+        broadcast(moments.select(col("event_type"), col("mu"),
+          col("sigma"))),
+        Seq("event_type"))
+      .filter(anom)
+      .withColumn("z", abs(col("value") - col("mu")) / col("sigma"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        col("z"))
+  }
+
   /** Last-writer-wins collapse of a change log fragment: one row per key,
     * ordered by (ts, event_id); 'error' events are tombstones. Pure — the
     * same function serves the batch twin (Cdc.cdcApply), the per-batch

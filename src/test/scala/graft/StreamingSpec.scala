@@ -296,4 +296,37 @@ class StreamingSpec extends SparkSpec {
         s"stream result $got != batch twin $expected")
     } finally q.stop()
   }
+
+  test("ST9 streaming anomaly gate equals the batch 3σ filter") {
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val events = Seq(
+      ev(1, 0, 1, "view", 10.0),   // at the mean → passes
+      ev(2, 1, 1, "view", 10.5),   // 0.5σ → passes
+      ev(3, 2, 2, "view", 99.0),   // 89σ → flagged
+      ev(4, 3, 2, "click", 5.0),   // at the mean → passes
+      ev(5, 4, 3, "click", 50.0))  // 22.5σ → flagged
+    val moments = Seq(("view", 10.0, 1.0), ("click", 5.0, 2.0))
+      .toDF("event_type", "mu", "sigma")
+    val q = Streams.anomalyGate(input.toDF(), moments)
+      .writeStream.format("memory").queryName("st9")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(2))
+      drain(q)
+      input.addData(events.drop(2))
+      drain(q)
+      val got = spark.table("st9").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(3L, 5L),
+        s"gate flagged the wrong events: $got")
+      assert(got.map(_._2) == Seq(89.0, 22.5), s"z-scores off: $got")
+      // the gate is the same code path in batch — agreement is by
+      // construction, asserted anyway to pin the stateless contract
+      val batch = Streams.anomalyGate(events.toDF(), moments)
+        .collect().map(r => (r.getLong(0), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+      assert(batch == got, s"stream $got != batch twin $batch")
+    } finally q.stop()
+  }
 }
