@@ -85,6 +85,83 @@ object Cdc {
        |FROM ranked WHERE rn = 1 AND op <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** cdc_snapshot_diff (S7) — derive a changelog by DIFFING two snapshot
+    * states: the reverse of cdc_apply, and the mode a CDC pipeline falls
+    * back to when the source exposes no changelog (periodic full dumps,
+    * "full load + diff"). Snapshot OLD is the LWW state over the log
+    * minus the arriving batch (the same deterministic event_id % 4 = 3
+    * split as cdc_incremental_agg); snapshot NEW is the LWW state over
+    * the full log. The emitted rows are exactly the insert / update /
+    * delete events a downstream apply would need to move OLD to NEW —
+    * keys whose surviving (event_id) changed; unchanged keys are
+    * suppressed. Deletes are real: a key whose final event is an 'error'
+    * tombstone exists in OLD but not NEW.
+    *
+    * Scale: both snapshots are one window over the key partition and the
+    * diff is a key-partitioned full outer join — the two branches share
+    * the scan, every exchange is on user_id, and nothing is driver-side.
+    * At 100 TB this is the standard reconciliation plan (three
+    * key-partitioned passes over the two dumps).
+    */
+  def cdcSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(spark, dir).select(
+      col("user_id"), col("ts"), col("event_id"), col("value"),
+      when(col("event_type") === "error", "delete").otherwise("upsert")
+        .as("op"),
+      (col("event_id") % 4 === 3).as("is_new"))
+    def lwwState(l: DataFrame) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      l.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "delete")
+        .select(col("user_id"), col("event_id"), col("value"))
+    }
+    val s1 = lwwState(log.filter(!col("is_new")))
+      .select(col("user_id").as("u1"), col("event_id").as("old_event_id"),
+        col("value").as("old_value"))
+    val s2 = lwwState(log)
+      .select(col("user_id").as("u2"), col("event_id").as("new_event_id"),
+        col("value").as("new_value"))
+    s1.join(s2, col("u1") === col("u2"), "full_outer")
+      .filter(col("u1").isNull || col("u2").isNull ||
+        col("old_event_id") =!= col("new_event_id"))
+      .select(
+        coalesce(col("u1"), col("u2")).as("user_id"),
+        when(col("u1").isNull, "insert")
+          .when(col("u2").isNull, "delete")
+          .otherwise("update").as("change"),
+        col("old_event_id"), col("new_event_id"),
+        col("old_value"), col("new_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcSnapshotDiffSql: String =
+    """WITH log AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+      |    event_id % 4 = 3 AS is_new
+      |  FROM events),
+      |s1 AS (SELECT user_id, event_id, value FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM log WHERE NOT is_new)
+      |  WHERE rn = 1 AND op <> 'delete'),
+      |s2 AS (SELECT user_id, event_id, value FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM log)
+      |  WHERE rn = 1 AND op <> 'delete')
+      |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+      |  CASE WHEN s1.user_id IS NULL THEN 'insert'
+      |       WHEN s2.user_id IS NULL THEN 'delete'
+      |       ELSE 'update' END AS change,
+      |  s1.event_id AS old_event_id, s2.event_id AS new_event_id,
+      |  s1.value AS old_value, s2.value AS new_value
+      |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+      |WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+      |   OR s1.event_id <> s2.event_id
+      |ORDER BY user_id""".stripMargin
+
   /** event_funnel — conditional aggregation (CASE WHEN inside SUM) building
     * a per-user view→click→purchase funnel with a derived stage label.
     */
@@ -315,6 +392,7 @@ object Cdc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
+    "cdc_snapshot_diff" -> (cdcSnapshotDiff _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_scd2" -> (cdcScd2 _),
     "event_funnel" -> (eventFunnel _),
@@ -324,6 +402,7 @@ object Cdc {
   def oracle: Map[String, String] = Map(
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
+    "cdc_snapshot_diff" -> cdcSnapshotDiffSql,
     "cdc_incremental_agg" -> cdcIncrementalAggSql,
     "cdc_scd2" -> cdcScd2Sql,
     "event_funnel" -> eventFunnelSql,

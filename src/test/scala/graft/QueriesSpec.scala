@@ -387,6 +387,49 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("cdc_snapshot_diff: applying the diff to OLD reconstructs NEW") {
+    // independently rebuild the two LWW snapshot states, then check the
+    // algebra: NEW = OLD minus deletes, plus inserts, with updates
+    // replaced — and every key NOT in the diff is identical in both
+    def lww(newToo: Boolean): Map[Long, (Long, Double)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      graft.Tables.events(spark, sfSmall)
+        .filter(if (newToo) lit(true) else !(col("event_id") % 4 === 3))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    }
+    val (oldSt, newSt) = (lww(false), lww(true))
+    val diff = operators.Cdc.cdcSnapshotDiff(spark, sfSmall).collect()
+    var rebuilt = oldSt
+    diff.foreach { r =>
+      val (u, change) = (r.getLong(0), r.getString(1))
+      change match {
+        case "insert" =>
+          assert(!oldSt.contains(u) && r.isNullAt(2), s"bad insert: $r")
+          rebuilt += u -> (r.getLong(3), r.getDouble(5))
+        case "delete" =>
+          assert(oldSt.contains(u) && r.isNullAt(3), s"bad delete: $r")
+          rebuilt -= u
+        case "update" =>
+          assert(oldSt.contains(u) && r.getLong(2) != r.getLong(3),
+            s"bad update: $r")
+          rebuilt += u -> (r.getLong(3), r.getDouble(5))
+      }
+    }
+    assert(rebuilt == newSt, "diff applied to OLD does not reconstruct NEW")
+    val touched = diff.map(_.getLong(0)).toSet
+    (oldSt.keySet ++ newSt.keySet).filterNot(touched).foreach { u =>
+      assert(oldSt.get(u) == newSt.get(u), s"suppressed key $u changed")
+    }
+    assert(diff.map(_.getString(1)).toSet.subsetOf(
+      Set("insert", "update", "delete")))
+  }
+
   test("events_anomaly agrees with an independently-computed 3-sigma rule") {
     import org.apache.spark.sql.functions.{abs => fAbs}
     val rows = operators.Analytics.eventsAnomaly(spark, sfSmall).collect()
