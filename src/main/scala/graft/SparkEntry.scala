@@ -26,7 +26,9 @@ object SparkEntry {
       (operators.Collections.queries, operators.Collections.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.Skew.queries, operators.Skew.oracle),
-      (sources.Partitioned.queries, sources.Partitioned.oracle))
+      (operators.TimeSeries.queries, operators.TimeSeries.oracle),
+      (sources.Partitioned.queries, sources.Partitioned.oracle),
+      (sources.Bucketed.queries, sources.Bucketed.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -47,6 +47,37 @@ object Olap {
       |  -- prove |approx - exact| <= 10% per group to produce `true`
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** agg_bitmap_distinct — EXACT distinct users per event type via packed
+    * 64-bit bitmap words: user ids map to (word = id >> 6, bit = id % 64),
+    * a first aggregation bit_ORs each word, a second sums popcounts. The
+    * oracle computes the same counts with plain COUNT(DISTINCT), so the
+    * hash-match proves the bitmap arithmetic IS the distinct count.
+    *
+    * Scale: this is the bitmap-index distinct idiom (ClickHouse
+    * groupBitmap / Doris BITMAP_UNION): the words are mergeable partial
+    * states, so what crosses the shuffle is ≤ |id domain|/64 words per
+    * group instead of the raw id stream, and re-aggregation over shards /
+    * days composes by bit_or without touching raw data again. Dense int
+    * keys pack as here; sparse 64-bit domains swap in roaring bitmaps
+    * behind the same algebra.
+    */
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type"), shiftright(col("user_id"), 6).as("word_idx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))").as("bits"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(bit_count(col("bits"))).cast("long").as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggBitmapDistinctSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id >> 6) AS BIGINT) AS n_words,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** agg_rollup — ROLLUP(year, priority) with per-column GROUPING flags;
     * subtotal rows carry NULL keys, so the final sort pins NULLS FIRST on
     * both engines.
@@ -225,6 +256,7 @@ object Olap {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_collect" -> (aggCollect _),
     "events_tumbling_1h" -> (eventsTumbling1h _),
@@ -234,6 +266,7 @@ object Olap {
 
   def oracle: Map[String, String] = Map(
     "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_rollup" -> aggRollupSql,
     "agg_collect" -> aggCollectSql,
     "events_tumbling_1h" -> eventsTumbling1hSql,

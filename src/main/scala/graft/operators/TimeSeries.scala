@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** Time-series regularization over the event log: resample an irregular
+  * stream onto a fixed grid and forward-fill the gaps — the prep step
+  * every downstream window/feature computation wants ("value of each
+  * sensor/user at each hour", telemetry dashboards, feature stores).
+  *
+  * The interesting engine piece is IGNORE NULLS window navigation:
+  * `last(value, ignoreNulls)` over a running row frame implements
+  * last-observation-carried-forward (LOCF) in one linear window pass —
+  * no self-join, no correlated subquery.
+  *
+  * Scale: the grid is |keys| × |grid slots| — generated map-side from a
+  * `sequence()` literal (no scan), joined to the hourly aggregate on the
+  * grid key. Everything partitions by user_id: one shuffle for the hourly
+  * agg, one for the (left) grid join, one window pass. Grid density is a
+  * knob: at 100 TB you'd grid per (entity, day) rather than globally, and
+  * the fill window is per-entity — no global ordering anywhere.
+  */
+object TimeSeries {
+  private val FROM = "2024-01-10 00:00:00"
+  private val TO = "2024-01-13 00:00:00" // exclusive
+  private val LAST_H = "2024-01-12 23:00:00" // last grid slot
+  private val USERS = 10
+
+  /** events_gapfill — hourly grid per user over a 3-day window; per slot:
+    * observation count, last observed value in the slot (max-by (ts,
+    * event_id) — the unique LWW tiebreak), and the forward-filled value
+    * (LOCF; null until the user's first observation).
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id") < USERS &&
+        col("ts") >= lit(FROM).cast("timestamp") &&
+        col("ts") < lit(TO).cast("timestamp"))
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("mx"))
+      .select(col("user_id"), col("h"), col("n_obs"),
+        col("mx.value").as("last_in_hour"))
+    val grid = spark.range(0, USERS).select(col("id").as("user_id"))
+      .crossJoin(
+        spark.range(1).select(explode(sequence(
+          lit(FROM).cast("timestamp"), lit(LAST_H).cast("timestamp"),
+          expr("interval 1 hour"))).as("h")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("last_in_hour"),
+        last(col("last_in_hour"), ignoreNulls = true).over(w).as("filled"))
+      .select(col("user_id"), fmtTs(col("h")).as("hour"), col("n_obs"),
+        col("last_in_hour"), col("filled"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val eventsGapfillSql: String =
+    s"""WITH ev AS (
+       |  SELECT * FROM events
+       |  WHERE user_id < $USERS
+       |    AND ts >= TIMESTAMP '$FROM' AND ts < TIMESTAMP '$TO'),
+       |hourly AS (
+       |  SELECT user_id, h, n_obs, last_in_hour FROM (
+       |    SELECT user_id, date_trunc('hour', ts) AS h, value AS last_in_hour,
+       |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+       |        ORDER BY ts DESC, event_id DESC) AS rn,
+       |      count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+       |        AS n_obs
+       |    FROM ev)
+       |  WHERE rn = 1),
+       |grid AS (
+       |  SELECT u.user_id, g.h
+       |  FROM range(0, $USERS) u(user_id),
+       |       generate_series(TIMESTAMP '$FROM', TIMESTAMP '$LAST_H',
+       |         INTERVAL 1 HOUR) g(h))
+       |SELECT grid.user_id, ${sqlFmtTs("grid.h")} AS hour,
+       |  CAST(COALESCE(hourly.n_obs, 0) AS BIGINT) AS n_obs,
+       |  hourly.last_in_hour,
+       |  last_value(hourly.last_in_hour IGNORE NULLS) OVER (
+       |    PARTITION BY grid.user_id ORDER BY grid.h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+       |FROM grid LEFT JOIN hourly
+       |  ON grid.user_id = hourly.user_id AND grid.h = hourly.h
+       |ORDER BY grid.user_id, hour""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gapfill" -> (eventsGapfill _))
+
+  def oracle: Map[String, String] = Map(
+    "events_gapfill" -> eventsGapfillSql)
+}

@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** Bucketed co-located fact-fact join (SURVEY.md §4 "bucketing").
+  *
+  * `Partitioned` demonstrates pruning — the read-side answer to date
+  * predicates. This module demonstrates the OTHER pillar of a 100-TB
+  * layout: pre-bucketing the two biggest facts on their join key so the
+  * recurring lineitem⋈orders join (and any aggregation keyed on the same
+  * column) runs with ZERO data shuffle. A one-time prep step lands both
+  * tables CLUSTERED BY their order key into the same bucket count; every
+  * subsequent join reads bucket i of lineitem against bucket i of orders —
+  * Spark's scan reports hash distribution, so Catalyst plans the
+  * sort-merge join AND the per-order aggregate with no ShuffleExchange
+  * anywhere (pinned in PlanSpec). The only exchange left in the whole
+  * query is the final presentation ORDER BY.
+  *
+  * Scale: this is the canonical warehouse answer to "the same big join
+  * every day" — pay one keyed re-land, then every co-located join/agg is
+  * scan-local (no network), straggler-free, and AQE-independent. The
+  * landing is keyed on source size/mtime exactly like
+  * [[Partitioned.eventsByDay]]: a regenerated source lands fresh buckets.
+  * Bucket count 8 stands in for the 2-4k a real deployment picks
+  * (buckets ≥ cluster cores; both sides MUST agree for co-location).
+  */
+object Bucketed {
+  private val BUCKETS = 8
+
+  // per-JVM memo: (sfDir -> (lineitem table name, orders table name))
+  private val prepared =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[graft] def resetMemoForTest(): Unit = prepared.clear()
+
+  /** Source fingerprint (size+mtime), same contract as Partitioned: a
+    * regenerated parquet at the same path must land a fresh bucketed copy,
+    * never serve the previous JVM's stale one. */
+  private def srcStamp(dir: String, table: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
+          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
+        }
+      else (f.length, f.lastModified)
+    val (sz, mt) = walk(new java.io.File(dir, s"$table.parquet"))
+    s"${sz}_$mt"
+  }
+
+  /** Land (once per source state) and register (once per JVM) one bucketed
+    * table; returns its catalog name. The catalog entry is what carries the
+    * bucket spec — `spark.table` on it gives a scan whose outputPartitioning
+    * is HashPartitioning(key, BUCKETS), which is what kills the exchanges.
+    * The data lands under tmpdir as an EXTERNAL table location so a fresh
+    * JVM re-registers the same files instead of rewriting them (_SUCCESS
+    * gates the insert, the stamp gates staleness).
+    */
+  private def ensureTable(spark: SparkSession, dir: String, table: String,
+      key: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val stamp = srcStamp(dir, table)
+    val name = s"graft_${table}_b_${safe}_$stamp".replace('.', '_').replace('-', '_')
+    if (!spark.catalog.tableExists(name)) {
+      val src = Tables.load(spark, dir, table)
+      val loc = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_bucket_$safe/${table}_$stamp")
+      spark.sql(
+        s"""CREATE TABLE $name (${src.schema.toDDL})
+           |USING parquet
+           |CLUSTERED BY ($key) INTO $BUCKETS BUCKETS
+           |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+      if (!new java.io.File(loc, "_SUCCESS").exists()) {
+        src.createOrReplaceTempView(s"${name}_src")
+        spark.sql(s"INSERT OVERWRITE TABLE $name SELECT * FROM ${name}_src")
+      }
+    }
+    name
+  }
+
+  private[graft] def ensure(spark: SparkSession, dir: String): (String, String) =
+    prepared.getOrElseUpdate(dir, {
+      (ensureTable(spark, dir, "lineitem", "l_orderkey"),
+        ensureTable(spark, dir, "orders", "o_orderkey"))
+    })
+
+  /** join_bucketed — per-order revenue for multi-line orders, over the
+    * co-bucketed lineitem⋈orders pair. The merge hint pins the plan both
+    * fact sides keep at 100 TB (neither side broadcastable); grouping on
+    * the bucket key means the aggregate inherits the scan's distribution
+    * too — the plan's ONLY ShuffleExchange is the presentation sort
+    * (asserted in PlanSpec).
+    */
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (lTbl, oTbl) = ensure(spark, dir)
+    val l = spark.table(lTbl)
+    val o = spark.table(oTbl)
+    l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(l("l_orderkey").as("orderkey"), o("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dsum6(l("l_extendedprice") * (lit(1) - l("l_discount")))
+          .as("revenue"))
+      .filter(col("n_lines") >= 6)
+      .orderBy(col("orderkey"))
+  }
+
+  /** Oracle over the FLAT tables: bucketing changes the plan, not the
+    * answer. */
+  val joinBucketedSql: String =
+    s"""SELECT l_orderkey AS orderkey, o_orderpriority,
+       |  COUNT(*) AS n_lines,
+       |  ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 6
+       |ORDER BY orderkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed" -> (joinBucketed _))
+
+  def oracle: Map[String, String] = Map(
+    "join_bucketed" -> joinBucketedSql)
+}

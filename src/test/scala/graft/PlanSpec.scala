@@ -149,6 +149,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_bucketed joins and aggregates with zero data shuffle") {
+    // The whole point of the bucketed landing: lineitem⋈orders co-located
+    // on the bucket key, and the per-order aggregate inheriting the scan's
+    // hash distribution — so the ONLY exchange in the plan is the final
+    // presentation ORDER BY (a range partitioning). A second shuffle
+    // appearing here means the bucket metadata stopped reaching the scan
+    // and the 100-TB plan just regained its two biggest exchanges.
+    // executedPlan AFTER execution: EnsureRequirements only inserts
+    // exchanges in the prepared plan, and AQE finalizes it on first run
+    val df = SparkEntry.queries("join_bucketed")(spark, sfTiny)
+    df.collect()
+    // the AQE plan string repeats the tree under "== Initial Plan ==" —
+    // count exchanges only in the finalized section
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"co-located join/agg regained a data shuffle:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the presentation-sort range exchange:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      "co-located fact join should be a sort-merge join")
+    assert(p.contains("Bucketed: true"),
+      s"scans stopped reporting bucketed reads:\n$p")
+  }
+
   test("partitioned landing copy re-lands when the source parquet changes") {
     // srcStamp keys the tmpdir landing path on the source's size/mtime:
     // a fresh JVM (simulated via resetMemoForTest) over an UNCHANGED

@@ -430,6 +430,62 @@ class QueriesSpec extends SparkSpec {
       Set("insert", "update", "delete")))
   }
 
+  test("agg_bitmap_distinct bitmap popcounts equal plain countDistinct") {
+    // the oracle already proves this cross-engine; this pins it ENGINE-side
+    // so a bitmap-arithmetic regression fails fast with a readable diff
+    val bitmap = operators.Olap.aggBitmapDistinct(spark, sfSmall).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = graft.Tables.events(spark, sfSmall)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bitmap == exact, s"bitmap=$bitmap exact=$exact")
+  }
+
+  test("events_gapfill forward-fills exactly the last observation <= slot") {
+    val rows = operators.TimeSeries.eventsGapfill(spark, sfSmall).collect()
+    // independent LOCF reference: replay each user's observed (hour, value)
+    // stream in order and carry the last value forward across the grid
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      var carried: Option[Double] = None
+      rs.sortBy(_.getString(1)).foreach { r =>
+        if (!r.isNullAt(3)) carried = Some(r.getDouble(3))
+        (carried, if (r.isNullAt(4)) None else Some(r.getDouble(4))) match {
+          case (Some(c), Some(f)) => assert(c == f, s"LOCF mismatch: $r")
+          case (None, None) => // before first observation: stays null
+          case other => fail(s"fill null-ness diverged $other: $r")
+        }
+        // a slot with observations must surface its own last value
+        if (r.getLong(2) > 0)
+          assert(!r.isNullAt(3) && r.getDouble(4) == r.getDouble(3),
+            s"observed slot not self-filled: $r")
+      }
+    }
+    // the grid is complete: every user has every hour exactly once
+    byUser.foreach { case (u, rs) =>
+      assert(rs.length == 72 && rs.map(_.getString(1)).distinct.length == 72,
+        s"user $u grid incomplete: ${rs.length}")
+    }
+  }
+
+  test("join_bucketed equals the same aggregation over the flat tables") {
+    val bucketed = SparkEntry.queries("join_bucketed")(spark, sfTiny)
+      .collect().map(_.toSeq)
+    val l = graft.Tables.lineitem(spark, sfTiny)
+    val o = graft.Tables.orders(spark, sfTiny)
+    val flat = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(l("l_orderkey").as("orderkey"), o("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Det.dsum6(
+          l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"))
+      .filter(col("n_lines") >= 6)
+      .orderBy(col("orderkey"))
+      .collect().map(_.toSeq)
+    assert(bucketed.nonEmpty && bucketed.toSeq == flat.toSeq,
+      "bucketed result diverged from flat-table result")
+  }
+
   test("events_anomaly agrees with an independently-computed 3-sigma rule") {
     import org.apache.spark.sql.functions.{abs => fAbs}
     val rows = operators.Analytics.eventsAnomaly(spark, sfSmall).collect()
