@@ -798,8 +798,94 @@ object Pipeline {
       |FROM b GROUP BY lang, n_docs, lang_chars, thr
       |ORDER BY lang""".stripMargin
 
+  /** doc_dup_spans (L21) — cross-document EXACT-substring duplication
+    * coverage (the Lee et al. 2021 "exact substring dedup" signal,
+    * complementing doc_line_dedup's structural lines): an 8-token gram
+    * occurring in ≥2 distinct documents marks every token position it
+    * covers as duplicated; per language we report how many documents carry
+    * any duplicated span, how many of their tokens sit under one, and the
+    * xor membership checksum of the affected doc ids. Downstream a
+    * pipeline either drops the spans (suffix-array style) or uses the
+    * coverage fraction as a quality feature — this query is the audit
+    * report both need.
+    *
+    * Scale: stride-1 gram explosion is map-side (rows ≈ corpus tokens);
+    * the gram table shuffles ONCE on the gram hash for the shared-gram
+    * aggregate, and the semi-join back to positions reuses that exchange
+    * (same key). The position-expansion explode is bounded by ACTUAL
+    * duplication (shared-gram occurrences ×8), and the distinct + per-doc
+    * count shuffle on doc_id. No broadcast of anything O(corpus); this is
+    * the canonical shuffle-on-gram plan a 100-TB dedup pass runs.
+    */
+  def docDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val G = 8
+    val d = Tables.documents(spark, dir)
+    val toked = d.select(col("doc_id"), col("lang"),
+        split(norm(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val grams = toked.filter(col("n") >= G)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(1), col("n") - (G - 1))).as("s"))
+      .select(col("doc_id"), col("s"),
+        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(G)))).as("g"))
+    // shared = grams seen in ≥2 distinct docs (min≠max spares a
+    // count-distinct: two-value test on an already-grouped key)
+    val shared = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .select(col("g"))
+    val perDoc = grams
+      .join(shared, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (G - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+    toked.join(perDoc, Seq("doc_id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("dup_tokens")).as("n_docs_hit"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        sum(col("n").cast("long")).as("total_tokens"),
+        coalesce(expr(
+          "bit_xor(CASE WHEN dup_tokens IS NOT NULL THEN doc_id END)"),
+          lit(0L)).as("hit_id_xor"))
+      .withColumn("dup_rate",
+        col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  val docDupSpansSql: String =
+    s"""WITH toked AS (
+       |  SELECT doc_id, lang, string_split($sqlNorm, ' ') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, s, md5(array_to_string(t[s : s + 7], ' ')) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS s
+       |        FROM toked WHERE len(t) >= 8)),
+       |shared AS (
+       |  SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, p
+       |  FROM (SELECT doc_id, unnest(range(s, s + 8)) AS p
+       |        FROM grams WHERE g IN (SELECT g FROM shared))),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS dup_tokens FROM covered GROUP BY doc_id)
+       |SELECT lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(COUNT(per_doc.doc_id) AS BIGINT) AS n_docs_hit,
+       |  CAST(COALESCE(SUM(per_doc.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+       |  CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+       |  CAST(COALESCE(bit_xor(CASE WHEN per_doc.doc_id IS NOT NULL
+       |    THEN toked.doc_id END), 0) AS BIGINT) AS hit_id_xor,
+       |  CAST(COALESCE(SUM(per_doc.dup_tokens), 0) AS DOUBLE)
+       |    / CAST(SUM(len(t)) AS DOUBLE) AS dup_rate
+       |FROM toked LEFT JOIN per_doc ON toked.doc_id = per_doc.doc_id
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix" -> (corpusMix _),
+    "doc_dup_spans" -> (docDupSpans _),
     "doc_repetition" -> (docRepetition _),
     "doc_pii_scrub" -> (docPiiScrub _),
     "doc_chunk" -> (docChunk _),
@@ -813,6 +899,7 @@ object Pipeline {
 
   def oracle: Map[String, String] = Map(
     "corpus_mix" -> corpusMixSql,
+    "doc_dup_spans" -> docDupSpansSql,
     "doc_repetition" -> docRepetitionSql,
     "doc_pii_scrub" -> docPiiScrubSql,
     "doc_chunk" -> docChunkSql,

@@ -486,6 +486,38 @@ class QueriesSpec extends SparkSpec {
       "bucketed result diverged from flat-table result")
   }
 
+  test("doc_dup_spans equals a brute-force span-coverage recount") {
+    // independent reference: materialize every 8-token gram per doc in
+    // plain Scala, find grams in ≥2 docs, union their covered positions
+    val docs = graft.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").toSeq))
+    val gramDocs = scala.collection.mutable.Map.empty[Seq[String], Set[Long]]
+    docs.foreach { case (id, _, toks) =>
+      toks.sliding(8).filter(_.length == 8).foreach { g =>
+        gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+      }
+    }
+    val sharedG = gramDocs.filter(_._2.size >= 2).keySet
+    val refPerLang = docs.groupBy(_._2).map { case (lang, ds) =>
+      val perDoc = ds.map { case (id, _, toks) =>
+        val covered = toks.sliding(8).zipWithIndex
+          .filter { case (g, _) => g.length == 8 && sharedG(g) }
+          .flatMap { case (_, i) => i until i + 8 }.toSet
+        (id, covered.size)
+      }
+      val hits = perDoc.filter(_._2 > 0)
+      lang -> (ds.length.toLong, hits.length.toLong,
+        hits.map(_._2.toLong).sum, ds.map(_._3.length.toLong).sum,
+        hits.map(_._1).foldLeft(0L)(_ ^ _))
+    }
+    val got = operators.Pipeline.docDupSpans(spark, sfTiny).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == refPerLang, s"got=$got ref=$refPerLang")
+  }
+
   test("events_anomaly agrees with an independently-computed 3-sigma rule") {
     import org.apache.spark.sql.functions.{abs => fAbs}
     val rows = operators.Analytics.eventsAnomaly(spark, sfSmall).collect()
