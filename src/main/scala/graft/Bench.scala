@@ -31,6 +31,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sorted bucketed scans (see Verify.scala note): one sorted file
+      // per bucket by construction, so the SMJ skips per-query sorts
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       // experiment knob: in theory AQE's re-planning jobs are pure
       // overhead at a pinned 32-partition local layout. Measured round 2

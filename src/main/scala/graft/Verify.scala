@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // graft-owned sessions opt in to sorted bucketed scans: the
+      // Bucketed landing guarantees one genuinely-sorted file per bucket
+      // (the layout this conf's 3.0 legacy-gating was worried about
+      // violating), so the co-located SMJ reads without per-query sorts
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -62,18 +62,28 @@ object Bucketed {
       key: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val stamp = srcStamp(dir, table)
-    val name = s"graft_${table}_b_${safe}_$stamp".replace('.', '_').replace('-', '_')
+    // v2 layout: SORTED BY + one file per bucket (the path version gates
+    // against a v1 landing of the same source being re-claimed as sorted)
+    val name = s"graft_${table}_b2_${safe}_$stamp".replace('.', '_').replace('-', '_')
     if (!spark.catalog.tableExists(name)) {
       val src = Tables.load(spark, dir, table)
       val loc = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_bucket_$safe/${table}_$stamp")
+        sys.props("java.io.tmpdir"), s"graft_bucket_$safe/${table}_v2_$stamp")
       spark.sql(
         s"""CREATE TABLE $name (${src.schema.toDDL})
            |USING parquet
-           |CLUSTERED BY ($key) INTO $BUCKETS BUCKETS
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $BUCKETS BUCKETS
            |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
       if (!new java.io.File(loc, "_SUCCESS").exists()) {
-        src.createOrReplaceTempView(s"${name}_src")
+        // repartition on the bucket key with numPartitions = bucket count:
+        // HashPartitioning and datasource bucketing share the murmur3 pmod
+        // hash, so each write task holds exactly one bucket's rows → ONE
+        // file per bucket. That is the condition under which the scan
+        // trusts SORTED BY and reports outputOrdering — the sort-merge
+        // join then reads pre-sorted buckets with no per-query SortExec
+        // (and at real scale, one-task-per-bucket IS the landing job).
+        src.repartition(BUCKETS, col(key))
+          .createOrReplaceTempView(s"${name}_src")
         spark.sql(s"INSERT OVERWRITE TABLE $name SELECT * FROM ${name}_src")
       }
     }

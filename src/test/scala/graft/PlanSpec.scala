@@ -172,6 +172,11 @@ class PlanSpec extends SparkSpec {
       "co-located fact join should be a sort-merge join")
     assert(p.contains("Bucketed: true"),
       s"scans stopped reporting bucketed reads:\n$p")
+    // SORTED BY + one file per bucket: the scan reports outputOrdering,
+    // so the ONLY Sort left is the presentation ORDER BY — a second Sort
+    // means the bucket files stopped being recognized as pre-sorted
+    assert("Sort ".r.findAllIn(p).length == 1,
+      s"sort-merge join regained per-query bucket sorts:\n$p")
   }
 
   test("partitioned landing copy re-lands when the source parquet changes") {
