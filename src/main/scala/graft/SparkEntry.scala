@@ -28,7 +28,8 @@ object SparkEntry {
       (operators.Skew.queries, operators.Skew.oracle),
       (operators.TimeSeries.queries, operators.TimeSeries.oracle),
       (sources.Partitioned.queries, sources.Partitioned.oracle),
-      (sources.Bucketed.queries, sources.Bucketed.oracle))
+      (sources.Bucketed.queries, sources.Bucketed.oracle),
+      (sources.ChangeLog.queries, sources.ChangeLog.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

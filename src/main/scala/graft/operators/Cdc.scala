@@ -56,8 +56,14 @@ object Cdc {
     * (ts, event_id), deletes drop the key. This is the core
     * MongoDB-change-stream → MySQL apply semantics in one shuffle.
     */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def cdcApply(spark: SparkSession, dir: String): DataFrame =
+    applyLww(Tables.events(spark, dir))
+
+  /** The LWW apply over any frame with the events envelope — shared by the
+    * parquet read (cdc_apply) and the JSONL wire-format read
+    * (cdc_jsonl_apply, sources/ChangeLog.scala): same collapse, different
+    * source, oracle-proven identical. */
+  private[graft] def applyLww(e: DataFrame): DataFrame = {
     val log = e.select(
       col("user_id"), col("ts"), col("event_id"), col("value"),
       when(col("event_type") === "error", "delete").otherwise("upsert").as("op"))

@@ -55,4 +55,75 @@ object ChangeLog {
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir))
   }
+
+  // ---- S8: JSON-lines wire format ----------------------------------------
+  //
+  // A Mongo change stream / Debezium topic ships newline-delimited JSON,
+  // not parquet; this is the engine's decode path for that wire format.
+  // `eventsJsonl` lands the log once as JSONL (the encode direction — what
+  // a capture agent writes to the landing zone), `cdcJsonlApply` reads it
+  // back with a PINNED schema (no inference scan — at 100 TB schema
+  // inference is a full extra pass) and applies the same LWW collapse as
+  // cdc_apply. The oracle is cdc_apply's SQL over the original parquet:
+  // a hash-match proves encode → JSONL → decode → apply loses nothing,
+  // timestamps included (microsecond round-trip via an explicit format).
+  // JSONL splits by line and parallelizes by file — scale-neutral.
+
+  private val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Declared JSONL schema: ts travels as a formatted string (JSON has no
+    * timestamp type); everything else keeps its logical type. */
+  val jsonlSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", StringType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val jsonlPrepared =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def srcStamp(dir: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
+          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
+        }
+      else (f.length, f.lastModified)
+    val (sz, mt) = walk(new java.io.File(dir, "events.parquet"))
+    s"${sz}_$mt"
+  }
+
+  /** Land (once per source state) the JSONL copy of the change log. */
+  private[graft] def eventsJsonl(spark: SparkSession, dir: String): String =
+    jsonlPrepared.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_jsonl_$safe/events_${srcStamp(dir)}")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        graft.Tables.events(spark, dir)
+          .select(col("event_id"),
+            date_format(col("ts"), TS_FMT).as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").json(out.getAbsolutePath)
+      }
+      out.getAbsolutePath
+    })
+
+  /** cdc_jsonl_apply — LWW apply fed from the JSONL wire format. */
+  def cdcJsonlApply(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.schema(jsonlSchema).json(eventsJsonl(spark, dir))
+    graft.operators.Cdc.applyLww(
+      raw.withColumn("ts", to_timestamp(col("ts"), TS_FMT)))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_jsonl_apply" -> (cdcJsonlApply _))
+
+  def oracle: Map[String, String] = Map(
+    // the oracle is cdc_apply's SQL over the ORIGINAL parquet: identical
+    // output proves the JSONL encode/decode round-trip is lossless
+    "cdc_jsonl_apply" -> graft.operators.Cdc.cdcApplySql)
 }

@@ -486,6 +486,15 @@ class QueriesSpec extends SparkSpec {
       "bucketed result diverged from flat-table result")
   }
 
+  test("cdc_jsonl_apply equals cdc_apply: the JSONL round-trip is lossless") {
+    val fromParquet = operators.Cdc.cdcApply(spark, sfTiny)
+      .collect().map(_.toSeq)
+    val fromJsonl = sources.ChangeLog.cdcJsonlApply(spark, sfTiny)
+      .collect().map(_.toSeq)
+    assert(fromParquet.nonEmpty && fromJsonl.toSeq == fromParquet.toSeq,
+      "JSONL-sourced apply diverged from the parquet-sourced apply")
+  }
+
   test("doc_dup_spans equals a brute-force span-coverage recount") {
     // independent reference: materialize every 8-token gram per doc in
     // plain Scala, find grams in ≥2 docs, union their covered positions
