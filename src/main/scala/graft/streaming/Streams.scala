@@ -115,6 +115,86 @@ object Streams {
       }
   }
 
+  /** One materialized (user, hour) slot of the streaming LOCF grid. */
+  case class FilledSlot(
+      user_id: Long, hour: Timestamp, n_obs: Long, filled: Double)
+
+  /** ST10 — streaming LOCF materialization (the deployed form of W5's
+    * events_gapfill): for every user, emit one row per completed hour —
+    * observation count and the last-observation-carried-forward value —
+    * including hours with NO data, where the carried value is re-emitted.
+    * This is the feature-store serving pattern ("current value of every
+    * key at every tick") that a batch gap-fill can only approximate after
+    * the fact.
+    *
+    * The state primitive is the REPEATED event-time timer: each user's
+    * state holds the next hour to emit plus per-open-hour pending
+    * aggregates; the timer is re-armed for the end of that hour, and when
+    * the watermark passes it the flush emits every newly-completed slot
+    * (observed hours finalize their own last value; silent hours re-emit
+    * the carried one). A silent user keeps emitting because OTHER users'
+    * events advance the watermark and fire its timer — exactly LOCF.
+    *
+    * Scale: state is O(users), each O(lateness horizon / hour) pending
+    * entries, sharded by the group key with the shuffle; emission work is
+    * proportional to completed slots. The watermark contract means no
+    * event can arrive for an already-emitted hour (late rows are dropped
+    * upstream), so emitted slots are final — Append mode is sound.
+    * The stream's grid starts at each user's first observation (a stream
+    * cannot know a global grid start); the batch twin pins the LOCF
+    * arithmetic itself on a fixed window.
+    */
+  def gapfillStream(events: Dataset[ChangeEvent]): Dataset[FilledSlot] = {
+    import events.sparkSession.implicits._
+    val HOUR = 3600L * 1000L
+    // state: (next hour to emit (start ms, -1 = unset), carried LOCF value,
+    //         open hours → (n_obs, best ts, best event_id, best value))
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[
+        (Long, Double, Map[Long, (Long, Long, Long, Double)]), FilledSlot](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[ChangeEvent],
+         state: GroupState[(Long, Double, Map[Long, (Long, Long, Long, Double)])]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (cursor, carried, pending) =
+            state.getOption.getOrElse(
+              (-1L, 0.0, Map.empty[Long, (Long, Long, Long, Double)]))
+          it.foreach { e =>
+            val h = Math.floorDiv(e.ts.getTime, HOUR) * HOUR
+            if (cursor == -1L) cursor = h
+            val (n, bts, bid, bv) =
+              pending.getOrElse(h, (0L, Long.MinValue, Long.MinValue, 0.0))
+            val better = e.ts.getTime > bts ||
+              (e.ts.getTime == bts && e.event_id > bid)
+            pending += h -> (n + 1,
+              if (better) e.ts.getTime else bts,
+              if (better) e.event_id else bid,
+              if (better) e.value else bv)
+          }
+          val out = Seq.newBuilder[FilledSlot]
+          if (cursor != -1L) {
+            while (cursor + HOUR <= wm) { // hour END has passed the watermark
+              pending.get(cursor) match {
+                case Some((n, _, _, v)) =>
+                  carried = v
+                  pending -= cursor
+                  out += FilledSlot(userId, new Timestamp(cursor), n, carried)
+                case None =>
+                  out += FilledSlot(userId, new Timestamp(cursor), 0L, carried)
+              }
+              cursor += HOUR
+            }
+            state.update((cursor, carried, pending))
+            // re-arm for the end of the now-open hour: fires on the first
+            // batch whose watermark passes it, observed data or not
+            state.setTimeoutTimestamp(cursor + HOUR)
+          }
+          out.result().iterator
+      }
+  }
+
   /** ST5 — streaming exactly-once-per-key dedup: drops events whose
     * event_id was already seen within the watermark horizon (the resume-
     * token replay guard of a CDC consumer restart).

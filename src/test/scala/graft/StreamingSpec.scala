@@ -329,4 +329,45 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got, s"stream $got != batch twin $batch")
     } finally q.stop()
   }
+
+  test("ST10 streaming LOCF gap-fill emits every completed hour, carried") {
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent](spark)
+    val q = Streams.gapfillStream(input.toDS())
+      .writeStream.format("memory").queryName("st10")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1, 5, 1, "view", 10.0)))
+      drain(q)
+      // user 1 observes again in hour 2; user 2's event at minute 250
+      // drags the watermark to 240 (= end of hour 3), so the timer flush
+      // must emit user 1's hours 0-3 including the SILENT hours 1 and 3
+      input.addData(Seq(ev(2, 130, 1, "view", 20.0),
+        ev(3, 250, 2, "view", 5.0)))
+      drain(q)
+      // a third user's far-future event advances the watermark to 990:
+      // user 1 keeps emitting carried rows through hour 15 despite total
+      // silence, and user 2's first slots materialize
+      input.addData(Seq(ev(4, 1000, 3, "view", 7.0)))
+      drain(q)
+      val got = spark.table("st10").as[Streams.FilledSlot].collect()
+        .map(s => (s.user_id, s.hour.getTime, s.n_obs, s.filled))
+        .sortBy(x => (x._1, x._2))
+      def hourMs(h: Int): Long = 1704067200000L + h * 3600000L
+      val u1 = got.filter(_._1 == 1L)
+      assert(u1.length == 16, s"user 1 should cover hours 0-15: ${u1.toSeq}")
+      assert(u1.take(4).toSeq == Seq(
+        (1L, hourMs(0), 1L, 10.0), (1L, hourMs(1), 0L, 10.0),
+        (1L, hourMs(2), 1L, 20.0), (1L, hourMs(3), 0L, 20.0)),
+        s"user 1 head wrong: ${u1.take(4).toSeq}")
+      assert(u1.drop(4).forall(x => x._3 == 0L && x._4 == 20.0),
+        s"user 1 silent tail must carry 20.0: ${u1.drop(4).toSeq}")
+      val u2 = got.filter(_._1 == 2L)
+      assert(u2.headOption.contains((2L, hourMs(4), 1L, 5.0)) &&
+        u2.length == 12 && u2.tail.forall(x => x._3 == 0L && x._4 == 5.0),
+        s"user 2 slots wrong: ${u2.toSeq}")
+      // user 3's first hour (16) is still open at watermark 990 min
+      assert(got.count(_._1 == 3L) == 0, s"user 3 emitted too early: $got")
+    } finally q.stop()
+  }
 }
