@@ -26,6 +26,7 @@ object SparkEntry {
       (operators.Collections.queries, operators.Collections.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.Skew.queries, operators.Skew.oracle),
+      (operators.Quality.queries, operators.Quality.oracle),
       (operators.TimeSeries.queries, operators.TimeSeries.oracle),
       (sources.Partitioned.queries, sources.Partitioned.oracle),
       (sources.Bucketed.queries, sources.Bucketed.oracle),

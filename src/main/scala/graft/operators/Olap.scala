@@ -47,6 +47,51 @@ object Olap {
       |  -- prove |approx - exact| <= 10% per group to produce `true`
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** agg_sketch_rollup (A8) — MERGEABLE distinct sketches, the idiom that
+    * makes approximate distinct re-aggregable over pre-computed partials:
+    * one Datasketches HLL sketch per (event_type, day) cube cell, then a
+    * per-type `hll_union_agg` over the daily sketches — no second pass
+    * over raw events. The estimate from the MERGED sketch must land
+    * within 10% of the exact distinct (computed independently); as with
+    * agg_approx_distinct, the cross-engine contract is the accuracy bound
+    * (the oracle emits the bound as a constant), because sketch bytes are
+    * engine-specific.
+    *
+    * Scale: this is how 100-TB cubes serve "distinct users last N days" —
+    * daily sketches are a few KB per cell, union is associative and
+    * commutative, so any rollup (week/month/segment) re-aggregates from
+    * partials. The exact twin column here exists only to PROVE the bound;
+    * a deployment materializes the sketch column alone.
+    */
+  def aggSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val daily = e.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * 0.1).as("merged_within_10pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggSketchRollupSql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  true AS merged_within_10pct -- oracle CONSTANT by contract (same
+      |  -- as agg_approx_distinct): sketch bytes are engine-specific, so
+      |  -- the compared claim is the accuracy bound — Spark must build the
+      |  -- daily sketches, union them, and prove the merged estimate lands
+      |  -- within 10% per group to produce `true`
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** agg_bitmap_distinct — EXACT distinct users per event type via packed
     * 64-bit bitmap words: user ids map to (word = id >> 6, bit = id % 64),
     * a first aggregation bit_ORs each word, a second sums popcounts. The
@@ -254,8 +299,78 @@ object Olap {
        |  ON a.user_id = b.user_id AND b.d = a.d + 1
        |GROUP BY a.d ORDER BY day""".stripMargin
 
+  /** events_funnel_steps — STRICT-ORDER conversion funnel (the analytics
+    * op event_funnel's unordered counts can't express): per user, first
+    * 'view', then the first 'click' AFTER that view, then the first
+    * 'purchase' after that click and within 48h of the view. Each stage is
+    * a cascaded "first event after the previous stage's timestamp".
+    *
+    * Engine shape: three groupBy(user_id) aggregates chained by equi-joins
+    * on user_id — after the first shuffle, every subsequent join and
+    * aggregate reuses the same hash partitioning (no re-shuffle; AQE
+    * coalesces the tiny tails). The stage counts are 1-row aggregates
+    * cross-joined and unpivoted via `stack`.
+    *
+    * Scale: everything keys on user_id — state per user is one timestamp
+    * per stage, never the event list; the per-stage filter (`ts > t_prev`)
+    * runs map-side on the joined rows. This is the shape sequential
+    * pattern-matching (MATCH_RECOGNIZE-lite) takes on a shuffle engine.
+    */
+  def eventsFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t1") + expr("INTERVAL 48 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n1"))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n3")))
+      .select(expr(
+        """stack(3,
+          |  '1_view', n1, CAST(1.0 AS DOUBLE),
+          |  '2_click_after_view', n2, CAST(n2 AS DOUBLE) / n1,
+          |  '3_purchase_within_48h', n3, CAST(n3 AS DOUBLE) / n1
+          |) AS (step, n_users, rate_vs_first)""".stripMargin))
+      .orderBy(col("step"))
+  }
+
+  val eventsFunnelStepsSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |    AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 48 HOUR
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+      |             (SELECT count(*) FROM s2) AS n2,
+      |             (SELECT count(*) FROM s3) AS n3)
+      |SELECT step, n_users, rate_vs_first FROM (
+      |  SELECT '1_view' AS step, n1 AS n_users,
+      |    CAST(1.0 AS DOUBLE) AS rate_vs_first FROM c
+      |  UNION ALL SELECT '2_click_after_view', n2,
+      |    CAST(n2 AS DOUBLE) / n1 FROM c
+      |  UNION ALL SELECT '3_purchase_within_48h', n3,
+      |    CAST(n3 AS DOUBLE) / n1 FROM c)
+      |ORDER BY step""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_sketch_rollup" -> (aggSketchRollup _),
+    "events_funnel_steps" -> (eventsFunnelSteps _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_rollup" -> (aggRollup _),
     "agg_collect" -> (aggCollect _),
@@ -266,6 +381,8 @@ object Olap {
 
   def oracle: Map[String, String] = Map(
     "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_sketch_rollup" -> aggSketchRollupSql,
+    "events_funnel_steps" -> eventsFunnelStepsSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "agg_rollup" -> aggRollupSql,
     "agg_collect" -> aggCollectSql,

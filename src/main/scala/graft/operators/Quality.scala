@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality constraint audit over the fact tables (SURVEY.md §2 row
+  * Q1) — the Deequ/"unit tests for data" idiom every production pipeline
+  * runs before publishing a batch: completeness, key uniqueness, value
+  * bounds, and referential integrity, each reported as a (check, metric,
+  * passed) row.
+  *
+  * Engine shape: ALL single-column constraints collapse into ONE scan of
+  * lineitem (one hash aggregate emitting a 1-row metric struct — adding a
+  * constraint adds a column to that row, never a pass over the data); the
+  * referential-integrity check is the only second pass, a key-shuffled
+  * LEFT ANTI join against orders counting orphans. The two 1-row results
+  * cross-join (trivially broadcast) and unpivot via `stack` into the
+  * report.
+  *
+  * Scale (100 TB): the metrics aggregate is map-side partial — each
+  * constraint is a sum/min/max/count that combines associatively, so the
+  * single reduce task sees one row per input partition. The PK-uniqueness
+  * count(distinct) is the one genuinely heavy constraint (a full key
+  * shuffle); it shares the scan and its partial aggregation dedups within
+  * partitions first. The anti-join shuffles on the FK — the same join any
+  * fact⋈dim query pays — and short-circuits to a count, so nothing wide
+  * survives it.
+  */
+object Quality {
+
+  /** dq_audit — seven constraints over lineitem (+ orders for the FK):
+    * non-null shipdate, (orderkey, linenumber) primary-key uniqueness,
+    * quantity bounds, discount domain, non-empty table, and FK
+    * lineitem.l_orderkey → orders.o_orderkey.
+    */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val metrics = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_shipdate")).as("n_shipdate"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("disc_viol"))
+    val orphans = li
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_viol"))
+    metrics.crossJoin(orphans)
+      .select(expr(
+        """stack(7,
+          |  'completeness_shipdate', CAST(n_shipdate AS DOUBLE) / n_rows,
+          |    n_shipdate = n_rows,
+          |  'discount_in_range', CAST(disc_viol AS DOUBLE), disc_viol = 0,
+          |  'fk_lineitem_orders', CAST(fk_viol AS DOUBLE), fk_viol = 0,
+          |  'quantity_max_le_50', max_qty, max_qty <= 50.0,
+          |  'quantity_min_ge_1', min_qty, min_qty >= 1.0,
+          |  'size_nonempty', CAST(n_rows AS DOUBLE), n_rows > 0,
+          |  'uniqueness_pk', CAST(n_pk AS DOUBLE) / n_rows, n_pk = n_rows
+          |) AS (chk, metric, passed)""".stripMargin))
+      .orderBy(col("chk"))
+  }
+
+  val dqAuditSql: String =
+    """WITH m AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(l_shipdate) AS n_shipdate,
+      |    count(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+      |    min(l_quantity) AS min_qty,
+      |    max(l_quantity) AS max_qty,
+      |    SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+      |        THEN 1 ELSE 0 END) AS disc_viol
+      |  FROM lineitem),
+      |fk AS (
+      |  SELECT count(*) AS fk_viol FROM lineitem l
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT chk, metric, passed FROM (
+      |  SELECT 'completeness_shipdate' AS chk,
+      |    CAST(n_shipdate AS DOUBLE) / n_rows AS metric,
+      |    n_shipdate = n_rows AS passed FROM m
+      |  UNION ALL SELECT 'discount_in_range', CAST(disc_viol AS DOUBLE),
+      |    disc_viol = 0 FROM m
+      |  UNION ALL SELECT 'fk_lineitem_orders', CAST(fk_viol AS DOUBLE),
+      |    fk_viol = 0 FROM fk
+      |  UNION ALL SELECT 'quantity_max_le_50', max_qty,
+      |    max_qty <= 50.0 FROM m
+      |  UNION ALL SELECT 'quantity_min_ge_1', min_qty,
+      |    min_qty >= 1.0 FROM m
+      |  UNION ALL SELECT 'size_nonempty', CAST(n_rows AS DOUBLE),
+      |    n_rows > 0 FROM m
+      |  UNION ALL SELECT 'uniqueness_pk', CAST(n_pk AS DOUBLE) / n_rows,
+      |    n_pk = n_rows FROM m)
+      |ORDER BY chk""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_audit" -> (dqAudit _))
+
+  def oracle: Map[String, String] = Map(
+    "dq_audit" -> dqAuditSql)
+}

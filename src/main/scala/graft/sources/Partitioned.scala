@@ -97,9 +97,60 @@ object Partitioned {
        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
        |GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin
 
+  /** events_dpp — DYNAMIC partition pruning: events_pruned's static
+    * predicate is known at plan time, but here the days to read are the
+    * answer to another query — the top-3 error-spike days, computed from
+    * the flat events table at RUNTIME. Catalyst plans a
+    * DynamicPruningSubquery on the partitioned scan's `event_date`: the
+    * dim side's broadcast result filters the partition listing before any
+    * fact file is opened (PartitionFilters: [dynamicpruning#...] — pinned
+    * in PlanSpec).
+    *
+    * Scale: DPP is the star-schema workhorse at 100 TB — "scan only the
+    * days the filtered dim selects" without the user hand-propagating
+    * dates into the fact predicate. The spike dim is a filtered aggregate
+    * (Filter → Aggregate → top-3), small by construction, broadcast; the
+    * fact side lists O(matching partitions) directories.
+    */
+  def eventsDpp(spark: SparkSession, dir: String): DataFrame = {
+    val spikeDays = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n_err"))
+      .orderBy(col("n_err").desc, col("event_date")).limit(3)
+    spark.read.parquet(eventsByDay(spark, dir))
+      .join(broadcast(spikeDays), Seq("event_date"))
+      .groupBy(col("event_date"))
+      .agg(
+        min(col("n_err")).as("n_err"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .select(fmtDate(col("event_date")).as("event_date"), col("n_err"),
+        col("n_events"), col("n_users"), col("total_value"))
+      .orderBy(col("event_date"))
+  }
+
+  /** Oracle over the flat view (as events_pruned: pruning changes the
+    * plan, not the answer). */
+  val eventsDppSql: String =
+    s"""WITH spike AS (
+       |  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_err
+       |  FROM events WHERE event_type = 'error'
+       |  GROUP BY 1 ORDER BY n_err DESC, event_date LIMIT 3)
+       |SELECT ${sqlFmtDate("s.event_date")} AS event_date,
+       |  s.n_err AS n_err,
+       |  COUNT(*) AS n_events,
+       |  COUNT(DISTINCT e.user_id) AS n_users,
+       |  ${sqlDsum("e.value")} AS total_value
+       |FROM events e JOIN spike s ON CAST(e.ts AS DATE) = s.event_date
+       |GROUP BY s.event_date, s.n_err ORDER BY event_date""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_pruned" -> (eventsPruned _))
+    "events_pruned" -> (eventsPruned _),
+    "events_dpp" -> (eventsDpp _))
 
   def oracle: Map[String, String] = Map(
-    "events_pruned" -> eventsPrunedSql)
+    "events_pruned" -> eventsPrunedSql,
+    "events_dpp" -> eventsDppSql)
 }
