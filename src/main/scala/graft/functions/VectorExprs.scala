@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression for the engine's exact scaled dot product
   * over two float-vector columns (SURVEY.md §2.10): returns
@@ -85,6 +85,69 @@ case class DotScaled(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotScaled =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression: exact BIGINT dot product of two INT-array
+  * columns — the quantized-code distance kernel for scalar-quantized (SQ8)
+  * similarity search (graft.operators.Embeddings.embeddingSqKnn). Integer
+  * products and sums are exact and order-independent, so the value is
+  * engine-identical by construction (no floor/scale dance needed).
+  *
+  * Same rationale as DotScaled for being a native Expression: the
+  * candidate stream evaluates this once per pair, and a zip_with +
+  * aggregate HOF pays interpreted per-element lambda calls plus an
+  * intermediate array per row; this compiles to a tight int loop inside
+  * WholeStageCodegen. Overflow headroom: |q| ≤ 128 per code, so a 64-dim
+  * dot is ≤ 2^20 — the long accumulator is 43 bits of headroom even for
+  * 2^23-dim codes.
+  */
+case class DotInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_int requires (array<int>, array<int>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_int"
+
+  /** NULL-ELEMENT semantics: as DotScaled — a null element reads as 0. */
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += xs.getInt(i).toLong * ys.getInt(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotInt =
     copy(left = newLeft, right = newRight)
 }
 
@@ -188,6 +251,12 @@ object VectorExprs {
   def dotScaled(a: Column, b: Column): Column =
     Bridge.column(DotScaled(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Column wrapper: exact BIGINT dot of two Array[Int] columns (SQ8
+    * quantized codes), codegen'd.
+    */
+  def dotInt(a: Column, b: Column): Column =
+    Bridge.column(DotInt(Bridge.expression(a), Bridge.expression(b)))
+
   /** Column wrapper: exact BIGINT intersection size of two sorted
     * string-array columns, codegen'd.
     */
@@ -206,5 +275,7 @@ object VectorExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_int", exprs => DotInt(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -140,6 +140,94 @@ object Embeddings {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** embedding_sq_knn (L22) — scalar-quantized (SQ8) similarity search,
+    * the FAISS `SQ8`/`IVF,SQ8` compression idiom: every float component
+    * maps to an 8-bit code (one global symmetric scale, q = floor(x ·
+    * 127/absmax)), candidate scoring runs entirely on the codes via the
+    * native integer-dot kernel (DotInt, codegen'd), and only the top-20
+    * candidates per query are re-ranked with the exact full-precision
+    * cosine. Tie-breaks by vec_id at both stages keep the candidate set
+    * and the final ranking engine-identical; `greatest(qnorm, 1)` guards
+    * the all-zero-code corner (NaN ordering diverges between engines).
+    *
+    * Scale (100 TB): SQ8 is the memory story brute-force kNN lacks — codes
+    * are 4× smaller than float32 (64 B/vector), so 4× more of the
+    * collection fits per executor scan, and the int kernel vectorizes to
+    * SIMD. The scan stays linear/shuffle-free (queries broadcast); rerank
+    * touches ≤ 20·|Q| full vectors. Compose with the IVF cells
+    * (embedding_ivf_knn) for the sublinear variant — this operator
+    * isolates the quantization layer. Quantizer stats (one global absmax
+    * row) come from a 1-row aggregate, broadcast-joined; a deployment
+    * would train and pin them like the IVF index cache.
+    */
+  def embeddingSqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val n = withNorm(spark, dir)
+    val absm = n.agg(
+      max(array_max(transform(col("embedding"), x => abs(x))))
+        .cast("double").as("am"))
+    val qz = n.crossJoin(broadcast(absm))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * (lit(127.0) / col("am"))).cast("int")))
+      .withColumn("qn",
+        graft.functions.VectorExprs.dotInt(col("qv"), col("qv")))
+      .select(col("vec_id"), col("embedding"), col("norm_s"),
+        col("qv"), col("qn"))
+    val q = qz.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm_s").as("q_norm"), col("qv").as("q_qv"),
+        col("qn").as("q_qn"))
+    val cand = qz.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("acos",
+        graft.functions.VectorExprs.dotInt(col("q_qv"), col("qv"))
+          .cast("double") /
+          sqrt(greatest(col("q_qn"), lit(1L)).cast("double") *
+            greatest(col("qn"), lit(1L)).cast("double")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("acos").desc, col("vec_id"))
+    val rr = cand.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 20)
+      .withColumn("cosine",
+        cosine(dotS(col("q_emb"), col("embedding")),
+          col("q_norm"), col("norm_s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    rr.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
+        col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val embeddingSqKnnSql: String =
+    s"""WITH $sqlWithNorm,
+       |am AS (SELECT max(list_max([abs(CAST(x AS DOUBLE)) for x in embedding])) AS am
+       |  FROM embeddings),
+       |qz AS (SELECT vec_id, embedding, norm_s,
+       |    [CAST(floor(CAST(x AS DOUBLE) * (127.0 / am)) AS INT) for x in embedding] AS qv
+       |  FROM n, am),
+       |qq AS (SELECT vec_id, embedding, norm_s, qv,
+       |    CAST(list_sum([qv[i] * qv[i] for i in range(1, 65)]) AS BIGINT) AS qn
+       |  FROM qz),
+       |cand AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+       |    q.embedding AS q_emb, c.embedding AS c_emb,
+       |    q.norm_s AS q_norm, c.norm_s AS c_norm,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      CAST(list_sum([q.qv[i] * c.qv[i] for i in range(1, 65)]) AS DOUBLE) /
+       |        sqrt(CAST(greatest(q.qn, 1) AS DOUBLE) * CAST(greatest(c.qn, 1) AS DOUBLE)) DESC,
+       |      c.vec_id) AS crank
+       |  FROM qq q JOIN qq c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 8),
+       |rr AS (SELECT q_id, neighbor,
+       |    CAST(${sqlDotS("q_emb", "c_emb")} AS DOUBLE) /
+       |      sqrt(CAST(q_norm AS DOUBLE) * CAST(c_norm AS DOUBLE)) AS cosine
+       |  FROM cand WHERE crank <= 20),
+       |r AS (SELECT q_id, neighbor, cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, neighbor) AS rank
+       |  FROM rr)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** Sign-LSH bucket code from `bits` evenly spaced dimensions: bit k set
     * iff embedding[1 + k*spacing] >= 0. Random-hyperplane LSH with axis-
     * aligned planes — deterministic, engine-portable, and a real ANN
@@ -602,6 +690,7 @@ object Embeddings {
     "array_ops" -> (arrayOps _),
     "embedding_knn" -> (embeddingKnn _),
     "embedding_knn_lsh" -> (embeddingKnnLsh _),
+    "embedding_sq_knn" -> (embeddingSqKnn _),
     "embedding_ivf_knn" -> (embeddingIvfKnn _),
     "embedding_semantic_dedup" -> (embeddingSemanticDedup _),
     "embedding_near_dedup" -> (embeddingNearDedup _))
@@ -610,6 +699,7 @@ object Embeddings {
     "array_ops" -> arrayOpsSql,
     "embedding_knn" -> embeddingKnnSql,
     "embedding_knn_lsh" -> embeddingKnnLshSql,
+    "embedding_sq_knn" -> embeddingSqKnnSql,
     "embedding_ivf_knn" -> embeddingIvfKnnSql,
     "embedding_semantic_dedup" -> embeddingSemanticDedupSql,
     "embedding_near_dedup" -> embeddingNearDedupSql)

@@ -218,7 +218,7 @@ object TopK {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  import graft.functions.{DotScaled, SortedIntersectCount}
+  import graft.functions.{DotInt, DotScaled, SortedIntersectCount}
 
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
@@ -229,5 +229,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("dot_int"),
+      new ExpressionInfo(classOf[DotInt].getName, "dot_int"),
+      (exprs: Seq[Expression]) => DotInt(exprs(0), exprs(1))))
   }
 }

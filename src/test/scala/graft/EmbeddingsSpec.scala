@@ -31,4 +31,16 @@ class EmbeddingsSpec extends SparkSpec {
     assert(shipped >= replaced,
       s"trained IVF LOST recall@3: shipped=$shipped replaced=$replaced")
   }
+
+  test("SQ8 quantized search recovers the exact top-5 after rerank (recall@5 = 1.0 at sf0.01)") {
+    // The int8 codes rank CANDIDATES only; the exact rerank over the
+    // top-20 must recover the full-precision top-5. Measured 1.000 on the
+    // driver corpus — pinned as >= 0.95 so a quantizer regression (scale
+    // bug, truncated candidate pool) fails loudly while an unlucky future
+    // corpus doesn't flake the suite.
+    val exact = pairs(SparkEntry.queries("embedding_knn")(spark, sfSmall))
+    val sq = pairs(SparkEntry.queries("embedding_sq_knn")(spark, sfSmall))
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"SQ8 recall@5 degraded: $recall")
+  }
 }

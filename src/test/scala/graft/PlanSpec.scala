@@ -149,6 +149,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("events_dpp plans a DynamicPruningSubquery on the partitioned scan") {
+    // The pruning dates are a runtime subquery result (top error days), so
+    // the scan's partition filters must carry a dynamic pruning
+    // expression, not a static predicate — the DPP mechanism itself.
+    val scans = SparkEntry.queries("events_dpp")(spark, sfTiny)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.partitionFilters.nonEmpty => f
+      }
+    assert(scans.nonEmpty, "events_dpp has no partition-filtered scan")
+    val dynamic = scans.exists(_.partitionFilters.exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery])))
+    assert(dynamic,
+      "events_dpp partition filters are all static — dynamic partition " +
+        s"pruning not planned:\n${scans.map(_.partitionFilters).mkString("\n")}")
+  }
+
   test("join_bucketed joins and aggregates with zero data shuffle") {
     // The whole point of the bucketed landing: lineitem⋈orders co-located
     // on the bucket key, and the per-order aggregate inheriting the scan's
