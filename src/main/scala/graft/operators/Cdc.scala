@@ -344,7 +344,8 @@ object Cdc {
     * streaming form the same window is what lets watermarks expire join
     * state.
     */
-  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(
       col("user_id").as("c_user"), col("ts").as("click_ts"),
       col("event_id").as("click_id"))
@@ -354,7 +355,8 @@ object Cdc {
     p.join(c,
       col("c_user") === col("user_id") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      joinType)
       .drop("c_user")
   }
 
@@ -382,6 +384,47 @@ object Cdc {
       .orderBy(col("purchase_id"))
   }
 
+  /** events_attribution_outer — batch twin of the ST11 stream⋈stream LEFT
+    * OUTER interval join: EVERY purchase appears, including the
+    * zero-click ones (n_clicks_1h = 0, null last-click/xor) the inner
+    * form drops — the "conversion rate including organic purchases"
+    * report. In the streaming form the unmatched rows are exactly the
+    * ones the engine can only emit after the watermark proves no click
+    * can still arrive — the outer-join state-timeout semantics ST11's
+    * spec exercises.
+    */
+  def eventsAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    attributionJoin(
+      e.filter(col("event_type") === "click"),
+      e.filter(col("event_type") === "purchase"), "left_outer")
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"))
+      .agg(
+        count(col("click_id")).as("n_clicks_1h"),
+        max(col("click_ts")).as("last_click_ts"),
+        bit_xor(col("click_id")).as("click_id_xor"))
+      .select(col("purchase_id"), col("user_id"),
+        fmtTs(col("purchase_ts")).as("purchase_ts"),
+        col("purchase_value"), col("n_clicks_1h"),
+        fmtTs(col("last_click_ts")).as("last_click_ts"),
+        col("click_id_xor"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val eventsAttributionOuterSql: String =
+    s"""SELECT p.event_id AS purchase_id, p.user_id,
+       |  ${sqlFmtTs("p.ts")} AS purchase_ts,
+       |  p.value AS purchase_value,
+       |  COUNT(c.event_id) AS n_clicks_1h,
+       |  ${sqlFmtTs("MAX(c.ts)")} AS last_click_ts,
+       |  CAST(bit_xor(c.event_id) AS BIGINT) AS click_id_xor
+       |FROM events p LEFT JOIN events c
+       |  ON c.user_id = p.user_id AND c.event_type = 'click'
+       | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY 1, 2, p.ts, 4 ORDER BY purchase_id""".stripMargin
+
   val eventsAttributionSql: String =
     s"""SELECT p.event_id AS purchase_id, p.user_id,
        |  ${sqlFmtTs("p.ts")} AS purchase_ts,
@@ -403,7 +446,8 @@ object Cdc {
     "cdc_scd2" -> (cdcScd2 _),
     "event_funnel" -> (eventFunnel _),
     "join_stream_static" -> (joinStreamStatic _),
-    "events_attribution" -> (eventsAttribution _))
+    "events_attribution" -> (eventsAttribution _),
+    "events_attribution_outer" -> (eventsAttributionOuter _))
 
   def oracle: Map[String, String] = Map(
     "json_extract" -> jsonExtractSql,
@@ -413,5 +457,6 @@ object Cdc {
     "cdc_scd2" -> cdcScd2Sql,
     "event_funnel" -> eventFunnelSql,
     "join_stream_static" -> joinStreamStaticSql,
-    "events_attribution" -> eventsAttributionSql)
+    "events_attribution" -> eventsAttributionSql,
+    "events_attribution_outer" -> eventsAttributionOuterSql)
 }

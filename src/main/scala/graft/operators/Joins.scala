@@ -178,6 +178,107 @@ object Joins {
        |  ON p.user_id = c.user_id AND p.ts >= c.ts
        |ORDER BY p.event_id""".stripMargin
 
+  /** join_asof_nearest (J5b) — BIDIRECTIONAL as-of: for each purchase,
+    * the user's nearest click in EITHER direction (backward last-before
+    * vs forward first-after, whichever |Δt| is smaller; ties go
+    * backward). Same union-tag single-shuffle formulation as join_asof —
+    * both direction carries come from TWO window frames over ONE
+    * (user_id, ts, tag, src_id) sort (unbounded-preceding `last` and
+    * unbounded-following `first`, both IGNORE NULLS), so the plan pays
+    * one exchange + one sort, never a range join. Δt compares in exact
+    * epoch microseconds (BIGINT) — no interval-type cross-engine
+    * semantics in the tiebreak.
+    *
+    * Scale: identical to join_asof — O(n log n) per user key, no
+    * candidate blowup; the forward pass rides the same sorted run.
+    */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"),
+      lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+      col("event_id").as("src_id"),
+      lit(null).cast("double").as("pvalue"),
+      col("ts").as("click_ts"), col("value").as("click_value"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"),
+      lit(1).as("tag"), col("event_id"),
+      col("event_id").as("src_id"),
+      col("value").as("pvalue"),
+      lit(null).cast("timestamp").as("click_ts"),
+      lit(null).cast("double").as("click_value"))
+    val order = Seq(col("ts"), col("tag"), col("src_id"))
+    val wb = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val backWins = col("back_ts").isNotNull && (col("fwd_ts").isNull ||
+      (unix_micros(col("ts")) - unix_micros(col("back_ts"))) <=
+        (unix_micros(col("fwd_ts")) - unix_micros(col("ts"))))
+    clicks.unionByName(purchases)
+      .withColumn("back_ts", last(col("click_ts"), ignoreNulls = true).over(wb))
+      .withColumn("back_v", last(col("click_value"), ignoreNulls = true).over(wb))
+      .withColumn("fwd_ts", first(col("click_ts"), ignoreNulls = true).over(wf))
+      .withColumn("fwd_v", first(col("click_value"), ignoreNulls = true).over(wf))
+      .filter(col("tag") === 1)
+      .select(
+        col("event_id"), col("user_id"), fmtTs(col("ts")).as("purchase_ts"),
+        col("pvalue").as("purchase_value"),
+        when(backWins, fmtTs(col("back_ts")))
+          .otherwise(fmtTs(col("fwd_ts"))).as("near_click_ts"),
+        when(backWins, col("back_v")).otherwise(col("fwd_v"))
+          .as("near_click_value"),
+        when(backWins, lit("backward"))
+          .when(col("fwd_ts").isNotNull, lit("forward"))
+          .otherwise(lit(null).cast("string")).as("direction"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinAsofNearestSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, ts, 0 AS tag, CAST(NULL AS BIGINT) AS event_id,
+       |    event_id AS src_id, CAST(NULL AS DOUBLE) AS pvalue,
+       |    ts AS click_ts, value AS click_value
+       |  FROM events WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT user_id, ts, 1, event_id, event_id, value, NULL, NULL
+       |  FROM events WHERE event_type = 'purchase'),
+       |w AS (
+       |  SELECT *,
+       |    last_value(click_ts IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, tag, src_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+       |    last_value(click_value IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, tag, src_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_v,
+       |    first_value(click_ts IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, tag, src_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts,
+       |    first_value(click_value IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, tag, src_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_v
+       |  FROM u)
+       |SELECT event_id, user_id, ${sqlFmtTs("ts")} AS purchase_ts,
+       |  pvalue AS purchase_value,
+       |  CASE WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL OR
+       |      (epoch_us(ts) - epoch_us(back_ts)) <=
+       |      (epoch_us(fwd_ts) - epoch_us(ts)))
+       |    THEN ${sqlFmtTs("back_ts")} ELSE ${sqlFmtTs("fwd_ts")}
+       |  END AS near_click_ts,
+       |  CASE WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL OR
+       |      (epoch_us(ts) - epoch_us(back_ts)) <=
+       |      (epoch_us(fwd_ts) - epoch_us(ts)))
+       |    THEN back_v ELSE fwd_v
+       |  END AS near_click_value,
+       |  CASE WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL OR
+       |      (epoch_us(ts) - epoch_us(back_ts)) <=
+       |      (epoch_us(fwd_ts) - epoch_us(ts)))
+       |    THEN 'backward'
+       |    WHEN fwd_ts IS NOT NULL THEN 'forward'
+       |    ELSE CAST(NULL AS VARCHAR)
+       |  END AS direction
+       |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin
+
   /** setop_union — UNION ALL of two key streams + aggregation (the
     * snapshot ∪ tail shape of a CDC bootstrap, SURVEY.md §2.1 S4).
     */
@@ -222,6 +323,7 @@ object Joins {
     "join_semi_anti" -> (joinSemiAnti _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsof _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "setop_union" -> (setopUnion _),
     "setop_diff" -> (setopDiff _))
 
@@ -231,6 +333,7 @@ object Joins {
     "join_semi_anti" -> joinSemiAntiSql,
     "join_range" -> joinRangeSql,
     "join_asof" -> joinAsofSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
     "setop_union" -> setopUnionSql,
     "setop_diff" -> setopDiffSql)
 }

@@ -227,6 +227,20 @@ object Streams {
       clicks.withWatermark("ts", "2 hours"),
       purchases.withWatermark("ts", "2 hours"))
 
+  /** ST11 — stream⋈stream LEFT OUTER interval join: as joinStreams, but a
+    * purchase with no click in its window still emits (null click
+    * columns). The engine can only emit those rows once the CLICK side's
+    * watermark has passed the purchase's whole match window — before
+    * that, a matching click might still arrive — so unmatched results
+    * trail matched ones by the watermark delay: the state-timeout
+    * semantics that distinguish outer from inner stream joins (batch
+    * twin: Cdc.eventsAttributionOuter's underlying join).
+    */
+  def joinStreamsOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    graft.operators.Cdc.attributionJoin(
+      clicks.withWatermark("ts", "2 hours"),
+      purchases.withWatermark("ts", "2 hours"), "left_outer")
+
   /** ST9 — streaming telemetry outlier gate: the deployed form of
     * events_anomaly (L20). The per-type moments (μ/σ) come from the batch
     * two-pass job (`Analytics.eventMoments`) as a STATIC broadcast table —

@@ -297,6 +297,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST11 stream-stream LEFT OUTER interval join emits unmatched purchases after the watermark") {
+    import spark.implicits._
+    val clicks = MemoryStream[ChangeEvent](spark)
+    val purchases = MemoryStream[ChangeEvent](spark)
+    val clickEvents = Seq(
+      ev(10, 0, 1, "click"),  // 30 min before u1's purchase → matches
+      ev(11, 25, 1, "click")) // 5 min before → matches
+    val purchaseEvents = Seq(
+      ev(20, 30, 1, "purchase", 9.5),
+      ev(22, 40, 4, "purchase", 2.0)) // no clicks → outer-null row
+    val q = Streams.joinStreamsOuter(clicks.toDF(), purchases.toDF())
+      .select(col("purchase_id"), col("click_id"))
+      .writeStream.format("memory").queryName("st11")
+      .outputMode("append").start()
+    try {
+      clicks.addData(clickEvents)
+      purchases.addData(purchaseEvents)
+      drain(q)
+      // only MATCHED rows can exist yet: the unmatched purchase's window
+      // is still open until the click watermark passes it
+      val early = spark.table("st11").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(!early.contains((22L, -1L)),
+        s"outer row emitted before the watermark closed its window: ${early.toSeq}")
+      // push both watermarks far past purchase 22's match window
+      clicks.addData(ev(90, 600, 9, "click"))
+      purchases.addData(ev(91, 600, 9, "purchase"))
+      drain(q); drain(q)
+      val got = spark.table("st11").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(Set((20L, 10L), (20L, 11L), (22L, -1L)).subsetOf(got),
+        s"outer join missing matched or unmatched rows: $got")
+      // batch twin on the same fixture agrees on the unmatched row
+      val batch = graft.operators.Cdc.attributionJoin(
+          clickEvents.toDF(), purchaseEvents.toDF(), "left_outer")
+        .select(col("purchase_id"), col("click_id")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(batch == Set((20L, 10L), (20L, 11L), (22L, -1L)),
+        s"batch twin fixture drifted: $batch")
+    } finally q.stop()
+  }
+
   test("ST9 streaming anomaly gate equals the batch 3σ filter") {
     import spark.implicits._
     val input = MemoryStream[ChangeEvent](spark)
