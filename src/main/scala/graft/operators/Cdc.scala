@@ -258,6 +258,87 @@ object Cdc {
        |FROM agg a JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
        |ORDER BY a.user_id""".stripMargin
 
+  /** cdc_incremental_join — incremental JOIN-view maintenance, completing
+    * the IVM family (cdc_incremental_agg maintains an aggregate; this
+    * maintains a keyed equi-JOIN of two independently-changing upsert
+    * states): A = last-writer-wins 'view' state per user, B = LWW 'click'
+    * state, view = A ⋈ B. A change batch (same deterministic event_id%4
+    * split as cdc_incremental_agg) updates the view with per-batch work
+    * O(|Δ| touched keys), never O(|state|): delete the dirty keys from
+    * the old result, recompute ONLY those keys from (compacted state ∪
+    * delta), union back. The oracle recomputes the join from the full log
+    * — the hash-match proves the delta algebra.
+    *
+    * The compacted states RETAIN TOMBSTONES (a key whose latest side
+    * event is 'error' keeps that row in the state, invisible in the
+    * view): LWW is a max-semilattice, so max(state-row, Δ-rows) =
+    * max(full log) per key — but ONLY if the tombstone's (ts, event_id)
+    * survives compaction; dropping it would let an older interleaved
+    * delta resurrect a deleted key. This is exactly Kafka log-compaction
+    * tombstone retention, surfaced as a correctness requirement.
+    *
+    * Scale: dirty keys come from the delta (small); the kept set is a
+    * key-partitioned anti-join; the recompute side is semi-join
+    * restricted before any window work. All five operations shuffle on
+    * user_id — one logical partitioning end to end.
+    */
+  def cdcIncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    def compact(log: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    def visible(state: DataFrame, keep: String): DataFrame =
+      state.filter(col("event_type") === keep)
+        .select(col("user_id"), col("ts").as(s"${keep}_ts"),
+          col("value").as(s"${keep}_value"))
+    val viewLog = e.filter(col("event_type").isin("view", "error"))
+    val clickLog = e.filter(col("event_type").isin("click", "error"))
+    val isDelta = col("event_id") % 4 === 3
+    // materialized compacted states (localCheckpoint = the persisted
+    // state tables a deployment keeps between batches)
+    val stateA = compact(viewLog.filter(!isDelta)).localCheckpoint()
+    val stateB = compact(clickLog.filter(!isDelta)).localCheckpoint()
+    val deltaA = viewLog.filter(isDelta)
+    val deltaB = clickLog.filter(isDelta)
+    val oldJ = visible(stateA, "view")
+      .join(visible(stateB, "click"), Seq("user_id"))
+    val dirty = deltaA.select(col("user_id"))
+      .unionByName(deltaB.select(col("user_id"))).distinct()
+    val newA = visible(compact(stateA.unionByName(deltaA)
+      .join(dirty, Seq("user_id"), "left_semi")), "view")
+    val newB = visible(compact(stateB.unionByName(deltaB)
+      .join(dirty, Seq("user_id"), "left_semi")), "click")
+    oldJ.join(dirty, Seq("user_id"), "left_anti")
+      .unionByName(newA.join(newB, Seq("user_id")))
+      .select(col("user_id"),
+        fmtTs(col("view_ts")).as("view_ts"), col("view_value"),
+        fmtTs(col("click_ts")).as("click_ts"), col("click_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcIncrementalJoinSql: String =
+    s"""WITH a AS (
+       |  SELECT user_id, ts AS view_ts, value AS view_value FROM (
+       |    SELECT user_id, ts, value, event_type, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE event_type IN ('view', 'error'))
+       |  WHERE rn = 1 AND event_type = 'view'),
+       |b AS (
+       |  SELECT user_id, ts AS click_ts, value AS click_value FROM (
+       |    SELECT user_id, ts, value, event_type, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE event_type IN ('click', 'error'))
+       |  WHERE rn = 1 AND event_type = 'click')
+       |SELECT a.user_id, ${sqlFmtTs("view_ts")} AS view_ts, view_value,
+       |  ${sqlFmtTs("click_ts")} AS click_ts, click_value
+       |FROM a JOIN b ON a.user_id = b.user_id
+       |ORDER BY a.user_id""".stripMargin
+
   /** cdc_scd2 — build a Type-2 slowly-changing dimension from the change
     * log: every upsert opens a version row with `effective_from` = its ts;
     * the version closes at the NEXT event for that key (upsert supersedes,
@@ -443,6 +524,7 @@ object Cdc {
     "cdc_apply" -> (cdcApply _),
     "cdc_snapshot_diff" -> (cdcSnapshotDiff _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
+    "cdc_incremental_join" -> (cdcIncrementalJoin _),
     "cdc_scd2" -> (cdcScd2 _),
     "event_funnel" -> (eventFunnel _),
     "join_stream_static" -> (joinStreamStatic _),
@@ -454,6 +536,7 @@ object Cdc {
     "cdc_apply" -> cdcApplySql,
     "cdc_snapshot_diff" -> cdcSnapshotDiffSql,
     "cdc_incremental_agg" -> cdcIncrementalAggSql,
+    "cdc_incremental_join" -> cdcIncrementalJoinSql,
     "cdc_scd2" -> cdcScd2Sql,
     "event_funnel" -> eventFunnelSql,
     "join_stream_static" -> joinStreamStaticSql,
