@@ -282,10 +282,17 @@ object Cdc {
     * restricted before any window work. All five operations shuffle on
     * user_id — one logical partitioning end to end.
     */
-  def cdcIncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def cdcIncrementalJoin(spark: SparkSession, dir: String): DataFrame =
+    incrementalJoin(Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"), col("value"))
+        col("event_type"), col("value")))
+
+  /** Frame-level core of cdc_incremental_join (pure over any event frame
+    * with user_id/ts/event_id/event_type/value) — property-tested against
+    * a sequential reference fold over random interleaved logs in
+    * CdcPropertySpec.
+    */
+  def incrementalJoin(e: DataFrame): DataFrame = {
     def compact(log: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").desc, col("event_id").desc)

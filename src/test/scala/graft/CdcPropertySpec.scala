@@ -67,6 +67,33 @@ class CdcPropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental join view equals a sequential reference over random interleaved logs") {
+    import spark.implicits._
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    def f(t: Timestamp): String = fmt.format(t.toInstant)
+    for (seed <- 30L to 36L) {
+      val log = sample(genLog, seed)
+      // delta membership is event_id % 4 == 3 (the query's split), which
+      // interleaves with base TIME — the tombstone-retention edge: a
+      // base-final 'error' must not be resurrected by an older delta row
+      val got = graft.operators.Cdc.incrementalJoin(log.toDF())
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getString(3), r.getDouble(4))).toSet
+      def side(keep: String): Map[Long, ChangeEvent] =
+        log.filter(e => e.event_type == keep || e.event_type == "error")
+          .sortBy(e => (e.ts.getTime, e.event_id))
+          .foldLeft(Map.empty[Long, ChangeEvent])(
+            (m, e) => m.updated(e.user_id, e))
+          .filter { case (_, e) => e.event_type == keep }
+      val a = side("view")
+      val b = side("click")
+      val want = a.keySet.intersect(b.keySet).map(u =>
+        (u, f(a(u).ts), a(u).value, f(b(u).ts), b(u).value))
+      assert(got == want, s"seed=$seed: got=$got want=$want")
+    }
+  }
+
   test("merging a state with itself is a no-op (idempotent restart replay)") {
     import spark.implicits._
     for (seed <- 20L to 24L) {
