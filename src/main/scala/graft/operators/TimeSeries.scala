@@ -92,9 +92,57 @@ object TimeSeries {
        |  ON grid.user_id = hourly.user_id AND grid.h = hourly.h
        |ORDER BY grid.user_id, hour""".stripMargin
 
+  /** events_ohlc — hourly OHLC bars per event type (open/high/low/close +
+    * exact volume), the downsampling aggregate every time-series store
+    * serves. Open/close are SINGLE-PASS argmin/argmax: `min/max(struct(ts,
+    * event_id, value))` rides the same hash aggregate as the other
+    * measures — no window, no self-join, and the struct ordering's
+    * event_id tiebreak makes the bar deterministic under same-ts events.
+    *
+    * Scale: one scan → partial agg on (hour, type) — the struct min/max
+    * partials are constant-size, so bars over a 100-TB stream combine
+    * exactly like counts do. (The DuckDB twin needs two window passes for
+    * the same answer — the mergeable-argmin formulation is the engine
+    * win.)
+    */
+  def eventsOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        dsum(col("value")).as("volume"))
+      .select(fmtTs(col("h")).as("hour"), col("event_type"),
+        col("n_events"), col("o.value").as("open"), col("high"),
+        col("low"), col("c.value").as("close"), col("volume"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val eventsOhlcSql: String =
+    s"""WITH x AS (
+       |  SELECT date_trunc('hour', ts) AS h, event_type, value,
+       |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+       |      ORDER BY ts, event_id) AS rno,
+       |    row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+       |      ORDER BY ts DESC, event_id DESC) AS rnc
+       |  FROM events)
+       |SELECT ${sqlFmtTs("h")} AS hour, event_type,
+       |  COUNT(*) AS n_events,
+       |  max(CASE WHEN rno = 1 THEN value END) AS open,
+       |  max(value) AS high,
+       |  min(value) AS low,
+       |  max(CASE WHEN rnc = 1 THEN value END) AS close,
+       |  ${sqlDsum("value")} AS volume
+       |FROM x GROUP BY h, event_type ORDER BY hour, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_gapfill" -> (eventsGapfill _))
+    "events_gapfill" -> (eventsGapfill _),
+    "events_ohlc" -> (eventsOhlc _))
 
   def oracle: Map[String, String] = Map(
-    "events_gapfill" -> eventsGapfillSql)
+    "events_gapfill" -> eventsGapfillSql,
+    "events_ohlc" -> eventsOhlcSql)
 }
