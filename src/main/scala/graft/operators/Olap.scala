@@ -123,6 +123,59 @@ object Olap {
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** events_sliding_distinct (A9) — EXACT distinct users per 3-hour
+    * sliding window (step 1h), computed from MERGEABLE hourly bitmap
+    * partials instead of re-scanning raw events per window: one pass
+    * builds per-(type, hour) packed 64-bit word bitmaps (the A7 idiom), a
+    * map-side ×3 explode assigns each hourly word to the windows it
+    * belongs to, bit_or merges words per window, popcount sums. Sliding
+    * distinct is THE aggregation that resists naive pre-aggregation
+    * (counts don't add across overlapping windows; distinct doesn't
+    * decompose) — bitmap algebra is the exact answer, HLL union (A8) the
+    * approximate one.
+    *
+    * Scale: raw events collapse to ≤ |id-domain|/64 words per (type,
+    * hour) in the first partial-combined shuffle; window expansion
+    * multiplies WORDS (×window/step), never events; the final merge
+    * shuffles word-sized rows. The oracle recounts every window from raw
+    * rows — the hash-match proves the window algebra.
+    */
+  def eventsSlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourly = e
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        shiftright(col("user_id"), 6).as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))")
+        .as("bits"))
+    val hours = e.select(date_trunc("hour", col("ts")).as("we")).distinct()
+    val expanded = hourly.select(col("event_type"),
+        explode(array(col("h"),
+          col("h") + expr("INTERVAL 1 HOUR"),
+          col("h") + expr("INTERVAL 2 HOURS"))).as("we"),
+        col("w"), col("bits"))
+      // expansion can mint window ends past the data's last hour — keep
+      // only window ends that are real event hours (tiny broadcast set)
+      .join(broadcast(hours), Seq("we"), "left_semi")
+    expanded.groupBy(col("event_type"), col("we"), col("w"))
+      .agg(expr("bit_or(bits)").as("b"))
+      .groupBy(col("event_type"), col("we"))
+      .agg(sum(bit_count(col("b"))).cast("long").as("n_users"))
+      .select(col("event_type"), fmtTs(col("we")).as("window_end"),
+        col("n_users"))
+      .orderBy(col("event_type"), col("window_end"))
+  }
+
+  val eventsSlidingDistinctSql: String =
+    s"""WITH hours AS (
+       |  SELECT DISTINCT date_trunc('hour', ts) AS h FROM events)
+       |SELECT e.event_type, ${sqlFmtTs("hours.h")} AS window_end,
+       |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+       |FROM events e JOIN hours
+       |  ON date_trunc('hour', e.ts)
+       |     BETWEEN hours.h - INTERVAL 2 HOUR AND hours.h
+       |GROUP BY e.event_type, hours.h
+       |ORDER BY e.event_type, window_end""".stripMargin
+
   /** agg_rollup — ROLLUP(year, priority) with per-column GROUPING flags;
     * subtotal rows carry NULL keys, so the final sort pins NULLS FIRST on
     * both engines.
@@ -376,6 +429,7 @@ object Olap {
     "agg_collect" -> (aggCollect _),
     "events_tumbling_1h" -> (eventsTumbling1h _),
     "events_sliding" -> (eventsSliding _),
+    "events_sliding_distinct" -> (eventsSlidingDistinct _),
     "events_sessionize" -> (eventsSessionize _),
     "events_retention" -> (eventsRetention _))
 
@@ -388,6 +442,7 @@ object Olap {
     "agg_collect" -> aggCollectSql,
     "events_tumbling_1h" -> eventsTumbling1hSql,
     "events_sliding" -> eventsSlidingSql,
+    "events_sliding_distinct" -> eventsSlidingDistinctSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_retention" -> eventsRetentionSql)
 }
