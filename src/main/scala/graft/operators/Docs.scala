@@ -469,8 +469,82 @@ object Docs {
        |SELECT lang, CAST(rank AS BIGINT) AS rank, pair, n_occurrences
        |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin
 
+  /** doc_collocations — statistically-associated adjacent word pairs per
+    * language (the collocation-extraction step of corpus analysis),
+    * scored by LIFT = p(xy)/(p(x)·p(y)) = (n_xy·T)/(n_x·n_y) rather than
+    * PMI: lift is the same ordering as PMI (log is monotone) but computes
+    * as ONE ratio of exact integer products — no transcendental whose
+    * last-ulp could differ between engines. Top-15 per lang, min support
+    * 5.
+    *
+    * Engine shape: shares doc_bpe_pairs' map-side zip-against-tail pair
+    * build; unigram marginals and totals come from one token explode; the
+    * scoring join keys on (lang, word) against the vocabulary-sized
+    * unigram table — everything after the two explodes shuffles
+    * vocab-bounded aggregates, never raw token streams.
+    */
+  def docCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = split(norm(col("text")), " ")
+    val base = d.select(col("lang"), toks.as("toks"))
+    val uni = base.select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n_w"))
+    val tot = uni.groupBy(col("lang")).agg(sum(col("n_w")).as("t"))
+    val prs = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => struct(a.as("x"), b.as("y")))
+    val pairs = base.select(col("lang"), explode(prs).as("p"))
+      .select(col("lang"), col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("lang"), col("x"), col("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+    pairs
+      .join(uni.select(col("lang"), col("w").as("x"), col("n_w").as("n_x")),
+        Seq("lang", "x"))
+      .join(uni.select(col("lang"), col("w").as("y"), col("n_w").as("n_y")),
+        Seq("lang", "y"))
+      .join(tot, Seq("lang"))
+      .withColumn("lift", (col("n_xy") * col("t")).cast("double") /
+        (col("n_x") * col("n_y")).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 15)
+      .select(col("lang"), col("rank"),
+        concat(col("x"), lit(" "), col("y")).as("pair"),
+        col("n_xy"), col("lift"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val docCollocationsSql: String =
+    s"""WITH tk AS (SELECT lang, string_split($sqlNorm, ' ') AS t
+       |  FROM documents),
+       |uni AS (SELECT lang, unnest(t) AS w FROM tk),
+       |u AS (SELECT lang, w, COUNT(*) AS n_w FROM uni GROUP BY lang, w),
+       |tot AS (SELECT lang, SUM(n_w) AS t FROM u GROUP BY lang),
+       |pr AS (SELECT lang,
+       |    unnest([t[i] for i in range(1, len(t))]) AS x,
+       |    unnest([t[i + 1] for i in range(1, len(t))]) AS y
+       |  FROM tk),
+       |p AS (SELECT lang, x, y, COUNT(*) AS n_xy FROM pr
+       |  GROUP BY lang, x, y HAVING COUNT(*) >= 5),
+       |j AS (SELECT p.lang, p.x, p.y, p.n_xy,
+       |    CAST(p.n_xy * tot.t AS DOUBLE) /
+       |      CAST(ux.n_w * uy.n_w AS DOUBLE) AS lift
+       |  FROM p JOIN u ux ON ux.lang = p.lang AND ux.w = p.x
+       |    JOIN u uy ON uy.lang = p.lang AND uy.w = p.y
+       |    JOIN tot ON tot.lang = p.lang),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY lift DESC, x, y) AS rank FROM j)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, x || ' ' || y AS pair,
+       |  n_xy, lift
+       |FROM r WHERE rank <= 15 ORDER BY lang, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup" -> (docDedup _),
+    "doc_collocations" -> (docCollocations _),
     "doc_bpe_pairs" -> (docBpePairs _),
     "doc_quality_model" -> (docQualityModel _),
     "doc_text_stats" -> (docTextStats _),
@@ -482,6 +556,7 @@ object Docs {
 
   def oracle: Map[String, String] = Map(
     "doc_dedup" -> docDedupSql,
+    "doc_collocations" -> docCollocationsSql,
     "doc_bpe_pairs" -> docBpePairsSql,
     "doc_quality_model" -> docQualityModelSql,
     "doc_text_stats" -> docTextStatsSql,
