@@ -132,6 +132,50 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("graph_pagerank equals a sequential fixed-point reference implementation") {
+    // independent re-derivation in driver-side Maps (no Spark, no SQL):
+    // same graph build, same scaled-i64 arithmetic — pins that the
+    // distributed join/agg rounds compute the DECLARED algorithm, not
+    // merely something both engines agree on
+    val o = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cp = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .flatMap(r => o.get(r.getLong(0)).map(c =>
+        (c * 2, r.getLong(1) * 2 + 1))).distinct
+    val edges = cp ++ cp.map(p => (p._2, p._1))
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = outdeg.size
+    val r0 = 1000000000000000L / n
+    val base = 15L * r0 / 100
+    var rank = outdeg.keys.map(_ -> r0).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => rank(e._1) / outdeg(e._1)).sum
+      }
+      rank = in.map { case (k, s) => k -> (base + 85 * s / 100) }
+    }
+    val want = rank.toSeq
+      .map { case (node, r) =>
+        (r, if (node % 2 == 0) "customer" else "part", node / 2) }
+      .sortBy { case (r, k, i) => (-r, k, i) }.take(20)
+      .map { case (r, k, i) => (k, i, r) }.toSeq
+    val got = SparkEntry.queries("graph_pagerank")(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("events_funnel_steps stages are monotonically non-increasing") {
+    for (sf <- Seq(sfTiny, sfSmall)) {
+      val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("1_view") >= rows("2_click_after_view") &&
+        rows("2_click_after_view") >= rows("3_purchase_within_48h"),
+        s"funnel not monotone at $sf: $rows")
+    }
+  }
+
   test("entry smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
