@@ -91,6 +91,55 @@ object Cdc {
        |FROM ranked WHERE rn = 1 AND op <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** cdc_time_travel — point-in-time state reconstruction ("state AS OF
+    * T"): the LWW apply restricted to events at or before a past instant,
+    * PLUS a per-key audit column counting the versions the
+    * reconstruction superseded. This is the time-travel / point-in-time-
+    * recovery read a changelog-backed table supports for free — the same
+    * collapse as cdc_apply with the cutoff as a data predicate.
+    *
+    * Scale: the `ts <= T` predicate PUSHES INTO THE SCAN (PushedFilters —
+    * on a date-partitioned landing it prunes partitions outright), so
+    * reconstructing old state reads only the prefix of history, and the
+    * one shuffle is the same keyed window as the live apply.
+    */
+  def cdcTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = "2024-01-15 00:00:00"
+    val e = Tables.events(spark, dir)
+      .filter(col("ts") <= lit(asOf).cast("timestamp"))
+    val log = e.select(
+      col("user_id"), col("ts"), col("event_id"), col("value"),
+      when(col("event_type") === "error", "delete").otherwise("upsert")
+        .as("op"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    log.withColumn("rn", row_number().over(w))
+      .withColumn("n_versions",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(
+        col("user_id"), fmtTs(col("ts")).as("as_of_ts"),
+        col("event_id").as("as_of_event_id"),
+        col("value").as("as_of_value"), col("n_versions"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcTimeTravelSql: String =
+    s"""WITH log AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+       |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n_versions
+       |  FROM log)
+       |SELECT user_id, ${sqlFmtTs("ts")} AS as_of_ts,
+       |  event_id AS as_of_event_id, value AS as_of_value,
+       |  CAST(n_versions AS BIGINT) AS n_versions
+       |FROM ranked WHERE rn = 1 AND op <> 'delete'
+       |ORDER BY user_id""".stripMargin
+
   /** cdc_snapshot_diff (S7) — derive a changelog by DIFFING two snapshot
     * states: the reverse of cdc_apply, and the mode a CDC pipeline falls
     * back to when the source exposes no changelog (periodic full dumps,
@@ -530,6 +579,7 @@ object Cdc {
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
     "cdc_snapshot_diff" -> (cdcSnapshotDiff _),
+    "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_incremental_join" -> (cdcIncrementalJoin _),
     "cdc_scd2" -> (cdcScd2 _),
@@ -542,6 +592,7 @@ object Cdc {
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
     "cdc_snapshot_diff" -> cdcSnapshotDiffSql,
+    "cdc_time_travel" -> cdcTimeTravelSql,
     "cdc_incremental_agg" -> cdcIncrementalAggSql,
     "cdc_incremental_join" -> cdcIncrementalJoinSql,
     "cdc_scd2" -> cdcScd2Sql,
