@@ -138,11 +138,94 @@ object TimeSeries {
        |  ${sqlDsum("value")} AS volume
        |FROM x GROUP BY h, event_type ORDER BY hour, event_type""".stripMargin
 
+  /** events_cusum (W8) — one-sided CUSUM drift detection per event type:
+    * the sequential statistic S_i = max(0, S_{i-1} + (x_i − μ − k))
+    * computed WITHOUT recursion via the prefix identity
+    * S_i = P_i − min_{j≤i} P_j  (P = running sum of slack-adjusted
+    * deviations) — two window passes over one per-type sort. The page
+    * every monitoring stack wants: "has this metric drifted upward from
+    * its historical mean, cumulatively, beyond slack k?"
+    *
+    * DETERMINISM: deviations are exact integers in units of n·cents —
+    * d_i = n·round(100·x_i) − Σround(100·x) clears the rational mean μ =
+    * Σ/(100n) without dividing — so the running sum, running min, and
+    * max are all exact (a float CUSUM would hinge on each engine's
+    * window-aggregation association order; DuckDB's segment tree and
+    * Spark's sequential accumulator would disagree in the last ulp).
+    * Slack k = 0.25 value units ⇒ 25n; alarm threshold h = 3 units ⇒
+    * 300n. Headroom: |d_i| ≤ n·max|x|·100 ≈ 1e17 at 100 TB per-type
+    * counts — inside i64.
+    *
+    * Scale: one shuffle on event_type for the per-type constants (tiny
+    * agg), one sort-partitioned window pass per type for both windows
+    * (same ordering → one exchange + one sort), output one row per type.
+    */
+  def eventsCusum(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        scaledLong(col("value"), 100L).as("x100"))
+    val consts = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x100")).as("s100"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = e.join(broadcast(consts), Seq("event_type"))
+      .withColumn("d", col("n") * col("x100") - col("s100") -
+        lit(25L) * col("n"))
+      .withColumn("p", sum(col("d")).over(wRun))
+      // the running min must include the EMPTY prefix (P_0 = 0), or an
+      // all-positive prefix run would zero the statistic
+      .withColumn("pmin", least(min(col("p")).over(wRun), lit(0L)))
+      .withColumn("s", col("p") - col("pmin"))
+    scored.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("s") > lit(300L) * col("n"), 1L).otherwise(0L))
+          .cast("long").as("n_alarms"),
+        min(when(col("s") > lit(300L) * col("n"),
+          struct(col("ts"), col("event_id")))).as("first_alarm"),
+        max(col("s")).as("smax"), min(col("n")).as("n"))
+      .select(col("event_type"), col("n_alarms"),
+        fmtTs(col("first_alarm.ts")).as("first_alarm_ts"),
+        (col("smax").cast("double") / (col("n") * 100L).cast("double"))
+          .as("max_cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsCusumSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, ts, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS x100
+       |  FROM events),
+       |c AS (
+       |  SELECT event_type, count(*) AS n, SUM(x100) AS s100
+       |  FROM e GROUP BY event_type),
+       |scored AS (
+       |  SELECT e.event_type, e.ts, e.event_id, c.n,
+       |    SUM(c.n * e.x100 - c.s100 - 25 * c.n) OVER (
+       |      PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM e JOIN c ON c.event_type = e.event_type),
+       |s AS (
+       |  SELECT *, p - least(min(p) OVER (
+       |      PARTITION BY event_type ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cu
+       |  FROM scored)
+       |SELECT event_type,
+       |  CAST(SUM(CASE WHEN cu > 300 * n THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_alarms,
+       |  ${sqlFmtTs("min(CASE WHEN cu > 300 * n THEN ts END)")}
+       |    AS first_alarm_ts,
+       |  CAST(MAX(cu) AS DOUBLE) / CAST(MIN(n) * 100 AS DOUBLE)
+       |    AS max_cusum
+       |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_gapfill" -> (eventsGapfill _),
-    "events_ohlc" -> (eventsOhlc _))
+    "events_ohlc" -> (eventsOhlc _),
+    "events_cusum" -> (eventsCusum _))
 
   def oracle: Map[String, String] = Map(
     "events_gapfill" -> eventsGapfillSql,
-    "events_ohlc" -> eventsOhlcSql)
+    "events_ohlc" -> eventsOhlcSql,
+    "events_cusum" -> eventsCusumSql)
 }
