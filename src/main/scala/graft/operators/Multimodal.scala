@@ -130,11 +130,89 @@ object Multimodal {
        |      FROM feat)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** mm_phash_dedup — perceptual-hash near-dup detection over the OPAQUE
+    * payload column: a 48-bit signature per asset (stubbed as md5 bits —
+    * a real pHash/aHash replaces exactly the signature expression), 4 ×
+    * 12-bit multi-index bands generate candidates by equi-join (the
+    * SimHash pigeonhole idiom: any pair within Hamming 3 of a 48-bit
+    * code shares at least one of 4 bands; ≤ 6 is the verify bound), then
+    * `bit_count(sig XOR sig)` verifies candidates only. With the stub
+    * signature only exact-payload duplicates land within the bound —
+    * the BLOCKING MACHINERY is what this row ships; a real decoder makes
+    * the same plan find visual near-dups.
+    *
+    * Scale: signatures are map-side (codegen'd md5 + hex fold — the
+    * payload never shuffles, only 8-byte codes); candidates are
+    * band-bucket-occupancy-bounded; verification is O(candidates).
+    */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    def hexBits(h: org.apache.spark.sql.Column, from: Int, len: Int) =
+      conv(substring(h, from + 1, len), 16, 10).cast("long")
+    // stub signature = hash of a CANONICAL CROP (normalize, take the
+    // leading 64 bytes) — the aHash/pHash analogy: decode canonicalizes
+    // (resize/grayscale), the signature hashes the canonical form, and
+    // assets differing outside the crop still collide
+    val sig = assets(spark, dir)
+      .withColumn("hx", md5(substring(
+        lower(trim(col("payload").cast("string"))), 1, 64).cast("binary")))
+      .select(col("doc_id"), hexBits(col("hx"), 0, 12).as("sig"),
+        array((0 to 3).map(k =>
+          struct(lit(k).as("b"), hexBits(col("hx"), 3 * k, 3).as("v"))): _*)
+          .as("bands"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(col("bands")).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    val cand = bands.as("a")
+      .join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.v") === col("c.v") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+        col("a.sig").as("sa"), col("c.sig").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(expr("sa ^ sb")).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def sqlHexValOn(e: String, from: Int, len: Int): String =
+    (from until from + len).map(j =>
+      s"(strpos('0123456789abcdef', substring($e, ${j + 1}, 1)) - 1) * ${math.pow(16, from + len - 1 - j).toLong}")
+      .mkString("(", " + ", ")")
+
+  val mmPhashDedupSql: String =
+    s"""WITH s AS (SELECT doc_id,
+       |    md5(substring(lower(trim(text)), 1, 64)) AS hx
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |    ${sqlHexValOn("hx", 0, 12)} AS sig,
+       |    ${sqlHexValOn("hx", 0, 3)} AS b0,
+       |    ${sqlHexValOn("hx", 3, 3)} AS b1,
+       |    ${sqlHexValOn("hx", 6, 3)} AS b2,
+       |    ${sqlHexValOn("hx", 9, 3)} AS b3
+       |  FROM s),
+       |bands AS (SELECT doc_id, sig,
+       |    unnest([0, 1, 2, 3]) AS b, unnest([b0, b1, b2, b3]) AS v
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |    a.sig AS sa, c.sig AS sb
+       |  FROM bands a JOIN bands c
+       |    ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_phash_dedup" -> (mmPhashDedup _))
 
   def oracle: Map[String, String] = Map(
     "mm_decode" -> mmDecodeSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_phash_dedup" -> mmPhashDedupSql)
 }
