@@ -14,6 +14,7 @@ object SparkEntry {
     Seq(
       (operators.Relational.queries, operators.Relational.oracle),
       (operators.Joins.queries, operators.Joins.oracle),
+      (operators.Intervals.queries, operators.Intervals.oracle),
       (operators.Windows.queries, operators.Windows.oracle),
       (operators.Cdc.queries, operators.Cdc.oracle),
       (operators.Olap.queries, operators.Olap.oracle),

@@ -446,7 +446,67 @@ object Analytics {
        |  a.n_anomalies, a.anom_id_xor, a.max_z
        |FROM m JOIN a USING (event_type) ORDER BY event_type""".stripMargin
 
+  /** agg_hist_quantile (A10) — MERGEABLE quantile estimation from a
+    * fixed-grid equi-width histogram: the sketch every distributed engine
+    * reaches for when exact per-key sorts (agg_quantiles) are too
+    * expensive. Bin counts are exact integers with map-side partials
+    * (commutative merge — the 100-TB path: one narrow aggregation, no
+    * global sort), the estimate is the upper edge of the bin where the
+    * cumulative count crosses ceil(q·n/100), and error is bounded by one
+    * bin width by construction.
+    *
+    * The cumulative sum runs as a triangular self-join over the ≤1024-row
+    * histogram (broadcast-NL, ≤1M cells) rather than a partition-less
+    * window — PlanSpec bans empty-partition WindowExec suite-wide, and on
+    * a tiny post-aggregate frame the join costs nothing while keeping
+    * every stage parallel. All arithmetic is integer (cents, bin ids,
+    * ranks); the only double op is the final edge→dollars division,
+    * identical in both engines.
+    */
+  def aggHistQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val binW = 10800L // cents: $108 bins, 1024 bins cover [0, $110,592)
+    val hist = Tables.lineitem(spark, dir)
+      .select(scaledLong(col("l_extendedprice"), 100L).as("cents"))
+      .groupBy(expr(s"cents div $binW").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val cum = hist.toDF("bin", "cnt")
+      .join(broadcast(hist.toDF("b2", "c2")), col("b2") <= col("bin"))
+      .groupBy(col("bin")).agg(sum(col("c2")).as("cum"))
+    val s = spark
+    import s.implicits._
+    val qs = Seq(1L, 25L, 50L, 75L, 90L, 99L).toDF("q_pct")
+    broadcast(qs)
+      .crossJoin(tot)
+      .join(cum, col("cum") >= expr("(n * q_pct + 99) div 100"))
+      .groupBy(col("q_pct"))
+      .agg(min(col("bin")).as("qbin"), max(col("n")).as("n_rows"))
+      .select(col("q_pct"),
+        (((col("qbin") + 1) * lit(binW)).cast("double") / 100).as("est"),
+        col("n_rows"))
+      .orderBy(col("q_pct"))
+  }
+
+  val aggHistQuantileSql: String =
+    """WITH hist AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 10800 AS bin,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT a.bin, CAST(SUM(b.cnt) AS BIGINT) AS cum
+      |  FROM hist a JOIN hist b ON b.bin <= a.bin GROUP BY a.bin),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+      |qs AS (SELECT CAST(x AS BIGINT) AS q_pct
+      |  FROM (VALUES (1), (25), (50), (75), (90), (99)) t(x))
+      |SELECT q_pct,
+      |  CAST((MIN(bin) + 1) * 10800 AS DOUBLE) / 100 AS est,
+      |  CAST(MAX(n) AS BIGINT) AS n_rows
+      |FROM qs CROSS JOIN tot
+      |JOIN cum ON cum >= (n * q_pct + 99) // 100
+      |GROUP BY q_pct ORDER BY q_pct""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hist_quantile" -> (aggHistQuantile _),
     "having_filter" -> (havingFilter _),
     "events_anomaly" -> (eventsAnomaly _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -460,6 +520,7 @@ object Analytics {
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
+    "agg_hist_quantile" -> aggHistQuantileSql,
     "having_filter" -> havingFilterSql,
     "events_anomaly" -> eventsAnomalySql,
     "agg_grouping_sets" -> aggGroupingSetsSql,

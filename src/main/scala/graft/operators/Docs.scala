@@ -151,6 +151,48 @@ object Docs {
        |  CAST(length(text) AS BIGINT) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** doc_heavy_hitters (A11) — corpus-wide frequent tokens via the
+    * Misra-Gries mergeable sketch (`functions/MisraGriesAgg`) + EXACT
+    * verification: pass 1 folds every token into one bounded K-counter
+    * state (map-side partials merge like any agg — the 100-TB path where
+    * a full groupBy(token) would be the bottleneck and top-k over it a
+    * global sort), pass 2 re-counts ONLY the ≤K candidates (broadcast
+    * semi-join — the high-cardinality token aggregate shrinks to the
+    * candidate set) and filters on exact counts at the n/200 line. The
+    * sketch guarantees candidates ⊇ all true >n/512 items, so the exact
+    * filter sees every qualifying token regardless of fold order; the
+    * DuckDB oracle computes the same answer by brute groupBy-HAVING.
+    */
+  def docHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mgUdaf = udaf(graft.functions.MisraGriesAgg.mg)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    // one pass for total + sketch; the 1-row result pins via checkpoint so
+    // the n / candidate branches don't re-tokenize the corpus
+    val pass1 = toks.agg(count(lit(1)).as("n"), mgUdaf(col("tok")).as("cands"))
+      .localCheckpoint()
+    val cand = pass1.select(explode(col("cands")).as("tok"))
+    val tot = pass1.select(col("n"))
+    toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(tot))
+      .filter(col("freq") * 200 > col("n"))
+      .select(col("tok"), col("freq"), expr("freq * 1000000 div n").as("share_ppm"))
+      .orderBy(col("freq").desc, col("tok"))
+  }
+
+  val docHeavyHittersSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split($sqlNorm, ' ')) AS tok FROM documents),
+       |tt AS (SELECT tok FROM t WHERE tok <> ''),
+       |n AS (SELECT COUNT(*) AS n FROM tt),
+       |f AS (SELECT tok, COUNT(*) AS freq FROM tt GROUP BY tok)
+       |SELECT tok, freq, freq * 1000000 // n AS share_ppm
+       |FROM f CROSS JOIN n
+       |WHERE freq * 200 > n
+       |ORDER BY freq DESC, tok""".stripMargin
+
   /** Tiny built-in stopword list shared by quality scoring and language-ID.
     * (lang, marker-token) pairs — public-knowledge function words.
     */
@@ -544,6 +586,7 @@ object Docs {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup" -> (docDedup _),
+    "doc_heavy_hitters" -> (docHeavyHitters _),
     "doc_collocations" -> (docCollocations _),
     "doc_bpe_pairs" -> (docBpePairs _),
     "doc_quality_model" -> (docQualityModel _),
@@ -556,6 +599,7 @@ object Docs {
 
   def oracle: Map[String, String] = Map(
     "doc_dedup" -> docDedupSql,
+    "doc_heavy_hitters" -> docHeavyHittersSql,
     "doc_collocations" -> docCollocationsSql,
     "doc_bpe_pairs" -> docBpePairsSql,
     "doc_quality_model" -> docQualityModelSql,

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** Interval analytics (SURVEY.md §2.3 J9): the both-sides-large interval
+  * OVERLAP join, implemented by time-axis binning — the scale path that
+  * J4's broadcast-NL band join cannot take when neither interval set fits
+  * in a broadcast.
+  *
+  * Shape: each interval explodes to the fixed-width time bins it covers
+  * (map-side; explode factor = interval span / bin width, bounded here by
+  * session length), candidates meet in a bin equi-join, and the exact
+  * overlap predicate verifies inside the bin. A pair sharing k bins would
+  * be emitted k times, so each pair is COUNTED ONLY in its canonical bin —
+  * the bin containing max(a.start, b.start), which both sides provably
+  * cover — making the join duplicate-free by construction with no
+  * distinct/dedup shuffle afterwards.
+  *
+  * Scale (100 TB): one shuffle on user_id builds sessions, one shuffle on
+  * bin meets candidates. Per-bin work is occupancy² (true temporal
+  * concurrency), never global row count²; a hot bin (flash-crowd hour) is
+  * the one skew risk and salts exactly like the near-dup verify grid
+  * (`NearDup.scala`). DuckDB's oracle twin runs its native IEJoin over the
+  * same predicate — semantics identical, plan engine-appropriate.
+  */
+object Intervals {
+
+  private val BinUs = 3600L * 1000000L // 1-hour bins, epoch microseconds
+
+  /** Per-user 30-min-gap sessions as [s_us, e_us] closed intervals (the
+    * same flag+running-sum sessionization as events_sessionize).
+    */
+  private def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord))
+    val flagged = e.withColumn("is_start",
+      when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+    flagged
+      .withColumn("session_no", sum(col("is_start")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("s_ts"),
+        min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+  }
+
+  /** join_interval_bins — temporal concurrency: for every session, how many
+    * OTHER users' sessions overlap it in time. Zero-overlap sessions stay
+    * in the result (left join back to the session set).
+    */
+  def joinIntervalBins(spark: SparkSession, dir: String): DataFrame = {
+    // the session frame feeds BOTH self-join sides and the final
+    // zero-preserving left join — localCheckpoint pins the (small,
+    // session-count-sized) frame so the events window runs once, not 3×
+    val sess = sessions(spark, dir).localCheckpoint()
+    val binned = sess.select(
+      col("user_id"), col("session_no"), col("s_us"), col("e_us"),
+      explode(sequence(
+        expr(s"s_us div $BinUs"), expr(s"e_us div $BinUs"))).as("bin"))
+    val a = binned.toDF("a_user", "a_no", "a_s", "a_e", "bin")
+    val b = binned.toDF("b_user", "b_no", "b_s", "b_e", "bin")
+    val pairs = a.join(b, Seq("bin"))
+      .filter(col("a_user") =!= col("b_user") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        expr(s"greatest(a_s, b_s) div $BinUs") === col("bin"))
+    val counts = pairs.groupBy(col("a_user"), col("a_no"))
+      .agg(count(lit(1)).as("n"))
+    sess.join(counts,
+        sess("user_id") === counts("a_user") && sess("session_no") === counts("a_no"),
+        "left")
+      .select(
+        col("user_id"), col("session_no"),
+        fmtTs(col("s_ts")).as("session_start"),
+        coalesce(col("n"), lit(0L)).as("n_concurrent"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  val joinIntervalBinsSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS is_start
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess0 AS (
+       |  SELECT user_id, ts, CAST(SUM(is_start) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       |  FROM flagged),
+       |sess AS (
+       |  SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e
+       |  FROM sess0 GROUP BY user_id, session_no)
+       |SELECT a.user_id, a.session_no,
+       |  ${sqlFmtTs("a.s")} AS session_start,
+       |  COUNT(b.user_id) AS n_concurrent
+       |FROM sess a LEFT JOIN sess b
+       |  ON a.s <= b.e AND b.s <= a.e AND a.user_id <> b.user_id
+       |GROUP BY a.user_id, a.session_no, a.s
+       |ORDER BY a.user_id, a.session_no""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_bins" -> (joinIntervalBins _))
+
+  def oracle: Map[String, String] = Map(
+    "join_interval_bins" -> joinIntervalBinsSql)
+}

@@ -154,6 +154,49 @@ object Pipeline {
       |  MAX(CASE WHEN smp THEN doc_id END) AS max_sampled_id
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** sample_weighted (L24) — deterministic weighted sampling via the
+    * min-hash replication trick: doc i gets c_i = ceil(n_chars/64) copy
+    * slots, each slot hashes md5(doc_id#slot), and the doc's PRIORITY is
+    * the minimum over its slots. Top-k by priority is then a weighted
+    * sample — the minimum of c uniforms is stochastically smaller the
+    * larger c is, so longer documents win proportionally more often —
+    * with the same retry/partition/engine stability as every hash-derived
+    * decision in this library (no RNG, no seed coordination; A-ES
+    * exponential keys would need cross-engine pow/log, which ulp-diverges
+    * between libm implementations — min-of-hashes keeps the whole
+    * priority integral).
+    *
+    * Scale: the explode factor is weight/64 (bounded, map-side, no
+    * shuffle before the aggregate); the per-doc min is one hash
+    * aggregation with map-side partials, and top-k is
+    * TakeOrderedAndProject — never a global sort.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1L), expr("(n_chars + 63) div 64"))).as("i"))
+      .select(col("doc_id"), col("n_chars"),
+        md5(concat_ws("#", col("doc_id"), col("i"))).as("h"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(min(col("h")).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+  }
+
+  val sampleWeightedSql: String =
+    """WITH copies AS (
+      |  SELECT doc_id, n_chars,
+      |    unnest(generate_series(1, (n_chars + 63) // 64)) AS i
+      |  FROM documents),
+      |pri AS (
+      |  SELECT doc_id, n_chars,
+      |    MIN(md5(concat_ws('#', doc_id, i))) AS priority
+      |  FROM copies GROUP BY doc_id, n_chars)
+      |SELECT doc_id, n_chars, priority
+      |FROM pri ORDER BY priority, doc_id LIMIT 20""".stripMargin
+
   /** dedup_clusters (L10) — resolve near-dup PAIRS into CLUSTERS
     * (connected components), the step a real dedup pipeline needs between
     * pair detection and survivor election: A~B and B~C must collapse to
@@ -932,7 +975,10 @@ object Pipeline {
     // keeping the map side parallel
     val edgesD = edges.join(broadcast(outdeg), Seq("src"))
       .coalesce(8).localCheckpoint()
-    val n = outdeg.select(col("src")).distinct().count() // N: plan constant
+    // outdeg is one row per src by construction (groupBy) — count it
+    // directly; a distinct here would add a whole extra exchange to the
+    // N-probe job
+    val n = outdeg.count() // N: plan constant
     val r0 = 1000000000000000L / n
     val base = (15L * r0) / 100L
     var ranks = outdeg.select(col("src").as("node"), lit(r0).as("rank"))
@@ -1005,6 +1051,7 @@ object Pipeline {
     "doc_shard_pack" -> (docShardPack _),
     "corpus_clean" -> (corpusClean _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_weighted" -> (sampleWeighted _),
     "dedup_clusters" -> (dedupClusters _))
 
   def oracle: Map[String, String] = Map(
@@ -1022,6 +1069,7 @@ object Pipeline {
     "doc_shard_pack" -> docShardPackSql,
     "corpus_clean" -> corpusCleanSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_weighted" -> sampleWeightedSql,
     "dedup_clusters" -> dedupClustersSql,
     "graph_pagerank" -> graphPagerankSql)
 }

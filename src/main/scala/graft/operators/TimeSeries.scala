@@ -219,12 +219,67 @@ object TimeSeries {
        |    AS max_cusum
        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** events_transitions (G2) — user-journey transition matrix with lift:
+    * per-user chronological event-type bigrams (lag over the (ts,
+    * event_id)-ordered per-user window — one shuffle), counted into the
+    * |types|² matrix, then scored by lift = P(a→b) / (P(a→·)·P(·→b))
+    * against the independence assumption. Marginals derive FROM the pair
+    * counts (a ≤25-row aggregate, broadcast back) — the corpus is scanned
+    * exactly once.
+    *
+    * Lift is emitted in exact integer parts-per-million: n_ab·n·10⁶ div
+    * (n_a·n_b), identical BIGINT floor division in both engines — no IEEE
+    * division in the compared payload. i64 headroom: the numerator peaks
+    * at n_ab·n·10⁶ ≤ n²·10⁶, safe through n ≈ 3·10⁶ transitions per the
+    * i64 bound; past that (the 100-TB event log) widen the numerator to
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — same floor-div semantics.
+    */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = e
+      .withColumn("src", lag(col("event_type"), 1).over(ord))
+      .filter(col("src").isNotNull)
+      .select(col("src"), col("event_type").as("dst"))
+    val cnts = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_ab"))
+    val srcTot = cnts.groupBy(col("src")).agg(sum(col("n_ab")).as("n_a"))
+    val dstTot = cnts.groupBy(col("dst")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = cnts.agg(sum(col("n_ab")).as("n"))
+    cnts
+      .join(broadcast(srcTot), Seq("src"))
+      .join(broadcast(dstTot), Seq("dst"))
+      .crossJoin(broadcast(tot))
+      .select(col("src"), col("dst"), col("n_ab"),
+        expr("n_ab * n * 1000000 div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val eventsTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS src,
+      |    event_type AS dst
+      |  FROM events),
+      |cnts AS (
+      |  SELECT src, dst, COUNT(*) AS n_ab FROM pairs
+      |  WHERE src IS NOT NULL GROUP BY src, dst),
+      |s AS (SELECT src, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM cnts GROUP BY src),
+      |d AS (SELECT dst, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM cnts GROUP BY dst),
+      |t AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cnts)
+      |SELECT c.src, c.dst, c.n_ab,
+      |  c.n_ab * t.n * 1000000 // (s.n_a * d.n_b) AS lift_ppm
+      |FROM cnts c JOIN s USING (src) JOIN d USING (dst) CROSS JOIN t
+      |ORDER BY src, dst""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions" -> (eventsTransitions _),
     "events_gapfill" -> (eventsGapfill _),
     "events_ohlc" -> (eventsOhlc _),
     "events_cusum" -> (eventsCusum _))
 
   def oracle: Map[String, String] = Map(
+    "events_transitions" -> eventsTransitionsSql,
     "events_gapfill" -> eventsGapfillSql,
     "events_ohlc" -> eventsOhlcSql,
     "events_cusum" -> eventsCusumSql)

@@ -595,4 +595,109 @@ class QueriesSpec extends SparkSpec {
       assert((n == 0) == r.isNullAt(5), s"$et xor null-ness wrong: $r")
     }
   }
+
+  test("join_interval_bins matches the unbinned brute-force overlap join") {
+    // ground truth: the same sessions, joined by the RAW overlap predicate
+    // (no bins, no canonical-bin dedup) — if binning dropped or
+    // double-counted any pair the counts diverge
+    val e = graft.Tables.events(spark, sfTiny)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord))
+    val sess = e.withColumn("is_start",
+        when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sno", sum(col("is_start")).over(ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sno"))
+      .agg(min(unix_micros(col("ts"))).as("s"), max(unix_micros(col("ts"))).as("en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ref = sess.map { case (u, no, s, en) =>
+      (u, no) -> sess.count { case (u2, _, s2, e2) =>
+        u2 != u && s <= e2 && s2 <= en }.toLong
+    }.toMap
+    val got = operators.Intervals.joinIntervalBins(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == ref, s"binned overlap counts diverge from brute force")
+  }
+
+  test("agg_hist_quantile brackets the exact quantile within one bin") {
+    val prices = graft.Tables.lineitem(spark, sfTiny)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = prices.length
+    operators.Analytics.aggHistQuantile(spark, sfTiny).collect().foreach { r =>
+      val (q, est) = (r.getLong(0), r.getDouble(1))
+      val exact = prices(((n * q + 99) / 100 - 1).toInt)
+      // estimate = upper edge of the crossing bin: never below the exact
+      // quantile, and at most one $108 bin above it
+      assert(est >= exact && est - exact <= 108.0,
+        s"p$q est $est vs exact $exact not within one bin")
+      assert(r.getLong(2) == n.toLong, s"n_rows ${r.getLong(2)} != $n")
+    }
+  }
+
+  test("events_transitions mass balance: sum(n_ab) = n_events - n_users") {
+    val e = graft.Tables.events(spark, sfTiny)
+    val expected = e.count() - e.select(col("user_id")).distinct().count()
+    val rows = operators.TimeSeries.eventsTransitions(spark, sfTiny).collect()
+    assert(rows.map(_.getLong(2)).sum == expected,
+      "per-user bigram counts must total events minus one per user")
+    // lift sanity: Σ n_ab·lift over the independence model reconstructs ~n
+    rows.foreach(r => assert(r.getLong(3) > 0, s"nonpositive lift: $r"))
+  }
+
+  test("doc_heavy_hitters equals a driver-side brute-force exact recount") {
+    val toks = graft.Tables.documents(spark, sfSmall)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.replaceAll("\\s+", " ").trim.toLowerCase.split(" "))
+      .filter(_.nonEmpty)
+    val n = toks.length.toLong
+    val ref = toks.groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      .filter { case (_, f) => f * 200 > n }
+      .map { case (t, f) => (t, f, f * 1000000L / n) }
+      .toSeq.sortBy { case (t, f, _) => (-f, t) }
+    val got = operators.Docs.docHeavyHitters(spark, sfSmall).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == ref, s"sketch+exact-verify diverges from brute force")
+  }
+
+  test("property: Misra-Gries candidates ⊇ all >n/K items under arbitrary split+merge") {
+    val agg = graft.functions.MisraGriesAgg.mg
+    val K = graft.functions.MisraGriesAgg.K
+    for (seed <- 1L to 5L) {
+      // zipf-ish stream: heavy head over a long uniform tail, so some items
+      // genuinely cross the n/K guarantee line
+      val stream = sample(org.scalacheck.Gen.listOfN(4000,
+        org.scalacheck.Gen.frequency(
+          30 -> org.scalacheck.Gen.oneOf("hh1", "hh2", "hh3"),
+          70 -> org.scalacheck.Gen.choose(1, 5000).map("t" + _))), seed)
+      val n = stream.length
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val mustKeep = exact.collect { case (t, f) if f.toLong * K > n => t }.toSet
+      // fold in uneven chunks, merge in a shuffled order — the partition
+      // layout a real cluster would produce
+      val chunks = stream.grouped(700).toSeq
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val shuffled = new scala.util.Random(seed).shuffle(partials)
+      val cands = agg.finish(shuffled.reduce(agg.merge)).toSet
+      assert(mustKeep.subsetOf(cands),
+        s"seed=$seed lost guaranteed items: ${mustKeep -- cands}")
+      assert(cands.size <= K, s"seed=$seed sketch exceeded K: ${cands.size}")
+    }
+  }
+
+  test("sample_weighted priorities match a direct per-doc recompute") {
+    val docs = graft.Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ref = docs.map { case (id, nc) =>
+      val copies = ((nc + 63) / 64).toInt
+      (id, nc, (1 to copies).map(i => md5hex(s"$id#$i")).min)
+    }.sortBy(t => (t._3, t._1)).take(20).toSeq
+    val got = operators.Pipeline.sampleWeighted(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == ref, s"weighted sample diverges from direct recompute")
+  }
 }
