@@ -279,6 +279,51 @@ object Joins {
        |  END AS direction
        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin
 
+  /** join_bloom_filtered (J10) — Spark's NATIVE runtime bloom-filter
+    * injection (`InjectRuntimeFilter`): the selective dim-side predicate
+    * (urgent + high-value orders, ~8% of orders) is distilled into a
+    * bloom filter that prunes the fact side BEFORE its shuffle —
+    * `might_contain(xxhash64(l_orderkey))` lands under the lineitem scan,
+    * so ~92% of fact rows never enter the exchange. This is the
+    * semi-join-reduction machinery a 100-TB deployment leans on when the
+    * filtered dim is too big to broadcast (broadcast disabled here to
+    * force exactly that regime); bloom false positives only let extra
+    * rows reach the real join, which drops them — the result is exact.
+    *
+    * Runs in a CHILD session (`newSession`: shared context, isolated
+    * conf): the injection thresholds default to ≥10 GB application-side
+    * scans — right for a cluster, unreachable for test parquet — so the
+    * child scales them to the testdata. A real deployment leaves the
+    * defaults. PlanSpec pins `might_contain` in the executed plan.
+    */
+  def joinBloomFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(s2, dir)
+    val sel = Tables.orders(s2, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 300000)
+    li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("gross"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val joinBloomFilteredSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  ${sqlDsum("l_extendedprice")} AS gross
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** setop_union — UNION ALL of two key streams + aggregation (the
     * snapshot ∪ tail shape of a CDC bootstrap, SURVEY.md §2.1 S4).
     */
@@ -324,6 +369,7 @@ object Joins {
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsof _),
     "join_asof_nearest" -> (joinAsofNearest _),
+    "join_bloom_filtered" -> (joinBloomFiltered _),
     "setop_union" -> (setopUnion _),
     "setop_diff" -> (setopDiff _))
 
@@ -334,6 +380,7 @@ object Joins {
     "join_range" -> joinRangeSql,
     "join_asof" -> joinAsofSql,
     "join_asof_nearest" -> joinAsofNearestSql,
+    "join_bloom_filtered" -> joinBloomFilteredSql,
     "setop_union" -> setopUnionSql,
     "setop_diff" -> setopDiffSql)
 }

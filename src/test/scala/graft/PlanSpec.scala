@@ -31,6 +31,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q3_join_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("join_bloom_filtered injects a runtime bloom filter under the fact scan") {
+    val p = plan("join_bloom_filtered")
+    assert(p.contains("might_contain"),
+      s"runtime bloom filter not injected:\n${p.take(2000)}")
+    assert(p.contains("bloom_filter_agg"),
+      "bloom creation-side aggregate missing")
+  }
+
   test("parquet scans push filters and prune columns") {
     val p = plan("filter_pushdown")
     assert(p.contains("PushedFilters: [") && p.contains("o_orderstatus"))
