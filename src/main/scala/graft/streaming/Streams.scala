@@ -204,6 +204,25 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** ST12 — streaming heavy-hitter candidates: the Misra-Gries
+    * `Aggregator` (`functions/MisraGriesAgg`) as a STREAMING aggregate.
+    * Because MG partial states merge associatively, Structured Streaming
+    * maintains the sketch incrementally — each micro-batch folds into the
+    * per-group state exactly like a built-in agg, with ≤K counters of
+    * state per group forever (the bounded-state property that makes a
+    * frequency sketch streamable where a full per-key count would grow
+    * without bound). Same contract as the batch form: the emitted
+    * candidate ARRAY is a guaranteed superset of every item with
+    * frequency > n/K; exact membership below that line depends on batch
+    * arrival order, so downstream consumers re-verify candidates exactly
+    * (doc_heavy_hitters' second pass) before acting on counts.
+    */
+  def heavyHitterCandidates(events: DataFrame): DataFrame = {
+    val mg = udaf(graft.functions.MisraGriesAgg.mg)
+    events.groupBy(col("event_type"))
+      .agg(mg(col("user_id").cast("string")).as("candidates"))
+  }
+
   /** ST7 — stream ⋈ static dimension enrichment (broadcast the dim). */
   def enrich(events: DataFrame, customerDim: DataFrame): DataFrame =
     events.join(broadcast(customerDim),

@@ -341,6 +341,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST12 streaming Misra-Gries keeps every guaranteed heavy hitter across micro-batches") {
+    import spark.implicits._
+    val K = graft.functions.MisraGriesAgg.K
+    val input = MemoryStream[ChangeEvent](spark)
+    // 700 distinct tail users (> K=512, so evictions really happen) plus 3
+    // head users at 120 occurrences each — far above the n/K ≈ 2 guarantee
+    // line for n = 1060
+    val tail = (1 to 700).map(u => ev(u.toLong, u % 300, 1000L + u, "view"))
+    val heads = for (h <- 1 to 3; i <- 1 to 120)
+      yield ev(10000L + h * 1000 + i, i % 300, h.toLong, "view")
+    // deterministic interleave so heads arrive spread across micro-batches
+    val mixed = (tail ++ heads).sortBy(_.event_id)
+    val q = Streams.heavyHitterCandidates(input.toDF())
+      .writeStream.format("memory").queryName("st12")
+      .outputMode("complete").start()
+    try {
+      mixed.grouped(400).foreach { b => input.addData(b); drain(q) }
+      val row = spark.table("st12")
+        .filter(col("event_type") === "view").collect().head
+      val cands = row.getSeq[String](1).toSet
+      assert(cands.size <= K, s"sketch state exceeded K: ${cands.size}")
+      assert(Set("1", "2", "3").subsetOf(cands),
+        s"streaming sketch lost a guaranteed heavy hitter: ${Set("1","2","3") -- cands}")
+    } finally q.stop()
+  }
+
   test("ST9 streaming anomaly gate equals the batch 3σ filter") {
     import spark.implicits._
     val input = MemoryStream[ChangeEvent](spark)
