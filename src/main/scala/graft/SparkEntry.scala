@@ -30,6 +30,7 @@ object SparkEntry {
       (operators.Quality.queries, operators.Quality.oracle),
       (operators.TimeSeries.queries, operators.TimeSeries.oracle),
       (sources.Partitioned.queries, sources.Partitioned.oracle),
+      (sources.Formats.queries, sources.Formats.oracle),
       (sources.Bucketed.queries, sources.Bucketed.oracle),
       (sources.ChangeLog.queries, sources.ChangeLog.oracle))
 

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det._
+
+/** Multi-format source parity (SURVEY.md §2.1 S11/S12): the same logical
+  * table served from ORC and from CSV-with-quarantine, proving the engine
+  * is not parquet-coupled — every operator downstream of `Tables` works
+  * unchanged over any columnar/text source Spark can scan, with the same
+  * pushdown behavior (PlanSpec pins PushedFilters on the ORC scan).
+  *
+  * Both landings follow the `Partitioned.eventsByDay` idiom: written once
+  * per (source fingerprint) under java.io.tmpdir, _SUCCESS-gated, keyed on
+  * the source parquet's size+mtime so a regenerated input invalidates the
+  * copy. The ORACLE reads the original parquet-backed view — format parity
+  * means the answer cannot depend on the physical source.
+  */
+object Formats {
+  private val prepared =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def srcStamp(dir: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
+          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
+        }
+      else (f.length, f.lastModified)
+    val (sz, mt) = walk(new java.io.File(dir, "events.parquet"))
+    s"${sz}_$mt"
+  }
+
+  private def land(spark: SparkSession, dir: String, fmt: String)(
+      write: (DataFrame, String) => Unit): String =
+    prepared.getOrElseUpdate((dir, fmt), {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_fmt_$safe/events_${fmt}_${srcStamp(dir)}")
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        write(Tables.events(spark, dir), out.getAbsolutePath)
+      out.getAbsolutePath
+    })
+
+  /** events_orc (S11) — the ORC read path: identical aggregation over an
+    * ORC landing of the events table. Spark's native vectorized ORC
+    * reader gets the same filter pushdown and column pruning as parquet
+    * (plan-pinned); the oracle runs on the original parquet view, so the
+    * hash-match IS the format-parity proof.
+    */
+  def eventsOrc(spark: SparkSession, dir: String): DataFrame = {
+    val path = land(spark, dir, "orc") { (df, out) =>
+      df.write.mode("overwrite").orc(out)
+    }
+    spark.read.orc(path)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .select(fmtDate(col("d")).as("day"), col("event_type"),
+        col("n_events"), col("n_users"), col("total_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val eventsOrcSql: String =
+    s"""SELECT ${sqlFmtDate("CAST(ts AS DATE)")} AS day, event_type,
+       |  COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM events
+       |WHERE event_type IN ('click', 'purchase')
+       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** events_csv_quarantine (S12) — text-format ingestion with a
+    * malformed-row quarantine, the CSV sibling of `json_malformed`: the
+    * landing deterministically corrupts every 500th event (event_id
+    * replaced by an unparseable token — the classic upstream-export rot),
+    * the PERMISSIVE reader parks those rows in `_corrupt` instead of
+    * failing the job, and the report carries clean per-type aggregates
+    * PLUS the quarantine count — nothing silently dropped. The oracle
+    * recomputes both sides from the parquet truth (corrupt ⟺
+    * event_id % 500 = 0), so the hash-match proves the CSV round-trip
+    * (timestamps to the microsecond via min/max) AND the quarantine
+    * accounting.
+    *
+    * props stays out of the CSV landing: JSON-in-CSV needs full quoting
+    * semantics, which `json_malformed` already covers on the JSON side.
+    */
+  def eventsCsvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val path = land(spark, dir, "csv") { (df, out) =>
+      val csvLine = concat_ws(",",
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        col("user_id"), col("event_type"), col("value").cast("string"))
+      val corruptLine = concat(lit("CORRUPT#"), col("event_id"), lit(",x"))
+      df.select(
+          when(col("event_id") % 500 === 0, corruptLine)
+            .otherwise(csvLine).as("value"))
+        .write.mode("overwrite").text(out)
+    }
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, _corrupt STRING"
+    val raw = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .csv(path)
+    // ONE conditional grouping instead of a clean/corrupt union: corrupt
+    // rows route to the '_quarantined' group (their data columns are null,
+    // so the clean aggregates are untouched), and the final projection
+    // nulls the metrics that are meaningless for the quarantine row. One
+    // scan, one shuffle — and it sidesteps Spark's restriction on plans
+    // that reference ONLY the corrupt-record column.
+    raw.groupBy(
+        when(col("_corrupt").isNotNull, lit("_quarantined"))
+          .otherwise(col("event_type")).as("kind"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("nu"),
+        dsum(col("value")).as("tv"),
+        fmtTs(min(col("ts"))).as("ft"),
+        fmtTs(max(col("ts"))).as("lt"))
+      .select(col("kind"), col("n_rows"),
+        when(col("kind") === "_quarantined", lit(null).cast("long"))
+          .otherwise(col("nu")).as("n_users"),
+        when(col("kind") === "_quarantined", lit(null).cast("double"))
+          .otherwise(col("tv")).as("total_value"),
+        when(col("kind") === "_quarantined", lit(null).cast("string"))
+          .otherwise(col("ft")).as("first_ts"),
+        when(col("kind") === "_quarantined", lit(null).cast("string"))
+          .otherwise(col("lt")).as("last_ts"))
+      .orderBy(col("kind"))
+  }
+
+  val eventsCsvQuarantineSql: String =
+    s"""SELECT event_type AS kind, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${sqlDsum("value")} AS total_value,
+       |  ${sqlFmtTs("MIN(ts)")} AS first_ts,
+       |  ${sqlFmtTs("MAX(ts)")} AS last_ts
+       |FROM events WHERE event_id % 500 <> 0
+       |GROUP BY event_type
+       |UNION ALL
+       |SELECT '_quarantined', COUNT(*),
+       |  NULL, NULL, NULL, NULL
+       |FROM events WHERE event_id % 500 = 0
+       |ORDER BY kind""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_orc" -> (eventsOrc _),
+    "events_csv_quarantine" -> (eventsCsvQuarantine _))
+
+  def oracle: Map[String, String] = Map(
+    "events_orc" -> eventsOrcSql,
+    "events_csv_quarantine" -> eventsCsvQuarantineSql)
+}

@@ -31,6 +31,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q3_join_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("events_orc scans ORC with the same pushdown as parquet") {
+    val p = plan("events_orc")
+    assert(p.contains("Format: ORC"),
+      s"events_orc should read the ORC landing:\n${p.take(1500)}")
+    assert(p.contains("PushedFilters: [") && p.contains("event_type"),
+      "ORC scan should push the event_type IN filter")
+  }
+
   test("join_bloom_filtered injects a runtime bloom filter under the fact scan") {
     val p = plan("join_bloom_filtered")
     assert(p.contains("might_contain"),
