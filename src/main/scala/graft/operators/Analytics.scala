@@ -505,7 +505,74 @@ object Analytics {
       |JOIN cum ON cum >= (n * q_pct + 99) // 100
       |GROUP BY q_pct ORDER BY q_pct""".stripMargin
 
+  /** agg_hist_rollup (A12) — SKETCH REUSE across time: monthly histogram
+    * partials (the table a 100-TB deployment materializes once per
+    * ingestion period) answer QUARTERLY quantiles by merging bin counts —
+    * the raw fact table is scanned exactly once, and every coarser
+    * period/window after that is arithmetic over |months|×|bins| rows.
+    * This is A10's sketch + A8's re-aggregation contract applied to
+    * quantiles: bin counts are exact integers, so partial merge is exact,
+    * and the quarter estimate is identical to sketching the quarter
+    * directly. localCheckpoint stands in for the persisted partial table
+    * (same convention as cdc_incremental_join's compacted states).
+    *
+    * The cumulative pass here CAN use a window — partitioned by quarter,
+    * so it shards, unlike the global A10 case that used the triangular
+    * join to honor the no-empty-partitionSpec invariant.
+    */
+  def aggHistRollup(spark: SparkSession, dir: String): DataFrame = {
+    val binW = 10800L
+    // pass 1 (the ONLY raw scan): monthly bin counts, pinned as the
+    // stored-partials table
+    val monthly = Tables.lineitem(spark, dir)
+      .select(date_trunc("month", col("l_shipdate")).as("m"),
+        scaledLong(col("l_extendedprice"), 100L).as("cents"))
+      .groupBy(col("m"), expr(s"cents div $binW").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // quarter rollup: pure partial-merge, no raw data touched
+    val qhist = monthly
+      .groupBy(date_trunc("quarter", col("m")).as("q"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wq = Window.partitionBy(col("q"))
+    val cum = qhist
+      .withColumn("cum", sum(col("cnt")).over(
+        wq.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(wq))
+    val s = spark
+    import s.implicits._
+    val qs = Seq(25L, 50L, 75L, 95L).toDF("q_pct")
+    cum.join(broadcast(qs), col("cum") >= expr("(n * q_pct + 99) div 100"))
+      .groupBy(col("q"), col("q_pct"))
+      .agg(min(col("bin")).as("qbin"), max(col("n")).as("n_rows"))
+      .select(fmtDate(col("q")).as("quarter"), col("q_pct"),
+        (((col("qbin") + 1) * lit(binW)).cast("double") / 100).as("est"),
+        col("n_rows"))
+      .orderBy(col("quarter"), col("q_pct"))
+  }
+
+  val aggHistRollupSql: String =
+    """WITH hist AS (
+      |  SELECT date_trunc('quarter', l_shipdate) AS q,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) // 10800 AS bin,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT q, bin, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY q ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY q) AS BIGINT) AS n
+      |  FROM hist),
+      |qs AS (SELECT CAST(x AS BIGINT) AS q_pct
+      |  FROM (VALUES (25), (50), (75), (95)) t(x))
+      |SELECT strftime(q, '%Y-%m-%d') AS quarter, q_pct,
+      |  CAST((MIN(bin) + 1) * 10800 AS DOUBLE) / 100 AS est,
+      |  CAST(MAX(n) AS BIGINT) AS n_rows
+      |FROM cum JOIN qs ON cum >= (n * q_pct + 99) // 100
+      |GROUP BY q, q_pct ORDER BY quarter, q_pct""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hist_rollup" -> (aggHistRollup _),
     "agg_hist_quantile" -> (aggHistQuantile _),
     "having_filter" -> (havingFilter _),
     "events_anomaly" -> (eventsAnomaly _),
@@ -520,6 +587,7 @@ object Analytics {
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
+    "agg_hist_rollup" -> aggHistRollupSql,
     "agg_hist_quantile" -> aggHistQuantileSql,
     "having_filter" -> havingFilterSql,
     "events_anomaly" -> eventsAnomalySql,

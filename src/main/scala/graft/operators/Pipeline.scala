@@ -968,16 +968,20 @@ object Pipeline {
     // shuffled. (Tried and rejected: shuffle-joining outdeg (two wide
     // exchanges of 1.2M rows), and a count-over-src window (WindowExec's
     // per-partition sort of 1.2M edges costs more than the agg).)
+    // outdeg feeds THREE consumers (the deg-annotated edge build, the N
+    // probe, and the r0 seed ranks) — without a pin each one re-runs the
+    // full li⋈o edge build. Checkpointing the node-sized table (2 longs
+    // per node) collapses three edge builds into one + a cheap replay.
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // coalesce(8): each round's dst-aggregate emits |partitions| × |nodes|
     // map-side partials — at 32 partitions that is ≈ the input size (no
     // combine win); 8 wide-enough partitions cut the exchange 4× while
     // keeping the map side parallel
     val edgesD = edges.join(broadcast(outdeg), Seq("src"))
       .coalesce(8).localCheckpoint()
-    // outdeg is one row per src by construction (groupBy) — count it
-    // directly; a distinct here would add a whole extra exchange to the
-    // N-probe job
+    // outdeg is one row per src by construction (groupBy) — count the
+    // pinned table directly (free); a distinct would add a whole exchange
     val n = outdeg.count() // N: plan constant
     val r0 = 1000000000000000L / n
     val base = (15L * r0) / 100L

@@ -635,6 +635,28 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("agg_hist_rollup partial-merge equals a direct per-quarter sketch") {
+    val rows = graft.Tables.lineitem(spark, sfTiny)
+      .select(date_format(date_trunc("quarter", col("l_shipdate")), "yyyy-MM-dd"),
+        col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val ref = rows.groupBy(_._1).toSeq.flatMap { case (q, g) =>
+      val bins = g.map { case (_, p) => ((p * 100 + 0.5).toLong) / 10800L }
+      val n = bins.length.toLong
+      val hist = bins.groupBy(identity).view.mapValues(_.length.toLong)
+      val sortedBins = hist.keys.toSeq.sorted
+      Seq(25L, 50L, 75L, 95L).map { qp =>
+        val rank = (n * qp + 99) / 100
+        var cum = 0L
+        val qbin = sortedBins.find { b => cum += hist(b); cum >= rank }.get
+        (q, qp, (qbin + 1) * 10800 / 100.0, n)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = operators.Analytics.aggHistRollup(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == ref, "rolled-up quantiles diverge from direct per-quarter sketch")
+  }
+
   test("events_transitions mass balance: sum(n_ab) = n_events - n_users") {
     val e = graft.Tables.events(spark, sfTiny)
     val expected = e.count() - e.select(col("user_id")).distinct().count()
