@@ -445,6 +445,85 @@ object Cdc {
        |  CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
        |FROM versions ORDER BY user_id, version""".stripMargin
 
+  /** join_scd2_asof (J11) — POINT-IN-TIME dimension join: each purchase
+    * is enriched with the SCD2 version (cdc_scd2's history semantics:
+    * clicks open versions, errors are deletes that close them) valid AT
+    * the purchase's event time — `[effective_from, effective_to)`
+    * matching, with purchases falling in a deleted gap getting NULLs
+    * (the dimension did not exist then), not the stale prior version.
+    * This is the warehouse join every "as reported at the time" query
+    * needs against a versioned dimension.
+    *
+    * Implemented WITHOUT an interval join (same discipline as
+    * join_asof): dimension rows and facts union-tag into ONE per-user
+    * (ts, tag, event_id) sort; a struct carry — `last(dim_struct,
+    * ignoreNulls)` — holds the latest dimension ROW (upsert or delete),
+    * so a carried delete yields the gap's NULLs for free; the version
+    * number is a running count of upserts over the same frame. One
+    * exchange, one sort, O(n log n) per user at any scale; the DuckDB
+    * oracle does the honest `[from, to)` predicate LEFT JOIN over the
+    * versions CTE. Equal-timestamp edges (dim row and purchase at the
+    * same ts; upsert and delete at the same ts) resolve identically in
+    * both formulations because the carry order (ts, tag, event_id)
+    * mirrors the version CTE's (ts, event_id) span construction —
+    * an upsert whose span is closed at its own ts never matches.
+    */
+  def joinScd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val tagged = e
+      .filter(col("event_type").isin("click", "error", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("event_type"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dimRow = when(col("tag") === 0, struct(
+      (col("event_type") === "error").as("del"),
+      col("value").as("v"),
+      col("ts").as("from_ts")))
+    val matched = col("carry").isNotNull && !col("carry.del")
+    tagged
+      .withColumn("carry", last(dimRow, ignoreNulls = true).over(w))
+      .withColumn("ver", sum(
+        when(col("tag") === 0 && col("event_type") === "click", 1L)
+          .otherwise(0L)).over(w))
+      .filter(col("tag") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        fmtTs(col("ts")).as("purchase_ts"),
+        col("value").as("purchase_value"),
+        when(matched, col("ver")).as("dim_version"),
+        when(matched, col("carry.v")).as("dim_value"),
+        when(matched, fmtTs(col("carry.from_ts"))).as("dim_from"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinScd2AsofSql: String =
+    s"""WITH log AS (
+       |  SELECT user_id, ts, event_id, value, event_type
+       |  FROM events WHERE event_type IN ('click', 'error')),
+       |spans AS (
+       |  SELECT *, lead(ts) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+       |  FROM log),
+       |versions AS (
+       |  SELECT user_id, event_id, from_ts, next_ts, value,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY user_id ORDER BY from_ts, event_id) AS BIGINT) AS ver
+       |  FROM (SELECT user_id, event_id, ts AS from_ts, next_ts, value
+       |        FROM spans WHERE event_type = 'click'))
+       |SELECT p.event_id, p.user_id,
+       |  ${sqlFmtTs("p.ts")} AS purchase_ts,
+       |  p.value AS purchase_value,
+       |  v.ver AS dim_version,
+       |  v.value AS dim_value,
+       |  ${sqlFmtTs("v.from_ts")} AS dim_from
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |LEFT JOIN versions v ON v.user_id = p.user_id
+       |  AND p.ts >= v.from_ts AND (v.next_ts IS NULL OR p.ts < v.next_ts)
+       |ORDER BY p.event_id""".stripMargin
+
   /** join_stream_static — batch twin of the stream⋈static enrichment join
     * (events enriched with the customer dim, revenue per segment). The
     * streaming form (readStream ⋈ static broadcast) is in graft.streaming.
@@ -583,6 +662,7 @@ object Cdc {
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_incremental_join" -> (cdcIncrementalJoin _),
     "cdc_scd2" -> (cdcScd2 _),
+    "join_scd2_asof" -> (joinScd2Asof _),
     "event_funnel" -> (eventFunnel _),
     "join_stream_static" -> (joinStreamStatic _),
     "events_attribution" -> (eventsAttribution _),
@@ -596,6 +676,7 @@ object Cdc {
     "cdc_incremental_agg" -> cdcIncrementalAggSql,
     "cdc_incremental_join" -> cdcIncrementalJoinSql,
     "cdc_scd2" -> cdcScd2Sql,
+    "join_scd2_asof" -> joinScd2AsofSql,
     "event_funnel" -> eventFunnelSql,
     "join_stream_static" -> joinStreamStaticSql,
     "events_attribution" -> eventsAttributionSql,
