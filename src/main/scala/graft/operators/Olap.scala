@@ -123,6 +123,61 @@ object Olap {
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** events_bitmap_overlap (A13) — SET ALGEBRA on bitmap indexes: exact
+    * per-day audience overlap (users who BOTH clicked and purchased)
+    * computed by word-wise AND of the two packed bitmaps, extending A7's
+    * single-set popcounts to intersections — the analysis (segment
+    * overlap, funnel cross-audience, exact Jaccard) where approximate
+    * sketches (A3/A8) stop being usable because HLL intersections via
+    * inclusion-exclusion lose their error bound.
+    *
+    * Scale: raw events collapse to ≤ |id-domain|/64 words per day in one
+    * partial-combined shuffle; AND/OR/popcount are word arithmetic on the
+    * collapsed frame. Jaccard is emitted in exact integer ppm (BIGINT
+    * floor div) — no IEEE division in the compared payload. The oracle
+    * recounts from raw (user, day) rows — the hash-match proves the
+    * bitmap intersection algebra.
+    */
+  def eventsBitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("d"),
+        shiftright(col("user_id"), 6).as("word_idx"))
+      .agg(
+        expr("bit_or(CASE WHEN event_type = 'click' " +
+          "THEN shiftleft(1L, cast(user_id % 64 as int)) ELSE 0L END)")
+          .as("cb"),
+        expr("bit_or(CASE WHEN event_type = 'purchase' " +
+          "THEN shiftleft(1L, cast(user_id % 64 as int)) ELSE 0L END)")
+          .as("pb"))
+      .groupBy(col("d"))
+      .agg(
+        sum(bit_count(col("cb"))).cast("long").as("n_click_users"),
+        sum(bit_count(col("pb"))).cast("long").as("n_purchase_users"),
+        sum(bit_count(col("cb").bitwiseAND(col("pb")))).cast("long")
+          .as("n_both"))
+      .select(fmtDate(col("d")).as("day"),
+        col("n_click_users"), col("n_purchase_users"), col("n_both"),
+        expr("n_both * 1000000 div " +
+          "(n_click_users + n_purchase_users - n_both)").as("jaccard_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val eventsBitmapOverlapSql: String =
+    s"""WITH du AS (
+       |  SELECT CAST(ts AS DATE) AS d, user_id,
+       |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1, 2)
+       |SELECT ${sqlFmtDate("d")} AS day,
+       |  CAST(SUM(c) AS BIGINT) AS n_click_users,
+       |  CAST(SUM(p) AS BIGINT) AS n_purchase_users,
+       |  CAST(SUM(c * p) AS BIGINT) AS n_both,
+       |  CAST(SUM(c * p) * 1000000 // (SUM(c) + SUM(p) - SUM(c * p))
+       |    AS BIGINT) AS jaccard_ppm
+       |FROM du GROUP BY d ORDER BY day""".stripMargin
+
   /** events_sliding_distinct (A9) — EXACT distinct users per 3-hour
     * sliding window (step 1h), computed from MERGEABLE hourly bitmap
     * partials instead of re-scanning raw events per window: one pass
@@ -425,6 +480,7 @@ object Olap {
     "agg_sketch_rollup" -> (aggSketchRollup _),
     "events_funnel_steps" -> (eventsFunnelSteps _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
+    "events_bitmap_overlap" -> (eventsBitmapOverlap _),
     "agg_rollup" -> (aggRollup _),
     "agg_collect" -> (aggCollect _),
     "events_tumbling_1h" -> (eventsTumbling1h _),
@@ -438,6 +494,7 @@ object Olap {
     "agg_sketch_rollup" -> aggSketchRollupSql,
     "events_funnel_steps" -> eventsFunnelStepsSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
+    "events_bitmap_overlap" -> eventsBitmapOverlapSql,
     "agg_rollup" -> aggRollupSql,
     "agg_collect" -> aggCollectSql,
     "events_tumbling_1h" -> eventsTumbling1hSql,
