@@ -707,6 +707,36 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_bitmap_overlap equals a direct distinct-set recount") {
+    val rows = graft.Tables.events(spark, sfTiny)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd"),
+        col("user_id"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val ref = rows.groupBy(_._1).toSeq.map { case (d, g) =>
+      val c = g.filter(_._3 == "click").map(_._2).toSet
+      val p = g.filter(_._3 == "purchase").map(_._2).toSet
+      val both = (c & p).size.toLong
+      (d, c.size.toLong, p.size.toLong, both,
+        both * 1000000L / (c.size + p.size - both))
+    }.sortBy(_._1)
+    val got = operators.Olap.eventsBitmapOverlap(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == ref, "bitmap AND algebra diverges from set recount")
+    // algebraic sanity independent of the recount
+    got.foreach { case (d, c, p, both, _) =>
+      assert(both <= math.min(c, p), s"$d: intersection exceeds a side")
+    }
+  }
+
+  test("agg_hist_quantile estimates are monotone in q") {
+    val ests = operators.Analytics.aggHistQuantile(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(ests.zip(ests.tail).forall { case (a, b) => a <= b },
+      s"quantile estimates not monotone: ${ests.mkString(",")}")
+  }
+
   test("sample_weighted priorities match a direct per-doc recompute") {
     val docs = graft.Tables.documents(spark, sfTiny)
       .select(col("doc_id"), col("n_chars")).collect()
