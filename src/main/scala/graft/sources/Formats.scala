@@ -151,11 +151,59 @@ object Formats {
        |FROM events WHERE event_id % 500 = 0
        |ORDER BY kind""".stripMargin
 
+  /** events_schema_merge (S13) — parquet schema EVOLUTION ON READ: the
+    * landing splits events across two writer generations (the "old
+    * writer" — even event_ids — never had a `value` column; the "new
+    * writer" does), and `mergeSchema=true` reconciles the footers into
+    * one superset schema with NULLs where the old files have no column —
+    * the lakehouse reality after any additive schema change. The report
+    * proves the reconciliation: per type, how many rows carry the new
+    * column and the exact sum over exactly those rows. The oracle
+    * recomputes from the flat parquet truth with the same
+    * writer-generation rule (value present ⟺ odd event_id), so the
+    * hash-match pins both the merge AND the null accounting.
+    *
+    * json_evolution covers evolution inside a VALUE (decode-level); this
+    * covers evolution of the FILE SCHEMA itself — different capability,
+    * different failure mode (a non-merged read would either drop the
+    * column or fail on the old files).
+    */
+  def eventsSchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val path = land(spark, dir, "mergegen") { (df, out) =>
+      df.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$out/old")
+      df.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").parquet(s"$out/new")
+      new java.io.File(out, "_SUCCESS").createNewFile()
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/old", s"$path/new")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_with_value"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsSchemaMergeSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_with_value,
+       |  ${sqlDsum("CASE WHEN event_id % 2 <> 0 THEN value END")}
+       |    AS total_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_orc" -> (eventsOrc _),
-    "events_csv_quarantine" -> (eventsCsvQuarantine _))
+    "events_csv_quarantine" -> (eventsCsvQuarantine _),
+    "events_schema_merge" -> (eventsSchemaMerge _))
 
   def oracle: Map[String, String] = Map(
     "events_orc" -> eventsOrcSql,
-    "events_csv_quarantine" -> eventsCsvQuarantineSql)
+    "events_csv_quarantine" -> eventsCsvQuarantineSql,
+    "events_schema_merge" -> eventsSchemaMergeSql)
 }
