@@ -272,13 +272,57 @@ object TimeSeries {
       |FROM cnts c JOIN s USING (src) JOIN d USING (dst) CROSS JOIN t
       |ORDER BY src, dst""".stripMargin
 
+  /** events_streaks (W9) — GAPS-AND-ISLANDS: longest consecutive-day
+    * activity streak per user via the anchor-date trick (day − row_number
+    * is constant exactly within a run of consecutive days), the classic
+    * warehouse pattern for "N-day streak" retention metrics. One distinct
+    * pass collapses events to (user, day), one per-user window numbers
+    * the days, one aggregation per (user, anchor) measures each island —
+    * all keyed on user_id, so the whole plan is a single logical
+    * partitioning with no self-joins and no recursion (the formulations
+    * that don't survive scale).
+    */
+  def eventsStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val daily = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    daily
+      .withColumn("anchor",
+        date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).cast("long").as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsStreaksSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |r AS (
+      |  SELECT user_id, d,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      |  FROM daily),
+      |s AS (
+      |  SELECT user_id, d - CAST(rn AS INTEGER) AS anchor, COUNT(*) AS len
+      |  FROM r GROUP BY user_id, d - CAST(rn AS INTEGER))
+      |SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_days
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_streaks" -> (eventsStreaks _),
     "events_transitions" -> (eventsTransitions _),
     "events_gapfill" -> (eventsGapfill _),
     "events_ohlc" -> (eventsOhlc _),
     "events_cusum" -> (eventsCusum _))
 
   def oracle: Map[String, String] = Map(
+    "events_streaks" -> eventsStreaksSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_gapfill" -> eventsGapfillSql,
     "events_ohlc" -> eventsOhlcSql,
