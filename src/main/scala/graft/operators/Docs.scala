@@ -193,6 +193,49 @@ object Docs {
        |WHERE freq * 200 > n
        |ORDER BY freq DESC, tok""".stripMargin
 
+  /** doc_keyword_search (L26) — conjunctive keyword retrieval, the
+    * inverted-index query primitive expressed relationally: a document
+    * matches when it contains ALL query terms, scored here by total term
+    * occurrences. The query-term table broadcasts (it is always tiny),
+    * the token stream joins it BEFORE any aggregation — so the shuffle
+    * carries only (doc, term) hits for query terms, never the full
+    * posting universe — and the ALL-terms test is `count(distinct term)
+    * = |terms|` per doc. At 100 TB this is exactly the query an inverted
+    * index answers; the relational form IS the index build fused with
+    * one probe, and materializing `tokens → (term, doc)` sorted by term
+    * is the index itself.
+    */
+  def docKeywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val terms = Seq("join", "hash", "scan").toDF("tok")
+    val d = Tables.documents(spark, dir)
+    val hits = d
+      .select(col("doc_id"), col("lang"),
+        explode(split(norm(col("text")), " ")).as("tok"))
+      .join(broadcast(terms), Seq("tok"))
+    hits.groupBy(col("doc_id"), col("lang"))
+      .agg(
+        countDistinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+      .filter(col("n_terms") === 3)
+      .select(col("doc_id"), col("lang"), col("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+  }
+
+  val docKeywordSearchSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split($sqlNorm, ' ')) AS tok
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lang, tok FROM t
+       |  WHERE tok IN ('join', 'hash', 'scan'))
+       |SELECT doc_id, lang, COUNT(*) AS n_hits
+       |FROM hits GROUP BY doc_id, lang
+       |HAVING COUNT(DISTINCT tok) = 3
+       |ORDER BY n_hits DESC, doc_id""".stripMargin
+
   /** Tiny built-in stopword list shared by quality scoring and language-ID.
     * (lang, marker-token) pairs — public-knowledge function words.
     */
@@ -587,6 +630,7 @@ object Docs {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup" -> (docDedup _),
     "doc_heavy_hitters" -> (docHeavyHitters _),
+    "doc_keyword_search" -> (docKeywordSearch _),
     "doc_collocations" -> (docCollocations _),
     "doc_bpe_pairs" -> (docBpePairs _),
     "doc_quality_model" -> (docQualityModel _),
@@ -600,6 +644,7 @@ object Docs {
   def oracle: Map[String, String] = Map(
     "doc_dedup" -> docDedupSql,
     "doc_heavy_hitters" -> docHeavyHittersSql,
+    "doc_keyword_search" -> docKeywordSearchSql,
     "doc_collocations" -> docCollocationsSql,
     "doc_bpe_pairs" -> docBpePairsSql,
     "doc_quality_model" -> docQualityModelSql,
