@@ -158,11 +158,86 @@ object Quality {
       |  max(mx) AS max_num
       |FROM r GROUP BY colname ORDER BY colname""".stripMargin
 
+  /** events_lateness_profile (Q3) — the WATERMARK-TUNING audit: how
+    * out-of-order is the stream, per disorder budget? For each event,
+    * lateness = (max event-time among ALREADY-ARRIVED events of the same
+    * key) − (its own event time) — exactly the quantity a Structured
+    * Streaming watermark bounds. The profile buckets lateness into
+    * candidate watermark budgets and reports how many events a watermark
+    * of each size would have saved vs dropped — the measurement that
+    * turns ST4's watermark from a guess into a sized decision
+    * (drop-rate SLO ⇒ smallest sufficient budget).
+    *
+    * The testdata's event_ids follow event time (a perfectly ordered
+    * log profiles trivially in-order), so ARRIVAL order is modeled as a
+    * deterministic hash scramble of the id — the disorder a consumer
+    * sees replaying an unordered multi-partition log, which is the
+    * worst-case a watermark must be sized for. Swap the hash for the
+    * real arrival column (offset, ingest ts) where one exists.
+    *
+    * Shape: one per-key window pass (running max over the preceding
+    * frame, exclusive of the current row), one bucket aggregate. Exact
+    * integer microseconds; shares in integer ppm (BIGINT floor div).
+    */
+  def eventsLatenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // first-arrival rows have an empty preceding frame → null running max;
+    // coalesce AFTER the subtraction (a MinValue sentinel would wrap on
+    // subtract — silent in Spark, an overflow error in DuckDB)
+    val lateUs = greatest(lit(0L), coalesce(
+      max(unix_micros(col("ts"))).over(w) - unix_micros(col("ts")), lit(0L)))
+    val tot = e.count()
+    e.withColumn("late_us", lateUs)
+      .withColumn("bucket",
+        when(col("late_us") === 0L, "0_in_order")
+          .when(col("late_us") <= 60L * 1000000L, "1_within_1min")
+          .when(col("late_us") <= 300L * 1000000L, "2_within_5min")
+          .when(col("late_us") <= 900L * 1000000L, "3_within_15min")
+          .otherwise("4_beyond_15min"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("late_us")).cast("long").as("max_lateness_us"))
+      .select(col("bucket"), col("n_events"),
+        expr(s"n_events * 1000000 div $tot").as("share_ppm"),
+        col("max_lateness_us"))
+      .orderBy(col("bucket"))
+  }
+
+  val eventsLatenessProfileSql: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, ts,
+      |    greatest(0, coalesce(epoch_us(max(ts) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |      - epoch_us(ts), 0)) AS late_us
+      |  FROM events),
+      |b AS (
+      |  SELECT CASE
+      |    WHEN late_us = 0 THEN '0_in_order'
+      |    WHEN late_us <= 60000000 THEN '1_within_1min'
+      |    WHEN late_us <= 300000000 THEN '2_within_5min'
+      |    WHEN late_us <= 900000000 THEN '3_within_15min'
+      |    ELSE '4_beyond_15min' END AS bucket, late_us
+      |  FROM l),
+      |t AS (SELECT COUNT(*) AS n FROM events)
+      |SELECT bucket, COUNT(*) AS n_events,
+      |  CAST(COUNT(*) * 1000000 // MAX(t.n) AS BIGINT) AS share_ppm,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_lateness_us
+      |FROM b CROSS JOIN t
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> (dqAudit _),
-    "dq_profile" -> (dqProfile _))
+    "dq_profile" -> (dqProfile _),
+    "events_lateness_profile" -> (eventsLatenessProfile _))
 
   def oracle: Map[String, String] = Map(
     "dq_audit" -> dqAuditSql,
-    "dq_profile" -> dqProfileSql)
+    "dq_profile" -> dqProfileSql,
+    "events_lateness_profile" -> eventsLatenessProfileSql)
 }
