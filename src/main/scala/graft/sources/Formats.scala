@@ -18,8 +18,13 @@ import graft.functions.Det._
   * means the answer cannot depend on the physical source.
   */
 object Formats {
+  // Keyed on (dir, fmt, srcStamp): the stamp in the key — not just the
+  // landing path — means a source regenerated MID-PROCESS still lands
+  // fresh; without it the memo would pin the first stamp for the JVM's
+  // lifetime and the advertised size+mtime invalidation would be
+  // cross-JVM only.
   private val prepared =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
   private def srcStamp(dir: String): String = {
     def walk(f: java.io.File): (Long, Long) =
@@ -34,7 +39,7 @@ object Formats {
 
   private def land(spark: SparkSession, dir: String, fmt: String)(
       write: (DataFrame, String) => Unit): String =
-    prepared.getOrElseUpdate((dir, fmt), {
+    prepared.getOrElseUpdate((dir, fmt, srcStamp(dir)), {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
@@ -92,10 +97,21 @@ object Formats {
     */
   def eventsCsvQuarantine(spark: SparkSession, dir: String): DataFrame = {
     val path = land(spark, dir, "csv") { (df, out) =>
-      val csvLine = concat_ws(",",
-        col("event_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        col("user_id"), col("event_type"), col("value").cast("string"))
+      // concat + per-field coalesce-to-empty, NOT concat_ws: concat_ws
+      // silently SKIPS null arguments, so a null field would drop its
+      // delimiter and shift every later column — the row then parses
+      // cleanly with wrong alignment instead of landing in quarantine.
+      // With coalesce, a null field becomes an empty cell and the column
+      // grid stays intact. (Fixture events are currently null-free, so
+      // this is a guard, not a behavior change.)
+      def cell(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit(""))
+      val csvLine = concat(
+        cell(col("event_id")), lit(","),
+        cell(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")), lit(","),
+        cell(col("user_id")), lit(","),
+        cell(col("event_type")), lit(","),
+        cell(col("value")))
       val corruptLine = concat(lit("CORRUPT#"), col("event_id"), lit(",x"))
       df.select(
           when(col("event_id") % 500 === 0, corruptLine)

@@ -13,6 +13,29 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def _types_hash_compatible(g, e):
+    """True when the driver's typed-value hasher would see identical cells.
+
+    Spark int64 vs DuckDB decimal128 (HUGEINT) is the known divergence class;
+    any integer-width difference is tolerated (values hash by magnitude at
+    the driver only within the same arrow family), so flag family mismatches:
+    int-vs-decimal, int-vs-float, etc.
+    """
+    import pyarrow.types as pt
+    def fam(t):
+        if pt.is_integer(t): return "int"
+        if pt.is_decimal(t): return "decimal"
+        if pt.is_floating(t): return "float"
+        if pt.is_timestamp(t): return "timestamp"
+        if pt.is_date(t): return "date"
+        if pt.is_boolean(t): return "bool"
+        if pt.is_string(t) or pt.is_large_string(t): return "str"
+        if pt.is_binary(t) or pt.is_large_binary(t): return "bin"
+        if pt.is_list(t) or pt.is_large_list(t): return "list"
+        return str(t)
+    return fam(g) == fam(e)
+
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -51,6 +74,7 @@ def main(sf_dir, out_dir):
             exp = con.sql(oracles[name])
             exp_cols = list(exp.columns)
             exp_rows = exp.fetchall()
+            exp_arrow = con.sql(oracles[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -60,6 +84,19 @@ def main(sf_dir, out_dir):
         ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns differ spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # The driver hashes TYPED arrow values: DuckDB HUGEINT (e.g. from a
+        # windowed SUM) arrives as decimal128 while Spark writes int64 — equal
+        # Python ints, different hashes. Compare post-arrow types explicitly.
+        got_arrow = con.sql(f"SELECT * FROM '{spark_glob}'").arrow()
+        gt = {f.name: f.type for f in got_arrow.schema}
+        et = {f.name: f.type for f in exp_arrow.schema}
+        type_mismatch = [(c, gt[c], et[c]) for c in sorted(gt)
+                         if not _types_hash_compatible(gt[c], et[c])]
+        if type_mismatch:
+            print(f"FAIL {name}: arrow type mismatch (driver hash would diverge): "
+                  + "; ".join(f"{c}: spark={g} oracle={e}" for c, g, e in type_mismatch))
             n_fail += 1
             continue
         if len(got_rows) != len(exp_rows):
