@@ -52,32 +52,46 @@ object Intervals {
 
   /** join_interval_bins — temporal concurrency: for every session, how many
     * OTHER users' sessions overlap it in time. Zero-overlap sessions stay
-    * in the result (left join back to the session set).
+    * in the result.
+    *
+    * Zero-preservation WITHOUT a join-back: self-pairs are KEPT in the bin
+    * join and the count is emitted as (pairs − 1). A session always meets
+    * itself exactly once — its canonical bin greatest(a_s, a_s) div B is
+    * the bin holding its own start, which it covers — and two sessions of
+    * the SAME user can never pass the overlap predicate (consecutive
+    * sessions are >30 min apart by the gap construction, so e₁ < s₂), so
+    * "all overlapping minus self" ≡ "overlapping sessions of other users".
+    * That removes the round-5 plan's third branch over the session frame
+    * and its final left join (one whole shuffle join fewer); the
+    * localCheckpoint now pins a frame read by exactly the two bin sides
+    * (probed without it: ReuseExchange cannot dedupe the branches — they
+    * prune different columns — and the window recompute costs ~1 s more).
+    * A collect_list-per-bin + higher-order-filter single-pass variant was
+    * also probed and measured SLOWER (2.4-2.8 s): array HOFs are
+    * CodegenFallback, which puts an interpreted eval in the occupancy²
+    * hot loop — the codegen'd join stays.
     */
   def joinIntervalBins(spark: SparkSession, dir: String): DataFrame = {
-    // the session frame feeds BOTH self-join sides and the final
-    // zero-preserving left join — localCheckpoint pins the (small,
-    // session-count-sized) frame so the events window runs once, not 3×
     val sess = sessions(spark, dir).localCheckpoint()
     val binned = sess.select(
-      col("user_id"), col("session_no"), col("s_us"), col("e_us"),
+      col("user_id"), col("session_no"), col("s_ts"), col("s_us"), col("e_us"),
       explode(sequence(
         expr(s"s_us div $BinUs"), expr(s"e_us div $BinUs"))).as("bin"))
-    val a = binned.toDF("a_user", "a_no", "a_s", "a_e", "bin")
-    val b = binned.toDF("b_user", "b_no", "b_s", "b_e", "bin")
-    val pairs = a.join(b, Seq("bin"))
-      .filter(col("a_user") =!= col("b_user") &&
-        col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+    val a = binned.toDF("a_user", "a_no", "a_sts", "a_s", "a_e", "bin")
+    val b = binned.select(col("user_id").as("b_user"),
+      col("s_us").as("b_s"), col("e_us").as("b_e"), col("bin"))
+    // shuffle-hash, not sort-merge: bin keys are coarse (hour-grain) and
+    // hugely duplicated, so the SMJ's per-partition sorts buy nothing a
+    // hash table doesn't; the b side is the pruned 4-column projection
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("bin"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
         expr(s"greatest(a_s, b_s) div $BinUs") === col("bin"))
-    val counts = pairs.groupBy(col("a_user"), col("a_no"))
-      .agg(count(lit(1)).as("n"))
-    sess.join(counts,
-        sess("user_id") === counts("a_user") && sess("session_no") === counts("a_no"),
-        "left")
+    pairs.groupBy(col("a_user"), col("a_no"), col("a_sts"))
+      .agg((count(lit(1)) - 1L).as("n_concurrent"))
       .select(
-        col("user_id"), col("session_no"),
-        fmtTs(col("s_ts")).as("session_start"),
-        coalesce(col("n"), lit(0L)).as("n_concurrent"))
+        col("a_user").as("user_id"), col("a_no").as("session_no"),
+        fmtTs(col("a_sts")).as("session_start"),
+        col("n_concurrent"))
       .orderBy(col("user_id"), col("session_no"))
   }
 
