@@ -91,6 +91,81 @@ object Cdc {
        |FROM ranked WHERE rn = 1 AND op <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** cdc_ddl_evolution — DDL/schema-change events flowing through the LWW
+    * apply: the changelog's payload field migrates across SCHEMA EPOCHS
+    * (v1: `k` lands in column metric_a; v2: the column is RENAMED, `k`
+    * now lands in metric_b; v3: the column is DROPPED — writes carry no
+    * metric at all), and the apply reconciles every version into the
+    * SUPERSET schema (metric_a, metric_b) before the per-key collapse.
+    * Final state per key is the last writer's document resolved under its
+    * own epoch's mapping — exactly what a changelog consumer must do when
+    * the upstream ALTERs mid-stream — plus an audit of how many of the
+    * key's writes arrived under the dropped-column epoch.
+    *
+    * The version→target mapping is a DDL DICTIONARY frame joined with a
+    * broadcast — schema-change events are metadata-rate (a handful of
+    * rows), so at 100 TB the resolution is a map-side conditional
+    * projection; the only shuffle is cdc_apply's own keyed window. Epochs
+    * derive deterministically from event_id (1 + id % 3) so the oracle
+    * recomputes the same assignment.
+    */
+  def cdcDdlEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val ddl = spark.createDataFrame(Seq(
+        (1L, Some("metric_a")), (2L, Some("metric_b")),
+        (3L, Option.empty[String])))
+      .toDF("schema_version", "k_target")
+    val log = Tables.events(spark, dir).select(
+        col("user_id"), col("ts"), col("event_id"),
+        (lit(1L) + col("event_id") % 3).as("schema_version"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        when(col("event_type") === "error", "delete")
+          .otherwise("upsert").as("op"))
+      .join(broadcast(ddl), Seq("schema_version"))
+    val resolved = log.select(
+      col("user_id"), col("ts"), col("event_id"), col("op"),
+      col("schema_version"),
+      when(col("k_target") === "metric_a", col("k")).as("metric_a"),
+      when(col("k_target") === "metric_b", col("k")).as("metric_b"),
+      col("k_target").isNull.cast("long").as("dropped"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wAll = Window.partitionBy(col("user_id"))
+    resolved
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_writes", count(lit(1)).over(wAll))
+      .withColumn("n_dropped_writes", sum(col("dropped")).over(wAll))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(col("user_id"), fmtTs(col("ts")).as("last_ts"),
+        col("schema_version"), col("metric_a"), col("metric_b"),
+        col("n_writes"), col("n_dropped_writes"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcDdlEvolutionSql: String =
+    s"""WITH log AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(1 + event_id % 3 AS BIGINT) AS schema_version,
+       |    CAST(props->>'$$.k' AS BIGINT) AS k,
+       |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+       |  FROM events),
+       |resolved AS (
+       |  SELECT user_id, ts, event_id, op, schema_version,
+       |    CASE WHEN schema_version = 1 THEN k END AS metric_a,
+       |    CASE WHEN schema_version = 2 THEN k END AS metric_b,
+       |    CASE WHEN schema_version = 3 THEN 1 ELSE 0 END AS dropped
+       |  FROM log),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_writes,
+       |    CAST(SUM(dropped) OVER (PARTITION BY user_id) AS BIGINT)
+       |      AS n_dropped_writes
+       |  FROM resolved)
+       |SELECT user_id, ${sqlFmtTs("ts")} AS last_ts, schema_version,
+       |  metric_a, metric_b, n_writes, n_dropped_writes
+       |FROM ranked WHERE rn = 1 AND op <> 'delete'
+       |ORDER BY user_id""".stripMargin
+
   /** cdc_time_travel — point-in-time state reconstruction ("state AS OF
     * T"): the LWW apply restricted to events at or before a past instant,
     * PLUS a per-key audit column counting the versions the
@@ -657,6 +732,7 @@ object Cdc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
+    "cdc_ddl_evolution" -> (cdcDdlEvolution _),
     "cdc_snapshot_diff" -> (cdcSnapshotDiff _),
     "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
@@ -671,6 +747,7 @@ object Cdc {
   def oracle: Map[String, String] = Map(
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
+    "cdc_ddl_evolution" -> cdcDdlEvolutionSql,
     "cdc_snapshot_diff" -> cdcSnapshotDiffSql,
     "cdc_time_travel" -> cdcTimeTravelSql,
     "cdc_incremental_agg" -> cdcIncrementalAggSql,

@@ -103,4 +103,42 @@ class CdcPropertySpec extends SparkSpec {
         s"seed=$seed")
     }
   }
+
+  test("snapshot∪tail bootstrap reconciles events racing the snapshot cut") {
+    // The S4 overlap window, made explicit: the initial snapshot is the LWW
+    // state AT the cut, but a resume token always rewinds the tail to
+    // BEFORE the cut (events that committed while the snapshot was being
+    // read would otherwise be lost), so every event in (cut−overlap, cut]
+    // is applied TWICE — once inside the snapshot state, once replayed by
+    // the tail. The bootstrap is correct iff that double-application is
+    // invisible: snapshot-state ∪ overlapping-tail collapses to the same
+    // final state as the one-shot apply of the full log. Checked across
+    // random logs × cut positions × overlap widths, including overlap 0
+    // (the clean cut) and an overlap wide enough to replay deletes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 30L to 35L) {
+      val log = sample(genLog, seed)
+      val df = log.toDF()
+      val times = log.map(_.ts.getTime).sorted
+      for (cutFrac <- Seq(4, 2); overlapMs <- Seq(0L, 10L * 60000L, 500L * 60000L)) {
+        val cut = times(times.length / cutFrac)
+        // snapshot state at the cut: each key's surviving row keeps its
+        // ORIGINAL changelog envelope (that's what a snapshot read emits:
+        // current documents, stamped with their last-modified position)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val snap = df.filter(col("ts") <= new Timestamp(cut))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") =!= "error")
+          .drop("rn")
+        val tail = df.filter(col("ts") > new Timestamp(cut - overlapMs))
+        val got = graft.operators.Cdc.applyLww(snap.unionByName(tail))
+          .collect().toSeq
+        val want = graft.operators.Cdc.applyLww(df).collect().toSeq
+        assert(got == want, s"seed=$seed cutFrac=$cutFrac overlap=$overlapMs")
+      }
+    }
+  }
 }
