@@ -40,11 +40,78 @@ object Tables {
     * parquet file REWRITTEN under sfDir mid-session would serve the stale
     * cached relation (schema + footer). That is the bench/verify contract
     * (driver testdata never changes during a session); a catalog over
-    * mutable paths would need an invalidate(dir) hook here.
+    * mutable paths would need an invalidate(dir) hook here — and the
+    * widening memo below keys on the source stamp, so a regenerated file
+    * lands fresh in a NEW process.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The WIDE catalog view: same table, served from the widened landing
+    * (see [[widen]]). Decode-heavy operators — JSON parsing, shingle /
+    * signature construction, edit distance — are compute-bound in their
+    * FIRST map stage, and a single-row-group source file serializes that
+    * stage onto one core; the wide view restores input-split parallelism
+    * for exactly those plans. Scan-bound or many-job queries stay on the
+    * raw view: for them the extra task-scheduling and shuffle-block fan-out
+    * of a many-file scan costs more than the map stage saves (measured
+    * both ways at sf0.1 — see SURVEY §8).
+    */
+  def loadWide(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, s"$name@wide"),
+      _ => spark.read.parquet(widen(spark, s"$sfDir/$name.parquet")))
+
+  // (path, srcStamp) → landed path; stamp in the KEY so a regenerated
+  // source re-lands (same idiom as sources/Formats.prepared).
+  private val widened =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Narrow-input widening. A parquet scan parallelizes across files and
+    * row groups only — a SINGLE-row-group file (the driver testdata's
+    * layout) serializes every map-side operator above it (JSON decode,
+    * tokenization, MinHash signatures, vector math) onto one core, no
+    * matter how many the session has; measured at sf0.1 that alone
+    * is 2-3× on decode-heavy queries. A 100 TB table never looks like
+    * this — ingest writes many files × many row groups, and the planner's
+    * split math gives every core work — so single-FILE tables above a
+    * broadcast-ish size threshold are re-landed ONCE per source stamp as
+    * a many-file parquet copy under java.io.tmpdir (srcStamp + _SUCCESS
+    * gating, the bucketed/ORC/CSV landing idiom), restoring the
+    * parallelism the physical plans are designed for. Multi-file inputs —
+    * every production layout — skip the copy entirely; tiny dims stay
+    * raw (they are broadcast sides, one core is the right cost).
+    * Row order changes (round-robin), which is safe because every query
+    * follows the Det conventions: order-insensitive aggregates in exact
+    * integer space + a total ORDER BY on the result.
+    */
+  private def widen(spark: SparkSession, path: String): String = {
+    val f = new java.io.File(path)
+    val n = sys.env.getOrElse("SPARK_GRAFT_WIDEN", "16").toInt
+    if (!f.isFile || f.length < 256 * 1024 || n <= 1) return path
+    val stamp = s"${f.length}_${f.lastModified}_w$n"
+    widened.getOrElseUpdate((path, stamp), {
+      val safe = path.replaceAll("[^A-Za-z0-9._-]", "_")
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_wide/${safe}_$stamp")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        // land into a process-unique temp dir, then a single atomic rename
+        // publishes it: concurrent JVMs (test suite vs verify) can race to
+        // land, and neither may ever observe a half-written copy
+        val tmp = new java.io.File(
+          out.getParentFile, s"${out.getName}.tmp${System.nanoTime()}")
+        spark.read.parquet(path).repartition(n)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        if (!tmp.renameTo(out)) rmTree(tmp) // lost the race; winner's copy serves
+      }
+      out.getAbsolutePath
+    })
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(): Unit
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -74,4 +141,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Wide view of events (see [[loadWide]]), with the same nanos→micros ts
+    * normalization as [[events]]. For queries whose first map stage decodes
+    * the `props` JSON — the expensive per-row work. The landed copy stores
+    * ts as plain BIGINT (it was read under nanosAsLong), so the conversion
+    * applies identically.
+    */
+  def eventsWide(s: SparkSession, d: String): DataFrame = {
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = loadWide(s, d, "events")
+    cache.computeIfAbsent((s, d, "events@wide@ts"), _ =>
+      base.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000"))))
+  }
+
+  /** Wide view of documents (see [[loadWide]]): for shingle / signature /
+    * edit-distance operators whose map stage dwarfs the scan. */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    loadWide(s, d, "documents")
 }

@@ -23,7 +23,7 @@ object Cdc {
     * stand-in) with both from_json (typed struct) and get_json_object.
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val e = Tables.eventsWide(spark, dir)
     val parsed = e.withColumn("k",
       from_json(col("props"), StructType(Seq(StructField("k", LongType))))
         .getField("k"))

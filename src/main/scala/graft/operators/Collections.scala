@@ -22,7 +22,7 @@ object Collections {
     * the BSON-embedded-document lifecycle (decode → transform → flatten).
     */
   def mapOps(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val e = Tables.eventsWide(spark, dir)
     val withMap = e.select(
         col("event_type"), col("user_id"),
         from_json(col("props"), MapType(StringType, LongType)).as("m"))
@@ -102,7 +102,7 @@ object Collections {
     * both counts.
     */
   def jsonMalformed(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val e = Tables.eventsWide(spark, dir)
     e.withColumn("payload",
         when(col("event_id") % 3 === 0,
           expr("substring(props, 1, length(props) - 2)"))
@@ -148,7 +148,7 @@ object Collections {
     * count except the declared struct itself.
     */
   def jsonEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    val e = Tables.eventsWide(spark, dir)
     // textual payload drift: splice new keys before the closing brace (the
     // DuckDB twin does the identical string surgery, so both engines parse
     // the identical payloads)

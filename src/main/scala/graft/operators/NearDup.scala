@@ -43,7 +43,7 @@ object NearDup {
     // 3-token shingles via positional explode + element_at (codegen'd;
     // building them inside an array lambda would evaluate interpreted),
     // deduped per doc by a map-side-partial distinct.
-    val ex = Tables.documents(spark, dir)
+    val ex = Tables.documentsWide(spark, dir)
       .withColumn("toks", split(norm(col("text")), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("toks"),
@@ -169,7 +169,7 @@ object NearDup {
     * work, one fewer shuffle.
     */
   private def simhashSig(spark: SparkSession, dir: String): DataFrame =
-    simhashSigOf(Tables.documents(spark, dir))
+    simhashSigOf(Tables.documentsWide(spark, dir))
 
   /** Signature over ANY (doc_id, text) frame — the whole-corpus form above
     * and Pipeline.corpusClean's gated-subset form share this. norm() is
@@ -325,7 +325,7 @@ object NearDup {
     * arrays once.
     */
   def docNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    val base = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), norm(col("text")).as("nt"))
       .filter(length(col("nt")) >= 4)
     // grams via explode(position) + codegen'd substr, deduped by a
@@ -450,7 +450,7 @@ object NearDup {
     * candidate-volume trade documented rather than hidden.
     */
   def docFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), col("text"),
         md5(substring(norm(col("text")), 1, 24)).as("blk"))
     val a = d.toDF("a_id", "a_text", "blk")

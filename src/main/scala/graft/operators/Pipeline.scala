@@ -38,7 +38,7 @@ object Pipeline {
     // sf0.1) than exploding codegen'd concat_ws rows through one
     // partial-aggregated exchange. Same lesson as the round-3 de-HOF
     // passes: the shuffle is cheaper than leaving codegen.
-    val tri = Tables.documents(spark, dir)
+    val tri = Tables.documentsWide(spark, dir)
       .withColumn("toks", split(norm(col("text")), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("toks"),
@@ -81,7 +81,7 @@ object Pipeline {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phone = "\\d{3}-\\d{3}-\\d{4}"
     val kw = "\\bspark\\b"
-    val d = Tables.documents(spark, dir).withColumn("nt", norm(col("text")))
+    val d = Tables.documentsWide(spark, dir).withColumn("nt", norm(col("text")))
     d.select(col("lang"), col("doc_id"),
         regexp_count(col("nt"), lit(email)).cast("long").as("n_email"),
         regexp_count(col("nt"), lit(phone)).cast("long").as("n_phone"),
