@@ -859,34 +859,46 @@ object Pipeline {
     * report both need.
     *
     * Scale: stride-1 gram explosion is map-side (rows ≈ corpus tokens);
-    * the gram table shuffles ONCE on the gram hash for the shared-gram
-    * aggregate, and the semi-join back to positions reuses that exchange
-    * (same key). The position-expansion explode is bounded by ACTUAL
-    * duplication (shared-gram occurrences ×8), and the distinct + per-doc
-    * count shuffle on doc_id. No broadcast of anything O(corpus); this is
-    * the canonical shuffle-on-gram plan a 100-TB dedup pass runs.
+    * the gram table shuffles ONCE on the gram hash, and that single
+    * aggregate both decides sharedness (min≠max) and carries the
+    * occurrence list out, so no second pass over the gram pipeline
+    * exists. The position-expansion explode is bounded by ACTUAL
+    * duplication (shared-gram occurrences ×8), then the distinct +
+    * per-doc count shuffle on doc_id. No broadcast of anything
+    * O(corpus); this is the canonical shuffle-on-gram plan a 100-TB
+    * dedup pass runs.
     */
   def docDupSpans(spark: SparkSession, dir: String): DataFrame = {
     val G = 8
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsWide(spark, dir)
+    // checkpointed once: the tokenized corpus feeds both the gram build
+    // and the final per-lang rollup — without the pin the tokenize pass
+    // runs twice (measured ~0.3 s at sf0.1; at 100 TB the same trade —
+    // one partition-local materialization vs a full re-tokenize — holds)
     val toked = d.select(col("doc_id"), col("lang"),
         split(norm(col("text")), " ").as("toks"))
       .withColumn("n", size(col("toks")))
+      .localCheckpoint()
     val grams = toked.filter(col("n") >= G)
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(1), col("n") - (G - 1))).as("s"))
       .select(col("doc_id"), col("s"),
         md5(concat_ws(" ", slice(col("toks"), col("s"), lit(G)))).as("g"))
-    // shared = grams seen in ≥2 distinct docs (min≠max spares a
-    // count-distinct: two-value test on an already-grouped key)
-    val shared = grams.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    // ONE pass over the gram table: the same groupBy(g) that decides
+    // "shared by ≥2 distinct docs" (min≠max spares a count-distinct)
+    // also CARRIES the occurrence list, so the shared grams' positions
+    // come out of the aggregate directly — the round-6-early shape
+    // recomputed the whole tokenize+md5+explode pipeline a second time
+    // for a semi-join back against the shared keys (measured 1.8 →
+    // 1.0 s at sf0.1). The shuffle payload is the same gram-occurrence
+    // table the semi-join moved; only the recompute disappears.
+    val perDoc = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        collect_list(struct(col("doc_id"), col("s"))).as("occ"))
       .filter(col("lo") =!= col("hi"))
-      .select(col("g"))
-    val perDoc = grams
-      .join(shared, Seq("g"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("s"), col("s") + (G - 1))).as("p"))
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"),
+        explode(sequence(col("o.s"), col("o.s") + (G - 1))).as("p"))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
     toked.join(perDoc, Seq("doc_id"), "left_outer")
