@@ -120,13 +120,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as a long (legacy conf) and convert to a microsecond
-    * timestamp with exact integer division (floor — matching DuckDB's
-    * epoch_us truncation, so oracle twins agree to the microsecond).
-    * The conf is set once per session (guarded — a library must not churn
-    * session-global state on every catalog call); graft-owned entry points
-    * (Bench/Verify) also set it at session build.
+  /** Upstream layouts of `events.ts` the catalog has actually seen: parquet
+    * TIMESTAMP(NANOS) (reads as BIGINT nanos under the legacy `nanosAsLong`
+    * conf), TIMESTAMP(MICROS/MILLIS) without UTC adjustment (reads as
+    * TIMESTAMP_NTZ), adjusted-to-UTC (reads as TIMESTAMP), or a plain
+    * BIGINT epoch-nanos column. A CDC catalog's first job is surviving
+    * upstream type drift, so the ingest BRANCHES ON THE LOADED SCHEMA
+    * instead of pinning one physical type:
+    *   - LongType            → nanos → `timestamp_micros(ts div 1000)`
+    *                           (floor division — DuckDB's epoch_us truncation,
+    *                           so oracle twins agree to the microsecond)
+    *   - TIMESTAMP_NTZ       → reinterpret under the pinned UTC session
+    *                           (cast NTZ→TIMESTAMP is wall-clock-preserving,
+    *                           identical micros under UTC — DuckDB's naive
+    *                           TIMESTAMP semantics)
+    *   - TIMESTAMP           → already session-TZ micros; pass through
+    * Layout-independence is pinned by TsLayoutSpec (ns-int64 / µs / ms
+    * fixtures must agree row-for-row).
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** events with `ts` normalized to a session-TZ microsecond TIMESTAMP
+    * whatever the physical layout (see [[normalizeTs]]). The legacy
+    * `nanosAsLong` conf stays set (guarded — a library must not churn
+    * session-global state on every call): it is load-bearing only for
+    * TIMESTAMP(NANOS) files, harmless for every other layout.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
@@ -135,26 +161,22 @@ object Tables {
     // computeIfAbsent on the same map throws ConcurrentModificationException
     // (the mapping function must not modify the map)
     val base = load(s, d, "events")
-    cache.computeIfAbsent((s, d, "events@ts"), _ =>
-      base.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))))
+    cache.computeIfAbsent((s, d, "events@ts"), _ => normalizeTs(base))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Wide view of events (see [[loadWide]]), with the same nanos→micros ts
-    * normalization as [[events]]. For queries whose first map stage decodes
-    * the `props` JSON — the expensive per-row work. The landed copy stores
-    * ts as plain BIGINT (it was read under nanosAsLong), so the conversion
-    * applies identically.
+  /** Wide view of events (see [[loadWide]]), with the same schema-adaptive
+    * ts normalization as [[events]]. For queries whose first map stage
+    * decodes the `props` JSON — the expensive per-row work. The landed copy
+    * preserves whatever type the source read as (BIGINT under nanosAsLong,
+    * timestamp otherwise), so [[normalizeTs]] applies identically.
     */
   def eventsWide(s: SparkSession, d: String): DataFrame = {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = loadWide(s, d, "events")
-    cache.computeIfAbsent((s, d, "events@wide@ts"), _ =>
-      base.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))))
+    cache.computeIfAbsent((s, d, "events@wide@ts"), _ => normalizeTs(base))
   }
 
   /** Wide view of documents (see [[loadWide]]): for shingle / signature /

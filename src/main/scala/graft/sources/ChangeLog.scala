@@ -16,10 +16,12 @@ import graft.streaming.Streams.ChangeEvent
   *    CDC landing zone; `Trigger.AvailableNow` over it implements the
   *    standard snapshot-then-tail bootstrap (S4).
   *
-  * The parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-  * reader only exposes as int64 (legacy nanosAsLong conf); both forms share
-  * the same floor-division conversion to microsecond timestamps so batch
-  * and stream agree to the microsecond with the DuckDB oracle.
+  * The upstream parquet's `ts` physical type has CHANGED across driver
+  * generations (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)); both forms read the
+  * ACTUAL footer schema and normalize via [[graft.Tables.normalizeTs]] —
+  * int64-nanos floor-divides to microseconds, µs/ms timestamps pass through
+  * under the pinned UTC session — so batch and stream agree to the
+  * microsecond with the DuckDB oracle on every layout.
   *
   * Scale note: the file stream source checkpoints consumed files exactly
   * like a resume token — restart-safe, no reprocessing — and partitions
@@ -28,17 +30,16 @@ import graft.streaming.Streams.ChangeEvent
   */
 object ChangeLog {
 
-  /** Physical read schema of events.parquet under nanosAsLong. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  private def convertTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Physical read schema of the events landing, derived from the ACTUAL
+    * parquet footer (one batch-reader footer read, then cached by
+    * Tables.load) — never pinned, because the upstream physical type of
+    * `ts` is not ours to assume. readStream still gets its required
+    * up-front schema; it is just the observed one.
+    */
+  def rawSchema(spark: SparkSession, sfDir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.load(spark, sfDir, "events").schema
+  }
 
   def batch(spark: SparkSession, sfDir: String): Dataset[ChangeEvent] = {
     import spark.implicits._
@@ -46,12 +47,11 @@ object ChangeLog {
   }
 
   def stream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source wants a directory; the glob filter narrows it
     // to the events landing files among the other tables
-    convertTs(
+    graft.Tables.normalizeTs(
       spark.readStream
-        .schema(rawSchema)
+        .schema(rawSchema(spark, sfDir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir))
   }
