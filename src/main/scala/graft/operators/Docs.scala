@@ -405,7 +405,9 @@ object Docs {
     * rounded IEEE ops, bit-identical in both engines.
     */
   def docTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // wide view: the tokenize+explode first map stage dominates this query
+    // and serializes on a single-row-group source (see Tables.loadWide)
+    val d = Tables.documentsWide(spark, dir)
     val toks = d.select(col("doc_id"),
       explode(split(norm(col("text")), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
@@ -421,15 +423,20 @@ object Docs {
     // measured 0.81-1.0 s vs 0.66-0.79 s for this form; keep the join.)
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.select(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(df_, Seq("term"))
-      .crossJoin(n)
-      .withColumn("score",
-        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    // df is per-TERM statistics — vocabulary-sized, orders of magnitude
+    // below the (doc, term) tf frame at any corpus size — so it BROADCASTS
+    // (with n_docs riding along) instead of re-shuffling tf by term; the
+    // broadcast subtree re-aggregates from tf's exchange (ReusedExchange).
+    // Top-3-per-doc runs on the native TopK plan (plans/TopK.scala): a
+    // map-side partial heap prunes to ≤3 rows per doc per partition
+    // BEFORE the doc_id exchange, where the round-6 row_number window
+    // sorted the full scored frame after a second full shuffle.
+    graft.plans.TopK.topKPerGroup(
+        tf.join(broadcast(df_.crossJoin(n)), Seq("term"))
+          .withColumn("score",
+            (col("tf") * col("n_docs")).cast("double") /
+              col("df").cast("double")),
+        Seq("doc_id"), Seq(("score", true), ("term", false)), 3)
       .select(col("doc_id"), col("rn").as("rank"), col("term"), col("score"))
       .orderBy(col("doc_id"), col("rank"))
   }

@@ -10,22 +10,25 @@ import graft.Tables
   * bounds, and referential integrity, each reported as a (check, metric,
   * passed) row.
   *
-  * Engine shape: ALL single-column constraints collapse into ONE scan of
-  * lineitem (one hash aggregate emitting a 1-row metric struct — adding a
-  * constraint adds a column to that row, never a pass over the data); the
-  * referential-integrity check is the only second pass, a key-shuffled
-  * LEFT ANTI join against orders counting orphans. The two 1-row results
-  * cross-join (trivially broadcast) and unpivot via `stack` into the
-  * report.
+  * Engine shape: ALL constraints — including referential integrity —
+  * collapse into ONE scan of lineitem: the fact LEFT-joins the pruned
+  * orders key column (probe side of a broadcast/shuffled hash join, no
+  * second fact pass), a NULL build row marks an orphan, and one hash
+  * aggregate emits the 1-row metric struct (adding a constraint adds a
+  * column to that row, never a pass over the data), unpivoted via `stack`
+  * into the report. The round-6 shape paid a SECOND fact scan for a
+  * LEFT ANTI orphan count plus a cross-join assembly; folding the FK
+  * check into the main aggregate halved the jobs (1.03 s → see
+  * bench_detail) and cut the plan to a single FileScan of lineitem.
   *
-  * Scale (100 TB): the metrics aggregate is map-side partial — each
-  * constraint is a sum/min/max/count that combines associatively, so the
-  * single reduce task sees one row per input partition. The PK-uniqueness
-  * count(distinct) is the one genuinely heavy constraint (a full key
-  * shuffle); it shares the scan and its partial aggregation dedups within
-  * partitions first. The anti-join shuffles on the FK — the same join any
-  * fact⋈dim query pays — and short-circuits to a count, so nothing wide
-  * survives it.
+  * Scale (100 TB): every constraint — including PK uniqueness, packed
+  * into bitmap words (see dqAudit) — is an associatively-combining
+  * partial, so the only wide exchange carries |pk domain|/64 word rows
+  * and the final reduce sees word-count rows, not data rows. The FK
+  * probe joins the same pruned key column any fact⋈dim query pays —
+  * broadcast while the dim key set fits, AQE's shuffled hash join
+  * beyond that — and the join preserves cardinality (o_orderkey
+  * unique), so every other metric is unchanged by the fold.
   */
 object Quality {
 
@@ -36,19 +39,42 @@ object Quality {
     */
   def dqAudit(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val metrics = li.agg(
-      count(lit(1)).as("n_rows"),
-      count(col("l_shipdate")).as("n_shipdate"),
-      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
-      min(col("l_quantity")).as("min_qty"),
-      max(col("l_quantity")).as("max_qty"),
-      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
-        .otherwise(0L)).as("disc_viol"))
-    val orphans = li
-      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("fk_viol"))
-    metrics.crossJoin(orphans)
+    // LEFT join against the pruned key column: o_orderkey is unique, so
+    // the join is cardinality-preserving and every non-FK metric computes
+    // exactly as it would over bare lineitem; a NULL o_orderkey marks an
+    // orphan, folding the referential check into the same single scan
+    val keyed = li.join(
+      Tables.orders(spark, dir).select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left")
+    // PK uniqueness via the packed-bitmap distinct idiom (A7): the
+    // composite key packs densely — l_linenumber ∈ [1,7] by the TPC-H
+    // spec, so pk = l_orderkey*8 + l_linenumber is injective — and a
+    // first aggregate keyed on pk >> 6 bit_ORs 64-key words while every
+    // OTHER metric folds associatively through the same stage (each is a
+    // sum/min/max/count). What crosses the wires is |pk domain|/64 word
+    // rows instead of the raw 2-column distinct pair stream the previous
+    // countDistinct shuffled; a sparse composite key would swap in a
+    // roaring bitmap behind the same two-level algebra.
+    keyed
+      .groupBy(expr("(l_orderkey * 8 + l_linenumber) >> 6").as("pk_word"))
+      .agg(
+        expr("bit_or(shiftleft(1L, cast((l_orderkey * 8 + l_linenumber) & 63 as int)))")
+          .as("bits"),
+        count(lit(1)).as("p_rows"),
+        count(col("l_shipdate")).as("p_shipdate"),
+        min(col("l_quantity")).as("p_min_qty"),
+        max(col("l_quantity")).as("p_max_qty"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("p_disc_viol"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("p_fk_viol"))
+      .agg(
+        sum(col("p_rows")).as("n_rows"),
+        sum(col("p_shipdate")).as("n_shipdate"),
+        sum(bit_count(col("bits"))).cast("long").as("n_pk"),
+        min(col("p_min_qty")).as("min_qty"),
+        max(col("p_max_qty")).as("max_qty"),
+        sum(col("p_disc_viol")).as("disc_viol"),
+        sum(col("p_fk_viol")).as("fk_viol"))
       .select(expr(
         """stack(7,
           |  'completeness_shipdate', CAST(n_shipdate AS DOUBLE) / n_rows,

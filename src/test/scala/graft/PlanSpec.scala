@@ -251,6 +251,26 @@ class PlanSpec extends SparkSpec {
       s"having_filter should read only the checkpointed aggregate, found $scans file scans:\n$p")
   }
 
+  test("agg_distinct multi-distinct is ONE fact scan (bitmap words, no Expand)") {
+    // The packed-bitmap formulation reads lineitem exactly once; a second
+    // FileScan means the split-and-rejoin plan (4 scans) is back, an
+    // Expand node means Catalyst's native multi-distinct (full distinct
+    // pair shuffle) replaced the word-packed one.
+    val p = plan("agg_distinct")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"agg_distinct should scan lineitem once, found $scans:\n$p")
+    assert(!p.contains("Expand"), s"agg_distinct regressed to Expand multi-distinct:\n$p")
+  }
+
+  test("dq_audit folds every constraint into ONE fact scan") {
+    // lineitem once (all metrics + the FK probe ride the same scan via
+    // the cardinality-preserving left join), orders once (the pruned key
+    // side) — a third scan means the anti-join second pass returned.
+    val p = plan("dq_audit")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"dq_audit should scan lineitem+orders once each, found $scans:\n$p")
+  }
+
   test("no query plans a partition-less (single-task) WindowExec") {
     // A window with an empty partitionSpec funnels every row through ONE
     // task — fine at |groups| rows, a straggler at 100 TB. The engine has
