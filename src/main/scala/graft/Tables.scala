@@ -183,4 +183,10 @@ object Tables {
     * edit-distance operators whose map stage dwarfs the scan. */
   def documentsWide(s: SparkSession, d: String): DataFrame =
     loadWide(s, d, "documents")
+
+  /** Wide view of embeddings (see [[loadWide]]): for quantizer-encode map
+    * stages (PQ sub-codebook argmin, 128 sub-dots per row) that a
+    * single-row-group source would serialize onto one core. */
+  def embeddingsWide(s: SparkSession, d: String): DataFrame =
+    loadWide(s, d, "embeddings")
 }

@@ -686,11 +686,137 @@ object Embeddings {
        |  dc.dropped_id_xor
        |FROM cv LEFT JOIN dc USING (cell) ORDER BY cv.cell""".stripMargin
 
+  /** embedding_pq_knn (L27) — product-quantized ANN, the FAISS `PQ8`
+    * memory tier that completes the compression ladder (flat → SQ8 →
+    * PQ): the 64-dim vector splits into m=8 subspaces of 8 dims, each
+    * subspace gets a 16-entry codebook (here: the sub-slices of the
+    * first-16 seed vectors — the shared `trained(dir, 0)` init; a
+    * production index Lloyd-trains each codebook exactly like
+    * embedding_ivf_knn's coarse quantizer, same machinery, same cache),
+    * and every vector stores only its 8 code bytes — 32× smaller than
+    * float32. Encoding is a map-side literal argmin per subspace
+    * (least() over 16 candidate structs — codegen'd, like cellOf's
+    * greatest): code = argmin of the exact-i64 L2 surrogate
+    * ‖c‖²s − 2·⟨x_m,c⟩s, ties → lowest code. Candidate scoring is ADC
+    * (asymmetric distance): the query stays full-precision and scores
+    * against the RECONSTRUCTION (concat of chosen sub-centroids) —
+    * dot(q, recon(x)) is algebraically Σ_m LUT_m[code_m], the classic
+    * per-query lookup-table formulation, computed here through the same
+    * codegen'd DotScaled kernel so the value is engine-exact. Top-20
+    * ADC candidates per query re-rank with the exact cosine, top-5 out.
+    *
+    * Scale (100 TB): the scan side of ANN holds 8 B/vector instead of
+    * 256 B — the difference between an index that fits executor memory
+    * and one that doesn't; ADC cost is m table lookups per candidate;
+    * the codebooks (m·16 sub-vectors) are literals in the plan like the
+    * IVF centroids; rerank touches ≤ 60·|Q| full vectors. Compose with
+    * IVF cells for the sublinear variant — this operator isolates the
+    * quantization/ADC layer. greatest(norm, 1) guards zero-norm
+    * reconstructions (all-negative subspaces can encode to a zero
+    * centroid; NaN ordering diverges between engines).
+    */
+  def embeddingPqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val n = withNorm(spark, dir)
+    // encode side reads the WIDE view: the 8×16 sub-argmin projection is
+    // the expensive map stage, and a single-row-group source would run it
+    // on one core (Tables.loadWide; measured 1.8 → ~1.0 s warm at sf0.1)
+    val nw = Tables.embeddingsWide(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        dotS(col("embedding"), col("embedding")).as("norm_s"))
+    val (seeds, _) = trained(spark, dir, 0) // codebook seeds, no train jobs
+    // one least() struct per subspace: (d, code, sub-centroid, sub-norm);
+    // comparison decides on (d, code) — unique — so the payload fields
+    // never participate in the ordering
+    val picks = (0 until 8).map { m =>
+      val cands = seeds.map { s =>
+        val sub = s.emb.slice(m * 8, m * 8 + 8)
+        val subNorm = Cent(s.id, sub).norm
+        struct(
+          (lit(subNorm) - lit(2L) * dotS(
+            slice(col("embedding"), m * 8 + 1, 8), litFloats(sub))).as("d"),
+          lit(s.id).as("code"), litFloats(sub).as("sub"), lit(subNorm).as("sn"))
+      }
+      least(cands: _*).as(s"pq$m")
+    }
+    // two projections on purpose: the least() trees land as named columns
+    // first, the field extractions read them — CollapseProject keeps the
+    // split because inlining would triplicate each 16-candidate argmin
+    val enc = nw
+      .select(col("vec_id") +: col("embedding") +: col("norm_s") +: picks: _*)
+      .select(col("vec_id"), col("embedding"), col("norm_s"),
+        concat((0 until 8).map(m => col(s"pq$m").getField("sub")): _*)
+          .as("recon"),
+        (0 until 8).map(m => col(s"pq$m").getField("sn"))
+          .reduce(_ + _).as("recon_norm"))
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm_s").as("q_norm"))
+    val cand = enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("acos",
+        dotS(col("q_emb"), col("recon")).cast("double") /
+          sqrt(greatest(col("q_norm"), lit(1L)).cast("double") *
+            greatest(col("recon_norm"), lit(1L)).cast("double")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("acos").desc, col("vec_id"))
+    val rr = cand.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 60)
+      .withColumn("cosine",
+        cosine(dotS(col("q_emb"), col("embedding")),
+          col("q_norm"), col("norm_s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    rr.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
+        col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val embeddingPqKnnSql: String =
+    s"""WITH $sqlWithNorm,
+       |cb0 AS (SELECT s.vec_id AS code, t.m,
+       |    [s.embedding[t.m*8+i] for i in range(1,9)] AS c_sub
+       |  FROM n s CROSS JOIN range(8) t(m) WHERE s.vec_id < 16),
+       |cb AS (SELECT code, m, c_sub,
+       |    CAST(list_sum([CAST(floor(CAST(c_sub[i] AS DOUBLE) * CAST(c_sub[i] AS DOUBLE) * 1e14) AS BIGINT) for i in range(1,9)]) AS BIGINT) AS c_norm
+       |  FROM cb0),
+       |ed AS (SELECT x.vec_id, c.m, c.code, c.c_sub, c.c_norm,
+       |    c.c_norm - 2 * CAST(list_sum([CAST(floor(CAST(x.embedding[c.m*8+i] AS DOUBLE) * CAST(c.c_sub[i] AS DOUBLE) * 1e14) AS BIGINT) for i in range(1,9)]) AS BIGINT) AS d
+       |  FROM n x CROSS JOIN cb c),
+       |enc AS (SELECT vec_id, m, c_sub, c_norm
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |          ORDER BY d, code) AS ern FROM ed)
+       |  WHERE ern = 1),
+       |rec AS (SELECT vec_id,
+       |    CAST(SUM(c_norm) AS BIGINT) AS recon_norm,
+       |    flatten(list(c_sub ORDER BY m)) AS recon
+       |  FROM enc GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm_s AS q_norm
+       |  FROM n WHERE vec_id < 8),
+       |cand AS (SELECT q.q_id, r.vec_id,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      CAST(${sqlDotS("q.q_emb", "r.recon")} AS DOUBLE) /
+       |        sqrt(CAST(greatest(q.q_norm, 1) AS DOUBLE) * CAST(greatest(r.recon_norm, 1) AS DOUBLE)) DESC,
+       |      r.vec_id) AS crank
+       |  FROM q JOIN rec r ON r.vec_id != q.q_id),
+       |rr AS (SELECT c.q_id, c.vec_id AS neighbor,
+       |    CAST(${sqlDotS("q.q_emb", "x.embedding")} AS DOUBLE) /
+       |      sqrt(CAST(q.q_norm AS DOUBLE) * CAST(x.norm_s AS DOUBLE)) AS cosine
+       |  FROM cand c JOIN q ON q.q_id = c.q_id JOIN n x ON x.vec_id = c.vec_id
+       |  WHERE c.crank <= 60),
+       |r AS (SELECT q_id, neighbor, cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, neighbor) AS rank
+       |  FROM rr)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "array_ops" -> (arrayOps _),
     "embedding_knn" -> (embeddingKnn _),
     "embedding_knn_lsh" -> (embeddingKnnLsh _),
     "embedding_sq_knn" -> (embeddingSqKnn _),
+    "embedding_pq_knn" -> (embeddingPqKnn _),
     "embedding_ivf_knn" -> (embeddingIvfKnn _),
     "embedding_semantic_dedup" -> (embeddingSemanticDedup _),
     "embedding_near_dedup" -> (embeddingNearDedup _))
@@ -700,6 +826,7 @@ object Embeddings {
     "embedding_knn" -> embeddingKnnSql,
     "embedding_knn_lsh" -> embeddingKnnLshSql,
     "embedding_sq_knn" -> embeddingSqKnnSql,
+    "embedding_pq_knn" -> embeddingPqKnnSql,
     "embedding_ivf_knn" -> embeddingIvfKnnSql,
     "embedding_semantic_dedup" -> embeddingSemanticDedupSql,
     "embedding_near_dedup" -> embeddingNearDedupSql)

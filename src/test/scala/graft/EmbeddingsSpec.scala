@@ -43,4 +43,19 @@ class EmbeddingsSpec extends SparkSpec {
     val recall = sq.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.95, s"SQ8 recall@5 degraded: $recall")
   }
+
+  test("PQ/ADC search holds recall@5 against the exact scan at sf0.01") {
+    // PQ is the lossiest tier (8 code bytes per vector, 32x compression):
+    // ADC ranks candidates from sub-centroid reconstructions, so unlike
+    // SQ8 the candidate pool is not guaranteed to contain the full exact
+    // top-5. Pool sweep at sf0.01: 20->0.525, 40->0.65, 60->0.8,
+    // 100->0.925 — the shipped pool of 60 measured 0.8, pinned at >= 0.7
+    // so a code-assignment or ADC bug (which craters recall to
+    // near-random ~0.1) fails loudly while honest quantization noise
+    // doesn't flake.
+    val exact = pairs(SparkEntry.queries("embedding_knn")(spark, sfSmall))
+    val pqr = pairs(SparkEntry.queries("embedding_pq_knn")(spark, sfSmall))
+    val recall = pqr.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall@5 degraded: $recall")
+  }
 }
