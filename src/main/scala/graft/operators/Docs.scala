@@ -307,6 +307,66 @@ object Docs {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** sample_quota (L28, NEW r7) — per-SOURCE quality quota: keep the
+    * top-10 highest-quality documents per source, the crawl-curation step
+    * that stops one domain/dump from dominating the training mix (the
+    * per-domain cap every web-corpus recipe applies after quality
+    * scoring). Scoring is doc_quality's exact formula (ratios of exact
+    * ints → correctly-rounded doubles, engine-identical); ranking runs on
+    * the native TopK plan (plans/TopK.scala): a map-side heap prunes to
+    * ≤10 rows per source per partition BEFORE the source-keyed exchange,
+    * so at 100 TB the shuffle carries ~10·|sources| rows, not the corpus
+    * — the difference between a quota pass and a full sort. Ties break
+    * on doc_id (total order).
+    */
+  def sampleQuota(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("nt", norm(col("text")))
+      .withColumn("toks", split(col("nt"), " "))
+    val en = markers.filter(_._1 == "en").map(_._2)
+    val nTok = size(col("toks")).cast("double")
+    val nStop = regexp_count(col("nt"),
+      lit(s"(^| )(${en.mkString("|")})(?= |$$)")).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val wordLen =
+      (length(col("nt")) - (size(col("toks")) - 1)).cast("double") / nTok
+    val scored = d.select(
+      col("source"), col("doc_id"),
+      (lit(0.4) * lenScore + lit(0.3) * (nStop / nTok) +
+        lit(0.3) * least(wordLen / lit(8.0), lit(1.0))).as("quality"))
+    graft.plans.TopK.topKPerGroup(scored,
+        Seq("source"), Seq(("quality", true), ("doc_id", false)), 10)
+      .select(col("source"), col("rn").as("rank"), col("doc_id"),
+        col("quality"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val sampleQuotaSql: String = {
+    val en = markers.filter(_._1 == "en").map("'" + _._2 + "'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split($sqlNorm, ' ') AS toks,
+       |    $sqlNorm AS nt
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_filter(toks, x -> x IN ($en))) AS DOUBLE) AS n_stop,
+       |    CAST(length(replace(nt, ' ', '')) AS DOUBLE) AS n_letters
+       |  FROM t),
+       |s AS (
+       |  SELECT source, doc_id,
+       |    0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (n_stop / n_tok)
+       |      + 0.3 * least((n_letters / n_tok) / 8.0, 1.0) AS quality
+       |  FROM f),
+       |r AS (
+       |  SELECT source, doc_id, quality,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id) AS rank
+       |  FROM s)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality
+       |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+  }
+
   /** doc_lang_id — n-gram/marker-token language heuristic: score each
     * candidate language by marker hits, pick argmax (ties and zero-hit docs
     * resolve deterministically: score desc, then language asc, then
@@ -644,6 +704,7 @@ object Docs {
     "doc_text_stats" -> (docTextStats _),
     "doc_tokens" -> (docTokens _),
     "doc_quality" -> (docQuality _),
+    "sample_quota" -> (sampleQuota _),
     "doc_lang_id" -> (docLangId _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_tfidf" -> (docTfidf _))
@@ -658,6 +719,7 @@ object Docs {
     "doc_text_stats" -> docTextStatsSql,
     "doc_tokens" -> docTokensSql,
     "doc_quality" -> docQualitySql,
+    "sample_quota" -> sampleQuotaSql,
     "doc_lang_id" -> docLangIdSql,
     "doc_fingerprint" -> docFingerprintSql,
     "doc_tfidf" -> docTfidfSql)
