@@ -39,11 +39,15 @@ object NearDup {
     * is a per-pair array_intersect over candidate-narrowed shingle arrays
     * (see the inline verify-join discipline note).
     */
-  def docNearDedup(spark: SparkSession, dir: String): DataFrame = {
-    // 3-token shingles via positional explode + element_at (codegen'd;
-    // building them inside an array lambda would evaluate interpreted),
-    // deduped per doc by a map-side-partial distinct.
-    val ex = Tables.documentsWide(spark, dir)
+  /** Distinct 3-token shingles of a documents frame: positional explode +
+    * element_at (codegen'd; building them inside an array lambda would
+    * evaluate interpreted), deduped per doc by a map-side-partial
+    * distinct. Shared by doc_near_dedup (full corpus) and
+    * cdc_incremental_neardup (delta-only / base-only frames — a doc's
+    * shingle set depends only on its own text, which is what makes the
+    * index incrementally maintainable). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(norm(col("text")), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("toks"),
@@ -53,37 +57,41 @@ object NearDup {
           element_at(col("toks"), col("i") + 1),
           element_at(col("toks"), col("i") + 2)).as("g"))
       .distinct()
+
+  /** MinHash signature → LSH band rows (doc_id, band_id, bkey): ONE md5
+    * per shingle split into 8 disjoint 16-bit permutations, 4 bands of 2
+    * rows each. Per-doc pure — see [[shingles]]. */
+  private def minhashBands(ex: DataFrame): DataFrame = {
     val mh = ex
       .withColumn("h", md5(col("g")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"),
         (0 until 8).map(i =>
           min(substring(col("h"), 1 + 4 * i, 4)).as(s"h$i")): _*)
-    val bands = mh.select(
+    mh.select(
         col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"),
             concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bkey"))): _*))
           .as("bd"))
       .select(col("doc_id"), col("bd.band_id"), col("bd.bkey"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    // Verify-join discipline (the 100-TB-relevant part): only frames
-    // bounded by CANDIDATE count may broadcast — the candidate pair list
-    // and the candidate doc-id list. The exploded shingle table `ex` is
-    // O(corpus); it is narrowed to candidate docs by a left-semi join
-    // against the (tiny, broadcast) candidate ids, collected into one
-    // sorted shingle array per candidate doc, and the exact intersection
-    // is a codegen'd sorted-merge count per pair (SortedIntersectCount)
-    // — no |cand|·|shingles| row
-    // explosion, and nothing O(corpus) is ever broadcast. The second
-    // attach join shuffles only candidate-bounded rows (hinted
-    // shuffle-hash: the arrays make sort-merge pointless).
+  }
+
+  /** Exact-Jaccard verify of a candidate pair list against a shingle
+    * table, J >= 0.5 survivors out.
+    *
+    * Verify-join discipline (the 100-TB-relevant part): only frames
+    * bounded by CANDIDATE count may broadcast — the candidate pair list
+    * and the candidate doc-id list. The exploded shingle table `ex` is
+    * O(corpus); it is narrowed to candidate docs by a left-semi join
+    * against the (tiny, broadcast) candidate ids, collected into one
+    * sorted shingle array per candidate doc, and the exact intersection
+    * is a codegen'd sorted-merge count per pair (SortedIntersectCount)
+    * — no |cand|·|shingles| row explosion, and nothing O(corpus) is ever
+    * broadcast. The second attach join shuffles only candidate-bounded
+    * rows (hinted shuffle-hash: the arrays make sort-merge pointless).
+    */
+  private def verifyPairs(cand: DataFrame, ex: DataFrame): DataFrame = {
     val candIds = cand
       .select(explode(array(col("da"), col("db"))).as("doc_id"))
       .distinct()
@@ -104,6 +112,130 @@ object NearDup {
       .filter(col("jaccard") >= 0.5)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("n_common"), col("jaccard"))
+  }
+
+  def docNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingles(Tables.documentsWide(spark, dir))
+    val bands = minhashBands(ex)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyPairs(cand, ex)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** cdc_incremental_neardup (S17, NEW r7) — INCREMENTAL near-dup index
+    * maintenance, the CDC × training-pipeline fusion: when a changelog
+    * upserts a slice of the corpus (here: doc_id % 20 == 0, a 5% delta),
+    * the maintained artifacts — the LSH band index and the verified pair
+    * set of the UNCHANGED base — are served from a stamped parquet
+    * landing (the agg_hist_rollup stored-partials idiom), and per-batch
+    * work is delta-proportional: shingle/minhash ONLY the delta docs,
+    * probe their bands against base ∪ delta bands, exact-verify only
+    * delta-involved candidates, union with the stored base pairs. A
+    * signature depends only on its own document, so base artifacts never
+    * need touching — that locality is WHY MinHash-LSH dedup is
+    * incrementally maintainable where all-pairs methods are not.
+    *
+    * The oracle is doc_near_dedup's FULL-recompute SQL over the merged
+    * corpus: a hash-match proves incremental maintenance ≡ batch rebuild
+    * (delta-involved candidates ∪ base candidates = the full candidate
+    * set; base pairs and delta-involved pairs partition the full pair
+    * set because every delta pair has a delta member and base pairs have
+    * none).
+    *
+    * Scale: per-batch cost is O(|delta| shingles) + band probes bounded
+    * by bucket occupancy + verify bounded by delta-involved candidates —
+    * independent of corpus size except the landed-index probe join,
+    * which at 100 TB is partitioned by (band_id, bkey) and pruned to the
+    * delta's buckets. coalesce(1) on the landing is toy-layout only; a
+    * deployment appends per-batch band/pair files instead. At sf0.1 the
+    * warm time ≈ the full recompute's — the saved compute (95% of
+    * shingling + candidate gen) is smaller than the extra job floor
+    * (checkpoint + landed reads) on a 5000-doc corpus; the crossover is
+    * where shingling dominates jobs, i.e. any real corpus.
+    */
+  private val ndIndex =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def docsStamp(dir: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
+          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
+        }
+      else (f.length, f.lastModified)
+    val (sz, mt) = walk(new java.io.File(dir, "documents.parquet"))
+    s"${sz}_$mt"
+  }
+
+  /** Land (once per source state) the base corpus's near-dup index:
+    * `bands/` (doc_id, band_id, bkey) and `pairs/` (verified J>=0.5). */
+  private def baseIndex(spark: SparkSession, dir: String): String =
+    ndIndex.getOrElseUpdate((dir, docsStamp(dir)), {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_ndidx_$safe/${docsStamp(dir)}")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        val base = Tables.documentsWide(spark, dir)
+          .filter(col("doc_id") % 20 =!= 0)
+        val ex = shingles(base)
+        val bands = minhashBands(ex)
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        bands.coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(out, "bands").getAbsolutePath)
+        verifyPairs(cand, ex).coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(out, "pairs").getAbsolutePath)
+        new java.io.File(out, "_SUCCESS").createNewFile()
+      }
+      out.getAbsolutePath
+    })
+
+  def cdcIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val idx = baseIndex(spark, dir)
+    val baseBands = spark.read.parquet(s"$idx/bands")
+    val basePairs = spark.read.parquet(s"$idx/pairs")
+    val delta = Tables.documentsWide(spark, dir)
+      .filter(col("doc_id") % 20 === 0)
+    val deltaBands = minhashBands(shingles(delta))
+    // delta bands probe the merged index; least/greatest canonicalizes
+    // (delta, base) collisions seen from either side to one ordered pair
+    // localCheckpoint: the candidate list is read THREE times (scan
+    // narrowing, verify's id list, the verify probe itself) and is
+    // candidate-bounded by construction — pinning it costs one tiny job
+    // and stops the delta-band probe join re-running per reference
+    val cand = deltaBands.as("a")
+      .join(baseBands.unionByName(deltaBands).as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+      .localCheckpoint()
+    // narrow the documents SCAN to candidate docs before shingling (the
+    // broadcast semi lands directly on the scan, so base members of
+    // delta-involved pairs re-shingle from a candidate-pruned read —
+    // probed: leaving the narrowing to verifyPairs' internal semi-join
+    // pushes it below the distinct but NOT below the explode, which
+    // would re-explode the whole corpus map-side)
+    val candIds = cand
+      .select(explode(array(col("da"), col("db"))).as("doc_id"))
+      .distinct()
+    val candDocs = Tables.documentsWide(spark, dir)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val deltaPairs = verifyPairs(cand, shingles(candDocs))
+    basePairs.unionByName(deltaPairs)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -481,6 +613,7 @@ object NearDup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_fuzzy_match" -> (docFuzzyMatch _),
     "doc_near_dedup" -> (docNearDedup _),
+    "cdc_incremental_neardup" -> (cdcIncrementalNearDup _),
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_dup" -> (docSimhashDup _),
     "doc_ngram_jaccard" -> (docNgramJaccard _))
@@ -488,6 +621,9 @@ object NearDup {
   def oracle: Map[String, String] = Map(
     "doc_fuzzy_match" -> docFuzzyMatchSql,
     "doc_near_dedup" -> docNearDedupSql,
+    // the oracle is the FULL batch recompute: hash-match proves
+    // incremental maintenance == rebuild
+    "cdc_incremental_neardup" -> docNearDedupSql,
     "doc_simhash" -> docSimhashSql,
     "doc_simhash_dup" -> docSimhashDupSql,
     "doc_ngram_jaccard" -> docNgramJaccardSql)
