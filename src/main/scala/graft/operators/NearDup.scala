@@ -46,7 +46,7 @@ object NearDup {
     * cdc_incremental_neardup (delta-only / base-only frames — a doc's
     * shingle set depends only on its own text, which is what makes the
     * index incrementally maintainable). */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(norm(col("text")), " "))
       .filter(size(col("toks")) >= 3)
@@ -61,7 +61,7 @@ object NearDup {
   /** MinHash signature → LSH band rows (doc_id, band_id, bkey): ONE md5
     * per shingle split into 8 disjoint 16-bit permutations, 4 bands of 2
     * rows each. Per-doc pure — see [[shingles]]. */
-  private def minhashBands(ex: DataFrame): DataFrame = {
+  private[graft] def minhashBands(ex: DataFrame): DataFrame = {
     val mh = ex
       .withColumn("h", md5(col("g")))
       .groupBy(col("doc_id"))
@@ -91,7 +91,7 @@ object NearDup {
     * broadcast. The second attach join shuffles only candidate-bounded
     * rows (hinted shuffle-hash: the arrays make sort-merge pointless).
     */
-  private def verifyPairs(cand: DataFrame, ex: DataFrame): DataFrame = {
+  private[graft] def verifyPairs(cand: DataFrame, ex: DataFrame): DataFrame = {
     val candIds = cand
       .select(explode(array(col("da"), col("db"))).as("doc_id"))
       .distinct()
