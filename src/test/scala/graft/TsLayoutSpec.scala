@@ -65,6 +65,16 @@ class TsLayoutSpec extends SparkSpec {
     }
   }
 
+  test("the STREAM source normalizes every layout too (footer-derived schema)") {
+    // ChangeLog.stream must pin its readStream schema from the ACTUAL
+    // footer and normalize exactly like the batch catalog — round 6's
+    // regression would have broken the tail path identically.
+    fixtures.foreach { case (k, d) =>
+      val t = graft.sources.ChangeLog.stream(spark, d).schema("ts").dataType
+      assert(t == TimestampType, s"stream over layout $k resolved ts as $t")
+    }
+  }
+
   for (q <- Seq("cdc_apply", "events_ohlc", "window_lag_gap")) {
     test(s"$q result is identical across ns/us/ms layouts") {
       val fn = SparkEntry.queries(q)
