@@ -100,7 +100,11 @@ object Bench {
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
     val tLoop = System.nanoTime()
+    // builder-side iteration filter (unset in driver runs → full suite)
+    val onlyFilter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => onlyFilter.forall(_.contains(n)))
     // TrieMap, not mutable.Map: the shutdown hook reads `best` from its own
     // thread while the loop writes it — an unsynchronized HashMap has no
     // visibility guarantee there (the hook could observe an empty or

@@ -271,6 +271,30 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"dq_audit should scan lineitem+orders once each, found $scans:\n$p")
   }
 
+  test("kNN queries rank on the native TopK heap, never a window sort") {
+    // The round-7 audit's one scale-killer: embedding_pq_knn's top-k pool
+    // via row_number() shuffled ALL |corpus|×|queries| scored rows into
+    // |queries| partitions and fully sorted each. Every kNN stage now uses
+    // the bounded-heap TopKPerGroupExec; a WindowExec reappearing in any
+    // of these plans is that regression coming back. embedding_pq_knn must
+    // also probe the IVF cells (broadcast of the qcells LocalRelation)
+    // rather than scan the full corpus per query.
+    for (name <- Seq("embedding_knn", "embedding_knn_lsh", "embedding_sq_knn",
+        "embedding_pq_knn", "embedding_ivf_knn")) {
+      val exec = SparkEntry.queries(name)(spark, sfTiny)
+        .queryExecution.executedPlan
+      val p = exec.toString
+      assert(p.contains("TopKPerGroup"),
+        s"$name lost the native TopK heap:\n$p")
+      val wins = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty, s"$name ranks via a window sort again:\n$p")
+    }
+    assert(plan("embedding_pq_knn").contains("BroadcastHashJoin"),
+      "embedding_pq_knn should probe IVF cells via a broadcast cell join")
+  }
+
   test("no query plans a partition-less (single-task) WindowExec") {
     // A window with an empty partitionSpec funnels every row through ONE
     // task — fine at |groups| rows, a straggler at 100 TB. The engine has
