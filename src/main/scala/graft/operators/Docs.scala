@@ -468,29 +468,41 @@ object Docs {
     // wide view: the tokenize+explode first map stage dominates this query
     // and serializes on a single-row-group source (see Tables.loadWide)
     val d = Tables.documentsWide(spark, dir)
-    val toks = d.select(col("doc_id"),
-      explode(split(norm(col("text")), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
+    // ONE data exchange of the corpus, hashed on doc_id BEFORE the
+    // tokenize: text bytes move, not token rows, and every downstream
+    // per-doc step — tf aggregate, TopK heap — plans exchange-free on the
+    // inherited partitioning (the round-7 shape paid a (doc_id, term)
+    // hash exchange instead, then TopK's own doc_id exchange). The df
+    // branch reads the SAME exchange (ReusedExchange), so the corpus
+    // scans once; its tokenize re-runs once post-exchange, which measured
+    // CHEAPER than pinning tf with localCheckpoint (the checkpoint
+    // variant's serial sample/materialize jobs converged to ~0.9 s but
+    // took 6+ runs to get there — 20 s cold — where this shape is at
+    // steady state by run 2; measured 1.14 → ~0.8 s warm at sf0.1).
+    // A repartitionByRange variant (free final order) loses the same way:
+    // its sampling pass is a second full pass over the corpus.
+    // Residual = the 3-job floor (exchange, broadcast build, final).
+    val tf = d.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(split(norm(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // df DERIVED from tf: tf's groups are exactly the distinct (doc, term)
     // pairs, so counting tf rows per term IS the document frequency — the
     // naive `toks.distinct().groupBy(term)` formulation re-scans and
     // re-explodes every document and shuffles the distinct pairs a second
-    // time (measured ~0.35 s of the 1.05 s query at sf0.1); this form
-    // reuses tf's exchange (ReusedExchange) and shuffles only per-term
-    // counts. (A COUNT window over the term partition was ALSO tried —
-    // it replaces the join build with a full sort of tf by term and
-    // measured 0.81-1.0 s vs 0.66-0.79 s for this form; keep the join.)
+    // time (measured ~0.35 s of the 1.05 s query at sf0.1). (A COUNT
+    // window over the term partition was ALSO tried — it replaces the
+    // join build with a full sort of tf by term and measured 0.81-1.0 s
+    // vs 0.66-0.79 s for this form; keep the join.)
     val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.select(count(lit(1)).as("n_docs"))
     // df is per-TERM statistics — vocabulary-sized, orders of magnitude
     // below the (doc, term) tf frame at any corpus size — so it BROADCASTS
-    // (with n_docs riding along) instead of re-shuffling tf by term; the
-    // broadcast subtree re-aggregates from tf's exchange (ReusedExchange).
-    // Top-3-per-doc runs on the native TopK plan (plans/TopK.scala): a
-    // map-side partial heap prunes to ≤3 rows per doc per partition
-    // BEFORE the doc_id exchange, where the round-6 row_number window
-    // sorted the full scored frame after a second full shuffle.
+    // (with n_docs riding along) instead of re-shuffling tf by term.
+    // Top-3-per-doc runs on the native TopK plan (plans/TopK.scala)
+    // directly on the inherited doc_id partitioning — no exchange,
+    // bounded heap.
     graft.plans.TopK.topKPerGroup(
         tf.join(broadcast(df_.crossJoin(n)), Seq("term"))
           .withColumn("score",
