@@ -29,6 +29,7 @@ object SparkEntry {
       (operators.Skew.queries, operators.Skew.oracle),
       (operators.Quality.queries, operators.Quality.oracle),
       (operators.TimeSeries.queries, operators.TimeSeries.oracle),
+      (operators.SqlSuite.queries, operators.SqlSuite.oracle),
       (sources.Partitioned.queries, sources.Partitioned.oracle),
       (sources.Formats.queries, sources.Formats.oracle),
       (sources.Bucketed.queries, sources.Bucketed.oracle),

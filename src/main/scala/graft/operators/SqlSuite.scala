@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.functions.Det._
+
+/** SURVEY.md §3.2 entry point (c) — the SQL-TEXT surface of the engine.
+  *
+  * Users of an analytics engine type SQL; until round 8 the only public
+  * entry was the Scala `SparkEntry.queries` map. This module registers the
+  * ten catalog tables as session temp views and runs representative queries
+  * through `spark.sql(...)` — the full parser → analyzer → optimizer path,
+  * exercising the same Catalyst machinery external SQL clients would hit.
+  *
+  * Each suite query is ONE SQL string in the engine-common ANSI dialect,
+  * executed VERBATIM by both Spark and the DuckDB oracle: the string
+  * itself is the correctness contract (no Scala twin to drift from). The
+  * determinism conventions (graft.functions.Det) hold in common dialect:
+  * `CAST(round(x*100) AS BIGINT)` scales each row half-away-from-zero in
+  * both engines, integer sums are order-independent (Spark i64 / DuckDB
+  * HUGEINT — equal while the total fits i64, bound ~9e9 money rows), and
+  * the final CAST-to-double + divide is the same correctly-rounded op
+  * pair. Timestamp OUTPUTS are avoided (formatting functions differ);
+  * timestamp LITERALS in predicates are ANSI and engine-identical.
+  *
+  * Scale: the views are the same cached relations every Scala operator
+  * reads (Tables.load / Tables.events), so the SQL path inherits pushdown,
+  * pruning, AQE, and the session's partitioning configuration unchanged —
+  * `spark.sql` text plans through the identical physical machinery
+  * (PlanSpec's suite-wide invariants cover these queries like any other).
+  */
+object SqlSuite {
+
+  /** Register the ten tables as session temp views, idempotently. Events
+    * registers the timestamp-NORMALIZED frame (Tables.events) — the
+    * engine's canonical view of that table, layout-independent across
+    * driver testdata revisions.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+      .foreach(n => Tables.load(spark, dir, n).createOrReplaceTempView(n))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  private def run(q: String)(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(q)
+  }
+
+  /** sql_q1 — the flagship pricing aggregate THROUGH THE PARSER: the exact
+    * oracle string of q1_pricing, now also the Spark-side query text. Rows
+    * hash-match q1_pricing's DataFrame formulation by construction.
+    */
+  val sqlQ1: String = Relational.q1PricingSql
+
+  /** sql_q5 — the six-table star join through the parser (q5_multijoin's
+    * oracle string verbatim; Catalyst broadcasts the dims from the SQL
+    * text exactly as it does from the DataFrame plan).
+    */
+  val sqlQ5: String = Joins.q5MultijoinSql
+
+  /** sql_window — ranking window through the parser: top-2 orders per
+    * customer by price. Total order (price DESC, key ASC); BIGINT cast on
+    * row_number keeps the arrow families aligned.
+    */
+  val sqlWindow: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |      FROM orders)
+      |WHERE rnk <= 2
+      |ORDER BY o_custkey, rnk""".stripMargin
+
+  /** sql_subquery_agg — scalar subquery through the parser: order-priority
+    * mix of above-average-priced orders; the average is the exact
+    * fixed-point mean so both engines compare against the identical
+    * threshold.
+    */
+  val sqlSubqueryAgg: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders
+       |FROM orders
+       |WHERE o_totalprice > (SELECT ${sqlDsum("o_totalprice")} / COUNT(*)
+       |                      FROM orders)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q1" -> (run(sqlQ1) _),
+    "sql_q5" -> (run(sqlQ5) _),
+    "sql_window" -> (run(sqlWindow) _),
+    "sql_subquery_agg" -> (run(sqlSubqueryAgg) _))
+
+  /** The SAME strings are the oracle — one text, two engines. */
+  def oracle: Map[String, String] = Map(
+    "sql_q1" -> sqlQ1,
+    "sql_q5" -> sqlQ5,
+    "sql_window" -> sqlWindow,
+    "sql_subquery_agg" -> sqlSubqueryAgg)
+}
