@@ -133,8 +133,21 @@ object Bench {
       //      for the judge;
       //   2. the FINAL stdout line is a short (<500 B) summary regardless of
       //      how many queries the suite grows to.
+      // Regime disclosure (ADVICE r7): these queries' timed path serves
+      // precomputed per-corpus state — stamped landings (CDC A/B states,
+      // the near-dup base index, stored histogram partials) or persisted
+      // in-memory index artifacts (trained IVF/PQ quantizers and their
+      // assignments) — while the DuckDB denominator rebuilds everything
+      // from raw per run. Their per-query ratios therefore compare an
+      // incremental/index-serving regime against a full recompute; the
+      // oracle hash-match still proves served-state ≡ rebuild.
+      val warmState = Seq("cdc_incremental_join", "cdc_incremental_neardup",
+          "agg_hist_rollup", "embedding_ivf_knn", "embedding_pq_knn",
+          "embedding_semantic_dedup")
+        .filter(best.contains)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       val detail =
-        s"""{"bench_detail":$qs,"passes":$passesJson,"pass_load":$passLoadJson,"reps":$reps}"""
+        s"""{"bench_detail":$qs,"warm_state":$warmState,"passes":$passesJson,"pass_load":$passLoadJson,"reps":$reps}"""
       println(detail)
       try {
         val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",

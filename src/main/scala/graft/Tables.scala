@@ -94,22 +94,65 @@ object Tables {
       val safe = path.replaceAll("[^A-Za-z0-9._-]", "_")
       val out = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_wide/${safe}_$stamp")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
-        // land into a process-unique temp dir, then a single atomic rename
-        // publishes it: concurrent JVMs (test suite vs verify) can race to
-        // land, and neither may ever observe a half-written copy
-        val tmp = new java.io.File(
-          out.getParentFile, s"${out.getName}.tmp${System.nanoTime()}")
+      publishOnce(out) { tmp =>
         spark.read.parquet(path).repartition(n)
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        if (!tmp.renameTo(out)) rmTree(tmp) // lost the race; winner's copy serves
       }
-      out.getAbsolutePath
     })
   }
 
+  /** Size+mtime stamp of a source file (or tree): the landing-cache key
+    * every stamped landing uses — ONE implementation (this was four
+    * copy-pasted walkers before round 8) so the semantics and their
+    * caveats live in one place. Null-safe: `listFiles` returns null on an
+    * I/O error or a dir racing away — treated as empty rather than NPE.
+    * Caveat, shared by all users: a file REWRITTEN with identical size
+    * within the mtime granularity serves stale state. Acceptable under the
+    * immutable-testdata session contract (same trade as `load`'s cached
+    * relations); a mutable deployment would swap in a content hash here.
+    */
+  private[graft] def srcStamp(src: java.io.File): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory) {
+        val cs = f.listFiles()
+        if (cs == null) (0L, 0L)
+        else cs.foldLeft((0L, 0L)) { case ((sz, mt), c) =>
+          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
+        }
+      } else (f.length, f.lastModified)
+    val (sz, mt) = walk(src)
+    s"${sz}_$mt"
+  }
+
+  /** Publish-once landing protocol, shared by every stamped landing (wide
+    * copies, bucketed/ORC/CSV/JSONL conversions, stored CDC states, the
+    * near-dup base index): `build` writes into a process-unique temp dir,
+    * a root `_SUCCESS` is stamped INSIDE the temp dir if the writer didn't
+    * already create one, and ONE atomic rename publishes the completed
+    * landing. Concurrent JVMs (test suite vs Verify) may race to build;
+    * the rename loser deletes its copy and serves the winner's — no
+    * process can ever observe a half-written or interleaved landing,
+    * because nothing is ever written into the published path directly.
+    * Returns the published path.
+    */
+  private[graft] def publishOnce(out: java.io.File)
+      (build: java.io.File => Unit): String = {
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(
+        out.getParentFile, s"${out.getName}.tmp${System.nanoTime()}")
+      build(tmp)
+      val stamp = new java.io.File(tmp, "_SUCCESS")
+      if (!stamp.exists()) stamp.createNewFile()
+      if (!tmp.renameTo(out)) rmTree(tmp) // lost the race; winner's copy serves
+    }
+    out.getAbsolutePath
+  }
+
   private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    if (f.isDirectory) {
+      val cs = f.listFiles()
+      if (cs != null) cs.foreach(rmTree)
+    }
     f.delete(): Unit
   }
 

@@ -532,16 +532,8 @@ object Analytics {
   private val histPartials =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private def lineitemStamp(dir: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
-          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
-        }
-      else (f.length, f.lastModified)
-    val (sz, mt) = walk(new java.io.File(dir, "lineitem.parquet"))
-    s"${sz}_$mt"
-  }
+  private def lineitemStamp(dir: String): String =
+    Tables.srcStamp(new java.io.File(dir, "lineitem.parquet"))
 
   /** The stored monthly-partials table: built from ONE raw lineitem scan
     * per source state, then served from its parquet landing. coalesce(1)
@@ -555,15 +547,15 @@ object Analytics {
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
         s"graft_hist_$safe/monthly_${lineitemStamp(dir)}")
-      if (!new java.io.File(out, "_SUCCESS").exists())
+      Tables.publishOnce(out) { tmp =>
         Tables.lineitem(spark, dir)
           .select(date_trunc("month", col("l_shipdate")).as("m"),
             scaledLong(col("l_extendedprice"), 100L).as("cents"))
           .groupBy(col("m"), expr(s"cents div $histBinW").as("bin"))
           .agg(count(lit(1)).as("cnt"))
           .coalesce(1)
-          .write.mode("overwrite").parquet(out.getAbsolutePath)
-      out.getAbsolutePath
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      }
     })
     // coalesce(1): the merge input is |months|×|bins| rows AT ANY RAW
     // SCALE — that is the sketch's contract (partial-merge cost is

@@ -576,16 +576,8 @@ object Cdc {
   private val ijStates =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private def eventsStamp(dir: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
-          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
-        }
-      else (f.length, f.lastModified)
-    val (sz, mt) = walk(new java.io.File(dir, "events.parquet"))
-    s"${sz}_$mt"
-  }
+  private def eventsStamp(dir: String): String =
+    Tables.srcStamp(new java.io.File(dir, "events.parquet"))
 
   def cdcIncrementalJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -596,18 +588,18 @@ object Cdc {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val out = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_ijstate_$safe/${eventsStamp(dir)}")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      // publishOnce (build-in-temp + atomic rename): two racing JVMs can
+      // never interleave their a/ and b/ writes into one served landing
+      Tables.publishOnce(out) { tmp =>
         compactState(e.filter(col("event_type").isin("view", "error"))
             .filter(!isDelta))
           .coalesce(1).write.mode("overwrite")
-          .parquet(new java.io.File(out, "a").getAbsolutePath)
+          .parquet(new java.io.File(tmp, "a").getAbsolutePath)
         compactState(e.filter(col("event_type").isin("click", "error"))
             .filter(!isDelta))
           .coalesce(1).write.mode("overwrite")
-          .parquet(new java.io.File(out, "b").getAbsolutePath)
-        new java.io.File(out, "_SUCCESS").createNewFile()
+          .parquet(new java.io.File(tmp, "b").getAbsolutePath)
       }
-      out.getAbsolutePath
     })
     incrementalJoinFrom(e,
       spark.read.parquet(s"$root/a"), spark.read.parquet(s"$root/b"))

@@ -162,25 +162,20 @@ object NearDup {
   private val ndIndex =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private def docsStamp(dir: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
-          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
-        }
-      else (f.length, f.lastModified)
-    val (sz, mt) = walk(new java.io.File(dir, "documents.parquet"))
-    s"${sz}_$mt"
-  }
+  private def docsStamp(dir: String): String =
+    Tables.srcStamp(new java.io.File(dir, "documents.parquet"))
 
   /** Land (once per source state) the base corpus's near-dup index:
-    * `bands/` (doc_id, band_id, bkey) and `pairs/` (verified J>=0.5). */
+    * `bands/` (doc_id, band_id, bkey) and `pairs/` (verified J>=0.5).
+    * Published via Tables.publishOnce — build into a unique temp dir, one
+    * atomic rename — so concurrent JVMs can never interleave writes into
+    * a landing that the `_SUCCESS` gate then serves forever. */
   private def baseIndex(spark: SparkSession, dir: String): String =
     ndIndex.getOrElseUpdate((dir, docsStamp(dir)), {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val out = new java.io.File(
         sys.props("java.io.tmpdir"), s"graft_ndidx_$safe/${docsStamp(dir)}")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.publishOnce(out) { tmp =>
         val base = Tables.documentsWide(spark, dir)
           .filter(col("doc_id") % 20 =!= 0)
         val ex = shingles(base)
@@ -193,12 +188,10 @@ object NearDup {
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
         bands.coalesce(1).write.mode("overwrite")
-          .parquet(new java.io.File(out, "bands").getAbsolutePath)
+          .parquet(new java.io.File(tmp, "bands").getAbsolutePath)
         verifyPairs(cand, ex).coalesce(1).write.mode("overwrite")
-          .parquet(new java.io.File(out, "pairs").getAbsolutePath)
-        new java.io.File(out, "_SUCCESS").createNewFile()
+          .parquet(new java.io.File(tmp, "pairs").getAbsolutePath)
       }
-      out.getAbsolutePath
     })
 
   def cdcIncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {

@@ -66,7 +66,8 @@ object Quality {
         max(col("l_quantity")).as("p_max_qty"),
         sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
           .otherwise(0L)).as("p_disc_viol"),
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("p_fk_viol"))
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("p_fk_viol"),
+        max(col("l_linenumber")).as("p_max_ln"))
       .agg(
         sum(col("p_rows")).as("n_rows"),
         sum(col("p_shipdate")).as("n_shipdate"),
@@ -74,7 +75,22 @@ object Quality {
         min(col("p_min_qty")).as("min_qty"),
         max(col("p_max_qty")).as("max_qty"),
         sum(col("p_disc_viol")).as("disc_viol"),
-        sum(col("p_fk_viol")).as("fk_viol"))
+        sum(col("p_fk_viol")).as("fk_viol"),
+        max(col("p_max_ln")).as("max_ln"))
+      // injectivity guard on the packed pk (ADVICE r7): the packing is
+      // only injective while l_linenumber ∈ [0,7]; driver testdata has
+      // drifted between rounds before, and a silent collision would
+      // corrupt n_pk. assert_true makes a bound violation FAIL LOUDLY;
+      // it is folded INTO n_pk (null when passing) so pruning can't drop
+      // it, and rides the same single scan (one extra max per word).
+      .select(
+        col("n_rows"), col("n_shipdate"),
+        (col("n_pk") + coalesce(expr(
+          "assert_true(max_ln <= 7, " +
+            "'dq_audit: l_linenumber > 7 breaks packed-pk injectivity — " +
+            "switch uniqueness_pk to the countDistinct plan')"),
+          lit(0L))).as("n_pk"),
+        col("min_qty"), col("max_qty"), col("disc_viol"), col("fk_viol"))
       .select(expr(
         """stack(7,
           |  'completeness_shipdate', CAST(n_shipdate AS DOUBLE) / n_rows,

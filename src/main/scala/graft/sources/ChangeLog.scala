@@ -84,16 +84,8 @@ object ChangeLog {
   private val jsonlPrepared =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def srcStamp(dir: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
-          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
-        }
-      else (f.length, f.lastModified)
-    val (sz, mt) = walk(new java.io.File(dir, "events.parquet"))
-    s"${sz}_$mt"
-  }
+  private def srcStamp(dir: String): String =
+    graft.Tables.srcStamp(new java.io.File(dir, "events.parquet"))
 
   /** Land (once per source state) the JSONL copy of the change log. */
   private[graft] def eventsJsonl(spark: SparkSession, dir: String): String =
@@ -102,14 +94,13 @@ object ChangeLog {
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
         s"graft_jsonl_$safe/events_${srcStamp(dir)}")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      graft.Tables.publishOnce(out) { tmp =>
         graft.Tables.events(spark, dir)
           .select(col("event_id"),
             date_format(col("ts"), TS_FMT).as("ts"),
             col("user_id"), col("event_type"), col("value"), col("props"))
-          .write.mode("overwrite").json(out.getAbsolutePath)
+          .write.mode("overwrite").json(tmp.getAbsolutePath)
       }
-      out.getAbsolutePath
     })
 
   /** cdc_jsonl_apply — LWW apply fed from the JSONL wire format. */

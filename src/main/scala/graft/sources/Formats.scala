@@ -26,16 +26,8 @@ object Formats {
   private val prepared =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
-  private def srcStamp(dir: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
-          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
-        }
-      else (f.length, f.lastModified)
-    val (sz, mt) = walk(new java.io.File(dir, "events.parquet"))
-    s"${sz}_$mt"
-  }
+  private def srcStamp(dir: String): String =
+    Tables.srcStamp(new java.io.File(dir, "events.parquet"))
 
   private def land(spark: SparkSession, dir: String, fmt: String)(
       write: (DataFrame, String) => Unit): String =
@@ -44,9 +36,9 @@ object Formats {
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
         s"graft_fmt_$safe/events_${fmt}_${srcStamp(dir)}")
-      if (!new java.io.File(out, "_SUCCESS").exists())
-        write(Tables.events(spark, dir), out.getAbsolutePath)
-      out.getAbsolutePath
+      Tables.publishOnce(out) { tmp =>
+        write(Tables.events(spark, dir), tmp.getAbsolutePath)
+      }
     })
 
   /** events_orc (S11) — the ORC read path: identical aggregation over an

@@ -40,16 +40,8 @@ object Partitioned {
     * events.parquet at the same dir lands a fresh partitioned copy instead
     * of silently serving the previous JVM's stale _SUCCESS-gated one.
     */
-  private def srcStamp(dir: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        f.listFiles().foldLeft((0L, 0L)) { case ((sz, mt), c) =>
-          val (csz, cmt) = walk(c); (sz + csz, math.max(mt, cmt))
-        }
-      else (f.length, f.lastModified)
-    val (sz, mt) = walk(new java.io.File(dir, "events.parquet"))
-    s"${sz}_$mt"
-  }
+  private def srcStamp(dir: String): String =
+    Tables.srcStamp(new java.io.File(dir, "events.parquet"))
 
   /** Land (once) and return the date-partitioned events copy for sfDir. */
   private[graft] def eventsByDay(spark: SparkSession, dir: String): String =
@@ -58,13 +50,12 @@ object Partitioned {
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
         s"graft_part_$safe/events_by_day_${srcStamp(dir)}")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.publishOnce(out) { tmp =>
         Tables.events(spark, dir)
           .withColumn("event_date", to_date(col("ts")))
           .write.mode("overwrite").partitionBy("event_date")
-          .parquet(out.getAbsolutePath)
+          .parquet(tmp.getAbsolutePath)
       }
-      out.getAbsolutePath
     })
 
   /** events_pruned — per-day per-type traffic for a 3-day window, read
