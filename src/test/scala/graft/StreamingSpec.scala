@@ -440,4 +440,57 @@ class StreamingSpec extends SparkSpec {
       assert(got.count(_._1 == 3L) == 0, s"user 3 emitted too early: $got")
     } finally q.stop()
   }
+
+  test("ST1 runs unchanged off Spark's built-in rate source (source-agnosticism)") {
+    // Every stream op in Streams takes a DataFrame — the source is the
+    // caller's choice. The suite drives them through MemoryStream and the
+    // live file tail (SinkSpec); this leg proves the SAME operator runs
+    // off a live machine-generated source (the built-in `rate` source —
+    // the sandbox's stand-in for a Kafka-class bus: no egress, so no
+    // broker) with no operator change. Rate rows are nondeterministic in
+    // COUNT (wall-clock), so the assertions are the structural invariants
+    // that hold for any prefix: synthetic event-time advances 30 s per
+    // row, every appended window is hour-aligned, spans exactly 120
+    // rows, and total_value ≡ n_events (each row carries value = 1.0).
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").option("numPartitions", "1").load()
+    val base = 1704067200L // hour-aligned epoch seconds
+    val events = rate.select(
+      col("value").as("event_id"),
+      timestamp_seconds(lit(base) + col("value") * 30).as("ts"),
+      (col("value") % 50).as("user_id"),
+      when(col("value") % 3 === 0, "view").otherwise("click")
+        .as("event_type"),
+      lit(1.0).as("value"),
+      lit("""{"k": 1}""").as("props"))
+    val q = Streams.tumblingCounts(events)
+      .writeStream.format("memory").queryName("st1_rate")
+      .outputMode("append").start()
+    try {
+      // wait until at least one window closes (needs ~140 rows: 120 per
+      // window + 20 to push the 10-min watermark past the window end)
+      var tries = 0
+      while (spark.table("st1_rate").isEmpty && tries < 60) {
+        Thread.sleep(500); q.processAllAvailable(); tries += 1
+      }
+      val got = spark.table("st1_rate").collect()
+      assert(got.nonEmpty, "no window closed off the rate source")
+      got.foreach { r =>
+        val winStart = r.getTimestamp(0).getTime / 1000
+        assert(winStart % 3600 == 0, s"window not hour-aligned: $r")
+        assert(winStart >= base, s"window before stream epoch: $r")
+      }
+      // per window (both types together): exactly 3600/30 = 120 rows,
+      // and value-sum ≡ row count
+      val byWin = got.groupBy(_.getTimestamp(0))
+      byWin.foreach { case (w, rs) =>
+        assert(rs.map(_.getLong(2)).sum == 120L,
+          s"window $w does not hold exactly 120 rows: ${rs.toSeq}")
+        assert(rs.forall(r => r.getDouble(3) == r.getLong(2).toDouble),
+          s"value sum diverged from count in $w: ${rs.toSeq}")
+        assert(rs.map(_.getString(1)).distinct.length == rs.length,
+          s"duplicate event_type rows in window $w: ${rs.toSeq}")
+      }
+    } finally q.stop()
+  }
 }
