@@ -142,8 +142,8 @@ object Bench {
       // incremental/index-serving regime against a full recompute; the
       // oracle hash-match still proves served-state ≡ rebuild.
       val warmState = Seq("cdc_incremental_join", "cdc_incremental_neardup",
-          "agg_hist_rollup", "embedding_ivf_knn", "embedding_pq_knn",
-          "embedding_semantic_dedup")
+          "cdc_incremental_ivf", "agg_hist_rollup", "embedding_ivf_knn",
+          "embedding_pq_knn", "embedding_semantic_dedup")
         .filter(best.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val detail =

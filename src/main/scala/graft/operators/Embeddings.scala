@@ -459,18 +459,30 @@ object Embeddings {
     */
   private def trained(spark: SparkSession, dir: String, iters: Int)
       : (IndexedSeq[Cent], IndexedSeq[Cent]) =
-    Embeddings.centCache.getOrElseUpdate((dir, iters), {
-      val n = withNorm(spark, dir)
+    trainedWhere(spark, dir, iters, "all", lit(true), col("vec_id") < 16)
+
+  /** Generalized trainer: quantizer over the `pred`-filtered collection
+    * with `seedPred` picking the driver-small seed set. `tag` keys the
+    * cache alongside (dir, iters). cdc_incremental_ivf trains on the BASE
+    * split only (the incremental contract: the quantizer is an artifact
+    * of the indexed corpus; deltas are assigned, never retrained — the
+    * FAISS add-after-train discipline).
+    */
+  private def trainedWhere(spark: SparkSession, dir: String, iters: Int,
+      tag: String, pred: Column, seedPred: Column)
+      : (IndexedSeq[Cent], IndexedSeq[Cent]) =
+    Embeddings.centCache.getOrElseUpdate((s"$dir#$tag", iters), {
+      val n = withNorm(spark, dir).filter(pred)
       val aqeKey = "spark.sql.adaptive.enabled"
       val aqePrev = spark.conf.get(aqeKey, "true")
       try {
         spark.conf.set(aqeKey, "false")
-        val f16 = n.filter(col("vec_id") < 16)
+        val seeds = n.filter(seedPred)
           .select(col("vec_id").cast("long"), col("embedding"))
           .collect()
           .map(r => Cent(r.getLong(0), r.getSeq[Float](1).toArray))
           .sortBy(_.id).toIndexedSeq
-        (f16, trainCents(n, f16, iters))
+        (seeds, trainCents(n, seeds, iters))
       } finally spark.conf.set(aqeKey, aqePrev)
     })
 
@@ -583,11 +595,12 @@ object Embeddings {
 
   /** Assignment pass, DuckDB twin (row_number argmax — same values as the
     * Spark struct-max: highest c_cos, ties → lowest cent_id). */
-  private def sqlAssign(cents: String, out: String): String =
-    s"""${out}0 AS (SELECT n.vec_id, n.embedding, n.norm_s, c.cent_id,
-       |    CAST(${sqlDotS("n.embedding", "c.c_emb")} AS DOUBLE)
-       |      / sqrt(CAST(n.norm_s AS DOUBLE) * CAST(c.c_norm AS DOUBLE)) AS c_cos
-       |  FROM n CROSS JOIN $cents c),
+  private def sqlAssign(cents: String, out: String,
+      src: String = "n"): String =
+    s"""${out}0 AS (SELECT $src.vec_id, $src.embedding, $src.norm_s, c.cent_id,
+       |    CAST(${sqlDotS(s"$src.embedding", "c.c_emb")} AS DOUBLE)
+       |      / sqrt(CAST($src.norm_s AS DOUBLE) * CAST(c.c_norm AS DOUBLE)) AS c_cos
+       |  FROM $src CROSS JOIN $cents c),
        |$out AS (SELECT vec_id, embedding, norm_s, cent_id AS cell
        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY c_cos DESC, cent_id) AS arn FROM ${out}0)
@@ -877,6 +890,91 @@ object Embeddings {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** The kNN query set (vec_id < 8) as driver-side Cents — broadcast-side
+    * literals, one tiny collect per corpus (the same driver-small contract
+    * as the quantizer seeds). */
+  private val qVecCache = scala.collection.concurrent.TrieMap
+    .empty[String, IndexedSeq[Cent]]
+
+  private def queryVecs(spark: SparkSession, dir: String): IndexedSeq[Cent] =
+    qVecCache.getOrElseUpdate(dir,
+      withNorm(spark, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect()
+        .map(r => Cent(r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_.id).toIndexedSeq)
+
+  /** cdc_incremental_ivf (S18) — INCREMENTAL ANN index maintenance, the
+    * CDC × similarity-search fusion (the ANN sibling of
+    * cdc_incremental_neardup): the BASE corpus (doc-split vec_id % 20 ≠ 0,
+    * ~95%) trains the coarse quantizer and lands its cell assignment ONCE
+    * as a per-corpus index artifact; a CDC delta batch (% 20 = 0, ~5%)
+    * is ONLY map-side assigned against the FROZEN centroids at query
+    * time — the FAISS add-after-train discipline: deltas never retrain,
+    * so per-batch work is delta-proportional (|delta| argmax evals) while
+    * search quality degrades only as the delta drifts from the trained
+    * distribution (the real systems answer is periodic retrain, which is
+    * this same pipeline re-run). Queries (vec_id < 8, which includes a
+    * delta vector — a freshly-ingested query) probe nprobe=3 cells of
+    * base ∪ delta; `is_delta` on each neighbor surfaces that fresh
+    * vectors are immediately searchable.
+    *
+    * Oracle = the FULL recompute (train on base, assign base and delta
+    * in one pass, probe) — hash-match proves incremental ≡ rebuild,
+    * which holds because assignment is per-vector independent under
+    * frozen centroids. Scale: the stored assignment is the inverted
+    * list; the delta assign is narrow map work; the probe join is
+    * cell-bounded; ranking is the bounded heap.
+    */
+  def cdcIncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("vec_id") % 20 === 0
+    // seeds = the 16 lowest BASE ids (1..16 on the driver grid: 0 is delta)
+    val (_, cents) = trainedWhere(spark, dir, 2, "base",
+      !isDelta, col("vec_id") <= 16)
+    val base = cachedIndex("ivfBase", spark, dir) {
+      withNorm(spark, dir).filter(!isDelta)
+        .select(col("vec_id"), col("embedding"), col("norm_s"))
+        .withColumn("cell", cellOf(cents))
+    }
+    val delta = withNorm(spark, dir).filter(isDelta)
+      .select(col("vec_id"), col("embedding"), col("norm_s"))
+      .withColumn("cell", cellOf(cents))
+    val qCells = probeCells(spark, queryVecs(spark, dir), cents, 3)
+    val pairs = base.unionByName(delta)
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        cosine(dotS(col("q_emb"), col("embedding")),
+          col("q_norm"), col("norm_s")))
+      .select(col("q_id"), col("vec_id"), col("cosine"), col("cell"),
+        (col("vec_id") % 20 === 0).as("is_delta"))
+    topPerQuery(pairs, "cosine", 3, "rank")
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
+        col("cosine"), col("cell"), col("is_delta"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val cdcIncrementalIvfSql: String =
+    s"""WITH $sqlWithNorm,
+       |nb AS (SELECT * FROM n WHERE vec_id % 20 != 0),
+       |cents0 AS (SELECT vec_id AS cent_id, embedding AS c_emb, norm_s AS c_norm
+       |  FROM nb WHERE vec_id <= 16),
+       |${sqlAssign("cents0", "a1", "nb")},
+       |${sqlUpdate("a1", "c1")},
+       |${sqlAssign("c1", "a2", "nb")},
+       |${sqlUpdate("a2", "c2")},
+       |${sqlAssign("c2", "assigned")},
+       |${sqlQCells(3)},
+       |p AS (SELECT q.q_id, c.vec_id AS neighbor, q.cell,
+       |    c.vec_id % 20 = 0 AS is_delta,
+       |    CAST(${sqlDotS("q.q_emb", "c.embedding")} AS DOUBLE)
+       |      / sqrt(CAST(q.q_norm AS DOUBLE) * CAST(c.norm_s AS DOUBLE)) AS cosine
+       |  FROM qcells q JOIN assigned c ON c.cell = q.cell AND c.vec_id != q.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cosine DESC, neighbor) AS rank FROM p)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine, cell, is_delta
+       |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "array_ops" -> (arrayOps _),
     "embedding_knn" -> (embeddingKnn _),
@@ -885,7 +983,8 @@ object Embeddings {
     "embedding_pq_knn" -> (embeddingPqKnn _),
     "embedding_ivf_knn" -> (embeddingIvfKnn _),
     "embedding_semantic_dedup" -> (embeddingSemanticDedup _),
-    "embedding_near_dedup" -> (embeddingNearDedup _))
+    "embedding_near_dedup" -> (embeddingNearDedup _),
+    "cdc_incremental_ivf" -> (cdcIncrementalIvf _))
 
   def oracle: Map[String, String] = Map(
     "array_ops" -> arrayOpsSql,
@@ -895,5 +994,6 @@ object Embeddings {
     "embedding_pq_knn" -> embeddingPqKnnSql,
     "embedding_ivf_knn" -> embeddingIvfKnnSql,
     "embedding_semantic_dedup" -> embeddingSemanticDedupSql,
-    "embedding_near_dedup" -> embeddingNearDedupSql)
+    "embedding_near_dedup" -> embeddingNearDedupSql,
+    "cdc_incremental_ivf" -> cdcIncrementalIvfSql)
 }

@@ -13,6 +13,25 @@ class EmbeddingsSpec extends SparkSpec {
     df.select(col("q_id"), col("neighbor"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("cdc_incremental_ivf: fresh delta vectors are immediately searchable") {
+    // the value claim of incremental index maintenance: a vector ingested
+    // AFTER the index was built (vec_id % 20 == 0) must be reachable as a
+    // neighbor without any retrain/rebuild — and the delta-id-0 query
+    // itself must return results (a freshly-ingested vector can query).
+    val r = SparkEntry.queries("cdc_incremental_ivf")(spark, sfSmall)
+      .collect()
+    assert(r.nonEmpty)
+    assert(r.exists(_.getBoolean(5)),
+      "no delta vector surfaced as a neighbor — the incremental index " +
+        "is not actually serving fresh vectors")
+    assert(r.exists(_.getLong(0) == 0L),
+      "the delta query vector (vec_id 0) returned no neighbors")
+    // rank is dense 1..k per query under the heap's total order
+    r.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length))
+    }
+  }
+
   test("trained IVF (iters=2, nprobe=3) does not lose recall@3 vs the untrained query it replaced") {
     // sf0.01, not sf0.001: 16 trained cells over the tiny corpus is
     // degenerate (fewer vectors than cells deserve), and the recall claim
