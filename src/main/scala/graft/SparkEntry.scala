@@ -20,6 +20,7 @@ object SparkEntry {
       (operators.Olap.queries, operators.Olap.oracle),
       (operators.Docs.queries, operators.Docs.oracle),
       (operators.NearDup.queries, operators.NearDup.oracle),
+      (operators.Retrieval.queries, operators.Retrieval.oracle),
       (operators.Embeddings.queries, operators.Embeddings.oracle),
       (operators.Multimodal.queries, operators.Multimodal.oracle),
       (operators.Analytics.queries, operators.Analytics.oracle),
@@ -33,6 +34,7 @@ object SparkEntry {
       (sources.Partitioned.queries, sources.Partitioned.oracle),
       (sources.Formats.queries, sources.Formats.oracle),
       (sources.Bucketed.queries, sources.Bucketed.oracle),
+      (sources.Catalog.queries, sources.Catalog.oracle),
       (sources.ChangeLog.queries, sources.ChangeLog.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -26,9 +26,10 @@ import graft.Tables
 object Docs {
 
   /** Normalized text: lowercase, collapse runs of whitespace, trim. */
-  private def norm(c: org.apache.spark.sql.Column) =
+  private[operators] def norm(c: org.apache.spark.sql.Column) =
     lower(trim(regexp_replace(c, "\\s+", " ")))
-  private val sqlNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private[operators] val sqlNorm =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
   /** doc_dedup (L1) — exact dedup on md5 of normalized text. Per language:
     * rows in, distinct normalized hashes, dup rows removed, and the survivor

@@ -36,23 +36,23 @@ object Embeddings {
     * evaluates interpreted per element; VectorExprsSpec pins the
     * equivalence.
     */
-  private def dotS(a: Column, b: Column): Column =
+  private[operators] def dotS(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotScaled(a, b)
 
-  private def sqlDotS(a: String, b: String): String =
+  private[operators] def sqlDotS(a: String, b: String): String =
     s"CAST(list_sum([CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e14) AS BIGINT) for i in range(1, 65)]) AS BIGINT)"
 
   /** cosine from scaled dot + scaled squared norms (all exact ints). */
-  private def cosine(dot: Column, na: Column, nb: Column): Column =
+  private[operators] def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
   /** vec_id, embedding, norm_s (exact scaled squared norm). */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def withNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
         dotS(col("embedding"), col("embedding")).as("norm_s"))
 
-  private val sqlWithNorm: String =
+  private[operators] val sqlWithNorm: String =
     s"""n AS (SELECT vec_id, label, embedding,
        |  ${sqlDotS("embedding", "embedding")} AS norm_s FROM embeddings)""".stripMargin
 

@@ -353,6 +353,111 @@ object Pipeline {
        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  /** dedup_survivorship (L30) — quality-elected canonical-document
+    * selection per near-dup cluster: the step BETWEEN cluster resolution
+    * (L10) and the training mix, where a real pipeline keeps the BEST
+    * member of each duplicate family (highest quality score), not an
+    * arbitrary one (lowest-id election silently keeps whatever crawled
+    * first — often the worst copy). Reuses the L10 connected components
+    * verbatim and doc_quality's engine-exact score; the per-cluster
+    * election runs on the native bounded-heap TopK plan with k=1 (argmax
+    * = top-1: a map-side heap holds ONE row per cluster per partition,
+    * so the election shuffle carries |clusters| rows, never the
+    * membership), tie-broken on doc_id. The report carries the full
+    * provenance a downstream auditor needs: who survived, at what
+    * quality, how many were dropped, and an order-free XOR checksum of
+    * exactly WHICH ids were dropped.
+    *
+    * Scale (100 TB): pairs/components are candidate-bounded (the
+    * SimHash detector already collapsed the corpus); the quality join
+    * touches only clustered doc_ids (semi-join-sized); the election is
+    * heap-pruned. No stage sees more than |clustered docs| rows.
+    */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup.docSimhashDup(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster"))
+    // doc_quality's exact composite score (same op sequence -> identical
+    // doubles in both engines), restricted to clustered docs only
+    val en = Seq("the", "a", "of", "and", "to")
+    val d = Tables.documents(spark, dir)
+      .withColumn("nt", norm(col("text")))
+      .withColumn("toks", split(col("nt"), " "))
+    val nTok = size(col("toks")).cast("double")
+    val nStop = regexp_count(col("nt"),
+      lit(s"(^| )(${en.mkString("|")})(?= |$$)")).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val wordLen =
+      (length(col("nt")) - (size(col("toks")) - 1)).cast("double") / nTok
+    val scored = d.select(col("doc_id"),
+      (lit(0.4) * lenScore + lit(0.3) * (nStop / nTok) +
+        lit(0.3) * least(wordLen / lit(8.0), lit(1.0))).as("quality"))
+    val members = labels.join(scored, Seq("doc_id"))
+    val stats = members.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        bit_xor(col("doc_id")).as("member_xor"))
+    val survivor = graft.plans.TopK.topKPerGroup(members, Seq("cluster"),
+        Seq(("quality", true), ("doc_id", false)), 1)
+      .select(col("cluster"), col("doc_id").as("survivor_doc"),
+        col("quality").as("survivor_quality"))
+    stats.join(survivor, Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("survivor_doc"),
+        col("survivor_quality"),
+        (col("n_members") - 1).as("n_dropped"),
+        col("member_xor").bitwiseXOR(col("survivor_doc"))
+          .as("dropped_id_xor"))
+      .orderBy(col("cluster"))
+  }
+
+  val dedupSurvivorshipSql: String = {
+    val pairsSql = NearDup.docSimhashDupSql
+      .replace("ORDER BY doc_a, doc_b", "")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+       |lab AS (SELECT node AS doc_id, MIN(r) AS cluster
+       |        FROM reach GROUP BY node),
+       |t AS (
+       |  SELECT doc_id, string_split($sqlNorm, ' ') AS toks, $sqlNorm AS nt
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_filter(toks,
+       |      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) AS n_stop,
+       |    CAST(length(replace(nt, ' ', '')) AS DOUBLE) AS n_letters
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id,
+       |    0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (n_stop / n_tok)
+       |      + 0.3 * least((n_letters / n_tok) / 8.0, 1.0) AS quality
+       |  FROM f),
+       |m AS (
+       |  SELECT lab.cluster, lab.doc_id, s.quality
+       |  FROM lab JOIN s ON s.doc_id = lab.doc_id),
+       |ranked AS (
+       |  SELECT cluster, doc_id, quality,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY quality DESC, doc_id) AS rk
+       |  FROM m),
+       |stats AS (
+       |  SELECT cluster, COUNT(*) AS n_members,
+       |    bit_xor(doc_id) AS member_xor
+       |  FROM m GROUP BY cluster)
+       |SELECT st.cluster, st.n_members,
+       |  r.doc_id AS survivor_doc, r.quality AS survivor_quality,
+       |  st.n_members - 1 AS n_dropped,
+       |  CAST(xor(st.member_xor, r.doc_id) AS BIGINT) AS dropped_id_xor
+       |FROM stats st JOIN ranked r ON r.cluster = st.cluster AND r.rk = 1
+       |ORDER BY st.cluster""".stripMargin
+  }
+
   /** doc_chunk (L11) — split each document into fixed-size overlapping
     * token windows (16 tokens, stride 12 ⇒ 4-token overlap), the standard
     * pre-embedding/pre-training chunking step. Chunk starts are a
@@ -1097,7 +1202,8 @@ object Pipeline {
     "corpus_clean" -> (corpusClean _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> (sampleWeighted _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_survivorship" -> (dedupSurvivorship _))
 
   def oracle: Map[String, String] = Map(
     "corpus_mix" -> corpusMixSql,
@@ -1116,5 +1222,6 @@ object Pipeline {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_weighted" -> sampleWeightedSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_survivorship" -> dedupSurvivorshipSql,
     "graph_pagerank" -> graphPagerankSql)
 }

@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog-backed table surface (SURVEY.md §2.1 row S19, round-8): the
+  * engine's tables as CATALOG OBJECTS — named databases, external parquet
+  * tables, and a persistent (catalog-level, not temp) view — instead of
+  * code-level readers only. This is what lets external tooling (a SQL
+  * client, a BI layer, another Spark job on the same metastore) discover
+  * and query the engine's data by NAME: `SELECT ... FROM
+  * graft_<sf>.v_customer_orders` with zero knowledge of file paths.
+  *
+  * Mechanics: one `CREATE DATABASE` per source directory (the db name
+  * embeds a path hash, so sf0.001/sf0.01/sf0.1 coexist in one catalog),
+  * `CREATE TABLE ... USING parquet LOCATION` per table — EXTERNAL tables:
+  * the catalog stores only metadata, the driver's read-only parquet stays
+  * where it is — and `CREATE OR REPLACE VIEW` for the enrichment view.
+  * All DDL is idempotent (IF NOT EXISTS / OR REPLACE) and re-issued per
+  * call: against an already-populated catalog each statement is a
+  * metadata no-op, so concurrent callers and repeated bench passes are
+  * safe. Catalog entries live in the SparkContext-wide SharedState, so a
+  * `spark.newSession()` — a different session, same cluster — sees the
+  * same databases, tables, and view (pinned in CatalogSpec): the
+  * in-memory-catalog equivalent of metastore persistence, and the exact
+  * code path (`ExternalCatalog`) a Hive-metastore deployment persists
+  * durably.
+  *
+  * The `events` table is deliberately NOT registered raw: its timestamp
+  * layout varies by driver generation (TsLayoutSpec) and `Tables.events`
+  * normalizes on read — a raw catalog table would bypass that. Catalog
+  * consumers get the normalized form via the temp views SqlSuite
+  * registers.
+  *
+  * Scale (100 TB): external-table DDL is O(1) metadata per table — no
+  * data movement; the view is a stored query. The query below reads
+  * THROUGH the catalog: dims broadcast, the fact aggregates with exact
+  * fixed-point money sums (Det conventions, here in SQL text: cents
+  * scale, hi/lo split against i64 overflow at fleet row counts).
+  */
+object Catalog {
+
+  private[graft] val tables = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "documents", "embeddings")
+
+  /** Stable short db name for a source dir ("graft_" + path md5 prefix). */
+  private[graft] def dbName(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
+    "graft_" + md.take(4).map("%02x".format(_)).mkString
+  }
+
+  /** (sharedState identity, dir) pairs already registered: catalog
+    * objects live in the SparkContext-wide SharedState, so one DDL round
+    * per (catalog, dir) suffices — repeat calls (every bench pass, every
+    * serving query) skip straight to the name lookup. Each spark.sql DDL
+    * is a full parse+analyze round trip; re-issuing 11 of them per query
+    * measured ~0.5 s of pure metadata overhead.
+    */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  /** Idempotently register the database, external tables, and view for
+    * `dir`; returns the database name. First call per (catalog, dir)
+    * issues the DDL; later calls are a set lookup.
+    */
+  def register(spark: SparkSession, dir: String): String = {
+    val db = dbName(dir)
+    val key = (System.identityHashCode(spark.sharedState),
+      new java.io.File(dir).getCanonicalPath)
+    if (registered.contains(key)) return db
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val abs = new java.io.File(dir).getCanonicalPath
+    tables.foreach { t =>
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS $db.$t USING parquet " +
+          s"LOCATION '$abs/$t.parquet'")
+    }
+    // Customer order enrichment view: the canonical "wide fact" a BI tool
+    // queries. Money goes through the exact cents scale at view level
+    // (one correctly-rounded double multiply + truncating cast with the
+    // +0.5 half-away trick — Det.scaledLong in SQL text) so consumers
+    // aggregate integers, never raw doubles.
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $db.v_customer_orders AS
+         |SELECT c.c_custkey, c.c_mktsegment, n.n_name AS nation,
+         |  r.r_name AS region, o.o_orderkey,
+         |  CAST(o.o_totalprice * 100 + 0.5 AS BIGINT) AS order_cents
+         |FROM $db.customer c
+         |JOIN $db.nation n ON n.n_nationkey = c.c_nationkey
+         |JOIN $db.region r ON r.r_regionkey = n.n_regionkey
+         |LEFT JOIN $db.orders o ON o.o_custkey = c.c_custkey""".stripMargin)
+    registered.add(key)
+    db
+  }
+
+  /** catalog_view (S19) — market-segment value report served entirely
+    * through catalog names: the view joins, this query aggregates. The
+    * exact money sum is the Det hi/lo split spelled in SQL (sum of
+    * shifted halves recombined in DECIMAL(38,0) — order-independent and
+    * overflow-safe far past any real group size).
+    */
+  def catalogView(spark: SparkSession, dir: String): DataFrame = {
+    val db = register(spark, dir)
+    spark.sql(
+      s"""SELECT region, c_mktsegment,
+         |  COUNT(DISTINCT c_custkey) AS n_customers,
+         |  COUNT(o_orderkey) AS n_orders,
+         |  CAST(CAST(SUM(SHIFTRIGHT(order_cents, 20)) AS DECIMAL(38,0))
+         |      * 1048576
+         |      + CAST(SUM(order_cents & 1048575) AS DECIMAL(38,0))
+         |    AS DOUBLE) / 100 AS total_value
+         |FROM $db.v_customer_orders
+         |GROUP BY region, c_mktsegment
+         |ORDER BY region, c_mktsegment""".stripMargin)
+  }
+
+  val catalogViewSql: String =
+    """WITH v AS (
+      |  SELECT c.c_custkey, c.c_mktsegment, r.r_name AS region,
+      |    o.o_orderkey,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents
+      |  FROM customer c
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey)
+      |SELECT region, c_mktsegment,
+      |  COUNT(DISTINCT c_custkey) AS n_customers,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(order_cents) AS DOUBLE) / 100 AS total_value
+      |FROM v
+      |GROUP BY region, c_mktsegment
+      |ORDER BY region, c_mktsegment""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "catalog_view" -> (catalogView _))
+
+  def oracle: Map[String, String] = Map(
+    "catalog_view" -> catalogViewSql)
+}

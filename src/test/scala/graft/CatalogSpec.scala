@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Catalog surface (S19): external tables + persistent view registered in
+  * the shared catalog, visible across sessions, and serving the same rows
+  * the code-level readers produce.
+  */
+class CatalogSpec extends SparkSpec {
+
+  test("register creates the database, external tables, and the view") {
+    val db = sources.Catalog.register(spark, sfTiny)
+    assert(spark.catalog.databaseExists(db))
+    val names = spark.catalog.listTables(db).collect().map(_.name).toSet
+    sources.Catalog.tables.foreach(t => assert(names.contains(t), t))
+    assert(names.contains("v_customer_orders"))
+    // re-registration is a metadata no-op, not an error
+    assert(sources.Catalog.register(spark, sfTiny) == db)
+  }
+
+  test("catalog objects are visible from a NEW session (shared state)") {
+    val db = sources.Catalog.register(spark, sfTiny)
+    val other = spark.newSession()
+    assert(other.catalog.databaseExists(db))
+    assert(other.catalog.tableExists(s"$db.nation"))
+    // the view resolves and serves rows in the other session too
+    assert(other.table(s"$db.v_customer_orders").count() > 0)
+  }
+
+  test("distinct source dirs register distinct databases") {
+    assert(sources.Catalog.dbName(sfTiny) != sources.Catalog.dbName(sfSmall))
+  }
+
+  test("catalog_view equals the direct-reader computation") {
+    val viaCatalog = sources.Catalog.catalogView(spark, sfTiny)
+    val c = Tables.customer(spark, sfTiny)
+    val n = Tables.nation(spark, sfTiny)
+    val r = Tables.region(spark, sfTiny)
+    val o = Tables.orders(spark, sfTiny)
+    val direct = c
+      .join(n, col("n_nationkey") === col("c_nationkey"))
+      .join(r, col("r_regionkey") === col("n_regionkey"))
+      .join(o, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("r_name").as("region"), col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_orders"),
+        (functions.Det.splitSum(
+            (col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .cast("double") / 100).as("total_value"))
+      .orderBy(col("region"), col("c_mktsegment"))
+    assert(viaCatalog.collect().toSeq == direct.collect().toSeq)
+  }
+}
