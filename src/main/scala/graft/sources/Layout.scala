@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Det
+
+/** Multi-dimensional data layout (SURVEY.md §2.1 row S20, round-8):
+  * Z-ORDER clustering — the Delta/Iceberg `OPTIMIZE ZORDER BY` lever —
+  * demonstrated end-to-end on the driver's own lineitem. A date-sorted
+  * layout prunes date predicates and NOTHING else; interleaving the bits
+  * of (ship-day, part-bucket) into one Morton code and range-partitioning
+  * + sorting on it localizes BOTH dimensions at once, so parquet per-file
+  * and per-row-group min/max stats are tight on ship-date AND part key —
+  * a conjunctive two-column predicate then skips all but the files whose
+  * Z-range intersects the query box (~1/√P of the files per dimension at
+  * P partitions, vs 1/P on the sorted dim and NO pruning on the other
+  * for a single-column sort).
+  *
+  * The Morton code is pure codegen'd bit arithmetic (shift/mask spread —
+  * no UDF): each dimension maps to a bounded integer rank (days since
+  * the corpus epoch; partkey at div-8 granularity — a deployment derives
+  * grid bounds from table stats) and the classic 16-bit spread
+  * interleaves them. The z-value exists only in the write plan
+  * (repartitionByRange + sortWithinPartitions on the expression); the
+  * landed schema is lineitem's, unchanged.
+  *
+  * Scale (100 TB): the relayout is the one-pass O(n) maintenance job a
+  * lakehouse runs per partition/compaction window; every query after it
+  * pays O(matching files). The landing uses the shared stamped
+  * publish-once protocol. LayoutSpec pins the clustering claim
+  * numerically: per-file spans of BOTH dims are a small fraction of the
+  * global span, and the scan's PushedFilters carry both predicates.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to even bit positions (Morton). */
+  private def spread(c: Column): Column = {
+    val m1 = lit(0x00FF00FFL)
+    val m2 = lit(0x0F0F0F0FL)
+    val m3 = lit(0x33333333L)
+    val m4 = lit(0x55555555L)
+    val s1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(m1)
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(m2)
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(m3)
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(m4)
+  }
+
+  /** Morton code over EQUAL-DEPTH 12-bit ranks of both dimensions. The
+    * rank scaling is the part naive z-ordering gets wrong: interleaving
+    * raw values lets the wider dimension's high bits dominate the code
+    * (measured here — day spans 12 bits, small-sf partkey 5, and the
+    * range partitioner then split on date alone: per-file partkey span
+    * was 99% of global). Mapping each dim to 0..4095 from its OWN
+    * min/max makes the interleave alternate meaningfully — exactly why
+    * lakehouse OPTIMIZE implementations rank via table stats first.
+    */
+  private def zValue(dayMin: Long, daySpan: Long,
+      pkMin: Long, pkSpan: Long): Column = {
+    // floor of the double division is exact here: numerator and span both
+    // fit 53 bits, and an integer true quotient divides exactly in IEEE
+    def rank(c: Column, lo: Long, span: Long): Column =
+      floor((c - lit(lo)) * lit(4096L) / lit(span)).cast("long")
+    val day = datediff(col("l_shipdate"), lit("1995-01-01")).cast("long")
+    spread(rank(day, dayMin, daySpan))
+      .bitwiseOR(shiftleft(spread(rank(col("l_partkey"), pkMin, pkSpan)), 1))
+  }
+
+  private val laid = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Land (once) the Z-ordered lineitem copy for sfDir; returns its path. */
+  private[graft] def zorderedLineitem(spark: SparkSession, dir: String): String =
+    laid.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val stamp = Tables.srcStamp(new java.io.File(dir, "lineitem.parquet"))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_layout_$safe/lineitem_z_$stamp")
+      Tables.publishOnce(out) { tmp =>
+        val li = Tables.lineitem(spark, dir)
+        // one 4-value stats row drives the rank scaling — the same
+        // index-sized driver collect every stats-based optimizer does
+        val s = li.agg(
+          min(datediff(col("l_shipdate"), lit("1995-01-01"))).cast("long"),
+          max(datediff(col("l_shipdate"), lit("1995-01-01"))).cast("long"),
+          min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+        val z = zValue(s.getLong(0), s.getLong(1) - s.getLong(0) + 1,
+          s.getLong(2), s.getLong(3) - s.getLong(2) + 1)
+        li.repartitionByRange(32, z)
+          .sortWithinPartitions(z)
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      }
+    })
+
+  /** layout_zorder (S20) — a conjunctive (date-range AND key-range) scan
+    * over the Z-ordered landing. Content is layout-independent (the
+    * oracle reads the raw table); what the layout buys is the skipping,
+    * pinned in LayoutSpec, not the answer.
+    */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val z = spark.read.parquet(zorderedLineitem(spark, dir))
+    z.filter(col("l_shipdate") >= lit("1997-03-01") &&
+        col("l_shipdate") < lit("1997-07-01") &&
+        col("l_partkey").between(40, 160))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val layoutZorderSql: String =
+    s"""SELECT l_returnflag,
+      |  COUNT(*) AS n_rows,
+      |  ${Det.sqlDsum("l_quantity")} AS sum_qty,
+      |  ${Det.sqlDsum("l_extendedprice")} AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |  AND l_shipdate < TIMESTAMP '1997-07-01'
+      |  AND l_partkey BETWEEN 40 AND 160
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (layoutZorder _))
+
+  def oracle: Map[String, String] = Map(
+    "layout_zorder" -> layoutZorderSql)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Z-order layout (S20): the landing preserves content exactly, localizes
+  * BOTH clustered dimensions per file (the skipping mechanism), and the
+  * query's scan pushes both predicates down to parquet.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("z-ordered landing preserves lineitem content exactly") {
+    val raw = Tables.lineitem(spark, sfTiny)
+    val z = spark.read.parquet(sources.Layout.zorderedLineitem(spark, sfTiny))
+    assert(z.schema == raw.schema)
+    // order-free content check: row count + per-column xor/sum checksums
+    def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)), bit_xor(col("l_orderkey")),
+      bit_xor(col("l_partkey") * 31 + col("l_linenumber")),
+      sum((col("l_quantity") * 100).cast("long"))).collect()(0)
+    assert(sig(z) == sig(raw))
+  }
+
+  test("per-file spans are tight on BOTH interleaved dimensions") {
+    val dir = sources.Layout.zorderedLineitem(spark, sfTiny)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+    assert(files.length > 8) // the 32-way range partitioning landed
+    def span(path: String): (Long, Long) = {
+      val r = spark.read.parquet(path)
+        .agg(datediff(max(col("l_shipdate")), min(col("l_shipdate"))),
+          max(col("l_partkey")) - min(col("l_partkey")))
+        .collect()(0)
+      (r.getInt(0).toLong, r.getLong(1))
+    }
+    val spans = files.map(f => span(f.getAbsolutePath))
+    val (gDateI, gPkI) = span(dir)
+    val gDate = gDateI.toDouble
+    val gPk = gPkI.toDouble
+    // Z-ordering at 32 range partitions should localize each dim to
+    // roughly 1/sqrt(32) of its global span per file; assert the MEAN
+    // fraction is well under a date-only sort's worst case (date sort:
+    // pk span per file == 100% of global). Generous bounds — the claim
+    // is "both dims localize", not an exact constant.
+    val dateFrac = spans.map(_._1.toDouble / gDate).sum / spans.length
+    val pkFrac = spans.map(_._2.toDouble / gPk).sum / spans.length
+    assert(dateFrac < 0.5, s"mean per-file date span frac $dateFrac")
+    assert(pkFrac < 0.5, s"mean per-file partkey span frac $pkFrac")
+  }
+
+  test("the query scan pushes both predicates to parquet") {
+    val df = sources.Layout.layoutZorder(spark, sfTiny)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters"))
+    assert(physical.contains("l_shipdate") && physical.contains("l_partkey"))
+  }
+
+  test("layout query equals the raw-table computation") {
+    val viaLayout = sources.Layout.layoutZorder(spark, sfTiny).collect().toSeq
+    val raw = Tables.lineitem(spark, sfTiny)
+      .filter(col("l_shipdate") >= lit("1997-03-01") &&
+        col("l_shipdate") < lit("1997-07-01") &&
+        col("l_partkey").between(40, 160))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        functions.Det.dsum(col("l_quantity")).as("sum_qty"),
+        functions.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(viaLayout == raw && viaLayout.nonEmpty)
+  }
+}
