@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -156,9 +156,138 @@ object Retrieval {
        |  CAST(vec_rank AS BIGINT) AS vec_rank
        |FROM ranked WHERE rank <= $OUT_K ORDER BY q_id, rank""".stripMargin
 
+  /** embedding_mmr (L31) — Maximal Marginal Relevance diversified top-k:
+    * the re-ranking step between ANN retrieval and a RAG context window
+    * that stops the window filling with near-identical passages. Greedy
+    * MMR selects argmax( λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s) ) three
+    * times (λ=1/2) from a top-10 relevance pool per query.
+    *
+    * The greedy recursion is data-dependent — each pick changes the next
+    * round's diversity term — so it cannot be one window function; but
+    * with fixed small k it UNROLLS into k relational steps, each a
+    * candidate-frame join + argmax on the bounded heap. Determinism:
+    * rel and sim are the exact-i64 cosine; λ=1/2 makes each score two
+    * exact halvings and one subtract (single correctly-rounded IEEE ops,
+    * identical in both engines); `greatest` of identical doubles is
+    * identical; every argmax tie-breaks on doc_id.
+    *
+    * Scale (100 TB): the corpus-sized work is ONLY the pool build (the
+    * L3 brute-force scan + heap here; the IVF/PQ legs at billion-vector
+    * scale). Everything after operates on ≤10 rows/query — the steps
+    * are |Q|-bounded frames joined broadcast-style, and k unrolled
+    * rounds cost k tiny jobs, not k corpus passes.
+    */
+  def embeddingMmr(spark: SparkSession, dir: String): DataFrame = {
+    val n = Embeddings.withNorm(spark, dir)
+    val q = n.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm_s").as("q_norm"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("rel",
+        Embeddings.cosine(Embeddings.dotS(col("q_emb"), col("embedding")),
+          col("q_norm"), col("norm_s")))
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rel"),
+        col("embedding"), col("norm_s"))
+    val pool = graft.plans.TopK.topKPerGroup(scored, Seq("q_id"),
+        Seq(("rel", true), ("doc_id", false)), 10)
+      .drop("rn")
+
+    def sim(aEmb: Column, aNorm: Column, bEmb: Column, bNorm: Column) =
+      Embeddings.cosine(Embeddings.dotS(aEmb, bEmb), aNorm, bNorm)
+    def pick(cand: DataFrame): DataFrame =
+      graft.plans.TopK.topKPerGroup(cand, Seq("q_id"),
+        Seq(("score", true), ("doc_id", false)), 1).drop("rn")
+
+    // step 1: pure relevance (empty selected set -> diversity term 0)
+    val s1 = pick(pool.withColumn("score", lit(0.5) * col("rel")))
+    val s1k = s1.select(col("q_id"), col("doc_id").as("s1_doc"),
+      col("embedding").as("s1_emb"), col("norm_s").as("s1_norm"))
+    // step 2: penalize similarity to s1
+    val c2 = pool.join(s1k, Seq("q_id"))
+      .filter(col("doc_id") =!= col("s1_doc"))
+      .withColumn("sim1",
+        sim(col("embedding"), col("norm_s"), col("s1_emb"), col("s1_norm")))
+      .withColumn("score", lit(0.5) * col("rel") - lit(0.5) * col("sim1"))
+    val s2 = pick(c2)
+    val s2k = s2.select(col("q_id"), col("doc_id").as("s2_doc"),
+      col("embedding").as("s2_emb"), col("norm_s").as("s2_norm"))
+    // step 3: penalize max similarity to {s1, s2}
+    val c3 = pool.join(s1k, Seq("q_id")).join(s2k, Seq("q_id"))
+      .filter(col("doc_id") =!= col("s1_doc") &&
+        col("doc_id") =!= col("s2_doc"))
+      .withColumn("div", greatest(
+        sim(col("embedding"), col("norm_s"), col("s1_emb"), col("s1_norm")),
+        sim(col("embedding"), col("norm_s"), col("s2_emb"), col("s2_norm"))))
+      .withColumn("score", lit(0.5) * col("rel") - lit(0.5) * col("div"))
+    val s3 = pick(c3)
+
+    def out(s: DataFrame, step: Int) =
+      s.select(col("q_id"), lit(step.toLong).as("step"), col("doc_id"),
+        col("score").as("mmr_score"), col("rel"))
+    out(s1, 1).unionByName(out(s2, 2)).unionByName(out(s3, 3))
+      .orderBy(col("q_id"), col("step"))
+  }
+
+  val embeddingMmrSql: String = {
+    def sqlSim(a: String, b: String) =
+      s"""CAST(${Embeddings.sqlDotS(s"$a.embedding", s"$b.embedding")} AS DOUBLE)
+         | / sqrt(CAST($a.norm_s AS DOUBLE) * CAST($b.norm_s AS DOUBLE))""".stripMargin
+    s"""WITH ${Embeddings.sqlWithNorm},
+       |rels AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+       |    CAST(${Embeddings.sqlDotS("q.embedding", "c.embedding")} AS DOUBLE)
+       |      / sqrt(CAST(q.norm_s AS DOUBLE) * CAST(c.norm_s AS DOUBLE))
+       |      AS rel,
+       |    c.embedding, c.norm_s
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 3),
+       |pr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rel DESC, doc_id) AS prank
+       |  FROM rels),
+       |pool AS (SELECT q_id, doc_id, rel, embedding, norm_s
+       |         FROM pr WHERE prank <= 10),
+       |s1 AS (SELECT q_id, doc_id, 0.5 * rel AS score, rel,
+       |         embedding, norm_s
+       |       FROM pr WHERE prank = 1),
+       |c2 AS (
+       |  SELECT p.q_id, p.doc_id,
+       |    0.5 * p.rel - 0.5 * (${sqlSim("p", "s")}) AS score, p.rel,
+       |    p.embedding, p.norm_s,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |      0.5 * p.rel - 0.5 * (${sqlSim("p", "s")}) DESC, p.doc_id)
+       |      AS rk
+       |  FROM pool p JOIN s1 s ON s.q_id = p.q_id
+       |  WHERE p.doc_id != s.doc_id),
+       |s2 AS (SELECT q_id, doc_id, score, rel, embedding, norm_s
+       |       FROM c2 WHERE rk = 1),
+       |c3 AS (
+       |  SELECT p.q_id, p.doc_id,
+       |    0.5 * p.rel - 0.5 * greatest(${sqlSim("p", "a")},
+       |      ${sqlSim("p", "b")}) AS score, p.rel,
+       |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |      0.5 * p.rel - 0.5 * greatest(${sqlSim("p", "a")},
+       |        ${sqlSim("p", "b")}) DESC, p.doc_id) AS rk
+       |  FROM pool p
+       |  JOIN s1 a ON a.q_id = p.q_id
+       |  JOIN s2 b ON b.q_id = p.q_id
+       |  WHERE p.doc_id != a.doc_id AND p.doc_id != b.doc_id),
+       |s3 AS (SELECT q_id, doc_id, score, rel FROM c3 WHERE rk = 1),
+       |allsel AS (
+       |  SELECT q_id, 1 AS step, doc_id, score AS mmr_score, rel FROM s1
+       |  UNION ALL
+       |  SELECT q_id, 2, doc_id, score, rel FROM s2
+       |  UNION ALL
+       |  SELECT q_id, 3, doc_id, score, rel FROM s3)
+       |SELECT q_id, CAST(step AS BIGINT) AS step, doc_id, mmr_score, rel
+       |FROM allsel ORDER BY q_id, step""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hybrid_search" -> (hybridSearch _))
+    "hybrid_search" -> (hybridSearch _),
+    "embedding_mmr" -> (embeddingMmr _))
 
   def oracle: Map[String, String] = Map(
-    "hybrid_search" -> hybridSearchSql)
+    "hybrid_search" -> hybridSearchSql,
+    "embedding_mmr" -> embeddingMmrSql)
 }

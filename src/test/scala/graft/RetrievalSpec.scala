@@ -37,6 +37,40 @@ class RetrievalSpec extends SparkSpec {
       r.getAs[Long]("kw_rank") > 0 && r.getAs[Long]("vec_rank") > 0))
   }
 
+  test("embedding_mmr matches a sequential driver-side greedy reference") {
+    val out = operators.Retrieval.embeddingMmr(spark, sfTiny).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("step"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("mmr_score")))
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toArray).toMap
+    def dotS(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i =>
+        math.floor(a(i).toDouble * b(i).toDouble * 1e14).toLong).sum
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dotS(a, b).toDouble / math.sqrt(
+        dotS(a, a).toDouble * dotS(b, b).toDouble)
+    val expected = (0L to 2L).flatMap { q =>
+      val rels = vecs.keys.filter(_ != q).toSeq
+        .map(id => (id, cos(vecs(q), vecs(id))))
+      val pool = rels.sortBy { case (id, r) => (-r, id) }.take(10)
+      var selected = Vector.empty[(Long, Double)]
+      (1 to 3).foreach { _ =>
+        val cand = pool.filterNot(p => selected.exists(_._1 == p._1))
+          .map { case (id, r) =>
+            val div = if (selected.isEmpty) 0.0
+              else selected.map(s => cos(vecs(id), vecs(s._1))).max
+            (id, 0.5 * r - 0.5 * div)
+          }
+        selected :+= cand.minBy { case (id, s) => (-s, id) }
+      }
+      selected.zipWithIndex.map { case ((id, s), i) =>
+        (q, (i + 1).toLong, id, s) }
+    }
+    assert(out.toSeq == expected)
+  }
+
   test("dedup_survivorship agrees with dedup_clusters on the clustering") {
     val surv = operators.Pipeline.dedupSurvivorship(spark, sfTiny).collect()
     val clus = operators.Pipeline.dedupClusters(spark, sfTiny)
