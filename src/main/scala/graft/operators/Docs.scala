@@ -621,6 +621,74 @@ object Docs {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** doc_lm_coverage (L32) — corpus-LM bigram coverage as a per-document
+    * quality signal: the fraction of a document's word bigrams attested
+    * (≥3 occurrences) in the corpus-wide bigram table. The KenLM-style
+    * quality filter's integer skeleton: a document whose transitions
+    * rarely occur anywhere else is noise, OCR garbage, or degenerate
+    * generation. No logs/perplexity — coverage in exact integer ppm
+    * ranks the same documents a log-prob sum would flag at the tails,
+    * and stays bit-identical across engines where transcendental
+    * last-ulp never is.
+    *
+    * Engine shape: NO corpus-sized intermediate at all. Two map-side
+    * gram passes over the wide view (tokenize + zip-against-tail, no
+    * pre-exchange): pass one partial-aggregates to the vocab-bounded
+    * corpus bigram table (the shuffle carries distinct-pairs-per-
+    * partition rows, not grams); pass two joins each gram INSTANCE
+    * against that table broadcast and folds straight to per-doc
+    * partials (map-side combine ⇒ the final exchange carries docs ×
+    * partitions rows). Two rejected shapes, both measured at sf0.1: a
+    * pair-partitioned COUNT window full-sorts the (pair, doc) frame
+    * (1.59 s), and the doc_tfidf skeleton (pre-agg to (doc, pair), then
+    * derive counts) pays a 4.5M-group hash aggregate that the metric
+    * never needed (2.0 s) — per-instance attestation only needs the
+    * instance stream and the count table. This shape: ~0.8 s warm
+    * (residual = two explode passes over ~10M grams, the same
+    * tokenize-bound floor as doc_tfidf). At
+    * open-vocabulary scale where the bigram table outgrows a broadcast,
+    * the join flips to the shuffled/runtime-filter form (the
+    * doc_decontaminate_xl idiom); the per-doc fold is unchanged.
+    */
+  def docLmCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documentsWide(spark, dir)
+    val toks = split(norm(col("text")), " ")
+    val prs = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = d.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(prs).as("pair"))
+    val counts = grams.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_corpus"))
+    grams.join(broadcast(counts), Seq("pair"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_corpus") >= 3, lit(1L)).otherwise(lit(0L)))
+          .as("n_attested"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_attested"),
+        expr("n_attested * 1000000 div n_bigrams").as("covered_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docLmCoverageSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split($sqlNorm, ' ') AS t
+       |  FROM documents),
+       |pr AS (SELECT doc_id,
+       |    unnest([t[i] || ' ' || t[i + 1] for i in range(1, len(t))]) AS pair
+       |  FROM tk),
+       |pd AS (SELECT doc_id, pair, COUNT(*) AS n_pd
+       |  FROM pr GROUP BY doc_id, pair),
+       |w AS (SELECT *, SUM(n_pd) OVER (PARTITION BY pair) AS n_corpus
+       |  FROM pd)
+       |SELECT doc_id, CAST(SUM(n_pd) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN n_corpus >= 3 THEN n_pd ELSE 0 END) AS BIGINT)
+       |    AS n_attested,
+       |  CAST(SUM(CASE WHEN n_corpus >= 3 THEN n_pd ELSE 0 END) * 1000000
+       |    // SUM(n_pd) AS BIGINT) AS covered_ppm
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val docBpePairsSql: String =
     s"""WITH tk AS (SELECT lang, string_split($sqlNorm, ' ') AS t
        |  FROM documents),
@@ -713,6 +781,7 @@ object Docs {
     "doc_keyword_search" -> (docKeywordSearch _),
     "doc_collocations" -> (docCollocations _),
     "doc_bpe_pairs" -> (docBpePairs _),
+    "doc_lm_coverage" -> (docLmCoverage _),
     "doc_quality_model" -> (docQualityModel _),
     "doc_text_stats" -> (docTextStats _),
     "doc_tokens" -> (docTokens _),
@@ -728,6 +797,7 @@ object Docs {
     "doc_keyword_search" -> docKeywordSearchSql,
     "doc_collocations" -> docCollocationsSql,
     "doc_bpe_pairs" -> docBpePairsSql,
+    "doc_lm_coverage" -> docLmCoverageSql,
     "doc_quality_model" -> docQualityModelSql,
     "doc_text_stats" -> docTextStatsSql,
     "doc_tokens" -> docTokensSql,
