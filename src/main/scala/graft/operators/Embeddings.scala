@@ -975,8 +975,62 @@ object Embeddings {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine, cell, is_delta
        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** embedding_recall_eval (L33) — ANN quality evaluation AS A QUERY:
+    * recall@3 of the sign-LSH index against the exact scan, per query
+    * and in exact integer ppm. Production ANN deployments run exactly
+    * this job on a sampled query set every time the index or corpus
+    * changes — a recall regression is silent data loss for every
+    * downstream RAG/dedup consumer; here the eval harness is itself a
+    * first-class pipeline operator with an oracle (the ScalaTest recall
+    * pins in EmbeddingsSpec cover the OTHER index families at build
+    * time; this makes the same measurement deployable/schedulable).
+    *
+    * Ground truth reuses embedding_knn's exact top-k leg and the
+    * candidate leg is embedding_knn_lsh verbatim — both scans the same
+    * operators users run, so the eval measures the SHIPPED index, not a
+    * reimplementation. Hits via a (q_id, neighbor) left join of tiny
+    * (|Q|·k) rank lists; recall in BIGINT ppm (no division drift).
+    *
+    * Scale: cost = one exact scan (the ground-truth price every recall
+    * eval pays — run it on a sampled query set) + one bucket-bounded
+    * LSH probe; the compare joins k·|Q|-row frames.
+    */
+  def embeddingRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = embeddingKnn(spark, dir).filter(col("rank") <= 3)
+      .select(col("q_id"), col("neighbor"))
+    val ann = embeddingKnnLsh(spark, dir)
+      .select(col("q_id"), col("neighbor"), lit(1L).as("hit"))
+    exact.join(ann, Seq("q_id", "neighbor"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_expected"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("n_expected"), col("n_hits"),
+        expr("n_hits * 1000000 div n_expected").as("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  val embeddingRecallEvalSql: String = {
+    val exactBody = embeddingKnnSql
+      .replaceFirst("^WITH ", "")
+      .replace("ORDER BY q_id, rank", "")
+    val lshBody = embeddingKnnLshSql
+      .replaceFirst("^WITH ", "")
+      .replace("ORDER BY q_id, rank", "")
+    s"""WITH exact_leg AS (WITH $exactBody),
+       |ann_leg AS (WITH $lshBody),
+       |e AS (SELECT q_id, neighbor FROM exact_leg WHERE rank <= 3),
+       |a AS (SELECT q_id, neighbor, 1 AS hit FROM ann_leg)
+       |SELECT e.q_id, COUNT(*) AS n_expected,
+       |  CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(a.hit, 0)) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS recall_ppm
+       |FROM e LEFT JOIN a ON a.q_id = e.q_id AND a.neighbor = e.neighbor
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "array_ops" -> (arrayOps _),
+    "embedding_recall_eval" -> (embeddingRecallEval _),
     "embedding_knn" -> (embeddingKnn _),
     "embedding_knn_lsh" -> (embeddingKnnLsh _),
     "embedding_sq_knn" -> (embeddingSqKnn _),
@@ -988,6 +1042,7 @@ object Embeddings {
 
   def oracle: Map[String, String] = Map(
     "array_ops" -> arrayOpsSql,
+    "embedding_recall_eval" -> embeddingRecallEvalSql,
     "embedding_knn" -> embeddingKnnSql,
     "embedding_knn_lsh" -> embeddingKnnLshSql,
     "embedding_sq_knn" -> embeddingSqKnnSql,
