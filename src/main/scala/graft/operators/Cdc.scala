@@ -91,6 +91,65 @@ object Cdc {
        |FROM ranked WHERE rn = 1 AND op <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** cdc_compaction (S21) — CHANGELOG COMPACTION with tombstone
+    * retention, the Kafka-log-compaction / Debezium-topic maintenance op
+    * and the missing piece between a raw capture log and cdc_apply's
+    * materialized state: compaction keeps the LOG FORM (one latest
+    * record per key, deletes preserved as tombstones) so a downstream
+    * consumer that lost its offset can still rebuild exact state —
+    * including knowing which keys died — by replaying |keys| records
+    * instead of the full history. Tombstones older than the retention
+    * horizon (max event time − 7 days, the delete.retention.ms
+    * analogue) are dropped entirely: every correct consumer has seen
+    * them by then, and keeping them forever would make the compacted
+    * log grow with the DELETED key universe.
+    *
+    * Engine shape: ONE keyed hash aggregate — max(struct(ts, event_id,
+    * op, value)) picks the per-key latest on the same exact total order
+    * as every CDC op here; mergeable partials mean map-side combine
+    * shrinks the shuffle to |keys| rows at any scale. The horizon is a
+    * 1-row aggregate broadcast. No window, no sort until the
+    * presentation ORDER BY.
+    */
+  def cdcCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(spark, dir).select(
+      col("user_id"), col("ts"), col("event_id"), col("value"),
+      when(col("event_type") === "error", "delete")
+        .otherwise("upsert").as("op"))
+    val latest = log
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("op"),
+        col("value"))).as("r"))
+      .select(col("user_id"), col("r.ts").as("ts"),
+        col("r.event_id").as("event_id"), col("r.op").as("op"),
+        col("r.value").as("value"))
+    val horizon = log.agg(
+      expr("max(ts) - INTERVAL 7 DAY").as("horizon"))
+    latest.crossJoin(broadcast(horizon))
+      .filter(!(col("op") === "delete" && col("ts") < col("horizon")))
+      .select(col("user_id"), col("op"), fmtTs(col("ts")).as("last_ts"),
+        col("event_id").as("last_event_id"),
+        when(col("op") === "upsert", col("value")).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcCompactionSql: String =
+    s"""WITH log AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+       |  FROM events),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM log),
+       |h AS (SELECT max(ts) - INTERVAL 7 DAY AS horizon FROM log)
+       |SELECT user_id, op, ${sqlFmtTs("ts")} AS last_ts,
+       |  event_id AS last_event_id,
+       |  CASE WHEN op = 'upsert' THEN value END AS last_value
+       |FROM ranked CROSS JOIN h
+       |WHERE rn = 1 AND NOT (op = 'delete' AND ts < horizon)
+       |ORDER BY user_id""".stripMargin
+
   /** cdc_merge_apply — COLUMN-LEVEL merge apply (S16, the Debezium/Mongo
     * partial-update pattern cdc_apply's row-level LWW cannot express): an
     * update event carries only SOME columns, and the collapsed row is the
@@ -935,6 +994,7 @@ object Cdc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
+    "cdc_compaction" -> (cdcCompaction _),
     "cdc_merge_apply" -> (cdcMergeApply _),
     "cdc_ddl_evolution" -> (cdcDdlEvolution _),
     "cdc_txn_apply" -> (cdcTxnApply _),
@@ -952,6 +1012,7 @@ object Cdc {
   def oracle: Map[String, String] = Map(
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
+    "cdc_compaction" -> cdcCompactionSql,
     "cdc_merge_apply" -> cdcMergeApplySql,
     "cdc_ddl_evolution" -> cdcDdlEvolutionSql,
     "cdc_txn_apply" -> cdcTxnApplySql,

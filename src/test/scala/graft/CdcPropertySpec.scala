@@ -55,6 +55,26 @@ class CdcPropertySpec extends SparkSpec {
     }
   }
 
+  test("compaction's upsert records ARE cdc_apply's state") {
+    import org.apache.spark.sql.functions._
+    // replaying only the compacted log's live records must rebuild the
+    // exact applied state — the guarantee log compaction exists to give
+    val compacted = operators.Cdc.cdcCompaction(spark, sfTiny)
+      .filter(col("op") === "upsert")
+      .select(col("user_id"), col("last_ts"), col("last_event_id"),
+        col("last_value"))
+    val applied = operators.Cdc.cdcApply(spark, sfTiny)
+    assert(compacted.collect().toSeq == applied.collect().toSeq)
+    // tombstones survive ONLY inside the retention horizon
+    val e = Tables.events(spark, sfTiny)
+    val horizonUs = e.agg(
+      expr("unix_micros(max(ts) - INTERVAL 7 DAY)")).collect()(0).getLong(0)
+    val tombs = operators.Cdc.cdcCompaction(spark, sfTiny)
+      .filter(col("op") === "delete")
+      .select(expr("unix_micros(to_timestamp(last_ts))")).collect()
+    assert(tombs.forall(_.getLong(0) >= horizonUs))
+  }
+
   test("incremental mergeState over any batch split equals one-shot apply") {
     import spark.implicits._
     for (seed <- 1L to 8L) {
