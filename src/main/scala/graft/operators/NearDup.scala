@@ -449,35 +449,42 @@ object NearDup {
     * band partitioning, so Spark's ReusedExchange materializes the gram
     * arrays once.
     */
-  def docNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documentsWide(spark, dir)
-      .select(col("doc_id"), norm(col("text")).as("nt"))
-      .filter(length(col("nt")) >= 4)
-    // grams via explode(position) + codegen'd substr, deduped by a
-    // map-side-partial distinct. (Measured against the per-doc
-    // array_distinct(transform(...)) alternative: the interpreted lambda
-    // build is ~2× slower at sf0.1 even though it avoids the distinct
-    // shuffle — HOF evaluation off the codegen path loses.)
-    // Each 4-char gram is PACKED into one BIGINT (4×16-bit code points) —
-    // an exact bijection for BMP text (the corpus is ASCII; any collision
-    // would fail the DuckDB hash-compare, which stays on the string
-    // formulation). Packed arrays are ~6× smaller than string arrays, so
-    // the per-pair row copies in the verify join shrink accordingly, and
-    // the sorted-merge compares longs instead of byte strings.
+  /** Sorted per-doc arrays of DISTINCT packed 4-char grams over a
+    * (doc_id, nt) frame: grams via explode(position) + codegen'd substr,
+    * deduped by a map-side-partial distinct. (Measured against the
+    * per-doc array_distinct(transform(...)) alternative: the interpreted
+    * lambda build is ~2× slower at sf0.1 even though it avoids the
+    * distinct shuffle — HOF evaluation off the codegen path loses.)
+    * Each 4-char gram is PACKED into one BIGINT (4×16-bit code points) —
+    * an exact bijection for BMP text (the corpus is ASCII; any collision
+    * would fail the DuckDB hash-compare, which stays on the string
+    * formulation). Packed arrays are ~6× smaller than string arrays, so
+    * the per-pair row copies in a verify join shrink accordingly, and
+    * the sorted-merge compares longs instead of byte strings. Shared by
+    * docNgramJaccard and docContainment.
+    */
+  private def packedGram4Arrays(base: DataFrame): DataFrame = {
     def packed(g: Column): Column =
       ((ascii(g.substr(1, 1)).cast("long") * 65536L +
         ascii(g.substr(2, 1)).cast("long")) * 65536L +
         ascii(g.substr(3, 1)).cast("long")) * 65536L +
         ascii(g.substr(4, 1)).cast("long")
-    val ex = base
+    base
       .select(col("doc_id"), col("nt"),
         explode(sequence(lit(1), length(col("nt")) - 3)).as("i"))
       .select(col("doc_id"),
         packed(col("nt").substr(col("i"), lit(4))).as("g"))
       .distinct()
-    val arr = ex.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("g"))).as("gs"),
         count(lit(1)).as("ng"))
+  }
+
+  def docNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documentsWide(spark, dir)
+      .select(col("doc_id"), norm(col("text")).as("nt"))
+      .filter(length(col("nt")) >= 4)
+    val arr = packedGram4Arrays(base)
     val posts = base.select(col("doc_id"),
         (length(col("nt")).cast("long") / lit(4L)).cast("long").as("band"))
       .select(col("doc_id"),
@@ -557,6 +564,104 @@ object NearDup {
        |SELECT doc_a, doc_b, n_common, jaccard FROM j
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** doc_containment (L34) — ASYMMETRIC containment dedup: |A∩B| / |A|
+    * over distinct 4-char grams, the Broder containment coefficient.
+    * Jaccard (doc_ngram_jaccard) MISSES the small-doc-inside-big-doc
+    * case by construction — a fully quoted 100-gram doc inside a
+    * 1000-gram doc has J ≈ 0.1 — and its length-band candidate envelope
+    * excludes unequal-length pairs on purpose. Containment is the
+    * signal that catches quotation, mirror-with-boilerplate, and
+    * article-inside-aggregator duplication.
+    *
+    * Candidate envelope (DECLARED, like every banded detector here):
+    * pairs sharing at least one 8-token word gram — the doc_dup_spans
+    * signal; one gram-keyed shuffle whose per-gram pair expansion is
+    * occupancy-bounded. An ≥50%-contained doc that shares no 8-token
+    * run is out of envelope by design (prefix filtering — the open-set
+    * alternative — was measured on this corpus first: the small shared
+    * vocabulary makes even the rarest-gram postings ~680k candidate
+    * pairs at sf0.01, a scale trap; the long-gram envelope yields 25).
+    * Verify is exact: the shared packed-gram arrays + the codegen'd
+    * sorted-merge intersect count; containment in integer ppm.
+    */
+  def docContainment(spark: SparkSession, dir: String): DataFrame = {
+    val G = 8
+    val base = Tables.documentsWide(spark, dir)
+      .select(col("doc_id"), norm(col("text")).as("nt"))
+      .filter(length(col("nt")) >= 4)
+    val toked = base
+      .select(col("doc_id"), split(col("nt"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    // candidates: one groupBy(gram) pass, pair expansion from the per-gram
+    // doc set (min≠max pre-filter spares the expansion for unique grams)
+    val g8 = toked.filter(col("n") >= G)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - (G - 1))).as("s"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(G)))).as("g"))
+    val cand = g8.groupBy(col("g"))
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("x"), col("docs"))
+      .select(col("x"), explode(col("docs")).as("y"))
+      .filter(col("x") < col("y"))
+      .distinct()
+    val arr = packedGram4Arrays(base)
+    val v = cand
+      .join(arr.select(col("doc_id").as("x"), col("gs").as("gsx"),
+        col("ng").as("ngx")), Seq("x"))
+      .join(arr.select(col("doc_id").as("y"), col("gs").as("gsy"),
+        col("ng").as("ngy")), Seq("y"))
+      .withColumn("n_common",
+        graft.functions.VectorExprs.sortedIntersectCount(
+          col("gsx"), col("gsy")))
+      .select(
+        when(col("ngx") <= col("ngy"), col("x")).otherwise(col("y"))
+          .as("doc_small"),
+        when(col("ngx") <= col("ngy"), col("y")).otherwise(col("x"))
+          .as("doc_big"),
+        least(col("ngx"), col("ngy")).as("ng_small"),
+        greatest(col("ngx"), col("ngy")).as("ng_big"),
+        col("n_common"))
+    v.filter(col("n_common") * 2 >= col("ng_small"))
+      .select(col("doc_small"), col("doc_big"), col("ng_small"),
+        col("ng_big"), col("n_common"),
+        expr("n_common * 1000000 div ng_small").as("containment_ppm"))
+      .orderBy(col("doc_small"), col("doc_big"))
+  }
+
+  val docContainmentSql: String =
+    s"""WITH b AS (SELECT doc_id, $sqlNorm AS nt FROM documents),
+       |base AS (SELECT doc_id, nt FROM b WHERE length(nt) >= 4),
+       |tk AS (SELECT doc_id, string_split(nt, ' ') AS t FROM base),
+       |g8 AS (SELECT DISTINCT doc_id,
+       |    unnest([md5(list_aggregate(t[i:i+7], 'string_agg', ' '))
+       |      for i in range(1, len(t)-6)]) AS g
+       |  FROM tk WHERE len(t) >= 8),
+       |cand AS (SELECT DISTINCT a.doc_id AS x, b2.doc_id AS y
+       |  FROM g8 a JOIN g8 b2 ON a.g = b2.g AND a.doc_id < b2.doc_id),
+       |ex AS (SELECT DISTINCT doc_id, g FROM (
+       |  SELECT doc_id,
+       |    unnest([substring(nt, i, 4) for i in range(1, length(nt)-2)]) AS g
+       |  FROM base)),
+       |arr AS (SELECT doc_id, list_sort(list(g)) AS gs, count(*) AS ng
+       |  FROM ex GROUP BY doc_id),
+       |v AS (SELECT c.x, c.y, xa.ng AS ngx, ya.ng AS ngy,
+       |    len(list_intersect(xa.gs, ya.gs)) AS n_common
+       |  FROM cand c JOIN arr xa ON xa.doc_id = c.x
+       |              JOIN arr ya ON ya.doc_id = c.y),
+       |d AS (SELECT
+       |    CASE WHEN ngx <= ngy THEN x ELSE y END AS doc_small,
+       |    CASE WHEN ngx <= ngy THEN y ELSE x END AS doc_big,
+       |    CAST(least(ngx, ngy) AS BIGINT) AS ng_small,
+       |    CAST(greatest(ngx, ngy) AS BIGINT) AS ng_big,
+       |    CAST(n_common AS BIGINT) AS n_common
+       |  FROM v)
+       |SELECT doc_small, doc_big, ng_small, ng_big, n_common,
+       |  CAST(n_common * 1000000 // ng_small AS BIGINT) AS containment_ppm
+       |FROM d WHERE n_common * 2 >= ng_small
+       |ORDER BY doc_small, doc_big""".stripMargin
+
   /** doc_fuzzy_match (L25) — EDIT-DISTANCE verified fuzzy matching, the
     * entity-resolution join: candidates block on the normalized 24-char
     * prefix (md5 block key — one equi-join, occupancy-bounded like every
@@ -609,7 +714,8 @@ object NearDup {
     "cdc_incremental_neardup" -> (cdcIncrementalNearDup _),
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_dup" -> (docSimhashDup _),
-    "doc_ngram_jaccard" -> (docNgramJaccard _))
+    "doc_ngram_jaccard" -> (docNgramJaccard _),
+    "doc_containment" -> (docContainment _))
 
   def oracle: Map[String, String] = Map(
     "doc_fuzzy_match" -> docFuzzyMatchSql,
@@ -619,5 +725,6 @@ object NearDup {
     "cdc_incremental_neardup" -> docNearDedupSql,
     "doc_simhash" -> docSimhashSql,
     "doc_simhash_dup" -> docSimhashDupSql,
-    "doc_ngram_jaccard" -> docNgramJaccardSql)
+    "doc_ngram_jaccard" -> docNgramJaccardSql,
+    "doc_containment" -> docContainmentSql)
 }
