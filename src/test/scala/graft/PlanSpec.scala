@@ -279,8 +279,11 @@ class PlanSpec extends SparkSpec {
     // of these plans is that regression coming back. embedding_pq_knn must
     // also probe the IVF cells (broadcast of the qcells LocalRelation)
     // rather than scan the full corpus per query.
+    // hybrid_search and embedding_mmr rank BOTH their retrieval legs and
+    // the fusion/selection steps on the same heap — same regression class
     for (name <- Seq("embedding_knn", "embedding_knn_lsh", "embedding_sq_knn",
-        "embedding_pq_knn", "embedding_ivf_knn")) {
+        "embedding_pq_knn", "embedding_ivf_knn", "cdc_incremental_ivf",
+        "hybrid_search", "embedding_mmr")) {
       val exec = SparkEntry.queries(name)(spark, sfTiny)
         .queryExecution.executedPlan
       val p = exec.toString
@@ -293,6 +296,32 @@ class PlanSpec extends SparkSpec {
     }
     assert(plan("embedding_pq_knn").contains("BroadcastHashJoin"),
       "embedding_pq_knn should probe IVF cells via a broadcast cell join")
+  }
+
+  test("round-8 additions keep their designed shapes") {
+    // doc_lm_coverage: the corpus bigram table joins BROADCAST onto the
+    // gram instance stream (no pair-keyed shuffle/sort of the stream),
+    // and nothing windows
+    val lm = SparkEntry.queries("doc_lm_coverage")(spark, sfTiny)
+      .queryExecution.executedPlan
+    assert(lm.toString.contains("BroadcastHashJoin"),
+      s"doc_lm_coverage lost the broadcast count-table join:\n$lm")
+    assert(lm.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "doc_lm_coverage reverted to the window-over-pair shape")
+    // doc_containment: exact verify via the native sorted-merge intersect
+    val dc = plan("doc_containment")
+    assert(dc.contains("sorted_intersect_count"),
+      "doc_containment lost the codegen'd intersect kernel")
+    // dedup_survivorship: the per-cluster election is the k=1 heap, not a
+    // window sort over members
+    val ds = SparkEntry.queries("dedup_survivorship")(spark, sfTiny)
+      .queryExecution.executedPlan
+    assert(ds.toString.contains("TopKPerGroup"),
+      "dedup_survivorship lost the heap election")
+    // catalog_view: dims broadcast through the catalog/view path too
+    assert(plan("catalog_view").contains("BroadcastHashJoin"),
+      "catalog_view dims no longer broadcast")
   }
 
   test("no query plans a partition-less (single-task) WindowExec") {
