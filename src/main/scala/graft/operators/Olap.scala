@@ -92,6 +92,88 @@ object Olap {
       |  -- within 10% per group to produce `true`
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** agg_countmin (A14) — Count-Min sketch point-frequency estimation
+    * with the estimates themselves oracle-checked: depth 4 × width 256
+    * counters, bucket = md5(row ':' key) hex-prefix mod width (the
+    * repo-wide deterministic-hash idiom), estimate = MIN over the four
+    * rows' counters. Unlike the HLL rows (engine-specific sketch bytes ⇒
+    * the oracle checks only an accuracy BOUND), the CM structure is pure
+    * integer arithmetic on a shared hash — DuckDB rebuilds the identical
+    * sketch and the per-key ESTIMATES hash-match exactly. The probe set
+    * reports exact count, CM estimate, and the overcount (always ≥ 0 —
+    * CM never undercounts; the exact column exists to PROVE the
+    * estimate, a deployment materializes the 1024 counters alone).
+    *
+    * Scale (100 TB): the sketch IS the aggregate — 4×256 counters with
+    * mergeable partials (map-side combine ⇒ the shuffle carries ≤
+    * depth·width rows per partition regardless of stream size), the
+    * point-lookup join touches |probes|·depth rows. Per-window sketches
+    * merge by counter addition — the same stored-partials rollup story
+    * as agg_hist_rollup, at fixed size.
+    */
+  def aggCountmin(spark: SparkSession, dir: String): DataFrame = {
+    val W = 256
+    val depth = 4
+    def bucket(key: Column, j: Column): Column =
+      conv(substring(md5(
+        concat(j.cast("string"), lit(":"), key.cast("string"))), 1, 8),
+        16, 10).cast("long") % W
+    val rows = array((0 until depth).map(lit): _*)
+    val e = Tables.events(spark, dir).select(col("user_id"))
+    val sk = e.select(col("user_id"), explode(rows).as("j"))
+      .withColumn("b", bucket(col("user_id"), col("j")))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val s = spark
+    import s.implicits._
+    val probes = (0L to 9L).toDF("probe")
+    val est = probes
+      .select(col("probe"), explode(rows).as("j"))
+      .withColumn("b", bucket(col("probe"), col("j")))
+      .join(sk, Seq("j", "b"), "left")
+      .groupBy(col("probe"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
+    val exact = e.filter(col("user_id") <= 9)
+      .groupBy(col("user_id").as("probe"))
+      .agg(count(lit(1)).as("exact_n"))
+    est.join(exact, Seq("probe"), "left")
+      .select(col("probe"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+        col("cm_est"),
+        (col("cm_est") - coalesce(col("exact_n"), lit(0L))).as("overcount"))
+      .orderBy(col("probe"))
+  }
+
+  val aggCountminSql: String = {
+    def hex8(expr: String): String =
+      (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substring(md5($expr), $j, 1)) - 1)" +
+          s" * ${math.pow(16, 8 - j).toLong}")
+        .mkString("(", " + ", ")")
+    val b = hex8("j || ':' || user_id")
+    val bp = hex8("j || ':' || probe")
+    s"""WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS j),
+       |sk AS (
+       |  SELECT j, $b % 256 AS b, COUNT(*) AS c
+       |  FROM events CROSS JOIN rows_
+       |  GROUP BY 1, 2),
+       |probes AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS probe),
+       |pb AS (SELECT probe, j, $bp % 256 AS b FROM probes CROSS JOIN rows_),
+       |est AS (
+       |  SELECT probe, MIN(COALESCE(sk.c, 0)) AS cm_est
+       |  FROM pb LEFT JOIN sk ON sk.j = pb.j AND sk.b = pb.b
+       |  GROUP BY probe),
+       |exact AS (
+       |  SELECT user_id AS probe, COUNT(*) AS exact_n
+       |  FROM events WHERE user_id <= 9 GROUP BY user_id)
+       |SELECT CAST(est.probe AS BIGINT) AS probe,
+       |  CAST(COALESCE(exact.exact_n, 0) AS BIGINT) AS exact_n,
+       |  CAST(est.cm_est AS BIGINT) AS cm_est,
+       |  CAST(est.cm_est - COALESCE(exact.exact_n, 0) AS BIGINT) AS overcount
+       |FROM est LEFT JOIN exact ON exact.probe = est.probe
+       |ORDER BY probe""".stripMargin
+  }
+
   /** agg_bitmap_distinct — EXACT distinct users per event type via packed
     * 64-bit bitmap words: user ids map to (word = id >> 6, bit = id % 64),
     * a first aggregation bit_ORs each word, a second sums popcounts. The
@@ -478,6 +560,7 @@ object Olap {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_sketch_rollup" -> (aggSketchRollup _),
+    "agg_countmin" -> (aggCountmin _),
     "events_funnel_steps" -> (eventsFunnelSteps _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "events_bitmap_overlap" -> (eventsBitmapOverlap _),
@@ -492,6 +575,7 @@ object Olap {
   def oracle: Map[String, String] = Map(
     "agg_approx_distinct" -> aggApproxDistinctSql,
     "agg_sketch_rollup" -> aggSketchRollupSql,
+    "agg_countmin" -> aggCountminSql,
     "events_funnel_steps" -> eventsFunnelStepsSql,
     "agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "events_bitmap_overlap" -> eventsBitmapOverlapSql,

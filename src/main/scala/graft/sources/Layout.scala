@@ -18,10 +18,9 @@ import graft.functions.Det
   * for a single-column sort).
   *
   * The Morton code is pure codegen'd bit arithmetic (shift/mask spread —
-  * no UDF): each dimension maps to a bounded integer rank (days since
-  * the corpus epoch; partkey at div-8 granularity — a deployment derives
-  * grid bounds from table stats) and the classic 16-bit spread
-  * interleaves them. The z-value exists only in the write plan
+  * no UDF): each dimension maps to an EQUAL-DEPTH 12-bit rank derived
+  * from the table's own min/max stats (see zValue for why equal depth is
+  * load-bearing) and the classic 16-bit spread interleaves them. The z-value exists only in the write plan
   * (repartitionByRange + sortWithinPartitions on the expression); the
   * landed schema is lineitem's, unchanged.
   *
