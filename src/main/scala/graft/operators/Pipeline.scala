@@ -1188,8 +1188,87 @@ object Pipeline {
       |FROM i3
       |ORDER BY rank DESC, kind, id LIMIT 20""".stripMargin
 
+  /** graph_triangles — triangle counting + per-edge embeddedness over the
+    * part co-purchase graph (parts are adjacent iff some order contains
+    * both; the even-partkey half keeps the declared subgraph's density
+    * stable across SFs). Embeddedness — the number of triangles an edge
+    * closes, i.e. |N(x) ∩ N(y)| — is the standard edge-strength signal
+    * for community detection and spam-link filtering; the global triangle
+    * count is Σ embeddedness / 3 (each triangle touches 3 edges), exact
+    * in integers.
+    *
+    * Algorithm: the EDGE-ITERATOR with sorted adjacency — per edge, one
+    * codegen'd sorted-merge intersect (`SortedIntersectCount`) of the two
+    * endpoints' neighbor arrays. The O(wedges) wedge materialization the
+    * relational formulation pays (the oracle SQL's 15M-row wedge join at
+    * sf0.1) never exists here: total work is Σ_edges(d(x)+d(y)) integer
+    * comparisons inside whole-stage codegen, and the only shuffles are
+    * the edge distinct and the node-sized adjacency aggregate.
+    *
+    * Scale: adjacency is |nodes| rows (two longs + one array ≤ max-degree
+    * elements) and BROADCASTS onto the checkpointed edge frame — edges
+    * never shuffle, same contract as graph_pagerank's degree table. On a
+    * cluster where adjacency outgrows broadcast the identical join
+    * degrades to a node-keyed shuffle; per-edge cost is degree-bounded
+    * either way. Pair expansion in the edge build is per-order
+    * occupancy-bounded (≤ items/order², the gram-envelope discipline).
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    // the (ok, pk) pre-distinct looks redundant (the edge distinct dedups
+    // anyway) but benched 3× FASTER than skipping it: it halves the
+    // self-join's probe input and its exchange co-partitions both sides
+    // of the equi-join (measured 2.1 s with vs 5.9 s without at sf0.1)
+    val p = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 2 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // e0 feeds THREE consumers (adjacency twice via the union, the edge
+    // probe) — pin the edge list once or each one replays the self-join
+    val e0 = p.as("a")
+      .join(p.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y"))
+      .distinct()
+      .localCheckpoint()
+    val ad = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
+    val adj = ad.groupBy(col("x"))
+      .agg(sort_array(collect_list(col("y"))).as("arr"))
+    val emb = e0
+      .join(broadcast(adj.select(col("x"), col("arr").as("ax"))), Seq("x"))
+      .join(broadcast(adj.select(col("x").as("y"), col("arr").as("ay"))),
+        Seq("y"))
+      .select(col("x").as("part_a"), col("y").as("part_b"),
+        graft.functions.VectorExprs.sortedIntersectCount(
+          col("ax"), col("ay")).as("n_common"))
+    val tot = emb.agg(count(lit(1)).as("n_edges"),
+      expr("sum(n_common) div 3").as("n_triangles"))
+    emb.crossJoin(broadcast(tot))
+      .orderBy(col("n_common").desc, col("part_a"), col("part_b"))
+      .limit(10)
+  }
+
+  val graphTrianglesSql: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_partkey % 2 = 0),
+      |e0 AS (SELECT DISTINCT a.l_partkey x, b.l_partkey y
+      |  FROM p a JOIN p b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |ad AS (SELECT x u, y z FROM e0 UNION ALL SELECT y u, x z FROM e0),
+      |wedge AS (SELECT a1.u x, a2.u y, count(*) AS n_common
+      |  FROM ad a1 JOIN ad a2 ON a1.z = a2.z AND a1.u < a2.u
+      |  GROUP BY a1.u, a2.u),
+      |emb AS (SELECT e0.x, e0.y, coalesce(w.n_common, 0) AS n_common
+      |  FROM e0 LEFT JOIN wedge w ON w.x = e0.x AND w.y = e0.y),
+      |tot AS (SELECT count(*) AS n_edges,
+      |  CAST(sum(n_common) // 3 AS BIGINT) AS n_triangles FROM emb)
+      |SELECT emb.x AS part_a, emb.y AS part_b,
+      |  CAST(n_common AS BIGINT) AS n_common, tot.n_edges, tot.n_triangles
+      |FROM emb, tot
+      |ORDER BY n_common DESC, part_a, part_b LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
     "corpus_mix" -> (corpusMix _),
     "doc_dup_spans" -> (docDupSpans _),
     "doc_repetition" -> (docRepetition _),
@@ -1223,5 +1302,6 @@ object Pipeline {
     "sample_weighted" -> sampleWeightedSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_survivorship" -> dedupSurvivorshipSql,
-    "graph_pagerank" -> graphPagerankSql)
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_triangles" -> graphTrianglesSql)
 }

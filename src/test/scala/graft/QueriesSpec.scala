@@ -167,6 +167,32 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("graph_triangles equals a sequential brute-force reference") {
+    // independent re-derivation in driver-side Sets (no Spark, no SQL):
+    // same subgraph, naive common-neighbor count per edge — pins that the
+    // broadcast-adjacency sorted-intersect plan computes the DECLARED
+    // embeddedness, not merely something both engines agree on
+    val pairs = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .filter(_.getLong(1) % 2 == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byOrder = pairs.groupBy(_._1).values.map(_.map(_._2).distinct.toSeq)
+    val edges = byOrder.flatMap { ks =>
+      for (a <- ks; b <- ks if a < b) yield (a, b)
+    }.toSet
+    val nbr = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val emb = edges.toSeq.map { case (a, b) =>
+      (a, b, (nbr(a) & nbr(b)).size.toLong) }
+    val nTri = emb.map(_._3).sum / 3
+    val want = emb.sortBy { case (a, b, c) => (-c, a, b) }.take(10)
+      .map { case (a, b, c) => (a, b, c, edges.size.toLong, nTri) }
+    val got = SparkEntry.queries("graph_triangles")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
