@@ -314,7 +314,55 @@ object TimeSeries {
       |  CAST(SUM(len) AS BIGINT) AS n_active_days
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** events_ewma — per-user exponentially-weighted moving average
+    * (α = 0.2) of event values, the standard smoothing signal for
+    * per-entity telemetry (latency trend, spend trend, health score).
+    * EWMA is a SEQUENTIAL recurrence (s_t = α·x_t + (1-α)·s_{t-1}) — the
+    * one aggregate shape a commutative hash-agg cannot express — so this
+    * query exercises the engine's ordered-fold surface: collect the
+    * per-user series sorted by (ts, event_id), then fold it with the
+    * `aggregate` higher-order function entirely in CENTS
+    * (s ← (2x + 8s) div 10) so every step is exact integer arithmetic
+    * and the fold hash-matches DuckDB's `list_reduce` op-for-op — a
+    * float EWMA's rounding would drift between engines by construction.
+    *
+    * Scale: one shuffle (user-keyed collect); the fold is linear in the
+    * per-user series, which must fit one task — at 100 TB you segment by
+    * (user, day): a linear recurrence composes as affine maps per
+    * segment, folded in date order per user (a bounded-rounds chain like
+    * connectedComponents), so no single task ever holds a whale user's
+    * full history. Output is |users| rows.
+    */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          scaledLong(col("value"), 100L).as("x")).as("s"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s.ts")).as("last_ts"),
+        sort_array(collect_list(col("s"))).as("arr"))
+      .select(col("user_id"), col("n_events"), fmtTs(col("last_ts")).as("last_ts"),
+        expr("element_at(arr, -1).x").as("last_cents"),
+        expr("aggregate(slice(arr, 2, size(arr) - 1), element_at(arr, 1).x," +
+          " (acc, e) -> (2 * e.x + 8 * acc) div 10)").as("ewma_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsEwmaSql: String =
+    s"""WITH s AS (SELECT user_id, ts, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+       |a AS (SELECT user_id, count(*) AS n_events, max(ts) AS mts,
+       |    list(x ORDER BY ts, event_id) AS xs
+       |  FROM s GROUP BY user_id)
+       |SELECT user_id, n_events, ${sqlFmtTs("mts")} AS last_ts,
+       |  xs[len(xs)] AS last_cents,
+       |  CAST(list_reduce(xs, (acc, e) -> (2 * e + 8 * acc) // 10) AS BIGINT)
+       |    AS ewma_cents
+       |FROM a ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ewma" -> (eventsEwma _),
     "events_streaks" -> (eventsStreaks _),
     "events_transitions" -> (eventsTransitions _),
     "events_gapfill" -> (eventsGapfill _),
@@ -322,6 +370,7 @@ object TimeSeries {
     "events_cusum" -> (eventsCusum _))
 
   def oracle: Map[String, String] = Map(
+    "events_ewma" -> eventsEwmaSql,
     "events_streaks" -> eventsStreaksSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_gapfill" -> eventsGapfillSql,

@@ -193,6 +193,28 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("events_ewma equals a sequential driver-side fold") {
+    // independent re-derivation: same (ts, event_id) ordering, same
+    // integer recurrence s <- (2x + 8s) div 10 in a plain foldLeft —
+    // pins that the HOF aggregate computes the DECLARED recurrence
+    val want = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0),
+        // (epoch-second, nanos) keeps the µs precision a bare getTime
+        // (millis) would drop — a same-millisecond pair must order the
+        // same way the engine's full-precision timestamp does
+        (r.getTimestamp(1).getTime / 1000, r.getTimestamp(1).getNanos,
+          r.getLong(2), math.round(r.getDouble(3) * 100))))
+      .groupBy(_._1).map { case (u, rows) =>
+        val xs = rows.map(_._2).sortBy(t => (t._1, t._2, t._3)).map(_._4)
+        u -> xs.tail.foldLeft(xs.head)((acc, x) => (2 * x + 8 * acc) / 10)
+      }
+    val got = SparkEntry.queries("events_ewma")(spark, sfTiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
