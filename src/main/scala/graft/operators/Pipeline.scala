@@ -226,6 +226,57 @@ object Pipeline {
       |SELECT doc_id, n_chars, priority
       |FROM pri ORDER BY priority, doc_id LIMIT 20""".stripMargin
 
+  /** sample_split (L35) — deterministic CONTENT-KEYED train/val/test
+    * split (80/10/10): the assignment key is md5 of the NORMALIZED TEXT,
+    * not the row id, so byte-identical documents land in the same split
+    * by construction — the leakage guard every LLM data pipeline needs
+    * (an id-keyed split scatters a doc's crawl-duplicates across train
+    * AND test, contaminating eval; content keying makes that impossible
+    * for exact dups, and the near-dup detectors in this file cover the
+    * fuzzy remainder). Thresholds on the first 4 hex digits: < 'cccd'
+    * train (52429/65536 ≈ 80.00%), < 'e666' val (≈ 90.00%), else test —
+    * same no-RNG hash-threshold contract as sample_stratified: stable
+    * under retries, repartitioning, and engine choice.
+    *
+    * Output proves the split is a PARTITION (per-source counts sum to
+    * the source total), shows the realized rates, and checksums exact
+    * membership (XOR of doc_ids — order-free, overflow-free). One
+    * map-side hash + one (source, split) aggregate; n_uniq_texts rides
+    * the same pass as a distinct-on-key count so the split's dup
+    * co-assignment is itself auditable. Scale: the agg carries
+    * |sources|·3 groups; the distinct-count pre-agg shuffles on the
+    * content hash — linear, no joins.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(norm(col("text"))).as("ch"))
+      .withColumn("split",
+        when(substring(col("ch"), 1, 4) < "cccd", "1_train")
+          .when(substring(col("ch"), 1, 4) < "e666", "2_val")
+          .otherwise(lit("3_test")))
+    d.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ch")).as("n_uniq_texts"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        bit_xor(col("doc_id")).as("doc_id_xor"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val sampleSplitSql: String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+       |    md5($sqlNorm) AS ch FROM documents),
+       |s AS (SELECT doc_id, source, n_chars, ch,
+       |    CASE WHEN substring(ch, 1, 4) < 'cccd' THEN '1_train'
+       |         WHEN substring(ch, 1, 4) < 'e666' THEN '2_val'
+       |         ELSE '3_test' END AS split
+       |  FROM d)
+       |SELECT source, split, count(*) AS n_docs,
+       |  CAST(count(DISTINCT ch) AS BIGINT) AS n_uniq_texts,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS doc_id_xor
+       |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin
+
   /** dedup_clusters (L10) — resolve near-dup PAIRS into CLUSTERS
     * (connected components), the step a real dedup pipeline needs between
     * pair detection and survivor election: A~B and B~C must collapse to
@@ -1281,6 +1332,7 @@ object Pipeline {
     "corpus_clean" -> (corpusClean _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> (sampleWeighted _),
+    "sample_split" -> (sampleSplit _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivorship" -> (dedupSurvivorship _))
 
@@ -1300,6 +1352,7 @@ object Pipeline {
     "corpus_clean" -> corpusCleanSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_weighted" -> sampleWeightedSql,
+    "sample_split" -> sampleSplitSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_survivorship" -> dedupSurvivorshipSql,
     "graph_pagerank" -> graphPagerankSql,

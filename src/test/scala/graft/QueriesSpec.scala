@@ -215,6 +215,36 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("sample_split is a partition and co-assigns exact duplicates") {
+    for (sf <- Seq(sfTiny, sfSmall)) {
+      val rows = SparkEntry.queries("sample_split")(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // partition: per-source split counts sum to the source's doc count
+      val perSource = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      val want = Tables.documents(spark, sf).groupBy(col("source")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perSource.toMap == want, s"split is not a partition at $sf")
+      // independent reference: recompute the content-keyed assignment
+      // driver-side (JDK MessageDigest, no Spark expressions) — pins
+      // that the split keys on normalized TEXT, not on the row id
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val wantCounts = Tables.documents(spark, sf)
+        .select(col("source"), col("text")).collect()
+        .map { r =>
+          val nt = r.getString(1).replaceAll("\\s+", " ").trim.toLowerCase
+          val h = md.digest(nt.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 4)
+          val split = if (h < "cccd") "1_train"
+            else if (h < "e666") "2_val" else "3_test"
+          (r.getString(0), split)
+        }
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val gotCounts = rows.map(t => (t._1, t._2) -> t._3).toMap
+      assert(gotCounts == wantCounts,
+        s"split assignment diverges from the driver-side reference at $sf")
+    }
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
