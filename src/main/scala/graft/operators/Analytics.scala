@@ -18,6 +18,134 @@ import graft.functions.Det._
   */
 object Analytics {
 
+  /** events_rfm — RFM (recency / frequency / monetary) customer
+    * segmentation, the canonical marketing-analytics aggregate: per-user
+    * recency in days from a fixed reference date, event count, and exact
+    * monetary cents, each scored 1-5 by data-derived quintile thresholds,
+    * then rolled up per (r, f, m) segment cell.
+    *
+    * The engine-interesting part is computing quintile thresholds WITHOUT
+    * a global window (a partition-less ntile/percent_rank funnels every
+    * user through one task — banned suite-wide by PlanSpec): each
+    * dimension is histogrammed on its VALUE DOMAIN (recency days ≤ |date
+    * range|, frequency ≤ max events/user, monetary quantized to whole
+    * dollars) and the threshold is the type-1 quantile read off the
+    * domain-sized cumulative histogram — the aggHistQuantile idiom. The
+    * cumsum window partitions by dimension over |domain| rows, so its
+    * cost is INDEPENDENT of user count; the 1-row threshold frame then
+    * broadcasts back onto the user aggregate. Scoring is pure integer
+    * comparison arithmetic (score = 1 + #thresholds strictly below;
+    * recency inverted so fresher = higher), exact in both engines.
+    *
+    * Scale: one user-keyed shuffle for the RFM aggregate, one
+    * domain-sized histogram aggregate, one broadcast, one ≤125-cell
+    * rollup. No join is user×user; nothing sorts more than the value
+    * domain.
+    */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val REF = "2024-01-31"
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(lit(REF).cast("date"), max(to_date(col("ts"))))
+          .cast("long").as("r"),
+        count(lit(1)).as("f"),
+        sum(scaledLong(col("value"), 100L)).as("m_cents"))
+      .withColumn("m_d", expr("m_cents div 100"))
+    val longF = u.select(col("user_id"),
+      expr("stack(3, 'r', r, 'f', f, 'm', m_d) as (dim, v)"))
+    val hist = longF.groupBy(col("dim"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("dim")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("dim"))))
+    def thAt(q: Int) =
+      min(when(col("cum") >= expr(s"(n * $q + 99) div 100"), col("v")))
+    val th = cum.groupBy(col("dim"))
+      .agg(thAt(20).as("t20"), thAt(40).as("t40"),
+        thAt(60).as("t60"), thAt(80).as("t80"))
+    def dimTh(d: String, t: String) = max(when(col("dim") === d, col(t)))
+    val thRow = th.agg(
+      dimTh("r", "t20").as("r20"), dimTh("r", "t40").as("r40"),
+      dimTh("r", "t60").as("r60"), dimTh("r", "t80").as("r80"),
+      dimTh("f", "t20").as("f20"), dimTh("f", "t40").as("f40"),
+      dimTh("f", "t60").as("f60"), dimTh("f", "t80").as("f80"),
+      dimTh("m", "t20").as("m20"), dimTh("m", "t40").as("m40"),
+      dimTh("m", "t60").as("m60"), dimTh("m", "t80").as("m80"))
+    def above(v: String, t: String) =
+      when(col(v) > col(t), 1L).otherwise(0L)
+    val scored = u.crossJoin(broadcast(thRow))
+      .select(col("user_id"), col("m_cents"),
+        (lit(6L) - (lit(1L) + above("r", "r20") + above("r", "r40") +
+          above("r", "r60") + above("r", "r80"))).as("r_score"),
+        (lit(1L) + above("f", "f20") + above("f", "f40") +
+          above("f", "f60") + above("f", "f80")).as("f_score"),
+        (lit(1L) + above("m_d", "m20") + above("m_d", "m40") +
+          above("m_d", "m60") + above("m_d", "m80")).as("m_score"))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("m_cents")).cast("long").as("segment_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val eventsRfmSql: String =
+    """WITH u AS (SELECT user_id,
+      |    date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-31') AS r,
+      |    count(*) AS f,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM events GROUP BY user_id),
+      |u2 AS (SELECT user_id, r, f, m_cents, m_cents // 100 AS m_d FROM u),
+      |lng AS (SELECT 'r' AS dim, r AS v FROM u2
+      |  UNION ALL SELECT 'f', f FROM u2
+      |  UNION ALL SELECT 'm', m_d FROM u2),
+      |hist AS (SELECT dim, v, count(*) AS cnt FROM lng GROUP BY dim, v),
+      |cum AS (SELECT dim, v,
+      |    sum(cnt) OVER (PARTITION BY dim ORDER BY v) AS cum,
+      |    sum(cnt) OVER (PARTITION BY dim) AS n
+      |  FROM hist),
+      |th AS (SELECT dim,
+      |    min(CASE WHEN cum >= (n * 20 + 99) // 100 THEN v END) AS t20,
+      |    min(CASE WHEN cum >= (n * 40 + 99) // 100 THEN v END) AS t40,
+      |    min(CASE WHEN cum >= (n * 60 + 99) // 100 THEN v END) AS t60,
+      |    min(CASE WHEN cum >= (n * 80 + 99) // 100 THEN v END) AS t80
+      |  FROM cum GROUP BY dim),
+      |trow AS (SELECT
+      |    max(CASE WHEN dim = 'r' THEN t20 END) AS r20,
+      |    max(CASE WHEN dim = 'r' THEN t40 END) AS r40,
+      |    max(CASE WHEN dim = 'r' THEN t60 END) AS r60,
+      |    max(CASE WHEN dim = 'r' THEN t80 END) AS r80,
+      |    max(CASE WHEN dim = 'f' THEN t20 END) AS f20,
+      |    max(CASE WHEN dim = 'f' THEN t40 END) AS f40,
+      |    max(CASE WHEN dim = 'f' THEN t60 END) AS f60,
+      |    max(CASE WHEN dim = 'f' THEN t80 END) AS f80,
+      |    max(CASE WHEN dim = 'm' THEN t20 END) AS m20,
+      |    max(CASE WHEN dim = 'm' THEN t40 END) AS m40,
+      |    max(CASE WHEN dim = 'm' THEN t60 END) AS m60,
+      |    max(CASE WHEN dim = 'm' THEN t80 END) AS m80
+      |  FROM th),
+      |scored AS (SELECT user_id, m_cents,
+      |    6 - (1 + (CASE WHEN r > r20 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN r > r40 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN r > r60 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN r > r80 THEN 1 ELSE 0 END)) AS r_score,
+      |    1 + (CASE WHEN f > f20 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN f > f40 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN f > f60 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN f > f80 THEN 1 ELSE 0 END) AS f_score,
+      |    1 + (CASE WHEN m_d > m20 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m_d > m40 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m_d > m60 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN m_d > m80 THEN 1 ELSE 0 END) AS m_score
+      |  FROM u2, trow)
+      |SELECT CAST(r_score AS BIGINT) AS r_score,
+      |  CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  count(*) AS n_users, CAST(sum(m_cents) AS BIGINT) AS segment_cents
+      |FROM scored GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   /** agg_cube — CUBE over (returnflag, linestatus): all four grouping sets
     * with GROUPING markers (engine-portable; subtotal rows are identified
     * by the markers, not by null-sentinel collisions).
@@ -616,6 +744,7 @@ object Analytics {
     "agg_hist_quantile" -> (aggHistQuantile _),
     "having_filter" -> (havingFilter _),
     "events_anomaly" -> (eventsAnomaly _),
+    "events_rfm" -> (eventsRfm _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
@@ -631,6 +760,7 @@ object Analytics {
     "agg_hist_quantile" -> aggHistQuantileSql,
     "having_filter" -> havingFilterSql,
     "events_anomaly" -> eventsAnomalySql,
+    "events_rfm" -> eventsRfmSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_cube" -> aggCubeSql,
     "pivot_segment" -> pivotSegmentSql,

@@ -245,6 +245,44 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_rfm equals a sequential driver-side reference") {
+    // independent re-derivation: per-user RFM in plain Scala, type-1
+    // quintile thresholds from a sorted copy, same strictly-above
+    // scoring — pins the histogram-threshold plan to the DECLARED
+    // quantile definition
+    val refDate = java.time.LocalDate.parse("2024-01-31")
+    val perUser = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("ts"), col("value")).collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC)
+          .toLocalDate,
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).map { case (u, rows) =>
+        val rDays = java.time.temporal.ChronoUnit.DAYS.between(
+          rows.map(_._2).max, refDate)
+        (u, rDays, rows.size.toLong, rows.map(_._3).sum)
+      }.toSeq
+    def thresholds(vs: Seq[Long]): Seq[Long] = {
+      val sorted = vs.sorted
+      Seq(20, 40, 60, 80).map(q =>
+        sorted(((vs.size * q + 99) / 100 - 1).toInt))
+    }
+    val rT = thresholds(perUser.map(_._2))
+    val fT = thresholds(perUser.map(_._3))
+    val mT = thresholds(perUser.map(_._4 / 100))
+    def score(v: Long, t: Seq[Long]) = 1L + t.count(v > _)
+    val want = perUser
+      .map { case (_, r, f, m) =>
+        ((6 - score(r, rT), score(f, fT), score(m / 100, mT)), m) }
+      .groupBy(_._1).map { case (k, xs) =>
+        (k._1, k._2, k._3, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq.sorted
+    val got = SparkEntry.queries("events_rfm")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
