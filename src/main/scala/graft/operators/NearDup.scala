@@ -662,6 +662,101 @@ object NearDup {
        |FROM d WHERE n_common * 2 >= ng_small
        |ORDER BY doc_small, doc_big""".stripMargin
 
+  /** doc_winnowing (L36) — MOSS-style WINNOWING fingerprints: over the
+    * per-position 4-token-gram hash stream, every sliding window of w=8
+    * hashes selects its minimum (ties → rightmost), and the distinct
+    * selected hashes are the document's fingerprint set. Winnowing's
+    * guarantee — at least one selection per w consecutive positions, and
+    * selections agree on any shared substring ≥ w+3 tokens regardless of
+    * WHERE it sits in either doc — is what makes it the plagiarism/
+    * mirror-detection standard: position-robust where doc_fingerprint's
+    * global extrema are content-global, and density-bounded (E[density] =
+    * 2/(w+1) ≈ 22%) where full-gram indexing is not.
+    *
+    * Plan shape: ONE hash exchange of the RAW documents by doc_id before
+    * the explode (the doc_repetition/doc_tfidf discipline — text bytes
+    * shuffle, gram rows never do); the selection window, the distinct,
+    * and the per-doc fingerprint count all plan exchange-free on the
+    * inherited partitioning (doc_id is a subset of every downstream
+    * key). The rightmost-min tiebreak rides ONE window pass as
+    * min(struct(h, -i)) — both engines compare structs
+    * lexicographically, so selection is engine-identical. Pairing is the
+    * house candidate discipline: equi-join on the selected hash,
+    * occupancy-bounded, similarity = shared/min(|fp|) in exact ppm,
+    * ≥50% survives.
+    *
+    * Scale: window state is w rows; the only gram-keyed exchange carries
+    * the ~22%-density DISTINCT fingerprint set, not the gram stream.
+    */
+  def docWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val d = Tables.documentsWide(spark, dir)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= W + 3) // at least one full window
+      .repartition(col("doc_id"))
+    val grams = d
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 3)).as("i"))
+      .select(col("doc_id"), col("i"), md5(concat_ws(" ",
+        element_at(col("toks"), col("i")),
+        element_at(col("toks"), col("i") + 1),
+        element_at(col("toks"), col("i") + 2),
+        element_at(col("toks"), col("i") + 3))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-(W - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    val sel = grams
+      .withColumn("sel", min(struct(col("h"), (-col("i")).as("ni"))).over(w))
+      .filter(col("i") >= W)
+      .select(col("doc_id"), col("sel.h").as("h"))
+      .distinct()
+    val fp = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = sel.groupBy(col("h"))
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(fp.select(col("doc_id").as("a"), col("n_fp").as("fp_a")), Seq("a"))
+      .join(fp.select(col("doc_id").as("b"), col("n_fp").as("fp_b")), Seq("b"))
+      .filter(col("n_shared") * 2 >= least(col("fp_a"), col("fp_b")))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("n_shared"),
+        col("fp_a"), col("fp_b"),
+        expr("n_shared * 1000000 div least(fp_a, fp_b)").as("winnow_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val docWinnowingSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS s
+       |  FROM documents),
+       |g0 AS (SELECT doc_id,
+       |    unnest([{'i': i,
+       |             'h': md5(s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+       |                      || ' ' || s[i+3])}
+       |            for i in range(1, len(s) - 2)]) AS u
+       |  FROM t WHERE len(s) >= 11),
+       |g AS (SELECT doc_id, u.i AS i, u.h AS h FROM g0),
+       |sel0 AS (SELECT doc_id, i,
+       |    min({'h': h, 'ni': -i}) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS sel
+       |  FROM g),
+       |sel AS (SELECT DISTINCT doc_id, sel.h AS h FROM sel0 WHERE i >= 8),
+       |fp AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS n_shared
+       |  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT p.doc_a, p.doc_b, p.n_shared,
+       |  fa.n_fp AS fp_a, fb.n_fp AS fp_b,
+       |  CAST(p.n_shared * 1000000 // least(fa.n_fp, fb.n_fp) AS BIGINT)
+       |    AS winnow_ppm
+       |FROM pairs p JOIN fp fa ON fa.doc_id = p.doc_a
+       |  JOIN fp fb ON fb.doc_id = p.doc_b
+       |WHERE p.n_shared * 2 >= least(fa.n_fp, fb.n_fp)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** doc_fuzzy_match (L25) — EDIT-DISTANCE verified fuzzy matching, the
     * entity-resolution join: candidates block on the normalized 24-char
     * prefix (md5 block key — one equi-join, occupancy-bounded like every
@@ -715,7 +810,8 @@ object NearDup {
     "doc_simhash" -> (docSimhash _),
     "doc_simhash_dup" -> (docSimhashDup _),
     "doc_ngram_jaccard" -> (docNgramJaccard _),
-    "doc_containment" -> (docContainment _))
+    "doc_containment" -> (docContainment _),
+    "doc_winnowing" -> (docWinnowing _))
 
   def oracle: Map[String, String] = Map(
     "doc_fuzzy_match" -> docFuzzyMatchSql,
@@ -726,5 +822,6 @@ object NearDup {
     "doc_simhash" -> docSimhashSql,
     "doc_simhash_dup" -> docSimhashDupSql,
     "doc_ngram_jaccard" -> docNgramJaccardSql,
-    "doc_containment" -> docContainmentSql)
+    "doc_containment" -> docContainmentSql,
+    "doc_winnowing" -> docWinnowingSql)
 }

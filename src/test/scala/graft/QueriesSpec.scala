@@ -283,6 +283,43 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("doc_winnowing equals a sequential driver-side reference") {
+    // full pipeline re-derived in plain Scala: tokenize, md5 4-gram
+    // stream, w=8 sliding min with rightmost tiebreak, distinct selected
+    // hashes, pair + >=50% containment filter — pins the window-pass
+    // selection to the DECLARED winnowing algorithm
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fps = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).replaceAll("\\s+", " ").trim
+          .toLowerCase.split(" ")
+        r.getLong(0) -> toks
+      }
+      .filter(_._2.length >= 11)
+      .map { case (id, toks) =>
+        val hs = (0 to toks.length - 4)
+          .map(i => h(toks.slice(i, i + 4).mkString(" ")))
+        val sel = (7 until hs.length).map { j =>
+          // min of window [j-7, j], ties -> rightmost (max index)
+          (j - 7 to j).map(k => (hs(k), -k)).min._1
+        }.toSet
+        id -> sel
+      }.toMap
+    val want = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
+      shared = (fa & fb).size
+      if shared * 2 >= math.min(fa.size, fb.size) && shared > 0
+    } yield (a, b, shared.toLong, fa.size.toLong, fb.size.toLong,
+      shared.toLong * 1000000L / math.min(fa.size, fb.size))).sorted
+    val got = SparkEntry.queries("doc_winnowing")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(got == want, s"got=${got.take(5)}...\nwant=${want.take(5)}...")
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
