@@ -272,6 +272,58 @@ object TimeSeries {
       |FROM cnts c JOIN s USING (src) JOIN d USING (dst) CROSS JOIN t
       |ORDER BY src, dst""".stripMargin
 
+  /** events_paths — top-20 behavioral path TRIGRAMS: the sequence-mining
+    * step up from events_transitions' first-order Markov matrix. Each
+    * user's (ts, event_id)-ordered event stream yields its sliding
+    * 3-step paths via two leads over one per-user window; support is
+    * counted two ways — occurrences (how often the path happens) and
+    * DISTINCT USERS (how many journeys contain it), the metric funnel
+    * analysis actually ranks by. The distinct is a (user, path) pre-agg
+    * that inherits the window's user partitioning rather than a
+    * count(distinct) Expand (which would double the shuffle), then a
+    * |paths|-sized rollup; top-20 is TakeOrderedAndProject, never a
+    * global sort.
+    *
+    * Scale: one user-keyed exchange total (window + pre-agg share it);
+    * the path-keyed exchange carries ≤ |users|·|distinct paths/user|
+    * pre-aggregated rows; the path domain is ≤ |event types|³.
+    */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("step1"),
+        lead(col("event_type"), 1).over(ord).as("step2"),
+        lead(col("event_type"), 2).over(ord).as("step3"))
+      .filter(col("step3").isNotNull)
+    tri.groupBy(col("user_id"), col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cnt")).cast("long").as("n_occurrences"))
+      .orderBy(col("n_users").desc, col("n_occurrences").desc,
+        col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  val eventsPathsSql: String =
+    """WITH tri AS (
+      |  SELECT user_id, event_type AS step1,
+      |    lead(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+      |    lead(event_type, 2) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS step3
+      |  FROM events),
+      |per_user AS (
+      |  SELECT user_id, step1, step2, step3, count(*) AS cnt
+      |  FROM tri WHERE step3 IS NOT NULL
+      |  GROUP BY user_id, step1, step2, step3)
+      |SELECT step1, step2, step3, count(*) AS n_users,
+      |  CAST(sum(cnt) AS BIGINT) AS n_occurrences
+      |FROM per_user GROUP BY step1, step2, step3
+      |ORDER BY n_users DESC, n_occurrences DESC, step1, step2, step3
+      |LIMIT 20""".stripMargin
+
   /** events_streaks (W9) — GAPS-AND-ISLANDS: longest consecutive-day
     * activity streak per user via the anchor-date trick (day − row_number
     * is constant exactly within a run of consecutive days), the classic
@@ -363,6 +415,7 @@ object TimeSeries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_ewma" -> (eventsEwma _),
+    "events_paths" -> (eventsPaths _),
     "events_streaks" -> (eventsStreaks _),
     "events_transitions" -> (eventsTransitions _),
     "events_gapfill" -> (eventsGapfill _),
@@ -371,6 +424,7 @@ object TimeSeries {
 
   def oracle: Map[String, String] = Map(
     "events_ewma" -> eventsEwmaSql,
+    "events_paths" -> eventsPathsSql,
     "events_streaks" -> eventsStreaksSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_gapfill" -> eventsGapfillSql,

@@ -320,6 +320,30 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=${got.take(5)}...\nwant=${want.take(5)}...")
   }
 
+  test("events_paths equals a sequential driver-side reference") {
+    val byUser = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getTimestamp(1).getTime / 1000, r.getTimestamp(1).getNanos,
+          r.getLong(2), r.getString(3))))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.map(_._2).sortBy(t => (t._1, t._2, t._3)).map(_._4).toSeq }
+    val tris = byUser.toSeq.flatMap { case (u, types) =>
+      types.sliding(3).filter(_.size == 3)
+        .map(t => (u, (t(0), t(1), t(2)))).toSeq
+    }
+    val want = tris.groupBy(_._2).map { case (t, xs) =>
+      (t._1, t._2, t._3, xs.map(_._1).distinct.size.toLong, xs.size.toLong)
+    }.toSeq
+      .sortBy { case (a, b, c, u, o) => (-u, -o, a, b, c) }.take(20)
+    val got = SparkEntry.queries("events_paths")(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
