@@ -91,6 +91,70 @@ object Cdc {
        |FROM ranked WHERE rn = 1 AND op <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** cdc_at_least_once (S22) — AT-LEAST-ONCE delivery hardening: every
+    * real CDC transport (Kafka default semantics, retried HTTP pushes,
+    * resumed change-stream cursors) can deliver an operation more than
+    * once, and a sink that applies blindly double-counts or flaps. The
+    * operator simulates the duplicated wire (each op redelivered
+    * 1 + event_id % 2 times — half the feed arrives twice), dedups on
+    * the operation's IDEMPOTENCE KEY (event_id — the resume-token /
+    * offset identity every changelog carries), and LWW-applies the
+    * deduped feed. The audit columns carry the delivery accounting
+    * (delivered vs unique), and the applied state is provably the
+    * exactly-once state — CdcPropertySpec pins it row-identical to
+    * cdc_apply.
+    *
+    * Scale: the dedup is a distinct on the op identity — one keyed
+    * exchange that subsumes the apply's own (the LWW window re-uses the
+    * same user partitioning only if keys align; here dedup keys on the
+    * full op row, so it is its own exchange BEFORE the user-keyed
+    * window; both are linear). The audit rides as two map-side counts
+    * crossJoined from a 1-row broadcast. At 100 TB the dedup state a
+    * streaming sink would keep is bounded by the redelivery window, not
+    * the log (the batch twin dedups globally because the oracle needs a
+    * closed form).
+    */
+  def cdcAtLeastOnce(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("event_type"),
+        explode(sequence(lit(1L), lit(1L) + col("event_id") % 2))
+          .as("delivery"))
+    val deduped = wire
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("event_type"))
+      .distinct()
+    val audit = wire.agg(count(lit(1)).as("n_delivered"))
+      .crossJoin(deduped.agg(count(lit(1)).as("n_unique")))
+    applyLww(deduped).crossJoin(broadcast(audit))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcAtLeastOnceSql: String =
+    s"""WITH wire AS (
+       |  SELECT user_id, ts, event_id, value, event_type,
+       |    unnest(generate_series(1, 1 + event_id % 2)) AS delivery
+       |  FROM events),
+       |deduped AS (
+       |  SELECT DISTINCT user_id, ts, event_id, value, event_type
+       |  FROM wire),
+       |audit AS (
+       |  SELECT (SELECT count(*) FROM wire) AS n_delivered,
+       |         (SELECT count(*) FROM deduped) AS n_unique),
+       |log AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+       |  FROM deduped),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM log)
+       |SELECT user_id, ${sqlFmtTs("ts")} AS last_ts,
+       |  event_id AS last_event_id, value AS last_value,
+       |  audit.n_delivered, audit.n_unique
+       |FROM ranked, audit WHERE rn = 1 AND op <> 'delete'
+       |ORDER BY user_id""".stripMargin
+
   /** cdc_compaction (S21) — CHANGELOG COMPACTION with tombstone
     * retention, the Kafka-log-compaction / Debezium-topic maintenance op
     * and the missing piece between a raw capture log and cdc_apply's
@@ -994,6 +1058,7 @@ object Cdc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
+    "cdc_at_least_once" -> (cdcAtLeastOnce _),
     "cdc_compaction" -> (cdcCompaction _),
     "cdc_merge_apply" -> (cdcMergeApply _),
     "cdc_ddl_evolution" -> (cdcDdlEvolution _),
@@ -1012,6 +1077,7 @@ object Cdc {
   def oracle: Map[String, String] = Map(
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
+    "cdc_at_least_once" -> cdcAtLeastOnceSql,
     "cdc_compaction" -> cdcCompactionSql,
     "cdc_merge_apply" -> cdcMergeApplySql,
     "cdc_ddl_evolution" -> cdcDdlEvolutionSql,

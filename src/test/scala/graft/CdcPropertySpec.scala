@@ -75,6 +75,26 @@ class CdcPropertySpec extends SparkSpec {
     assert(tombs.forall(_.getLong(0) >= horizonUs))
   }
 
+  test("at-least-once apply converges to the exactly-once state") {
+    import org.apache.spark.sql.functions._
+    // the duplicated-wire apply's state columns must be ROW-IDENTICAL to
+    // cdc_apply (idempotence-key dedup makes redelivery invisible), and
+    // the audit must account every duplicate (delivered - unique =
+    // #odd event_ids, the declared amplification)
+    val alo = operators.Cdc.cdcAtLeastOnce(spark, sfTiny).collect()
+    val exact = operators.Cdc.cdcApply(spark, sfTiny).collect()
+    assert(alo.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getDouble(3))).toSeq ==
+      exact.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq,
+      "at-least-once state diverges from exactly-once")
+    val nOdd = Tables.events(spark, sfTiny)
+      .filter(col("event_id") % 2 === 1).count()
+    val (delivered, unique) = (alo.head.getLong(4), alo.head.getLong(5))
+    assert(delivered - unique == nOdd,
+      s"audit mismatch: delivered=$delivered unique=$unique odd=$nOdd")
+  }
+
   test("incremental mergeState over any batch split equals one-shot apply") {
     import spark.implicits._
     for (seed <- 1L to 8L) {
