@@ -121,9 +121,102 @@ object Layout {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Parquet bytes under a landing (data files only). */
+  private[graft] def parquetBytes(dir: java.io.File): Long = {
+    val fs = dir.listFiles()
+    if (fs == null) 0L
+    else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length).sum
+  }
+
+  private[graft] val COMPACT_TARGET_BYTES = 4L << 20
+
+  /** Land (once) a deliberately FRAGMENTED events copy — 128 hash shards,
+    * the small-file landing a per-trigger streaming ingest or an
+    * over-parallel backfill leaves behind. Exists to give the compactor a
+    * realistic "before". */
+  private[graft] def fragmentedEvents(spark: SparkSession, dir: String): String =
+    fragLaid.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val stamp = Tables.srcStamp(new java.io.File(dir, "events.parquet"))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_layout_$safe/events_frag_$stamp")
+      Tables.publishOnce(out) { tmp =>
+        Tables.events(spark, dir)
+          .repartition(128, col("event_id"))
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      }
+    })
+  private val fragLaid = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Land (once) the COMPACTED copy: bin the fragmented landing into
+    * ceil(bytes / 4 MiB) time-sorted files. File count derives from the
+    * landing's OWN byte size (the stats probe every OPTIMIZE
+    * implementation runs), not a row-count guess — so the same code
+    * right-sizes any scale factor. */
+  private[graft] def compactedEvents(spark: SparkSession, dir: String): String =
+    compLaid.getOrElseUpdate(dir, {
+      val frag = fragmentedEvents(spark, dir)
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val stamp = Tables.srcStamp(new java.io.File(dir, "events.parquet"))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_layout_$safe/events_compact_$stamp")
+      Tables.publishOnce(out) { tmp =>
+        val bytes = parquetBytes(new java.io.File(frag))
+        val nFiles = math.max(1L,
+          (bytes + COMPACT_TARGET_BYTES - 1) / COMPACT_TARGET_BYTES).toInt
+        spark.read.parquet(frag)
+          .repartitionByRange(nFiles, col("ts"), col("event_id"))
+          .sortWithinPartitions(col("ts"), col("event_id"))
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      }
+    })
+  private val compLaid = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** layout_compaction (S23) — SMALL-FILE COMPACTION, the other half of
+    * lakehouse OPTIMIZE next to S20's ZORDER clustering: a streaming CDC
+    * ingest lands a file per trigger per partition, and a 100-TB table
+    * quietly becomes millions of KB-files whose open/footer/seek overhead
+    * dominates every scan (and whose per-file metadata bloats the
+    * catalog). The compactor bin-packs the fragmented landing into
+    * ceil(bytes/4 MiB) time-range-sorted files — range partitioning keeps
+    * time locality so min/max footer stats stay tight for pruning, and
+    * the landing publishes via the shared stamped publish-once protocol
+    * (rewrite-then-swap, never in place — readers racing the compactor
+    * see old or new, not a mix).
+    *
+    * Content is layout-independent: the oracle reads the RAW events. What
+    * compaction buys is the file inventory, pinned numerically in
+    * LayoutSpec (128 → ceil(bytes/target) files, fewer total bytes than
+    * the fragmented landing, row counts identical).
+    */
+  def layoutCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(compactedEvents(spark, dir))
+    c.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("sum_value"),
+        bit_xor(col("event_id")).as("event_id_xor"),
+        Det.fmtTs(min(col("ts"))).as("min_ts"),
+        Det.fmtTs(max(col("ts"))).as("max_ts"))
+      .orderBy(col("event_type"))
+  }
+
+  val layoutCompactionSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  ${Det.sqlDsum("value")} AS sum_value,
+       |  CAST(bit_xor(event_id) AS BIGINT) AS event_id_xor,
+       |  ${Det.sqlFmtTs("min(ts)")} AS min_ts,
+       |  ${Det.sqlFmtTs("max(ts)")} AS max_ts
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> (layoutZorder _))
+    "layout_zorder" -> (layoutZorder _),
+    "layout_compaction" -> (layoutCompaction _))
 
   def oracle: Map[String, String] = Map(
-    "layout_zorder" -> layoutZorderSql)
+    "layout_zorder" -> layoutZorderSql,
+    "layout_compaction" -> layoutCompactionSql)
 }

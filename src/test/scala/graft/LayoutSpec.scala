@@ -67,4 +67,27 @@ class LayoutSpec extends SparkSpec {
       .orderBy(col("l_returnflag")).collect().toSeq
     assert(viaLayout == raw && viaLayout.nonEmpty)
   }
+
+  test("compaction right-sizes the file inventory and preserves content") {
+    val frag = new java.io.File(sources.Layout.fragmentedEvents(spark, sfTiny))
+    val comp = new java.io.File(sources.Layout.compactedEvents(spark, sfTiny))
+    def dataFiles(d: java.io.File) =
+      d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // the "before" really is fragmented: one file per hash shard
+    assert(dataFiles(frag).length >= 64,
+      s"fragmented landing has only ${dataFiles(frag).length} files")
+    // the "after" hits the declared bin count, derived from actual bytes
+    val wantFiles = math.max(1L,
+      (sources.Layout.parquetBytes(frag) +
+        sources.Layout.COMPACT_TARGET_BYTES - 1) /
+        sources.Layout.COMPACT_TARGET_BYTES).toInt
+    assert(dataFiles(comp).length == wantFiles,
+      s"compacted landing has ${dataFiles(comp).length} files, want $wantFiles")
+    // compaction pays for itself: fewer bytes (per-file footer/dictionary
+    // overhead dominates KB-sized files) and identical rows
+    assert(sources.Layout.parquetBytes(comp) <
+      sources.Layout.parquetBytes(frag))
+    assert(spark.read.parquet(comp.getAbsolutePath).count() ==
+      Tables.events(spark, sfTiny).count())
+  }
 }
