@@ -1284,6 +1284,10 @@ object Pipeline {
     val ad = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
     val adj = ad.groupBy(col("x"))
       .agg(sort_array(collect_list(col("y"))).as("arr"))
+    // emb feeds TWO consumers (the totals row and the top-10) and the
+    // totals broadcast runs as its own job — without a pin that job
+    // replays the whole adjacency-build + intersect pass; 3-long rows ×
+    // |edges| pin cheaply
     val emb = e0
       .join(broadcast(adj.select(col("x"), col("arr").as("ax"))), Seq("x"))
       .join(broadcast(adj.select(col("x").as("y"), col("arr").as("ay"))),
@@ -1291,6 +1295,7 @@ object Pipeline {
       .select(col("x").as("part_a"), col("y").as("part_b"),
         graft.functions.VectorExprs.sortedIntersectCount(
           col("ax"), col("ay")).as("n_common"))
+      .localCheckpoint()
     val tot = emb.agg(count(lit(1)).as("n_edges"),
       expr("sum(n_common) div 3").as("n_triangles"))
     emb.crossJoin(broadcast(tot))
