@@ -273,13 +273,94 @@ object Quality {
       |FROM b CROSS JOIN t
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** dq_drift (Q5) — DISTRIBUTION DRIFT detection between two periods,
+    * the monitoring check every production pipeline runs before trusting
+    * this week's data against last week's model/baseline: per event
+    * type, the value distribution is histogrammed into 10 fixed-width
+    * buckets for each half-month and compared with a chi-square-style
+    * statistic computed ON PROPORTIONS-PPM, not raw counts —
+    * Σ (p_b − q_b)² / max(q_b, 1) with p, q in parts-per-million. Two
+    * engine-relevant choices: (a) proportions keep every intermediate
+    * ≤ 1e12 regardless of data scale, where the textbook raw-count
+    * chi-square squares 1e11-row counts into i64/decimal overflow at
+    * 100 TB; (b) the statistic is pure integer floor arithmetic — no ln
+    * (PSI) or float division, so both engines produce the identical
+    * score bit-for-bit. The worst bucket rides the same aggregate as an
+    * argmax via max(struct(term, b)) — single-pass, merge-safe.
+    *
+    * Scale: one scan → (type, bucket) counts (domain-sized); the bucket
+    * grid is generated map-side; totals broadcast; the final rollup is
+    * |types| rows. Empty-bucket handling is explicit (grid left-join,
+    * q=0 ⇒ divisor 1) so a bucket appearing only in period B still
+    * contributes its full drift term.
+    */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir).select(col("event_type"),
+      least(floor(col("value") / 50).cast("long"), lit(9L)).as("b"),
+      when(col("ts") < lit("2024-01-16").cast("timestamp"), "a")
+        .otherwise(lit("b")).as("period"))
+    val cnt = base.groupBy(col("event_type"), col("b")).agg(
+      count(when(col("period") === "a", 1)).as("oa"),
+      count(when(col("period") === "b", 1)).as("ob"))
+    val grid = cnt.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("b"))
+    val full = grid.join(cnt, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"),
+        coalesce(col("oa"), lit(0L)).as("oa"),
+        coalesce(col("ob"), lit(0L)).as("ob"))
+    val tot = full.groupBy(col("event_type"))
+      .agg(sum(col("oa")).as("na"), sum(col("ob")).as("nb"))
+    full.join(broadcast(tot), Seq("event_type"))
+      .withColumn("pa", expr("oa * 1000000 div na"))
+      .withColumn("pb", expr("ob * 1000000 div nb"))
+      .withColumn("term", expr("(pb - pa) * (pb - pa) div greatest(pa, 1)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).cast("long").as("n_a"),
+        max(col("nb")).cast("long").as("n_b"),
+        sum(col("term")).cast("long").as("drift_score"),
+        max(struct(col("term"), col("b"))).getField("b").as("worst_bucket"))
+      .orderBy(col("event_type"))
+  }
+
+  val dqDriftSql: String =
+    """WITH base AS (SELECT event_type,
+      |    least(CAST(floor(value / 50) AS BIGINT), 9) AS b,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
+      |      AS period
+      |  FROM events),
+      |cnt AS (SELECT event_type, b,
+      |    count(*) FILTER (period = 'a') AS oa,
+      |    count(*) FILTER (period = 'b') AS ob
+      |  FROM base GROUP BY event_type, b),
+      |grid AS (SELECT event_type, unnest(range(0, 10)) AS b
+      |  FROM (SELECT DISTINCT event_type FROM cnt)),
+      |full_cnt AS (SELECT g.event_type, g.b,
+      |    coalesce(c.oa, 0) AS oa, coalesce(c.ob, 0) AS ob
+      |  FROM grid g LEFT JOIN cnt c
+      |    ON c.event_type = g.event_type AND c.b = g.b),
+      |tot AS (SELECT event_type, sum(oa) AS na, sum(ob) AS nb
+      |  FROM full_cnt GROUP BY event_type),
+      |terms AS (SELECT f.event_type, f.b, t.na, t.nb,
+      |    (f.oa * 1000000 // t.na) AS pa,
+      |    (f.ob * 1000000 // t.nb) AS pb
+      |  FROM full_cnt f JOIN tot t ON t.event_type = f.event_type)
+      |SELECT event_type,
+      |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+      |  CAST(sum((pb - pa) * (pb - pa) // greatest(pa, 1)) AS BIGINT)
+      |    AS drift_score,
+      |  CAST(max(struct_pack(term := (pb - pa) * (pb - pa)
+      |    // greatest(pa, 1), b := b)).b AS BIGINT) AS worst_bucket
+      |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> (dqAudit _),
     "dq_profile" -> (dqProfile _),
+    "dq_drift" -> (dqDrift _),
     "events_lateness_profile" -> (eventsLatenessProfile _))
 
   def oracle: Map[String, String] = Map(
     "dq_audit" -> dqAuditSql,
     "dq_profile" -> dqProfileSql,
+    "dq_drift" -> dqDriftSql,
     "events_lateness_profile" -> eventsLatenessProfileSql)
 }

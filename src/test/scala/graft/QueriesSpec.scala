@@ -344,6 +344,32 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("dq_drift equals a sequential driver-side reference") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val rows = Tables.events(spark, sfTiny)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0),
+        math.min(math.floor(r.getDouble(2) / 50).toLong, 9L),
+        r.getTimestamp(1).before(cut)))
+    val want = rows.groupBy(_._1).map { case (t, xs) =>
+      val na = xs.count(_._3).toLong
+      val nb = xs.size - na
+      val terms = (0L to 9L).map { b =>
+        val oa = xs.count(x => x._2 == b && x._3).toLong
+        val ob = xs.count(x => x._2 == b && !x._3).toLong
+        val pa = oa * 1000000L / na
+        val pb = ob * 1000000L / nb
+        (b, (pb - pa) * (pb - pa) / math.max(pa, 1L))
+      }
+      (t, na, nb, terms.map(_._2).sum,
+        terms.maxBy(x => (x._2, x._1))._1)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("dq_drift")(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
