@@ -204,6 +204,47 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** One per-user EWMA point: the running smooth after the latest
+    * applied event. */
+  case class EwmaPoint(user_id: Long, n_events: Long, ewma_cents: Long)
+
+  /** ST13 — streaming per-user EWMA, the deployed form of W10's
+    * events_ewma: `mapGroupsWithState` carries (n, ewma_cents) — two
+    * i64 per user, sharded with the group key — and each micro-batch
+    * folds its (ts, event_id)-sorted slice onto the carry with the SAME
+    * integer recurrence as the batch twin (s ← (2x + 8s) div 10 in
+    * cents), emitting the updated point in Update mode. A sequential
+    * recurrence is exactly what the windowed/aggregate streaming ops
+    * cannot express and what the state API exists for.
+    *
+    * Ordering contract: the fold is left-to-right in event order, so
+    * per-key arrival must be in order ACROSS micro-batches — the
+    * changelog/resume-token contract every CDC tail satisfies (an
+    * out-of-order source would first pass a watermark-sorted stage).
+    * Under that contract ANY prefix split of the stream converges to
+    * the batch fold — StreamingSpec pins 1-batch ≡ 3-batch ≡ the
+    * sequential reference.
+    */
+  def ewmaWithState(events: Dataset[ChangeEvent]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), EwmaPoint](
+        GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[ChangeEvent], state: GroupState[(Long, Long)]) =>
+          val sorted = it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var (n, s) = state.getOption.getOrElse((0L, 0L))
+          sorted.foreach { e =>
+            val x = math.round(e.value * 100)
+            s = if (n == 0) x else (2 * x + 8 * s) / 10
+            n += 1
+          }
+          state.update((n, s))
+          EwmaPoint(u, n, s)
+      }
+  }
+
   /** ST12 — streaming heavy-hitter candidates: the Misra-Gries
     * `Aggregator` (`functions/MisraGriesAgg`) as a STREAMING aggregate.
     * Because MG partial states merge associatively, Structured Streaming

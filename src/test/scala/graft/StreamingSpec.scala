@@ -367,6 +367,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST13 streaming EWMA converges to the sequential fold under any batch split") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 0, 1, "view", 10.0), ev(2, 5, 1, "view", 20.0),
+      ev(3, 8, 2, "click", 7.5), ev(4, 12, 1, "click", 30.0),
+      ev(5, 15, 2, "view", 2.25), ev(6, 20, 1, "view", 40.0),
+      ev(7, 22, 2, "click", 100.0), ev(8, 30, 1, "error", 1.0))
+    // sequential reference: same integer recurrence, driver-side
+    val want = events.groupBy(_.user_id).map { case (u, es) =>
+      val xs = es.sortBy(e => (e.ts.getTime, e.event_id))
+        .map(e => math.round(e.value * 100))
+      u -> ((xs.length.toLong,
+        xs.tail.foldLeft(xs.head)((acc, x) => (2 * x + 8 * acc) / 10)))
+    }
+    for (split <- Seq(Seq(events), events.grouped(3).toSeq)) {
+      val input = MemoryStream[ChangeEvent](spark)
+      val name = s"st13_${split.size}"
+      val q = Streams.ewmaWithState(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        split.foreach { b => input.addData(b); drain(q) }
+        // update mode: the latest emission per user is the live point
+        val got = spark.table(name).collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+        assert(got == want, s"split=${split.size}: got=$got want=$want")
+      } finally q.stop()
+    }
+  }
+
   test("ST9 streaming anomaly gate equals the batch 3σ filter") {
     import spark.implicits._
     val input = MemoryStream[ChangeEvent](spark)
