@@ -599,6 +599,8 @@ object NearDup {
         explode(sequence(lit(1), col("n") - (G - 1))).as("s"))
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(col("toks"), col("s"), lit(G)))).as("g"))
+    // pinned: cand feeds the candidate-id narrowing AND the verify join —
+    // candidate-pair-sized, cheap to hold
     val cand = g8.groupBy(col("g"))
       .agg(collect_set(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 2)
@@ -606,7 +608,21 @@ object NearDup {
       .select(col("x"), explode(col("docs")).as("y"))
       .filter(col("x") < col("y"))
       .distinct()
-    val arr = packedGram4Arrays(base)
+      .localCheckpoint()
+    // verify-join discipline (the L2 verifyPairs rule): only CANDIDATE
+    // docs pay the char-gram explode/distinct/sort — the broadcast
+    // left-semi narrows the corpus BEFORE packedGram4Arrays, so the
+    // exact-verify cost scales with candidates, not corpus. Wall-clock
+    // at sf0.1 moves little (1.28 → 1.22 s warm: the 8-token-gram
+    // candidate BUILD dominates and is irreducible — it IS the detector)
+    // but the verify stage's work drops from |corpus| to |candidates|
+    // gram explodes, which is the term that matters at 100 TB where the
+    // corpus-wide array build would dwarf the probe
+    val candIds = cand
+      .select(explode(array(col("x"), col("y"))).as("doc_id"))
+      .distinct()
+    val arr = packedGram4Arrays(
+      base.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
     val v = cand
       .join(arr.select(col("doc_id").as("x"), col("gs").as("gsx"),
         col("ng").as("ngx")), Seq("x"))
