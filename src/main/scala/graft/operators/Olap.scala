@@ -285,12 +285,17 @@ object Olap {
     */
   def eventsSlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // pinned: hourly feeds BOTH the real-hour set and the window
+    // expansion — without the pin each consumer re-scans raw events;
+    // the pinned frame is domain-sized (≤ types × hours × id-words)
     val hourly = e
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"),
         shiftright(col("user_id"), 6).as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))")
         .as("bits"))
-    val hours = e.select(date_trunc("hour", col("ts")).as("we")).distinct()
+      .localCheckpoint()
+    // real event hours from the PARTIALS, not a second raw scan
+    val hours = hourly.select(col("h").as("we")).distinct()
     val expanded = hourly.select(col("event_type"),
         explode(array(col("h"),
           col("h") + expr("INTERVAL 1 HOUR"),
