@@ -146,10 +146,68 @@ object Analytics {
       |FROM scored GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
-  /** agg_cube — CUBE over (returnflag, linestatus): all four grouping sets
-    * with GROUPING markers (engine-portable; subtotal rows are identified
-    * by the markers, not by null-sentinel collisions).
+  /** events_trend (A16) — per-type LINEAR TREND + next-hour forecast by
+    * exact least squares, the regression/forecasting surface next to
+    * agg_stats' moments: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over the
+    * (hour-index, hourly-cents) series, and the forecast at x* = max+1
+    * evaluated from the SAME closed form — all in integer arithmetic.
+    * The power sums accumulate as plain i64 (x ≤ |hours|, y exact
+    * cents), and the closed-form numerators/denominators are computed in
+    * DECIMAL(38,0) before ONE integral division each (`div`), mirroring
+    * DuckDB's HUGEINT promotion op-for-op — so slope_ppm and
+    * forecast_cents hash-match where any float least-squares would
+    * drift. At 100 TB the same pattern holds with the dprodSum split-sum
+    * idiom if per-row products outgrow i64.
+    *
+    * Scale: one scan → (type, hour) partial-combined aggregate
+    * (domain-sized), then a |types|-row closed-form projection. The
+    * regression itself never sees raw rows — it runs on the hourly
+    * partials, which is why it composes with stored partials
+    * (agg_hist_rollup's idiom) for continuous re-forecasting.
     */
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val EPOCH = "2024-01-01 00:00:00"
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(scaledLong(col("value"), 100L)).as("y"))
+      .withColumn("x",
+        (unix_timestamp(col("h")) - unix_timestamp(lit(EPOCH))) / 3600L)
+      .select(col("event_type"), col("x").cast("long").as("x"), col("y"))
+    val s = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), max(col("x")).as("xmax"))
+    def dec(c: String) = col(c).cast("decimal(38,0)")
+    s.select(col("event_type"), col("n").cast("long").as("n_hours"),
+        col("sy").cast("long").as("total_cents"),
+        (dec("n") * dec("sxy") - dec("sx") * dec("sy")).as("snum"),
+        (dec("n") * dec("sxx") - dec("sx") * dec("sx")).as("den"),
+        dec("sy").as("syd"), dec("n").as("nd"),
+        (dec("n") * (dec("xmax") + lit(1)) - dec("sx")).as("xs"))
+      .select(col("event_type"), col("n_hours"), col("total_cents"),
+        expr("snum * 1000000 div den").as("slope_ppm"),
+        expr("(syd * den + snum * xs) div (nd * den)").as("forecast_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsTrendSql: String =
+    """WITH hourly AS (SELECT event_type,
+      |    CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+      |                   date_trunc('hour', ts)) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |s AS (SELECT event_type, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx,
+      |    max(x) AS xmax
+      |  FROM hourly GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+      |  CAST(sy AS BIGINT) AS total_cents,
+      |  CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+      |    AS slope_ppm,
+      |  CAST((sy * (n * sxx - sx * sx)
+      |        + (n * sxy - sx * sy) * (n * (xmax + 1) - sx))
+      |       // (n * (n * sxx - sx * sx)) AS BIGINT) AS forecast_cents
+      |FROM s ORDER BY event_type""".stripMargin
   def aggCube(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.cube(col("l_returnflag"), col("l_linestatus"))
@@ -745,6 +803,7 @@ object Analytics {
     "having_filter" -> (havingFilter _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_rfm" -> (eventsRfm _),
+    "events_trend" -> (eventsTrend _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
@@ -761,6 +820,7 @@ object Analytics {
     "having_filter" -> havingFilterSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_rfm" -> eventsRfmSql,
+    "events_trend" -> eventsTrendSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_cube" -> aggCubeSql,
     "pivot_segment" -> pivotSegmentSql,

@@ -370,6 +370,34 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("events_trend equals a sequential BigInt least-squares reference") {
+    val epoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hourly = Tables.events(spark, sfTiny)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map { r =>
+        val t = r.getTimestamp(1).getTime
+        ((r.getString(0), (t - Math.floorMod(t, 3600000L) - epoch) / 3600000L),
+          math.round(r.getDouble(2) * 100))
+      }
+      .groupBy(_._1).map { case ((ty, x), xs) => (ty, x, xs.map(_._2).sum) }
+    val want = hourly.groupBy(_._1).map { case (ty, pts) =>
+      val n = BigInt(pts.size)
+      val sx = BigInt(pts.map(_._2).sum); val sy = BigInt(pts.map(_._3).sum)
+      val sxy = pts.map(p => BigInt(p._2) * BigInt(p._3)).sum
+      val sxx = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val xmax = BigInt(pts.map(_._2).max)
+      val snum = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      (ty, pts.size.toLong, sy.toLong,
+        ((snum * 1000000) / den).toLong,
+        ((sy * den + snum * (n * (xmax + 1) - sx)) / (n * den)).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("events_trend")(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
