@@ -143,7 +143,8 @@ object Bench {
       // oracle hash-match still proves served-state ≡ rebuild.
       val warmState = Seq("cdc_incremental_join", "cdc_incremental_neardup",
           "cdc_incremental_ivf", "agg_hist_rollup", "embedding_ivf_knn",
-          "embedding_pq_knn", "embedding_semantic_dedup", "layout_zorder")
+          "embedding_pq_knn", "embedding_semantic_dedup", "layout_zorder",
+          "layout_compaction")
         .filter(best.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val detail =
