@@ -678,6 +678,101 @@ object NearDup {
        |FROM d WHERE n_common * 2 >= ng_small
        |ORDER BY doc_small, doc_big""".stripMargin
 
+  /** doc_minhash_est_error (L37) — SKETCH-ACCURACY EVAL for the shipped
+    * MinHash index, the doc-side sibling of embedding_recall_eval: for
+    * every verified near-dup pair, compare the Jaccard ESTIMATE the
+    * 8-permutation signature implies (matching-min fraction — the
+    * statistic LSH banding consumes) against the exact Jaccard from the
+    * shingle arrays, in integer ppm. This is the schedulable regression
+    * job a production dedup deployment runs when the corpus shifts: if
+    * est−exact error drifts, the band thresholds (and therefore recall)
+    * have silently moved. 8 permutations give a coarse estimator
+    * (steps of 125000 ppm) — the point is measuring the SHIPPED
+    * configuration, not an idealized one.
+    *
+    * Scale: candidate generation and verify are the L2 machinery
+    * verbatim; the signature probe re-aggregates only PAIR-NARROWED
+    * docs (broadcast left-semi — the verifyPairs discipline), and every
+    * arithmetic step (match count, ×125000, exact ppm by integral
+    * division) is engine-identical integer math.
+    */
+  def docMinhashEstError(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingles(Tables.documentsWide(spark, dir))
+    val bands = minhashBands(ex)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val pairs = verifyPairs(cand, ex)
+    val pairIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val mh = ex.join(broadcast(pairIds), Seq("doc_id"), "left_semi")
+      .withColumn("h", md5(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nsh"),
+        (0 until 8).map(i =>
+          min(substring(col("h"), 1 + 4 * i, 4)).as(s"m$i")): _*)
+    def sig(side: String) = (Seq(col("doc_id").as(side),
+      col("nsh").as(s"nsh_$side")) ++
+      (0 until 8).map(i => col(s"m$i").as(s"${side}_m$i"))): Seq[Column]
+    val matches = (0 until 8).map(i =>
+      when(col(s"doc_a_m$i") === col(s"doc_b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(broadcast(mh.select(sig("doc_a"): _*)), Seq("doc_a"))
+      .join(broadcast(mh.select(sig("doc_b"): _*)), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("n_common * 1000000 div (nsh_doc_a + nsh_doc_b - n_common)")
+          .as("exact_ppm"),
+        (matches * lit(125000L)).as("est_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val docMinhashEstErrorSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split($sqlNorm, ' ') AS s FROM documents),
+       |ex AS (SELECT doc_id, unnest(list_distinct(
+       |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]
+       |  )) AS g
+       |  FROM t WHERE len(s) >= 3),
+       |mh AS (SELECT doc_id, count(*) AS n_sh,
+       |  ${(0 until 8).map(i =>
+             s"min(substring(md5(g), ${1 + 4 * i}, 4)) AS h$i").mkString(",\n|  ")}
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (SELECT doc_id, band_id,
+       |  CASE band_id ${(0 until 4).map(b =>
+             s"WHEN $b THEN h${2 * b} || h${2 * b + 1}").mkString(" ")}
+       |  END AS bkey
+       |  FROM mh CROSS JOIN (VALUES (0),(1),(2),(3)) b(band_id)),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |common AS (SELECT c.da, c.db, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN ex ea ON ea.doc_id = c.da
+       |  JOIN ex eb ON eb.doc_id = c.db AND eb.g = ea.g
+       |  GROUP BY 1, 2),
+       |verified AS (SELECT da, db, n_common, na.n_sh AS nsa, nb.n_sh AS nsb,
+       |    ${(0 until 8).map(i =>
+              s"CASE WHEN na.h$i = nb.h$i THEN 1 ELSE 0 END AS e$i")
+              .mkString(", ")}
+       |  FROM common
+       |  JOIN mh na ON na.doc_id = da JOIN mh nb ON nb.doc_id = db
+       |  WHERE CAST(n_common AS DOUBLE)
+       |      / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  CAST(n_common * 1000000 // (nsa + nsb - n_common) AS BIGINT)
+       |    AS exact_ppm,
+       |  CAST((e0+e1+e2+e3+e4+e5+e6+e7) * 125000 AS BIGINT) AS est_ppm,
+       |  CAST(abs((e0+e1+e2+e3+e4+e5+e6+e7) * 125000
+       |       - n_common * 1000000 // (nsa + nsb - n_common)) AS BIGINT)
+       |    AS err_ppm
+       |FROM verified ORDER BY doc_a, doc_b""".stripMargin
+
   /** doc_winnowing (L36) — MOSS-style WINNOWING fingerprints: over the
     * per-position 4-token-gram hash stream, every sliding window of w=8
     * hashes selects its minimum (ties → rightmost), and the distinct
@@ -827,7 +922,8 @@ object NearDup {
     "doc_simhash_dup" -> (docSimhashDup _),
     "doc_ngram_jaccard" -> (docNgramJaccard _),
     "doc_containment" -> (docContainment _),
-    "doc_winnowing" -> (docWinnowing _))
+    "doc_winnowing" -> (docWinnowing _),
+    "doc_minhash_est_error" -> (docMinhashEstError _))
 
   def oracle: Map[String, String] = Map(
     "doc_fuzzy_match" -> docFuzzyMatchSql,
@@ -839,5 +935,6 @@ object NearDup {
     "doc_simhash_dup" -> docSimhashDupSql,
     "doc_ngram_jaccard" -> docNgramJaccardSql,
     "doc_containment" -> docContainmentSql,
-    "doc_winnowing" -> docWinnowingSql)
+    "doc_winnowing" -> docWinnowingSql,
+    "doc_minhash_est_error" -> docMinhashEstErrorSql)
 }

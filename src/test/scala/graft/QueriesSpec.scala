@@ -398,6 +398,42 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("doc_minhash_est_error matches a driver-side signature recompute") {
+    // re-derive the pair rows entirely driver-side: shingle sets, the
+    // 8-permutation minima (md5 4-hex chunks), exact and estimated ppm —
+    // pins both the estimator definition and the pair membership to
+    // doc_near_dedup's declared envelope
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mdHex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sh = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).replaceAll("\\s+", " ").trim
+          .toLowerCase.split(" ")
+        r.getLong(0) -> toks.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    val mins = sh.map { case (id, gs) =>
+      val hs = gs.toSeq.map(mdHex)
+      id -> (0 until 8).map(i => hs.map(_.substring(4 * i, 4 * i + 4)).min)
+    }
+    val want = (for {
+      (a, ga) <- sh.toSeq; (b, gb) <- sh.toSeq if a < b
+      // LSH candidate: some band (pair of adjacent perms) agrees
+      if (0 until 4).exists(bd => mins(a)(2 * bd) == mins(b)(2 * bd) &&
+        mins(a)(2 * bd + 1) == mins(b)(2 * bd + 1))
+      common = (ga & gb).size
+      if common.toDouble / (ga.size + gb.size - common) >= 0.5
+      exact = common.toLong * 1000000L / (ga.size + gb.size - common)
+      est = (0 until 8).count(i => mins(a)(i) == mins(b)(i)) * 125000L
+    } yield (a, b, exact, est, math.abs(est - exact))).sorted
+    val got = SparkEntry.queries("doc_minhash_est_error")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
