@@ -434,6 +434,50 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("triangle algebra holds on random graphs incl. degenerate shapes") {
+    // the edge-iterator identity Σ|N(x)∩N(y)| = 3·triangles, exercised on
+    // random adjacency (seeded — deterministic) plus the degenerate
+    // shapes sfTiny can't produce: triangle-free stars, isolated edges,
+    // and a complete clique — driven through the same broadcast-adjacency
+    // sorted-intersect computation the query uses
+    import spark.implicits._
+    import graft.functions.VectorExprs
+    val rnd = new scala.util.Random(7)
+    val randomG = (1 to 60).flatMap { _ =>
+      val a = rnd.nextInt(12).toLong; val b = rnd.nextInt(12).toLong
+      if (a == b) None else Some((math.min(a, b), math.max(a, b)))
+    }.distinct
+    val star = (1L to 6L).map(i => (0L, 100L + i))         // 0 triangles
+    val pair = Seq((200L, 201L))                           // isolated edge
+    val k5 = for (a <- 300L to 304L; b <- a + 1 to 304L) yield (a, b) // C(5,3)=10
+    for ((edges, name) <- Seq((randomG, "random"), (star, "star"),
+        (pair, "edge"), ((star ++ pair ++ k5).toSeq, "mixed"))) {
+      val nbr = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val expected = edges.map { case (a, b) => (nbr(a) & nbr(b)).size.toLong }
+      val e0 = edges.toDF("x", "y")
+      val ad = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
+      val adj = ad.groupBy(col("x"))
+        .agg(sort_array(collect_list(col("y"))).as("arr"))
+      val got = e0
+        .join(broadcast(adj.select(col("x"), col("arr").as("ax"))), Seq("x"))
+        .join(broadcast(adj.select(col("x").as("y"), col("arr").as("ay"))),
+          Seq("y"))
+        .select(col("x"), col("y"),
+          VectorExprs.sortedIntersectCount(col("ax"), col("ay")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val want = edges.zip(expected).map { case ((a, b), c) => (a, b) -> c }
+      want.foreach { case ((a, b), c) =>
+        assert(got((a, b)) == c, s"$name: edge ($a,$b) embeddedness") }
+      val tri3 = expected.sum
+      assert(tri3 % 3 == 0, s"$name: Σ embeddedness not divisible by 3")
+      if (name == "star") assert(tri3 == 0)
+      if (name == "edge") assert(tri3 == 0)
+      if (name == "mixed") assert(tri3 / 3 >= 10) // the K5 contributes C(5,3)
+    }
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
