@@ -153,6 +153,58 @@ object Embeddings {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** embedding_filtered_knn (L38) — FILTERED vector search, the staple
+    * every production vector store ships ("nearest neighbors WHERE
+    * metadata predicate"): top-5 cosine neighbors restricted to the
+    * QUERY'S OWN label class. The strategy is PRE-FILTERING — the
+    * predicate joins into the candidate scan BEFORE scoring, so the
+    * result is exact at full recall and the scan cost DROPS by the
+    * predicate's selectivity (~1/|labels| here). The alternative every
+    * vector DB documents — post-filtering an unfiltered ANN top-k —
+    * silently under-returns when the filter is selective (a top-5 with
+    * 10% selectivity expects 0.5 surviving rows); on an engine where
+    * the predicate can ride the scan, filter-then-search is simply
+    * correct. Composes with the IVF/PQ paths unchanged: the label
+    * predicate ANDs into the cell-probe join.
+    *
+    * Scale: queries broadcast; the label equi-condition joins
+    * broadcast-side, so the corpus scan stays linear and shuffle-free;
+    * per-query top-k is the native bounded heap (never a window sort).
+    */
+  def embeddingFilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    val n = withNorm(spark, dir)
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("norm_s").as("q_norm"))
+    val pairs = n.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .withColumn("cosine",
+        cosine(dotS(col("q_emb"), col("embedding")),
+          col("q_norm"), col("norm_s")))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("cosine"))
+    topPerQuery(pairs, "cosine", 5, "rank")
+      .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+        col("rank"), col("vec_id").as("neighbor"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val embeddingFilteredKnnSql: String =
+    s"""WITH $sqlWithNorm,
+       |p AS (SELECT q.vec_id AS q_id, CAST(q.label AS BIGINT) AS q_label,
+       |    c.vec_id AS neighbor,
+       |    ${sqlDotS("q.embedding", "c.embedding")} AS dot_s,
+       |    q.norm_s AS qn, c.norm_s AS cn
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id AND c.label = q.label
+       |  WHERE q.vec_id < 8),
+       |r AS (SELECT q_id, q_label, neighbor,
+       |    CAST(dot_s AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS cosine,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY CAST(dot_s AS DOUBLE) / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+       |               neighbor) AS rank
+       |  FROM p)
+       |SELECT q_id, q_label, CAST(rank AS BIGINT) AS rank, neighbor, cosine
+       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** embedding_sq_knn (L22) — scalar-quantized (SQ8) similarity search,
     * the FAISS `SQ8`/`IVF,SQ8` compression idiom: every float component
     * maps to an 8-bit code (one global symmetric scale, q = floor(x ·
@@ -1032,6 +1084,7 @@ object Embeddings {
     "array_ops" -> (arrayOps _),
     "embedding_recall_eval" -> (embeddingRecallEval _),
     "embedding_knn" -> (embeddingKnn _),
+    "embedding_filtered_knn" -> (embeddingFilteredKnn _),
     "embedding_knn_lsh" -> (embeddingKnnLsh _),
     "embedding_sq_knn" -> (embeddingSqKnn _),
     "embedding_pq_knn" -> (embeddingPqKnn _),
@@ -1044,6 +1097,7 @@ object Embeddings {
     "array_ops" -> arrayOpsSql,
     "embedding_recall_eval" -> embeddingRecallEvalSql,
     "embedding_knn" -> embeddingKnnSql,
+    "embedding_filtered_knn" -> embeddingFilteredKnnSql,
     "embedding_knn_lsh" -> embeddingKnnLshSql,
     "embedding_sq_knn" -> embeddingSqKnnSql,
     "embedding_pq_knn" -> embeddingPqKnnSql,

@@ -13,6 +13,35 @@ class EmbeddingsSpec extends SparkSpec {
     df.select(col("q_id"), col("neighbor"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("filtered kNN equals a driver-side same-label exact scan") {
+    // pre-filtering must be EXACT at full recall: re-derive the top-5
+    // same-label neighbors driver-side with the identical integer-dot
+    // convention (floor(a·b·1e14) per component) and compare rankings
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    def dotS(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i =>
+        math.floor(a(i).toDouble * b(i).toDouble * 1e14).toLong).sum
+    val norms = vecs.map(v => v._1 -> dotS(v._3, v._3)).toMap
+    val want = vecs.filter(_._1 < 8).flatMap { case (qid, ql, qe) =>
+      vecs.filter(v => v._1 != qid && v._2 == ql)
+        .map { case (cid, _, ce) =>
+          val cos = dotS(qe, ce).toDouble /
+            math.sqrt(norms(qid).toDouble * norms(cid).toDouble)
+          (qid, cid, cos)
+        }
+        .sortBy { case (_, cid, cos) => (-cos, cid) }.take(5)
+        .zipWithIndex
+        .map { case ((q, c, cos), i) => (q, ql.toLong, i + 1L, c, cos) }
+    }.toSeq.sortBy(t => (t._1, t._3))
+    val got = SparkEntry.queries("embedding_filtered_knn")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("cdc_incremental_ivf: fresh delta vectors are immediately searchable") {
     // the value claim of incremental index maintenance: a vector ingested
     // AFTER the index was built (vec_id % 20 == 0) must be reachable as a
