@@ -208,6 +208,63 @@ object Analytics {
       |        + (n * sxy - sx * sy) * (n * (xmax + 1) - sx))
       |       // (n * (n * sxx - sx * sx)) AS BIGINT) AS forecast_cents
       |FROM s ORDER BY event_type""".stripMargin
+
+  /** events_seasonality (A17) — hour-of-day × day-of-week SEASONALITY
+    * profile per event type, the decomposition sibling of events_trend
+    * (trend answers "where is it going", seasonality "when does it
+    * happen"): peak activity cell, weekend share, and night share, all
+    * in exact ppm. Portability trap handled explicitly: Spark's
+    * `dayofweek` is 1=Sunday..7 while DuckDB's is 0=Sunday..6, so BOTH
+    * engines compute dow as epoch-days-since-Monday-2024-01-01 mod 7
+    * (0=Monday) — a pure date-diff both define identically. Peak cell =
+    * single-pass max(struct(cnt, dow, hour)) argmax (ties → the latest
+    * cell, declared).
+    *
+    * Scale: one scan → (type, dow, hour) partial-combined counts — at
+    * most |types|·168 cells regardless of data size — then a |types|-row
+    * rollup. The profile is the mergeable-partials shape: stored daily
+    * counts roll up to any window without raw re-scan.
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          % 7).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    cells.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"),
+        max(struct(col("cnt"), col("dow"), col("hr"))).as("pk"),
+        sum(when(col("dow") >= 5, col("cnt")).otherwise(0L)).as("wknd"),
+        sum(when(col("hr") < 6 || col("hr") >= 22, col("cnt"))
+          .otherwise(0L)).as("night"))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        col("pk.dow").as("peak_dow"), col("pk.hr").as("peak_hour"),
+        expr("pk.cnt * 1000000 div n").as("peak_share_ppm"),
+        expr("wknd * 1000000 div n").as("weekend_ppm"),
+        expr("night * 1000000 div n").as("night_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsSeasonalitySql: String =
+    """WITH cells AS (SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+      |      AS BIGINT) AS dow,
+      |    CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+      |  max(struct_pack(cnt := cnt, dow := dow, hr := hr)).dow AS peak_dow,
+      |  max(struct_pack(cnt := cnt, dow := dow, hr := hr)).hr AS peak_hour,
+      |  CAST(max(struct_pack(cnt := cnt, dow := dow, hr := hr)).cnt
+      |    * 1000000 // sum(cnt) AS BIGINT) AS peak_share_ppm,
+      |  CAST(sum(CASE WHEN dow >= 5 THEN cnt ELSE 0 END) * 1000000
+      |    // sum(cnt) AS BIGINT) AS weekend_ppm,
+      |  CAST(sum(CASE WHEN hr < 6 OR hr >= 22 THEN cnt ELSE 0 END) * 1000000
+      |    // sum(cnt) AS BIGINT) AS night_ppm
+      |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def aggCube(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.cube(col("l_returnflag"), col("l_linestatus"))
@@ -804,6 +861,7 @@ object Analytics {
     "events_anomaly" -> (eventsAnomaly _),
     "events_rfm" -> (eventsRfm _),
     "events_trend" -> (eventsTrend _),
+    "events_seasonality" -> (eventsSeasonality _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
@@ -821,6 +879,7 @@ object Analytics {
     "events_anomaly" -> eventsAnomalySql,
     "events_rfm" -> eventsRfmSql,
     "events_trend" -> eventsTrendSql,
+    "events_seasonality" -> eventsSeasonalitySql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_cube" -> aggCubeSql,
     "pivot_segment" -> pivotSegmentSql,

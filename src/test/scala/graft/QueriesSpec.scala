@@ -478,6 +478,32 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("events_seasonality equals a sequential driver-side reference") {
+    val anchor = java.time.LocalDate.parse("2024-01-01")
+    val cells = Tables.events(spark, sfTiny)
+      .select(col("event_type"), col("ts")).collect()
+      .map { r =>
+        val i = r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC)
+        (r.getString(0),
+          java.time.temporal.ChronoUnit.DAYS.between(
+            anchor, i.toLocalDate) % 7,
+          i.getHour.toLong)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = cells.groupBy(_._1._1).map { case (t, cs) =>
+      val n = cs.values.sum
+      val pk = cs.map { case ((_, d, h), c) => (c, d, h) }.max
+      (t, n, pk._2, pk._3, pk._1 * 1000000L / n,
+        cs.collect { case ((_, d, _), c) if d >= 5 => c }.sum * 1000000L / n,
+        cs.collect { case ((_, _, h), c) if h < 6 || h >= 22 => c }
+          .sum * 1000000L / n)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("events_seasonality")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_funnel_steps stages are monotonically non-increasing") {
     for (sf <- Seq(sfTiny, sfSmall)) {
       val rows = SparkEntry.queries("events_funnel_steps")(spark, sf)
