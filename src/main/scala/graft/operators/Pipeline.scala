@@ -1322,9 +1322,107 @@ object Pipeline {
       |FROM emb, tot
       |ORDER BY n_common DESC, part_a, part_b LIMIT 10""".stripMargin
 
+  /** graph_shortest_paths (G3) — multi-source BFS hop distances over the
+    * bidirectional customer↔part purchase graph (the same 2k/2k+1 node
+    * encoding as graph_pagerank, DISTINCT edges — hop distance is
+    * multiplicity-blind). Seeds = nation-0 customers that placed at least
+    * one order; 4 relaxation rounds bound the explored radius, nodes
+    * beyond it (or in other components) report dist = -1. The output is
+    * the per-(kind, dist) frontier census: node count, id XOR checksum,
+    * id range — the reachability profile a graph-expansion feature
+    * ("how far is every part from this customer segment") serves.
+    *
+    * Algorithm: level-bounded Bellman-Ford — dist_k = min(dist_{k-1},
+    * 1 + min over in-neighbors' dist_{k-1}). Hop distances are exact
+    * integers, so every round is order-independent and the result can
+    * hash-match the oracle's recursive CTE (a weighted/float SSSP could
+    * not). Rounds are data-INDEPENDENT (fixed 4), so the whole query is
+    * one deterministic plan per round with node-sized state pinned by
+    * localCheckpoint — same discipline as connectedComponents, without
+    * its convergence probe.
+    *
+    * Scale: the EDGE FRAME NEVER SHUFFLES — each round broadcasts the
+    * node-sized dist table onto the checkpointed edges (graph_pagerank's
+    * contract); the per-round exchange carries ≤ |nodes| rows. On a
+    * cluster where dist outgrows broadcast the identical join degrades to
+    * the keyed-shuffle Pregel shape. A frontier-delta variant (relax only
+    * nodes whose dist changed) is the classic refinement when the reached
+    * set plateaus early; with 4 rounds and a bipartite fan-out this
+    * full-relax form is fewer jobs and strictly simpler lineage.
+    */
+  def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = cp.unionByName(
+        cp.select(col("dst").as("src"), col("src").as("dst")))
+      .coalesce(8).localCheckpoint()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+      .join(edges.select(col("src").as("node")), Seq("node"), "left_semi")
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      val relax = edges
+        .join(broadcast(dist.select(col("node").as("src"), col("dist"))),
+          Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    edges.select(col("src").as("node")).distinct()
+      .join(dist, Seq("node"), "left")
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part"))
+          .as("kind"),
+        coalesce(col("dist"), lit(-1L)).as("dist"),
+        expr("node div 2").as("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
+  val graphShortestPathsSql: String =
+    """WITH RECURSIVE cp AS (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM cp UNION ALL SELECT dst, src FROM cp),
+      |seeds AS (
+      |  SELECT DISTINCT c_custkey * 2 AS node
+      |  FROM customer JOIN orders ON o_custkey = c_custkey
+      |  WHERE c_nationkey = 0),
+      |walk(node, dist) AS (
+      |  SELECT node, 0 AS dist FROM seeds
+      |  UNION
+      |  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.dist < 4),
+      |d AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges)
+      |SELECT
+      |  CASE WHEN nodes.node % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
+      |  CAST(COALESCE(d.dist, -1) AS BIGINT) AS dist,
+      |  count(*) AS n_nodes,
+      |  CAST(bit_xor(nodes.node // 2) AS BIGINT) AS id_xor,
+      |  CAST(min(nodes.node // 2) AS BIGINT) AS min_id,
+      |  CAST(max(nodes.node // 2) AS BIGINT) AS max_id
+      |FROM nodes LEFT JOIN d ON d.node = nodes.node
+      |GROUP BY 1, 2
+      |ORDER BY kind, dist""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_shortest_paths" -> (graphShortestPaths _),
     "corpus_mix" -> (corpusMix _),
     "doc_dup_spans" -> (docDupSpans _),
     "doc_repetition" -> (docRepetition _),
@@ -1361,5 +1459,6 @@ object Pipeline {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_survivorship" -> dedupSurvivorshipSql,
     "graph_pagerank" -> graphPagerankSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_shortest_paths" -> graphShortestPathsSql)
 }

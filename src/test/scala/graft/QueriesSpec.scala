@@ -167,6 +167,46 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("graph_shortest_paths equals a sequential BFS reference") {
+    // independent re-derivation with a driver-side queue BFS (no Spark
+    // joins, no recursion-by-rounds): pins that the 4 relax rounds
+    // compute true hop distance with the declared radius/unreached
+    // semantics, not merely something both engines agree on
+    val o = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cp = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .flatMap(r => o.get(r.getLong(0)).map(c =>
+        (c * 2, r.getLong(1) * 2 + 1))).distinct
+    val adj = (cp ++ cp.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val seedSet = Tables.customer(spark, sfTiny)
+      .filter(col("c_nationkey") === 0).select(col("c_custkey")).collect()
+      .map(_.getLong(0) * 2).filter(adj.contains).toSet
+    val distM = scala.collection.mutable.Map[Long, Long]()
+    var frontier = seedSet
+    frontier.foreach(n => distM(n) = 0L)
+    for (d <- 1L to 4L) {
+      frontier = frontier.flatMap(adj(_)).filterNot(distM.contains)
+      frontier.foreach(n => distM(n) = d)
+    }
+    val want = adj.keys.toSeq
+      .map { n =>
+        (if (n % 2 == 0) "customer" else "part",
+          distM.getOrElse(n, -1L), n / 2) }
+      .groupBy { case (k, d, _) => (k, d) }
+      .map { case ((k, d), rows) =>
+        val ids = rows.map(_._3)
+        (k, d, ids.size.toLong, ids.reduce(_ ^ _), ids.min, ids.max) }
+      .toSeq.sortBy { case (k, d, _, _, _, _) => (k, d) }
+    val got = SparkEntry.queries("graph_shortest_paths")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("graph_triangles equals a sequential brute-force reference") {
     // independent re-derivation in driver-side Sets (no Spark, no SQL):
     // same subgraph, naive common-neighbor count per edge — pins that the
