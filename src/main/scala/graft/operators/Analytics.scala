@@ -265,6 +265,101 @@ object Analytics {
       |    // sum(cnt) AS BIGINT) AS night_ppm
       |FROM cells GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** events_autocorr (A18) — lag-1/2/3 AUTOCORRELATION of the hourly
+    * activity series per event type: the memory/periodicity diagnostic
+    * next to events_trend (direction) and events_seasonality (profile) —
+    * "does this hour predict the next?" drives forecast-model choice and
+    * anomaly-window sizing. Pearson r over (y_t, y_{t-k}) pairs of
+    * hourly cents totals, with series gaps handled explicitly: pairs
+    * form by DIRECT (x, x−k) slot lookup, so a pair counts exactly when
+    * both hour slots exist — never by row offset across a gap.
+    *
+    * DETERMINISM: r itself needs a sqrt, which neither engine computes
+    * identically from differently-associated float sums — so the payload
+    * is r² in ppm, entirely in integer arithmetic: power sums in i64,
+    * closed-form numerator/denominators in DECIMAL(38,0) (DuckDB:
+    * HUGEINT), then r²·1e6 ≈ (num·1e3 div d1)·(num·1e3 div d2) — two
+    * integral truncating divisions, identical op-for-op in both engines
+    * (the A16 probe), with the correlation's SIGN as its own integer
+    * column. Quantization error ≤ ~1e-3 of r² — a measurement report, not
+    * a drift: both engines emit the same integer.
+    *
+    * Scale: one scan → (type, hour) partial-combined aggregate
+    * (domain-sized); the ×3 probe explode and the (type, slot) self-join
+    * touch only that |types|·|hours| frame, never raw events. Power sums
+    * stay in i64 out to ~1e18/|hour-cents|² rows per type — past that,
+    * the dprodSum split-sum idiom applies unchanged.
+    */
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val EPOCH = "2024-01-01 00:00:00"
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(scaledLong(col("value"), 100L)).as("y"))
+      .withColumn("x",
+        (unix_timestamp(col("h")) - unix_timestamp(lit(EPOCH))) / 3600L)
+      .select(col("event_type"), col("x").cast("long").as("x"), col("y"))
+    // pair (x, x−k) by DIRECT slot lookup — a row-offset lag() would
+    // silently pair across series gaps (lag-2-rows ≠ lag-2-hours when an
+    // hour is empty); the ×3 probe explode + equi-join touches only the
+    // domain-sized hourly frame
+    val probes = hourly
+      .select(col("event_type"), col("x"), col("y").as("a"),
+        expr("stack(3, 1L, 2L, 3L) as (lag_h)"))
+      .withColumn("xp", col("x") - col("lag_h"))
+    val pairs = probes.join(
+        hourly.select(col("event_type"), col("x").as("xp"),
+          col("y").as("b")),
+        Seq("event_type", "xp"))
+      .select(col("event_type"), col("lag_h"), col("a"), col("b"))
+    val s = pairs.groupBy(col("event_type"), col("lag_h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+    def dec(c: String) = col(c).cast("decimal(38,0)")
+    s.select(col("event_type"), col("lag_h"),
+        col("n").cast("long").as("n_pairs"),
+        (dec("n") * dec("sab") - dec("sa") * dec("sb")).as("num"),
+        (dec("n") * dec("saa") - dec("sa") * dec("sa")).as("d1"),
+        (dec("n") * dec("sbb") - dec("sb") * dec("sb")).as("d2"))
+      .select(col("event_type"), col("lag_h"), col("n_pairs"),
+        when(col("d1") === 0 || col("d2") === 0, lit(null))
+          .otherwise(expr(
+            "(num * 1000 div d1) * (num * 1000 div d2)"))
+          .cast("long").as("r2_ppm"),
+        when(col("num") > 0, lit(1L)).when(col("num") < 0, lit(-1L))
+          .otherwise(lit(0L)).as("corr_sign"))
+      .orderBy(col("event_type"), col("lag_h"))
+  }
+
+  val eventsAutocorrSql: String =
+    """WITH hourly AS (SELECT event_type,
+      |    CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+      |                   date_trunc('hour', ts)) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |pairs AS (
+      |  SELECT h1.event_type, k.lag_h, h1.y AS a, h2.y AS b
+      |  FROM hourly h1
+      |  CROSS JOIN (VALUES (1), (2), (3)) k(lag_h)
+      |  JOIN hourly h2 ON h2.event_type = h1.event_type
+      |    AND h2.x = h1.x - k.lag_h),
+      |s AS (SELECT event_type, lag_h, count(*) AS n,
+      |    sum(a) AS sa, sum(b) AS sb, sum(a*b) AS sab,
+      |    sum(a*a) AS saa, sum(b*b) AS sbb
+      |  FROM pairs GROUP BY event_type, lag_h)
+      |SELECT event_type, CAST(lag_h AS BIGINT) AS lag_h,
+      |  CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(CASE WHEN (n*saa - sa*sa) = 0 OR (n*sbb - sb*sb) = 0 THEN NULL
+      |    ELSE ((n*sab - sa*sb) * 1000 // (n*saa - sa*sa))
+      |       * ((n*sab - sa*sb) * 1000 // (n*sbb - sb*sb))
+      |  END AS BIGINT) AS r2_ppm,
+      |  CAST(CASE WHEN (n*sab - sa*sb) > 0 THEN 1
+      |    WHEN (n*sab - sa*sb) < 0 THEN -1 ELSE 0 END AS BIGINT)
+      |    AS corr_sign
+      |FROM s ORDER BY event_type, lag_h""".stripMargin
+
   def aggCube(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.cube(col("l_returnflag"), col("l_linestatus"))
@@ -862,6 +957,7 @@ object Analytics {
     "events_rfm" -> (eventsRfm _),
     "events_trend" -> (eventsTrend _),
     "events_seasonality" -> (eventsSeasonality _),
+    "events_autocorr" -> (eventsAutocorr _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_cube" -> (aggCube _),
     "pivot_segment" -> (pivotSegment _),
@@ -880,6 +976,7 @@ object Analytics {
     "events_rfm" -> eventsRfmSql,
     "events_trend" -> eventsTrendSql,
     "events_seasonality" -> eventsSeasonalitySql,
+    "events_autocorr" -> eventsAutocorrSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_cube" -> aggCubeSql,
     "pivot_segment" -> pivotSegmentSql,

@@ -207,6 +207,47 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("events_autocorr equals a sequential BigInt reference") {
+    // independent re-derivation driver-side: hourly cents per type from
+    // raw rows, lag pairs on exact hour adjacency, r² ppm via the same
+    // truncating integer closed form in BigInt — pins that the
+    // window+stack plan computes the DECLARED statistic
+    val epoch = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val raw = Tables.events(spark, sfTiny)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("s"),
+        col("value")).collect()
+      .map(r => (r.getString(0), (r.getLong(1) - epoch) / 3600L,
+        math.rint(r.getDouble(2) * 100).toLong))
+    val hourly = raw.groupBy(t => (t._1, t._2))
+      .map { case ((ty, x), v) => (ty, x, v.map(_._3).sum) }
+      .groupBy(_._1).map { case (ty, v) =>
+        ty -> v.map(t => t._2 -> t._3).toMap }
+    val want = (for {
+      (ty, series) <- hourly.toSeq
+      k <- 1L to 3L
+    } yield {
+      val ps = series.toSeq.collect {
+        case (x, a) if series.contains(x - k) => (BigInt(a), BigInt(series(x - k)))
+      }
+      val n = BigInt(ps.size)
+      val sa = ps.map(_._1).sum; val sb = ps.map(_._2).sum
+      val sab = ps.map(p => p._1 * p._2).sum
+      val saa = ps.map(p => p._1 * p._1).sum
+      val sbb = ps.map(p => p._2 * p._2).sum
+      val num = n * sab - sa * sb
+      val d1 = n * saa - sa * sa; val d2 = n * sbb - sb * sb
+      val r2 = if (d1 == 0 || d2 == 0) None
+        else Some(((num * 1000 / d1) * (num * 1000 / d2)).toLong)
+      (ty, k, n.toLong, r2, num.signum.toLong)
+    }).sortBy { case (ty, k, _, _, _) => (ty, k) }
+    val got = SparkEntry.queries("events_autocorr")(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+      .toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("graph_triangles equals a sequential brute-force reference") {
     // independent re-derivation in driver-side Sets (no Spark, no SQL):
     // same subgraph, naive common-neighbor count per edge — pins that the
