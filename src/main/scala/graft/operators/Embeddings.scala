@@ -153,6 +153,69 @@ object Embeddings {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine
        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** embedding_range_search (L39) — RANGE (radius / ε-NN) similarity
+    * search: ALL corpus vectors within cosine ≥ 0.15 of each query, not a
+    * fixed top-k — the other half of the vector-search API (FAISS
+    * `range_search`, pgvector `<->` + WHERE): dedup-by-radius,
+    * "everything at least this similar" retrieval, recall-oriented
+    * filters. Per query the report carries the match count, an
+    * order-free id XOR checksum of exactly WHICH vectors matched, the
+    * nearest id (single-pass max(struct) argmax, ties → smaller id) and
+    * its cosine; a query with an empty ball still reports (n=0) via the
+    * left join from the query set.
+    *
+    * Determinism: cosines come from the exact-BIGINT scaled dot/norms
+    * (file header), so the threshold comparison and the argmax run on
+    * bit-identical doubles in both engines. Scale: queries broadcast,
+    * the corpus streams through ONE scan with no shuffle (the aggregate
+    * is 8 groups); radius search composes with the IVF cell probe
+    * unchanged — probe cells whose centroid ball intersects the query
+    * ball instead of nprobe-nearest.
+    */
+  def embeddingRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val n = withNorm(spark, dir)
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm_s").as("q_norm"))
+    val pairs = n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        cosine(dotS(col("q_emb"), col("embedding")),
+          col("q_norm"), col("norm_s")))
+      .filter(col("cosine") >= 0.15)
+    val agg = pairs.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        bit_xor(col("vec_id")).as("id_xor"),
+        max(struct(col("cosine"), (-col("vec_id")).as("nid"))).as("mx"))
+    q.select(col("q_id")).join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("id_xor"), lit(0L)).as("id_xor"),
+        (-col("mx.nid")).as("nearest"),
+        col("mx.cosine").as("max_cosine"))
+      .orderBy(col("q_id"))
+  }
+
+  val embeddingRangeSearchSql: String =
+    s"""WITH $sqlWithNorm,
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+       |    CAST(${sqlDotS("q.embedding", "c.embedding")} AS DOUBLE)
+       |      / sqrt(CAST(q.norm_s AS DOUBLE) * CAST(c.norm_s AS DOUBLE))
+       |      AS cosine
+       |  FROM n q JOIN n c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 8),
+       |m AS (SELECT q_id, count(*) AS n_matches,
+       |    bit_xor(neighbor) AS id_xor,
+       |    max(struct_pack(cosine := cosine, nid := -neighbor)) AS mx
+       |  FROM p WHERE cosine >= 0.15 GROUP BY q_id)
+       |SELECT q.vec_id AS q_id,
+       |  CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+       |  CAST(COALESCE(m.id_xor, 0) AS BIGINT) AS id_xor,
+       |  CAST(-(m.mx).nid AS BIGINT) AS nearest,
+       |  (m.mx).cosine AS max_cosine
+       |FROM n q LEFT JOIN m ON m.q_id = q.vec_id
+       |WHERE q.vec_id < 8
+       |ORDER BY q_id""".stripMargin
+
   /** embedding_filtered_knn (L38) — FILTERED vector search, the staple
     * every production vector store ships ("nearest neighbors WHERE
     * metadata predicate"): top-5 cosine neighbors restricted to the
@@ -1085,6 +1148,7 @@ object Embeddings {
     "embedding_recall_eval" -> (embeddingRecallEval _),
     "embedding_knn" -> (embeddingKnn _),
     "embedding_filtered_knn" -> (embeddingFilteredKnn _),
+    "embedding_range_search" -> (embeddingRangeSearch _),
     "embedding_knn_lsh" -> (embeddingKnnLsh _),
     "embedding_sq_knn" -> (embeddingSqKnn _),
     "embedding_pq_knn" -> (embeddingPqKnn _),
@@ -1098,6 +1162,7 @@ object Embeddings {
     "embedding_recall_eval" -> embeddingRecallEvalSql,
     "embedding_knn" -> embeddingKnnSql,
     "embedding_filtered_knn" -> embeddingFilteredKnnSql,
+    "embedding_range_search" -> embeddingRangeSearchSql,
     "embedding_knn_lsh" -> embeddingKnnLshSql,
     "embedding_sq_knn" -> embeddingSqKnnSql,
     "embedding_pq_knn" -> embeddingPqKnnSql,

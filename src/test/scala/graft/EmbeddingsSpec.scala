@@ -42,6 +42,38 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("range search equals a driver-side exact-scan reference") {
+    // radius semantics: EVERY vector with cosine >= 0.15 is in the ball
+    // (count + id XOR pin exact membership), the nearest is the true
+    // argmax with the smaller-id tiebreak, and empty balls still report
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dotS(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i =>
+        math.floor(a(i).toDouble * b(i).toDouble * 1e14).toLong).sum
+    val norms = vecs.map(v => v._1 -> dotS(v._2, v._2)).toMap
+    val want = vecs.filter(_._1 < 8).map { case (qid, qe) =>
+      val ball = vecs.filter(_._1 != qid).map { case (cid, ce) =>
+          (cid, dotS(qe, ce).toDouble /
+            math.sqrt(norms(qid).toDouble * norms(cid).toDouble))
+        }.filter(_._2 >= 0.15)
+      val (nearest, mx) = if (ball.isEmpty) (None, None)
+        else {
+          val best = ball.minBy { case (cid, cos) => (-cos, cid) }
+          (Some(best._1), Some(best._2))
+        }
+      (qid, ball.size.toLong,
+        if (ball.isEmpty) 0L else ball.map(_._1).reduce(_ ^ _),
+        nearest, mx)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("embedding_range_search")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("cdc_incremental_ivf: fresh delta vectors are immediately searchable") {
     // the value claim of incremental index maintenance: a vector ingested
     // AFTER the index was built (vec_id % 20 == 0) must be reachable as a
