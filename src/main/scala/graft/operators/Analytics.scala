@@ -146,6 +146,86 @@ object Analytics {
       |FROM scored GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** events_anomaly_mad (A19) — ROBUST telemetry outlier gate via
+    * median/MAD, the breakdown-resistant sibling of events_anomaly's
+    * 3σ z-score: mean/stddev are themselves dragged by the outliers they
+    * are supposed to flag (one 1e6 spike shifts a 3σ fence), while the
+    * median and the median-absolute-deviation have a 50% breakdown
+    * point — the standard robust gate (Hampel / x84 rule). Flag rule:
+    * |c − med| · 10⁴ > 44478 · MAD, i.e. dev > 3 · 1.4826 · MAD with the
+    * Gaussian consistency constant folded into an INTEGER threshold so
+    * the comparison is exact in both engines (cents are exact i64; no
+    * float appears anywhere in the decision).
+    *
+    * Both medians are LOWER medians read off VALUE-DOMAIN histograms
+    * (the aggHistQuantile/eventsRfm idiom): the cumulative window runs
+    * over |distinct cents| ≤ value-domain rows per type, never raw
+    * events — so the median cost is INDEPENDENT of row count, where a
+    * rank-window median would sort the full stream. Two raw scans
+    * (values, then deviations against the broadcast medians), two
+    * domain-sized histograms, two 1-row-per-type broadcasts.
+    */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        scaledLong(col("value"), 100L).as("c"))
+    def lowerMedian(df: DataFrame, vcol: String, out: String): DataFrame = {
+      val hist = df.groupBy(col("event_type"), col(vcol))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n",
+          sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(vcol)))
+          .as(out))
+    }
+    val med = lowerMedian(ev, "c", "med")
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("d", abs(col("c") - col("med")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("d")),
+      "d", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("anom", col("d") * 10000L > col("mad") * 44478L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).cast("long").as("med_cents"),
+        max(col("mad")).cast("long").as("mad_cents"),
+        sum(when(col("anom"), 1L).otherwise(0L)).cast("long").as("n_anom"),
+        bit_xor(when(col("anom"), col("event_id"))).as("anom_id_xor"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsAnomalyMadSql: String =
+    """WITH ev AS (SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |h1 AS (SELECT event_type, c, count(*) AS cnt FROM ev GROUP BY 1, 2),
+      |c1 AS (SELECT event_type, c,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM h1),
+      |med AS (SELECT event_type,
+      |    min(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS med
+      |  FROM c1 GROUP BY 1),
+      |dev AS (SELECT e.event_type, e.event_id, abs(e.c - m.med) AS d, m.med
+      |  FROM ev e JOIN med m USING (event_type)),
+      |h2 AS (SELECT event_type, d, count(*) AS cnt FROM dev GROUP BY 1, 2),
+      |c2 AS (SELECT event_type, d,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM h2),
+      |mad AS (SELECT event_type,
+      |    min(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad
+      |  FROM c2 GROUP BY 1)
+      |SELECT dv.event_type, count(*) AS n_events,
+      |  CAST(max(dv.med) AS BIGINT) AS med_cents,
+      |  CAST(max(ma.mad) AS BIGINT) AS mad_cents,
+      |  CAST(sum(CASE WHEN dv.d * 10000 > ma.mad * 44478 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_anom,
+      |  CAST(bit_xor(CASE WHEN dv.d * 10000 > ma.mad * 44478
+      |    THEN dv.event_id END) AS BIGINT) AS anom_id_xor
+      |FROM dev dv JOIN mad ma USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** events_trend (A16) — per-type LINEAR TREND + next-hour forecast by
     * exact least squares, the regression/forecasting surface next to
     * agg_stats' moments: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over the
@@ -954,6 +1034,7 @@ object Analytics {
     "agg_hist_quantile" -> (aggHistQuantile _),
     "having_filter" -> (havingFilter _),
     "events_anomaly" -> (eventsAnomaly _),
+    "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_rfm" -> (eventsRfm _),
     "events_trend" -> (eventsTrend _),
     "events_seasonality" -> (eventsSeasonality _),
@@ -973,6 +1054,7 @@ object Analytics {
     "agg_hist_quantile" -> aggHistQuantileSql,
     "having_filter" -> havingFilterSql,
     "events_anomaly" -> eventsAnomalySql,
+    "events_anomaly_mad" -> eventsAnomalyMadSql,
     "events_rfm" -> eventsRfmSql,
     "events_trend" -> eventsTrendSql,
     "events_seasonality" -> eventsSeasonalitySql,

@@ -207,6 +207,32 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("events_anomaly_mad equals a sequential median/MAD reference") {
+    // driver-side lower-median + MAD + integer Hampel fence — pins that
+    // the domain-histogram median formulation computes the DECLARED
+    // robust gate
+    val raw = Tables.events(spark, sfTiny)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 100).toLong))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((s.size + 1) / 2 - 1)
+    }
+    val want = raw.groupBy(_._1).toSeq.map { case (ty, rows) =>
+      val med = lowerMedian(rows.map(_._3).toSeq)
+      val devs = rows.map(t => (t._2, math.abs(t._3 - med)))
+      val mad = lowerMedian(devs.map(_._2).toSeq)
+      val anom = devs.filter(d => d._2 * 10000L > mad * 44478L)
+      (ty, rows.size.toLong, med, mad, anom.size.toLong,
+        if (anom.isEmpty) None else Some(anom.map(_._1).reduce(_ ^ _)))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("events_anomaly_mad")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_autocorr equals a sequential BigInt reference") {
     // independent re-derivation driver-side: hourly cents per type from
     // raw rows, lag pairs on exact hour adjacency, r² ppm via the same
