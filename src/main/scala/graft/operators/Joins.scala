@@ -178,6 +178,72 @@ object Joins {
        |  ON p.user_id = c.user_id AND p.ts >= c.ts
        |ORDER BY p.event_id""".stripMargin
 
+  /** join_asof_tolerance (J5c) — as-of join with a MAX-STALENESS bound
+    * (pandas `merge_asof(tolerance=…)`, kdb/QuestDB asof TOLERANCE): the
+    * latest click ≤ the purchase counts only when it is at most 1 hour
+    * old — older context is affirmatively WRONG for attribution, so the
+    * row degrades to the no-match shape instead of silently joining a
+    * stale state. Same union-tag single-sort carry as join_asof (one
+    * exchange, no range join); the tolerance is a post-carry conditional
+    * on the exact epoch-microsecond age, emitted as its own column so
+    * downstream can re-band it.
+    *
+    * Scale: identical to join_asof — O(n log n) per user key; the
+    * tolerance test is map-side arithmetic on the carried row. The
+    * DuckDB twin is its native ASOF LEFT JOIN with the same conditional
+    * null-out — the hash-match proves carry ≡ ASOF + tolerance.
+    */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val TOL_US = 3600L * 1000000L
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"),
+      lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+      col("event_id").as("src_id"),
+      lit(null).cast("double").as("pvalue"),
+      col("ts").as("click_ts"), col("value").as("click_value"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"),
+      lit(1).as("tag"), col("event_id"),
+      col("event_id").as("src_id"),
+      col("value").as("pvalue"),
+      lit(null).cast("timestamp").as("click_ts"),
+      lit(null).cast("double").as("click_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("src_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = clicks.unionByName(purchases)
+      .withColumn("a_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .withColumn("a_v", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .withColumn("age_us", unix_micros(col("ts")) - unix_micros(col("a_ts")))
+    val ok = col("a_ts").isNotNull && col("age_us") <= TOL_US
+    carried.select(
+        col("event_id"), col("user_id"), fmtTs(col("ts")).as("purchase_ts"),
+        col("pvalue").as("purchase_value"),
+        when(ok, fmtTs(col("a_ts"))).as("last_click_ts"),
+        when(ok, col("a_v")).as("last_click_value"),
+        when(ok, col("age_us")).as("age_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val joinAsofToleranceSql: String =
+    s"""SELECT p.event_id, p.user_id, ${sqlFmtTs("p.ts")} AS purchase_ts,
+       |  p.value AS purchase_value,
+       |  CASE WHEN c.ts IS NOT NULL
+       |      AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+       |    THEN ${sqlFmtTs("c.ts")} END AS last_click_ts,
+       |  CASE WHEN c.ts IS NOT NULL
+       |      AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+       |    THEN c.value END AS last_click_value,
+       |  CAST(CASE WHEN c.ts IS NOT NULL
+       |      AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+       |    THEN epoch_us(p.ts) - epoch_us(c.ts) END AS BIGINT) AS age_us
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON p.user_id = c.user_id AND p.ts >= c.ts
+       |ORDER BY p.event_id""".stripMargin
+
   /** join_asof_nearest (J5b) — BIDIRECTIONAL as-of: for each purchase,
     * the user's nearest click in EITHER direction (backward last-before
     * vs forward first-after, whichever |Δt| is smaller; ties go
@@ -368,6 +434,7 @@ object Joins {
     "join_semi_anti" -> (joinSemiAnti _),
     "join_range" -> (joinRange _),
     "join_asof" -> (joinAsof _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_bloom_filtered" -> (joinBloomFiltered _),
     "setop_union" -> (setopUnion _),
@@ -379,6 +446,7 @@ object Joins {
     "join_semi_anti" -> joinSemiAntiSql,
     "join_range" -> joinRangeSql,
     "join_asof" -> joinAsofSql,
+    "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "join_bloom_filtered" -> joinBloomFilteredSql,
     "setop_union" -> setopUnionSql,
