@@ -581,7 +581,85 @@ object Olap {
     "events_sliding" -> (eventsSliding _),
     "events_sliding_distinct" -> (eventsSlidingDistinct _),
     "events_sessionize" -> (eventsSessionize _),
-    "events_retention" -> (eventsRetention _))
+    "events_retention" -> (eventsRetention _),
+    "events_ab_test" -> (eventsAbTest _))
+
+  /** events_ab_test (A20) — deterministic A/B experiment analysis: users
+    * hash-assigned to variants by md5(user_id) (the sample_split idiom —
+    * no RNG, stable under retries/repartitioning/engines, and the
+    * assignment an experimentation platform must reproduce at serving
+    * time). Assignment is at the USER unit (the interference-correct
+    * unit); readouts at two grains — the high-value-purchase rate per
+    * exposed event (cents ≥ 10000, ~p90 of the purchase distribution)
+    * and mean monetary cents per user — each with its LIFT in exact
+    * integer arithmetic (truncating divisions + one subtraction), so
+    * both engines emit identical numbers where float rates would
+    * hash-drift. Significance testing composes downstream from the
+    * per-arm integer sufficient statistics this row carries.
+    *
+    * Scale: one scan → user-keyed aggregate (map-side combined), then a
+    * ONE-ROW conditional rollup — no per-variant shuffle, no join. The
+    * user aggregate is the only exchange at any data size.
+    */
+  def eventsAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("ev"),
+        sum(when(col("event_type") === "purchase" &&
+            scaledLong(col("value"), 100L) >= 10000L, 1L).otherwise(0L))
+          .as("hv"),
+        sum(scaledLong(col("value"), 100L)).as("cents"))
+      .withColumn("a",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+    def side(flag: Boolean, c: Column): Column =
+      sum(when(col("a") === flag, c).otherwise(0L)).cast("long")
+    u.agg(
+        side(true, lit(1L)).as("n_a"), side(false, lit(1L)).as("n_b"),
+        side(true, col("ev")).as("ev_a"), side(false, col("ev")).as("ev_b"),
+        side(true, col("hv")).as("hv_a"), side(false, col("hv")).as("hv_b"),
+        side(true, col("cents")).as("cents_a"),
+        side(false, col("cents")).as("cents_b"))
+      .select(col("n_a"), col("n_b"), col("ev_a"), col("ev_b"),
+        col("hv_a"), col("hv_b"),
+        expr("hv_a * 1000000 div ev_a").as("hv_a_ppm"),
+        expr("hv_b * 1000000 div ev_b").as("hv_b_ppm"),
+        expr("hv_b * 1000000 div ev_b - hv_a * 1000000 div ev_a")
+          .as("hv_lift_ppm"),
+        expr("cents_a div n_a").as("mean_cents_a"),
+        expr("cents_b div n_b").as("mean_cents_b"),
+        expr("cents_b div n_b - cents_a div n_a").as("mean_lift_cents"))
+  }
+
+  val eventsAbTestSql: String =
+    """WITH u AS (SELECT user_id, count(*) AS ev,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |        AND CAST(round(value * 100) AS BIGINT) >= 10000
+      |      THEN 1 ELSE 0 END) AS hv,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id),
+      |v AS (SELECT *,
+      |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS a
+      |  FROM u),
+      |s AS (SELECT
+      |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN a THEN ev ELSE 0 END) AS BIGINT) AS ev_a,
+      |    CAST(sum(CASE WHEN NOT a THEN ev ELSE 0 END) AS BIGINT) AS ev_b,
+      |    CAST(sum(CASE WHEN a THEN hv ELSE 0 END) AS BIGINT) AS hv_a,
+      |    CAST(sum(CASE WHEN NOT a THEN hv ELSE 0 END) AS BIGINT) AS hv_b,
+      |    CAST(sum(CASE WHEN a THEN cents ELSE 0 END) AS BIGINT) AS cents_a,
+      |    CAST(sum(CASE WHEN NOT a THEN cents ELSE 0 END) AS BIGINT) AS cents_b
+      |  FROM v)
+      |SELECT n_a, n_b, ev_a, ev_b, hv_a, hv_b,
+      |  CAST(hv_a * 1000000 // ev_a AS BIGINT) AS hv_a_ppm,
+      |  CAST(hv_b * 1000000 // ev_b AS BIGINT) AS hv_b_ppm,
+      |  CAST(hv_b * 1000000 // ev_b - hv_a * 1000000 // ev_a AS BIGINT)
+      |    AS hv_lift_ppm,
+      |  CAST(cents_a // n_a AS BIGINT) AS mean_cents_a,
+      |  CAST(cents_b // n_b AS BIGINT) AS mean_cents_b,
+      |  CAST(cents_b // n_b - cents_a // n_a AS BIGINT) AS mean_lift_cents
+      |FROM s""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "agg_approx_distinct" -> aggApproxDistinctSql,
@@ -596,5 +674,6 @@ object Olap {
     "events_sliding" -> eventsSlidingSql,
     "events_sliding_distinct" -> eventsSlidingDistinctSql,
     "events_sessionize" -> eventsSessionizeSql,
-    "events_retention" -> eventsRetentionSql)
+    "events_retention" -> eventsRetentionSql,
+    "events_ab_test" -> eventsAbTestSql)
 }
