@@ -582,7 +582,8 @@ object Olap {
     "events_sliding_distinct" -> (eventsSlidingDistinct _),
     "events_sessionize" -> (eventsSessionize _),
     "events_retention" -> (eventsRetention _),
-    "events_ab_test" -> (eventsAbTest _))
+    "events_ab_test" -> (eventsAbTest _),
+    "basket_rules" -> (basketRules _))
 
   /** events_ab_test (A20) — deterministic A/B experiment analysis: users
     * hash-assigned to variants by md5(user_id) (the sample_split idiom —
@@ -631,6 +632,74 @@ object Olap {
         expr("cents_b div n_b - cents_a div n_a").as("mean_lift_cents"))
   }
 
+  /** basket_rules (A21) — association-rule mining over order baskets
+    * (Apriori's pair stage, the market-basket staple): for the top-20
+    * co-purchased part pairs, support, directional confidence, and lift,
+    * all in exact integer ppm (supports are counts; confidence and lift
+    * are single truncating divisions of i64 products — no float ratio
+    * anywhere, so both engines emit identical numbers).
+    *
+    * Scale: the pair candidate build is the triangles e0 idiom — a
+    * self-join co-partitioned on the basket key, so pair fan-out is
+    * Σ(basket size²) with TPC-H baskets ≤ 7 lines (bounded per order,
+    * linear overall — the reason Apriori's pair stage is tractable at
+    * all). Item supports are a domain-sized (|parts|) aggregate that
+    * BROADCASTS back onto the pair frame twice; the order count rides as
+    * a 1-row broadcast. Top-20 = TakeOrderedAndProject, never a global
+    * sort.
+    */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val supp = p.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("supp_i"))
+    val nOrders = p.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val a = p.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = p.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val pairs = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("supp_ab"))
+    pairs
+      .join(broadcast(supp.select(col("l_partkey").as("pa"),
+        col("supp_i").as("supp_a"))), Seq("pa"))
+      .join(broadcast(supp.select(col("l_partkey").as("pb"),
+        col("supp_i").as("supp_b"))), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"),
+        col("supp_ab").cast("long").as("supp_ab"),
+        col("supp_a").cast("long").as("supp_a"),
+        col("supp_b").cast("long").as("supp_b"),
+        expr("supp_ab * 1000000 div supp_a").as("conf_ab_ppm"),
+        expr("supp_ab * 1000000 div supp_b").as("conf_ba_ppm"),
+        expr("supp_ab * n_orders * 1000000 div (supp_a * supp_b)")
+          .as("lift_ppm"))
+      .orderBy(col("supp_ab").desc, col("lift_ppm").desc,
+        col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  val basketRulesSql: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |supp AS (SELECT l_partkey, count(*) AS supp_i FROM p GROUP BY 1),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM p),
+      |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+      |    count(*) AS supp_ab
+      |  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT pa, pb, CAST(supp_ab AS BIGINT) AS supp_ab,
+      |  CAST(sa.supp_i AS BIGINT) AS supp_a,
+      |  CAST(sb.supp_i AS BIGINT) AS supp_b,
+      |  CAST(supp_ab * 1000000 // sa.supp_i AS BIGINT) AS conf_ab_ppm,
+      |  CAST(supp_ab * 1000000 // sb.supp_i AS BIGINT) AS conf_ba_ppm,
+      |  CAST(supp_ab * n.n_orders * 1000000 // (sa.supp_i * sb.supp_i)
+      |    AS BIGINT) AS lift_ppm
+      |FROM pairs
+      |JOIN supp sa ON sa.l_partkey = pa
+      |JOIN supp sb ON sb.l_partkey = pb
+      |CROSS JOIN n
+      |ORDER BY supp_ab DESC, lift_ppm DESC, pa, pb LIMIT 20""".stripMargin
+
   val eventsAbTestSql: String =
     """WITH u AS (SELECT user_id, count(*) AS ev,
       |    sum(CASE WHEN event_type = 'purchase'
@@ -675,5 +744,6 @@ object Olap {
     "events_sliding_distinct" -> eventsSlidingDistinctSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_retention" -> eventsRetentionSql,
-    "events_ab_test" -> eventsAbTestSql)
+    "events_ab_test" -> eventsAbTestSql,
+    "basket_rules" -> basketRulesSql)
 }
