@@ -131,9 +131,89 @@ object Catalog {
       |GROUP BY region, c_mktsegment
       |ORDER BY region, c_mktsegment""".stripMargin
 
+  /** sql_ctas (S24) — the WRITE half of the SQL surface: `CREATE TABLE …
+    * AS SELECT` materializes a derived table in the catalog, and a
+    * partition-scoped `INSERT OVERWRITE … PARTITION (half='h2')` backfills
+    * into it — the two DML statements every lakehouse ETL job is built
+    * from (CTAS for the initial build, partition overwrite for the
+    * idempotent daily re-run: re-executing the INSERT replaces exactly
+    * its own partition, never appends duplicates and never touches h1).
+    * The read query then aggregates THROUGH the catalog table.
+    *
+    * The managed content is exact integer cents (Det's half-away scale
+    * applied at write time), so downstream consumers aggregate integers;
+    * the read-side sum is the hi/lo split in SQL text (catalogView's
+    * idiom). The table is external to a PROCESS-UNIQUE tmp location —
+    * two JVMs (test suite vs Verify) each build their own copy, so
+    * concurrent runs can never interleave writes into one landing (the
+    * publishOnce hazard does not arise); DDL runs once per (catalog,
+    * dir) and is dropped+rebuilt per JVM.
+    *
+    * Scale: CTAS/INSERT are distributed writes (one pass over orders,
+    * partitioned layout); the oracle recomputes the same content from
+    * raw orders — the hash-match proves CTAS + partition overwrite
+    * assembled exactly the declared table.
+    */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    val db = register(spark, dir)
+    val key = (System.identityHashCode(spark.sharedState),
+      new java.io.File(dir).getCanonicalPath)
+    if (!ctasDone.contains(key)) {
+      val loc = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_ctas_${ProcessHandle.current.pid}_$db")
+      def rmr(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rmr)
+        f.delete(); ()
+      }
+      rmr(loc)
+      spark.sql(s"DROP TABLE IF EXISTS $db.t_order_half")
+      spark.sql(
+        s"""CREATE TABLE $db.t_order_half USING parquet
+           |PARTITIONED BY (half) LOCATION '${loc.getCanonicalPath}' AS
+           |SELECT o_orderkey, o_orderpriority,
+           |  CAST(o_totalprice * 100 + 0.5 AS BIGINT) AS cents,
+           |  'h1' AS half
+           |FROM $db.orders
+           |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin)
+      spark.sql(
+        s"""INSERT OVERWRITE TABLE $db.t_order_half PARTITION (half = 'h2')
+           |SELECT o_orderkey, o_orderpriority,
+           |  CAST(o_totalprice * 100 + 0.5 AS BIGINT) AS cents
+           |FROM $db.orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin)
+      ctasDone.add(key)
+    }
+    spark.sql(
+      s"""SELECT half, o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(CAST(SUM(SHIFTRIGHT(cents, 20)) AS DECIMAL(38,0)) * 1048576
+         |    + CAST(SUM(cents & 1048575) AS DECIMAL(38,0)) AS BIGINT)
+         |    AS total_cents
+         |FROM $db.t_order_half
+         |GROUP BY half, o_orderpriority
+         |ORDER BY half, o_orderpriority""".stripMargin)
+  }
+
+  private val ctasDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  val sqlCtasSql: String =
+    """WITH t AS (SELECT
+      |    CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |      THEN 'h1' ELSE 'h2' END AS half,
+      |    o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT half, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM t GROUP BY half, o_orderpriority
+      |ORDER BY half, o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "catalog_view" -> (catalogView _))
+    "catalog_view" -> (catalogView _),
+    "sql_ctas" -> (sqlCtas _))
 
   def oracle: Map[String, String] = Map(
-    "catalog_view" -> catalogViewSql)
+    "catalog_view" -> catalogViewSql,
+    "sql_ctas" -> sqlCtasSql)
 }

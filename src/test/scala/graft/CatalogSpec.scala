@@ -31,6 +31,27 @@ class CatalogSpec extends SparkSpec {
     assert(sources.Catalog.dbName(sfTiny) != sources.Catalog.dbName(sfSmall))
   }
 
+  test("sql_ctas: partition overwrite is idempotent, partitions complete") {
+    val first = sources.Catalog.sqlCtas(spark, sfTiny).collect().toSeq
+    val db = sources.Catalog.dbName(sfTiny)
+    assert(spark.catalog.tableExists(s"$db.t_order_half"))
+    // both halves landed, and they partition the orders table exactly
+    val halves = first.map(_.getString(0)).toSet
+    assert(halves == Set("h1", "h2"), s"halves=$halves")
+    val total = first.map(_.getLong(2)).sum
+    assert(total == Tables.orders(spark, sfTiny).count())
+    // re-running the backfill INSERT OVERWRITE must REPLACE its own
+    // partition, not append — the daily-rerun idempotence contract
+    spark.sql(
+      s"""INSERT OVERWRITE TABLE $db.t_order_half PARTITION (half = 'h2')
+         |SELECT o_orderkey, o_orderpriority,
+         |  CAST(o_totalprice * 100 + 0.5 AS BIGINT) AS cents
+         |FROM $db.orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin)
+    val again = sources.Catalog.sqlCtas(spark, sfTiny).collect().toSeq
+    assert(again == first, "partition overwrite changed the table content")
+  }
+
   test("catalog_view equals the direct-reader computation") {
     val viaCatalog = sources.Catalog.catalogView(spark, sfTiny)
     val c = Tables.customer(spark, sfTiny)
