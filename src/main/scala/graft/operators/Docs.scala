@@ -237,6 +237,79 @@ object Docs {
        |HAVING COUNT(DISTINCT tok) = 3
        |ORDER BY n_hits DESC, doc_id""".stripMargin
 
+  /** doc_bm25 (L40) — BM25 ranked retrieval in an INTEGER skeleton, the
+    * scoring layer above doc_keyword_search's boolean conjunctive match:
+    * per (doc, query-term) the Robertson tf saturation
+    * f·(k1+1) / (f + k1·(1−b+b·dl/avgdl)) with k1=6/5, b=3/4, cleared of
+    * ALL rationals by multiplying through by 10·L (avgdl = L/N stays an
+    * exact pair, never a float): tf_ppm = 22·L·f·10⁶ div
+    * (10·L·f + 3·L + 9·dl·N). The idf leg is the monotone integer
+    * surrogate (N+1)·10⁶ div (df+1) — the log's argument without the
+    * log, same ranking within the score's declared semantics (the
+    * doc_lm_coverage framing: exact integer skeleton, bit-identical
+    * across engines, same tail ordering). Doc score = Σ over matched
+    * terms of idf·tf div 10⁶ — everything i64.
+    *
+    * Scale: the broadcast query-term join prunes the token stream BEFORE
+    * aggregation (L26 discipline — the shuffle carries query-term hits
+    * only); dl rides map-side from the same split; corpus stats are a
+    * 1-row broadcast and df a |terms|-row broadcast. Top-10 =
+    * TakeOrderedAndProject. At fleet scale 22·L·f·10⁶ outgrows i64 —
+    * promote the clearing to DECIMAL(38,0) (the A16 idiom) unchanged.
+    */
+  def docBm25(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val terms = Seq("join", "hash", "scan").toDF("tok")
+    val dd = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        split(norm(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+    val hits = dd.join(broadcast(terms), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("f"))
+    val dft = hits.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = Tables.documents(spark, dir)
+      .select(size(split(norm(col("text")), " ")).cast("long").as("dl0"))
+      .agg(count(lit(1)).as("nn"), sum(col("dl0")).as("ll"))
+    hits.join(broadcast(dft), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("lang"), col("dl"),
+        expr("((nn + 1) * 1000000 div (df + 1))" +
+          " * ((22 * ll * f * 1000000) div (10 * ll * f + 3 * ll + 9 * dl * nn))" +
+          " div 1000000").as("ts"))
+      .groupBy(col("doc_id"), col("lang"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("ts")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val docBm25Sql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    string_split($sqlNorm, ' ') AS toks FROM documents),
+       |dd AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl,
+       |    unnest(toks) AS tok FROM d),
+       |hits AS (SELECT doc_id, lang, dl, tok, count(*) AS f
+       |  FROM dd WHERE tok IN ('join', 'hash', 'scan')
+       |  GROUP BY 1, 2, 3, 4),
+       |dft AS (SELECT tok, count(*) AS df FROM hits GROUP BY tok),
+       |stats AS (SELECT count(*) AS nn, CAST(sum(len(toks)) AS BIGINT) AS ll
+       |  FROM d),
+       |scored AS (SELECT h.doc_id, h.lang, h.dl,
+       |    (((nn + 1) * 1000000 // (df + 1))
+       |     * ((22 * ll * f * 1000000)
+       |        // (10 * ll * f + 3 * ll + 9 * h.dl * nn)))
+       |    // 1000000 AS ts
+       |  FROM hits h JOIN dft USING (tok) CROSS JOIN stats)
+       |SELECT doc_id, lang, dl,
+       |  CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(ts) AS BIGINT) AS score
+       |FROM scored GROUP BY 1, 2, 3
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** Tiny built-in stopword list shared by quality scoring and language-ID.
     * (lang, marker-token) pairs — public-knowledge function words.
     */
@@ -779,6 +852,7 @@ object Docs {
     "doc_dedup" -> (docDedup _),
     "doc_heavy_hitters" -> (docHeavyHitters _),
     "doc_keyword_search" -> (docKeywordSearch _),
+    "doc_bm25" -> (docBm25 _),
     "doc_collocations" -> (docCollocations _),
     "doc_bpe_pairs" -> (docBpePairs _),
     "doc_lm_coverage" -> (docLmCoverage _),
@@ -795,6 +869,7 @@ object Docs {
     "doc_dedup" -> docDedupSql,
     "doc_heavy_hitters" -> docHeavyHittersSql,
     "doc_keyword_search" -> docKeywordSearchSql,
+    "doc_bm25" -> docBm25Sql,
     "doc_collocations" -> docCollocationsSql,
     "doc_bpe_pairs" -> docBpePairsSql,
     "doc_lm_coverage" -> docLmCoverageSql,

@@ -8,6 +8,39 @@ import org.apache.spark.sql.functions._
   */
 class RetrievalSpec extends SparkSpec {
 
+  test("doc_bm25 equals a sequential integer-BM25 reference") {
+    // full driver-side recompute of the declared integer skeleton
+    // (tokenize, tf saturation cleared by 10·L, surrogate idf, top-10)
+    val terms = Seq("join", "hash", "scan")
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.trim.split("\\s+").toSeq))
+    val nn = docs.length.toLong
+    val ll = docs.map(_._3.size.toLong).sum
+    val dfm = terms.map(t =>
+      t -> docs.count(_._3.contains(t)).toLong).toMap
+    val want = docs.flatMap { case (id, lang, toks) =>
+      val dl = toks.size.toLong
+      val ts = terms.flatMap { t =>
+        val f = toks.count(_ == t).toLong
+        if (f == 0) None
+        else {
+          val idf = (nn + 1) * 1000000L / (dfm(t) + 1)
+          val tf = (22L * ll * f * 1000000L) /
+            (10L * ll * f + 3L * ll + 9L * dl * nn)
+          Some(idf * tf / 1000000L)
+        }
+      }
+      if (ts.isEmpty) None
+      else Some((id, lang, dl, ts.size.toLong, ts.sum))
+    }.sortBy { case (id, _, _, _, sc) => (-sc, id) }.take(10).toSeq
+    val got = SparkEntry.queries("doc_bm25")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("hybrid_search RRF scores recompute exactly from the leg ranks") {
     val rows = operators.Retrieval.hybridSearch(spark, sfTiny).collect()
     assert(rows.nonEmpty)
