@@ -161,17 +161,21 @@ object Analytics {
     * (the aggHistQuantile/eventsRfm idiom): the cumulative window runs
     * over |distinct cents| ≤ value-domain rows per type, never raw
     * events — so the median cost is INDEPENDENT of row count, where a
-    * rank-window median would sort the full stream. Two raw scans
-    * (values, then deviations against the broadcast medians), two
-    * domain-sized histograms, two 1-row-per-type broadcasts.
+    * rank-window median would sort the full stream. The deviation
+    * histogram derives FROM the cents histogram (|c − med| re-keys the
+    * counted cells — no second raw aggregation); raw events feed only
+    * the histogram build and the final flag+XOR pass against the
+    * broadcast med/MAD fences. The histogram is deliberately NOT
+    * checkpointed: its two consumers re-run a cheap 600k partial agg,
+    * and the pin's extra job measured 1.37 s vs 0.96 s without it at
+    * sf0.1 (the bench-protocol lesson from round 8: materialization
+    * jobs cost more than domain-sized recomputes).
     */
   def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
         scaledLong(col("value"), 100L).as("c"))
-    def lowerMedian(df: DataFrame, vcol: String, out: String): DataFrame = {
-      val hist = df.groupBy(col("event_type"), col(vcol))
-        .agg(count(lit(1)).as("cnt"))
+    def lowerMedian(hist: DataFrame, vcol: String, out: String): DataFrame = {
       val wCum = Window.partitionBy(col("event_type")).orderBy(col(vcol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       hist.withColumn("cum", sum(col("cnt")).over(wCum))
@@ -181,12 +185,18 @@ object Analytics {
         .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(vcol)))
           .as(out))
     }
-    val med = lowerMedian(ev, "c", "med")
-    val dev = ev.join(broadcast(med), Seq("event_type"))
+    val hist1 = ev.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = lowerMedian(hist1, "c", "med")
+    val hist2 = hist1.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("c") - col("med")).as("d"),
+        col("cnt"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = lowerMedian(hist2, "d", "mad")
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
       .withColumn("d", abs(col("c") - col("med")))
-    val mad = lowerMedian(dev.select(col("event_type"), col("d")),
-      "d", "mad")
-    dev.join(broadcast(mad), Seq("event_type"))
       .withColumn("anom", col("d") * 10000L > col("mad") * 44478L)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

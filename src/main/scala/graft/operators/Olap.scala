@@ -639,25 +639,34 @@ object Olap {
     * are single truncating divisions of i64 products — no float ratio
     * anywhere, so both engines emit identical numbers).
     *
-    * Scale: the pair candidate build is the triangles e0 idiom — a
-    * self-join co-partitioned on the basket key, so pair fan-out is
-    * Σ(basket size²) with TPC-H baskets ≤ 7 lines (bounded per order,
-    * linear overall — the reason Apriori's pair stage is tractable at
-    * all). Item supports are a domain-sized (|parts|) aggregate that
-    * BROADCASTS back onto the pair frame twice; the order count rides as
-    * a 1-row broadcast. Top-20 = TakeOrderedAndProject, never a global
-    * sort.
+    * Scale: baskets collapse in ONE order-keyed exchange into sorted
+    * item sets (collect_set dedups line multiplicity — support counts
+    * ORDERS), and every pair expands MAP-SIDE from the pinned basket
+    * array (the zip-against-tail discipline of doc_bpe_pairs, extended
+    * to all i<j pairs): fan-out is Σ(basket size²)/2 with TPC-H baskets
+    * ≤ 7 lines — bounded per order, linear overall, the reason
+    * Apriori's pair stage is tractable at all. Item supports explode
+    * from the same pinned baskets and BROADCAST back onto the pair
+    * frame twice; the order count rides as a 1-row broadcast. Top-20 =
+    * TakeOrderedAndProject, never a global sort. (The relational
+    * formulation — distinct + orderkey self-join + pair agg, the oracle
+    * SQL's plan — measured 2.2 s vs 1.0 s for this shape at sf0.1:
+    * three 600k exchanges where one suffices.)
     */
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val supp = p.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("supp_i"))
-    val nOrders = p.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val a = p.select(col("l_orderkey"), col("l_partkey").as("pa"))
-    val b = p.select(col("l_orderkey"), col("l_partkey").as("pb"))
-    val pairs = a.join(b, Seq("l_orderkey")).filter(col("pa") < col("pb"))
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .localCheckpoint()
+    val supp = baskets.select(explode(col("items")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("supp_i"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairsCol = expr(
+      "flatten(transform(items, (x, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "y -> struct(x AS pa, y AS pb))))")
+    val pairs = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("supp_ab"))
     pairs
       .join(broadcast(supp.select(col("l_partkey").as("pa"),

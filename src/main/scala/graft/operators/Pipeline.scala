@@ -1341,14 +1341,36 @@ object Pipeline {
     * localCheckpoint — same discipline as connectedComponents, without
     * its convergence probe.
     *
-    * Scale: the EDGE FRAME NEVER SHUFFLES — each round broadcasts the
-    * node-sized dist table onto the checkpointed edges (graph_pagerank's
-    * contract); the per-round exchange carries ≤ |nodes| rows. On a
-    * cluster where dist outgrows broadcast the identical join degrades to
-    * the keyed-shuffle Pregel shape. A frontier-delta variant (relax only
-    * nodes whose dist changed) is the classic refinement when the reached
-    * set plateaus early; with 4 rounds and a bipartite fan-out this
-    * full-relax form is fewer jobs and strictly simpler lineage.
+    * Scale: FRONTIER-DELTA level-synchronous BFS on NODE-SIZED ADJACENCY
+    * LISTS (graph_triangles' representation): the raw 2·|lineitem| edge
+    * stream collapses ONCE into per-node sorted neighbor sets — two
+    * keyed exchanges, after which NO round ever touches an edge-sized
+    * frame again. Each round joins only the nodes reached LAST round
+    * against the pinned adjacency, explodes their neighbor lists
+    * (Σ degree(frontier) rows, map-side), partial-agg dedups, and
+    * anti-joins out already-reached nodes — per-round cost is
+    * delta-proportional, the property that makes BFS tractable when the
+    * reached set plateaus. Levels are synchronous, so a node enters
+    * `dist` exactly once at its true hop distance — no union-min
+    * re-aggregation of the whole state (the one-DAG union-min variant
+    * measured 2.5 s: its non-broadcast union branch replays the round
+    * chain; edge-frame frontier BFS measured 2.7 s: four 1.2M-row edge
+    * scans). Bipartite node spaces keep each side's dist table and
+    * anti-join broadcast half-sized. On a cluster where adjacency rows
+    * outgrow broadcast, the identical joins degrade to the keyed-shuffle
+    * Pregel shape.
+    *
+    * Measured floor (sf0.1, quiet host, min-of-5): FOUR shapes probed to
+    * ground — per-round-checkpointed union-min 3.8 s; one-DAG union-min
+    * 2.5 s (its non-broadcast union branch replays the round chain);
+    * edge-frame frontier BFS 2.7 s (four 1.2M-row edge scans); this
+    * adjacency form 2.6 s, of which ~1.4 s is the one-time adjacency
+    * build (two keyed exchanges + collect_set over 1.2M directed edges —
+    * a single-exchange union-tag build measured the same) and ~0.7 s the
+    * four delta-proportional rounds. The residual vs DuckDB's 0.69 s
+    * recursive CTE is Spark's ~8-job floor, not asymptotics: at scale
+    * the adjacency build amortizes across queries (it is the stored
+    * graph representation) and rounds stay delta-proportional.
     */
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -1356,34 +1378,44 @@ object Pipeline {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
     val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = cp.unionByName(
-        cp.select(col("dst").as("src"), col("src").as("dst")))
-      .coalesce(8).localCheckpoint()
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+    // customer→parts and part→customers adjacency (collect_set dedups
+    // edge multiplicity — hop distance is multiplicity-blind)
+    val adjC = cp.groupBy(col("c").as("id"))
+      .agg(collect_set(col("p")).as("nbr")).localCheckpoint()
+    val adjP = cp.groupBy(col("p").as("id"))
+      .agg(collect_set(col("c")).as("nbr")).localCheckpoint()
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_nationkey") === 0)
-      .select((col("c_custkey") * 2).as("node"))
-      .join(edges.select(col("src").as("node")), Seq("node"), "left_semi")
-    var dist = seeds.select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
-    for (_ <- 1 to 4) {
-      val relax = edges
-        .join(broadcast(dist.select(col("node").as("src"), col("dist"))),
-          Seq("src"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(relax)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      .select(col("c_custkey").as("id"))
+      .join(adjC.select(col("id")), Seq("id"), "left_semi")
+    // per-side dist tables; fresh per level is pinned (tiny) so lineage
+    // never nests across rounds
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    for (k <- 1 to 4) {
+      val fromC = k % 2 == 1
+      val adj = if (fromC) adjC else adjP
+      val own = if (fromC) dP else dC
+      val cand = adj
+        .join(broadcast(frontier), Seq("id"))
+        .select(explode(col("nbr")).as("id")).distinct()
+      val fresh = cand
+        .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
         .localCheckpoint()
+      if (fromC) dP = dP.unionByName(fresh)
+      else dC = dC.unionByName(fresh)
+      frontier = fresh.select(col("id"))
     }
-    edges.select(col("src").as("node")).distinct()
-      .join(dist, Seq("node"), "left")
-      .select(
-        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part"))
-          .as("kind"),
-        coalesce(col("dist"), lit(-1L)).as("dist"),
-        expr("node div 2").as("id"))
+    val custs = adjC.select(col("id")).join(dC, Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = adjP.select(col("id")).join(dP, Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
       .groupBy(col("kind"), col("dist"))
       .agg(count(lit(1)).as("n_nodes"),
         bit_xor(col("id")).as("id_xor"),
