@@ -299,6 +299,108 @@ object Analytics {
       |       // (n * (n * sxx - sx * sx)) AS BIGINT) AS forecast_cents
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** events_holt (A22) — Holt's LINEAR (level + trend) exponential
+    * smoothing per event type over the hourly cents series, the adaptive
+    * sibling of events_trend's global least squares: the recurrence
+    * l' = (2x + 8(l+b)) div 10, b' = (3(l'−l) + 7b) div 10 (α=1/5,
+    * β=3/10 folded into integer numerators) re-weights recent hours, so
+    * the forecast tracks regime changes a whole-series fit averages
+    * away. A TWO-STATE sequential recurrence — the shape a commutative
+    * hash-aggregate cannot express (the W10 events_ewma argument, one
+    * state wider): the series collects per type sorted by hour and folds
+    * entirely in i64.
+    *
+    * State encoding, probed not assumed: DuckDB 1.0's `list_reduce`
+    * MIS-CHAINS a struct accumulator past two elements (each individual
+    * step computes correctly in isolation; the 3-element chain returns a
+    * `b` no step sequence produces — measured against a sequential
+    * reference), so both engines fold ONE offset-encoded i64 instead:
+    * acc = (l + 2²⁹)·2³² + (b + 2³¹), the W10 scalar-fold path widened
+    * to two fields. Bounds: |level| < 2²⁹ cents/hour, |trend| < 2³¹ —
+    * comfortable at any bench scale, and the decode is div/% on a
+    * non-negative acc, identical in both engines. Both step strings are
+    * generated from ONE Scala template (holtStep), differing only in
+    * the integer-division token.
+    *
+    * Scale: the fold runs on the DOMAIN-SIZED hourly aggregate (≤|hours|
+    * elements per type), never raw rows — one scan, one keyed exchange
+    * of partials, |types| folds. For per-entity state at fleet scale the
+    * same recurrence ships as ST13's mapGroupsWithState (struct state is
+    * fine THERE — the encoding is only a cross-engine-oracle device);
+    * for series too long to collect, segment folds compose as affine
+    * maps in date order (the W10 scale note — Holt's step is affine in
+    * (l, b)).
+    */
+  private val HOLT_B = 4294967296L // 2^32 field split
+  private val HOLT_HL = 536870912L // 2^29 level offset
+  private val HOLT_HB = 2147483648L // 2^31 trend offset
+  /** One lambda template, two dialects: `divOp` is "div" (Spark) or
+    * "//" (DuckDB); everything else is shared text so the folds cannot
+    * drift apart.
+    */
+  private def holtStep(divOp: String): String = {
+    val xl = s"((x $divOp $HOLT_B) - $HOLT_HL)"
+    val l = s"((acc $divOp $HOLT_B) - $HOLT_HL)"
+    val b = s"((acc % $HOLT_B) - $HOLT_HB)"
+    val l2 = s"(((2 * $xl) + 8 * ($l + $b)) $divOp 10)"
+    val b2 = s"(((3 * ($l2 - $l)) + 7 * $b) $divOp 10)"
+    s"(acc, x) -> (($l2 + $HOLT_HL) * $HOLT_B + ($b2 + $HOLT_HB))"
+  }
+
+  def eventsHolt(spark: SparkSession, dir: String): DataFrame = {
+    val EPOCH = "2024-01-01 00:00:00"
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(scaledLong(col("value"), 100L)).as("y"))
+      .withColumn("x",
+        ((unix_timestamp(col("h")) - unix_timestamp(lit(EPOCH))) / 3600L)
+          .cast("long"))
+      .select(col("event_type"), col("x"), col("y"))
+    hourly.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n_hours"),
+        expr(
+          s"transform(s, e -> (e.y + $HOLT_HL) * $HOLT_B + $HOLT_HB)")
+          .as("enc"))
+      .select(col("event_type"), col("n_hours"),
+        expr("aggregate(slice(enc, 2, size(enc)), element_at(enc, 1), " +
+          holtStep("div") + ")").as("acc"))
+      .select(col("event_type"), col("n_hours"),
+        expr(s"(acc div $HOLT_B) - $HOLT_HL").as("level_cents"),
+        expr(s"(acc % $HOLT_B) - $HOLT_HB").as("trend_cents"))
+      .select(col("event_type"), col("n_hours"), col("level_cents"),
+        col("trend_cents"),
+        (col("level_cents") + col("trend_cents")).as("forecast1_cents"),
+        (col("level_cents") + lit(3L) * col("trend_cents"))
+          .as("forecast3_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsHoltSql: String =
+    s"""WITH hourly AS (SELECT event_type,
+       |    CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+       |                   date_trunc('hour', ts)) AS BIGINT) AS x,
+       |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       |series AS (SELECT event_type,
+       |    list((y + $HOLT_HL) * $HOLT_B + $HOLT_HB ORDER BY x) AS enc,
+       |    count(*) AS n_hours
+       |  FROM hourly GROUP BY event_type),
+       |folded AS (SELECT event_type, n_hours,
+       |    list_reduce(enc, ${holtStep("//")}) AS acc
+       |  FROM series),
+       |dec AS (SELECT event_type, n_hours,
+       |    (acc // $HOLT_B) - $HOLT_HL AS level_cents,
+       |    (acc % $HOLT_B) - $HOLT_HB AS trend_cents
+       |  FROM folded)
+       |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+       |  CAST(level_cents AS BIGINT) AS level_cents,
+       |  CAST(trend_cents AS BIGINT) AS trend_cents,
+       |  CAST(level_cents + trend_cents AS BIGINT) AS forecast1_cents,
+       |  CAST(level_cents + 3 * trend_cents AS BIGINT) AS forecast3_cents
+       |FROM dec ORDER BY event_type""".stripMargin
+
   /** events_seasonality (A17) — hour-of-day × day-of-week SEASONALITY
     * profile per event type, the decomposition sibling of events_trend
     * (trend answers "where is it going", seasonality "when does it
@@ -1047,6 +1149,7 @@ object Analytics {
     "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_rfm" -> (eventsRfm _),
     "events_trend" -> (eventsTrend _),
+    "events_holt" -> (eventsHolt _),
     "events_seasonality" -> (eventsSeasonality _),
     "events_autocorr" -> (eventsAutocorr _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -1067,6 +1170,7 @@ object Analytics {
     "events_anomaly_mad" -> eventsAnomalyMadSql,
     "events_rfm" -> eventsRfmSql,
     "events_trend" -> eventsTrendSql,
+    "events_holt" -> eventsHoltSql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_autocorr" -> eventsAutocorrSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,

@@ -583,7 +583,8 @@ object Olap {
     "events_sessionize" -> (eventsSessionize _),
     "events_retention" -> (eventsRetention _),
     "events_ab_test" -> (eventsAbTest _),
-    "basket_rules" -> (basketRules _))
+    "basket_rules" -> (basketRules _),
+    "events_funnel_time" -> (eventsFunnelTime _))
 
   /** events_ab_test (A20) — deterministic A/B experiment analysis: users
     * hash-assigned to variants by md5(user_id) (the sample_split idiom —
@@ -631,6 +632,91 @@ object Olap {
         expr("cents_b div n_b").as("mean_cents_b"),
         expr("cents_b div n_b - cents_a div n_a").as("mean_lift_cents"))
   }
+
+  /** events_funnel_time (W12) — TIME-TO-CONVERT distribution for the
+    * signup→purchase funnel: events_funnel_steps answers "how many
+    * convert", this answers "how fast" — the latency histogram product
+    * analytics sizes nudge timing and abandonment windows from. Per
+    * user: first signup, first purchase AT OR AFTER that signup, delta
+    * in exact microseconds; the report is one row of integer sufficient
+    * statistics — funnel counts, conversion ppm, exact min/max latency,
+    * and type-1 median/p90 at HOUR granularity.
+    *
+    * The quantiles are read off a ≤|hour-domain| histogram with the
+    * aggHistQuantile triangular-cumulative (no partition-less window —
+    * a global rank median would sort every converting user through one
+    * task); hour granularity keeps the triangular join ≤ domain² ≈
+    * 550k pairs regardless of user count. Exact min/max stay at full µs
+    * precision from the same pass.
+    *
+    * Scale: two user-keyed aggregations (the second inherits the
+    * join's clustering), a domain-sized histogram, 1-row broadcasts for
+    * the report assembly. Nothing user-sized ever sorts globally.
+    */
+  def eventsFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val su = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("s_us"))
+      .filter(col("s_us").isNotNull)
+    val d = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("us") >= col("s_us"))
+      .groupBy(col("user_id"))
+      .agg((min(col("us")) - max(col("s_us"))).as("dus"))
+    val hist = d.select(expr("dus div 3600000000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val n1 = su.agg(count(lit(1)).as("n_signup"))
+    val stats = d.agg(count(lit(1)).as("n_conv"),
+      min(col("dus")).as("min_delta_us"), max(col("dus")).as("max_delta_us"))
+    val cum = hist.as("a")
+      .join(hist.as("b"), col("b.h") <= col("a.h"))
+      .groupBy(col("a.h").as("h")).agg(sum(col("b.cnt")).as("cum"))
+    val q = cum.crossJoin(broadcast(stats.select(col("n_conv"))))
+      .agg(
+        min(when(col("cum") >= expr("(n_conv + 1) div 2"), col("h")))
+          .as("median_delta_h"),
+        min(when(col("cum") >= expr("(n_conv * 90 + 99) div 100"), col("h")))
+          .as("p90_delta_h"))
+    broadcast(n1).crossJoin(broadcast(stats)).crossJoin(broadcast(q))
+      .select(col("n_signup"), col("n_conv"),
+        expr("n_conv * 1000000 div n_signup").as("conv_ppm"),
+        col("min_delta_us"), col("max_delta_us"),
+        col("median_delta_h"), col("p90_delta_h"))
+  }
+
+  val eventsFunnelTimeSql: String =
+    """WITH su AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us
+      |  FROM events GROUP BY user_id),
+      |su2 AS (SELECT * FROM su WHERE s_us IS NOT NULL),
+      |d AS (SELECT e.user_id,
+      |    min(epoch_us(e.ts)) - max(s.s_us) AS dus
+      |  FROM events e JOIN su2 s ON s.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+      |  GROUP BY e.user_id),
+      |hist AS (SELECT dus // 3600000000 AS h, count(*) AS cnt
+      |  FROM d GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_conv, min(dus) AS min_delta_us,
+      |    max(dus) AS max_delta_us FROM d),
+      |n1 AS (SELECT count(*) AS n_signup FROM su2),
+      |cum AS (SELECT a.h, sum(b.cnt) AS cum
+      |  FROM hist a JOIN hist b ON b.h <= a.h GROUP BY a.h),
+      |q AS (SELECT
+      |    min(CASE WHEN cum >= (n_conv + 1) // 2 THEN h END)
+      |      AS median_delta_h,
+      |    min(CASE WHEN cum >= (n_conv * 90 + 99) // 100 THEN h END)
+      |      AS p90_delta_h
+      |  FROM cum, stats)
+      |SELECT CAST(n_signup AS BIGINT) AS n_signup,
+      |  CAST(n_conv AS BIGINT) AS n_conv,
+      |  CAST(n_conv * 1000000 // n_signup AS BIGINT) AS conv_ppm,
+      |  CAST(min_delta_us AS BIGINT) AS min_delta_us,
+      |  CAST(max_delta_us AS BIGINT) AS max_delta_us,
+      |  CAST(median_delta_h AS BIGINT) AS median_delta_h,
+      |  CAST(p90_delta_h AS BIGINT) AS p90_delta_h
+      |FROM n1, stats, q""".stripMargin
 
   /** basket_rules (A21) — association-rule mining over order baskets
     * (Apriori's pair stage, the market-basket staple): for the top-20
@@ -754,5 +840,6 @@ object Olap {
     "events_sessionize" -> eventsSessionizeSql,
     "events_retention" -> eventsRetentionSql,
     "events_ab_test" -> eventsAbTestSql,
-    "basket_rules" -> basketRulesSql)
+    "basket_rules" -> basketRulesSql,
+    "events_funnel_time" -> eventsFunnelTimeSql)
 }

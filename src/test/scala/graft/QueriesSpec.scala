@@ -233,6 +233,35 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("events_holt equals a sequential integer recurrence reference") {
+    // driver-side fold of the DECLARED Holt recurrence in plain Longs
+    // (no encoding) — pins that the offset-encoded scalar fold computes
+    // the recurrence, not merely something both engines agree on
+    val epoch = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val raw = Tables.events(spark, sfTiny)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("s"),
+        col("value")).collect()
+      .map(r => (r.getString(0), (r.getLong(1) - epoch) / 3600L,
+        math.rint(r.getDouble(2) * 100).toLong))
+    def tdiv(a: Long, b: Long): Long = a / b // JVM / truncates toward zero
+    val want = raw.groupBy(_._1).toSeq.map { case (ty, rows) =>
+      val ys = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (_, v) => v.map(_._3).sum }
+      var l = ys.head; var b = 0L
+      for (x <- ys.tail) {
+        val l2 = tdiv(2 * x + 8 * (l + b), 10)
+        b = tdiv(3 * (l2 - l) + 7 * b, 10)
+        l = l2
+      }
+      (ty, ys.size.toLong, l, b, l + b, l + 3 * b)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("events_holt")(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_autocorr equals a sequential BigInt reference") {
     // independent re-derivation driver-side: hourly cents per type from
     // raw rows, lag pairs on exact hour adjacency, r² ppm via the same
