@@ -87,16 +87,53 @@ object SqlSuite {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** sql_params — PARAMETERIZED SQL through the parser (the
+    * prepared-statement surface every SQL client and BI tool issues):
+    * the query text carries named parameter markers (:min_price,
+    * :status, :cutoff) and the literals bind at execution via Spark 4's
+    * `spark.sql(text, args)` — the markers survive parsing as
+    * `Parameter` nodes and bind BEFORE analysis, so the bound plan is
+    * byte-identical to the inlined one (constant folding, pushdown, and
+    * partition pruning all see real literals — binding never defeats
+    * the optimizer). The oracle runs the same query with the literals
+    * inlined: the hash-match proves bind ≡ inline.
+    */
+  val sqlParamsText: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS total_value
+       |FROM orders
+       |WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+       |  AND o_orderdate < CAST(:cutoff AS TIMESTAMP)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  def sqlParams(spark: SparkSession, dir: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(sqlParamsText, Map(
+      "min_price" -> 50000.0,
+      "status" -> "F",
+      "cutoff" -> "1996-06-01 00:00:00"))
+  }
+
+  val sqlParamsOracle: String = sqlParamsText
+    .replace(":min_price", "50000.0")
+    .replace(":status", "'F'")
+    .replace(":cutoff", "'1996-06-01 00:00:00'")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q1" -> (run(sqlQ1) _),
     "sql_q5" -> (run(sqlQ5) _),
     "sql_window" -> (run(sqlWindow) _),
-    "sql_subquery_agg" -> (run(sqlSubqueryAgg) _))
+    "sql_subquery_agg" -> (run(sqlSubqueryAgg) _),
+    "sql_params" -> (sqlParams _))
 
-  /** The SAME strings are the oracle — one text, two engines. */
+  /** The SAME strings are the oracle — one text, two engines (sql_params
+    * binds at execution; its oracle is the inlined text).
+    */
   def oracle: Map[String, String] = Map(
     "sql_q1" -> sqlQ1,
     "sql_q5" -> sqlQ5,
     "sql_window" -> sqlWindow,
-    "sql_subquery_agg" -> sqlSubqueryAgg)
+    "sql_subquery_agg" -> sqlSubqueryAgg,
+    "sql_params" -> sqlParamsOracle)
 }

@@ -54,6 +54,19 @@ class SqlSuiteSpec extends SparkSpec {
       s"SQL-text q5 lost the broadcast dim joins:\n$p")
   }
 
+  test("sql_params: bound plan equals the inlined plan (rows + pushdown)") {
+    operators.SqlSuite.registerViews(spark, sfTiny)
+    val bound = operators.SqlSuite.sqlParams(spark, sfTiny)
+    val inlined = spark.sql(operators.SqlSuite.sqlParamsOracle)
+    assert(bound.collect().toSeq == inlined.collect().toSeq)
+    // binding must not defeat the optimizer: the price predicate still
+    // reaches the parquet scan as a pushed filter
+    val plan = bound.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_totalprice"),
+      s"bound parameter lost predicate pushdown:\n$plan")
+  }
+
   test("events view serves the normalized timestamp frame") {
     operators.SqlSuite.registerViews(spark, sfTiny)
     val t = spark.sql("SELECT ts FROM events").schema("ts").dataType
