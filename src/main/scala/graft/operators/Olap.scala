@@ -584,7 +584,8 @@ object Olap {
     "events_retention" -> (eventsRetention _),
     "events_ab_test" -> (eventsAbTest _),
     "basket_rules" -> (basketRules _),
-    "events_funnel_time" -> (eventsFunnelTime _))
+    "events_funnel_time" -> (eventsFunnelTime _),
+    "events_cohort_matrix" -> (eventsCohortMatrix _))
 
   /** events_ab_test (A20) — deterministic A/B experiment analysis: users
     * hash-assigned to variants by md5(user_id) (the sample_split idiom —
@@ -632,6 +633,61 @@ object Olap {
         expr("cents_b div n_b").as("mean_cents_b"),
         expr("cents_b div n_b - cents_a div n_a").as("mean_lift_cents"))
   }
+
+  /** events_cohort_matrix (A23) — the WEEKLY COHORT RETENTION MATRIX,
+    * the standard product-analytics artifact one step up from
+    * events_retention's day-over-day pairs: users cohort by the week of
+    * their FIRST high-value purchase (cents ≥ 10000, ~p90 — the rare
+    * qualifying event whose first occurrence genuinely spreads across
+    * weeks; cohorting on any-activity saturates to one cohort on a dense
+    * log), and cell (cohort, offset) counts how many repeated a
+    * qualifying purchase `offset` weeks later, with retention in exact
+    * integer ppm of the cohort size. Weeks are epoch-day div 7 anchored
+    * to Monday 2024-01-01 (pure date arithmetic, engine-identical — the
+    * A17 dow lesson applied to weeks).
+    *
+    * Scale: one scan → (user, week) distinct activity (user-keyed
+    * exchange with partial agg), a per-user min-week aggregate riding
+    * the SAME clustering (no second exchange), then a |cohorts|·|weeks|
+    * cell aggregate and a broadcast of the |cohorts|-row size table.
+    * Nothing user×user, nothing user-sized sorts.
+    */
+  def eventsCohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" &&
+        scaledLong(col("value"), 100L) >= 10000L)
+      .select(col("user_id"),
+        expr("cast(datediff(to_date(ts), date'2024-01-01') div 7 as bigint)").as("w"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("c"))
+    val sizes = cohort.groupBy(col("c")).agg(count(lit(1)).as("n_cohort"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("c"), (col("w") - col("c")).as("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("c"))
+      .select(col("c").as("cohort_week"), col("offset_w"),
+        col("n_cohort"), col("n_active"),
+        expr("n_active * 1000000 div n_cohort").as("retention_ppm"))
+      .orderBy(col("cohort_week"), col("offset_w"))
+  }
+
+  val eventsCohortMatrixSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+      |  FROM events
+      |  WHERE event_type = 'purchase'
+      |    AND CAST(round(value * 100) AS BIGINT) >= 10000),
+      |cohort AS (SELECT user_id, min(w) AS c FROM uw GROUP BY user_id),
+      |sizes AS (SELECT c, count(*) AS n_cohort FROM cohort GROUP BY c),
+      |cells AS (SELECT ch.c, uw.w - ch.c AS offset_w, count(*) AS n_active
+      |  FROM uw JOIN cohort ch ON ch.user_id = uw.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cells.c AS cohort_week, CAST(offset_w AS BIGINT) AS offset_w,
+      |  CAST(n_cohort AS BIGINT) AS n_cohort,
+      |  CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(n_active * 1000000 // n_cohort AS BIGINT) AS retention_ppm
+      |FROM cells JOIN sizes ON sizes.c = cells.c
+      |ORDER BY cohort_week, offset_w""".stripMargin
 
   /** events_funnel_time (W12) — TIME-TO-CONVERT distribution for the
     * signup→purchase funnel: events_funnel_steps answers "how many
@@ -841,5 +897,6 @@ object Olap {
     "events_retention" -> eventsRetentionSql,
     "events_ab_test" -> eventsAbTestSql,
     "basket_rules" -> basketRulesSql,
-    "events_funnel_time" -> eventsFunnelTimeSql)
+    "events_funnel_time" -> eventsFunnelTimeSql,
+    "events_cohort_matrix" -> eventsCohortMatrixSql)
 }
