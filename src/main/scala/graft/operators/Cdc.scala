@@ -91,6 +91,72 @@ object Cdc {
        |FROM ranked WHERE rn = 1 AND op <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** cdc_resume_offsets (S26) — per-partition RESUME-OFFSET bookkeeping,
+    * the exactly-once commit table every changelog consumer maintains
+    * atomically with its apply: the wire is key-hash-routed onto 8
+    * transport partitions (user_id % 8 — Kafka's default partitioner
+    * shape, which guarantees per-KEY order within a partition, exactly
+    * what LWW needs), offsets within a partition are the monotone op ids,
+    * and the committed high-watermark per partition is what a restarted
+    * consumer resumes AFTER — losing it means reprocessing (needs S22's
+    * idempotence) or data loss. The report is the commit table a sink
+    * transaction would persist: per partition the op count, the committed
+    * offset, and the owned live-state census (count + id XOR) after full
+    * apply — key-routing means each user's state is owned by exactly one
+    * partition, so the census is the per-partition apply checksum.
+    * Prefix-resume equivalence (apply(prefix) then resume from the
+    * committed offset ≡ apply(all) — at EVERY per-partition cut) is
+    * property-pinned in CdcPropertySpec; the oracle checks the table.
+    *
+    * Scale: one scan → (partition)-keyed 8-row aggregate for offsets +
+    * the standard user-keyed LWW collapse rolled up to 8 rows; both
+    * mergeable, nothing partition-less.
+    */
+  def cdcResumeOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val offsets = e.groupBy((col("user_id") % 8).as("partition"))
+      .agg(count(lit(1)).as("n_ops"),
+        max(col("event_id")).as("committed_offset"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val live = e.select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "delete").otherwise("upsert")
+          .as("op"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .groupBy((col("user_id") % 8).as("partition"))
+      .agg(count(lit(1)).as("n_live_users"),
+        bit_xor(col("user_id")).as("live_xor"))
+    offsets.join(live, Seq("partition"), "left")
+      .select(col("partition"), col("n_ops"), col("committed_offset"),
+        coalesce(col("n_live_users"), lit(0L)).as("n_live_users"),
+        coalesce(col("live_xor"), lit(0L)).as("live_xor"))
+      .orderBy(col("partition"))
+  }
+
+  val cdcResumeOffsetsSql: String =
+    """WITH offsets AS (
+      |  SELECT user_id % 8 AS partition, count(*) AS n_ops,
+      |    max(event_id) AS committed_offset
+      |  FROM events GROUP BY 1),
+      |ranked AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END
+      |      AS op,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |live AS (
+      |  SELECT user_id % 8 AS partition, count(*) AS n_live_users,
+      |    bit_xor(user_id) AS live_xor
+      |  FROM ranked WHERE rn = 1 AND op <> 'delete' GROUP BY 1)
+      |SELECT o.partition, CAST(o.n_ops AS BIGINT) AS n_ops,
+      |  CAST(o.committed_offset AS BIGINT) AS committed_offset,
+      |  CAST(COALESCE(l.n_live_users, 0) AS BIGINT) AS n_live_users,
+      |  CAST(COALESCE(l.live_xor, 0) AS BIGINT) AS live_xor
+      |FROM offsets o LEFT JOIN live l ON l.partition = o.partition
+      |ORDER BY o.partition""".stripMargin
+
   /** cdc_at_least_once (S22) — AT-LEAST-ONCE delivery hardening: every
     * real CDC transport (Kafka default semantics, retried HTTP pushes,
     * resumed change-stream cursors) can deliver an operation more than
@@ -1058,6 +1124,7 @@ object Cdc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
+    "cdc_resume_offsets" -> (cdcResumeOffsets _),
     "cdc_at_least_once" -> (cdcAtLeastOnce _),
     "cdc_compaction" -> (cdcCompaction _),
     "cdc_merge_apply" -> (cdcMergeApply _),
@@ -1077,6 +1144,7 @@ object Cdc {
   def oracle: Map[String, String] = Map(
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
+    "cdc_resume_offsets" -> cdcResumeOffsetsSql,
     "cdc_at_least_once" -> cdcAtLeastOnceSql,
     "cdc_compaction" -> cdcCompactionSql,
     "cdc_merge_apply" -> cdcMergeApplySql,

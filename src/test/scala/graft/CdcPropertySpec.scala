@@ -55,6 +55,37 @@ class CdcPropertySpec extends SparkSpec {
     }
   }
 
+  test("resume from committed offsets equals the unbroken apply at every cut") {
+    // the cdc_resume_offsets contract: key-hash partition routing + a
+    // per-partition committed offset; a consumer that applies the prefix
+    // (offset <= cut per partition), persists state, restarts, and
+    // applies only ops AFTER its committed offsets must converge to the
+    // unbroken full apply — for ANY per-partition cut vector
+    import spark.implicits._
+    for (seed <- 1L to 8L) {
+      val log = sample(genLog, seed)
+      val full = stateToMap(Streams.applyLog(log.toDF()))
+      // per-partition cut: commit the offset at a seed-dependent fraction
+      val byPart = log.groupBy(_.user_id % 4)
+      val cut: Map[Long, Long] = byPart.map { case (p, ops) =>
+        val ids = ops.map(_.event_id).sorted
+        p -> ids((ids.size * ((seed % 3) + 1) / 4).toInt.min(ids.size - 1))
+      }
+      val prefix = log.filter(e => e.event_id <= cut(e.user_id % 4))
+      val suffix = log.filter(e => e.event_id > cut(e.user_id % 4))
+      // resume = LWW over (prefix-state ∪ suffix): state rows —
+      // INCLUDING tombstones, which must survive the restart or a
+      // lower-ts suffix op resurrects a deleted key — re-enter carrying
+      // their original (ts, id), the Kafka-compaction rebuild path
+      val state1 = Streams.applyLog(prefix.toDF())
+      val stateAsOps = state1.collect().map(r =>
+        prefix.find(_.event_id == r.getLong(2)).get)
+      val resumed = stateToMap(
+        Streams.applyLog((stateAsOps.toList ++ suffix).toDF()))
+      assert(resumed == full, s"seed=$seed cut=$cut")
+    }
+  }
+
   test("compaction's upsert records ARE cdc_apply's state") {
     import org.apache.spark.sql.functions._
     // replaying only the compacted log's live records must rebuild the
