@@ -299,6 +299,60 @@ object Analytics {
       |       // (n * (n * sxx - sx * sx)) AS BIGINT) AS forecast_cents
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** events_diversity (A24) — concentration/diversity indices per day:
+    * the Herfindahl-Hirschman index (Σ share², the Simpson index's
+    * complement) over event-type shares and the argmax top type — the
+    * mix-shift monitor next to dq_drift (drift compares two periods;
+    * HHI tracks concentration continuously, and a day whose HHI jumps is
+    * a day one event type swamped the mix). Shares are integer ppm and
+    * HHI = Σ share_ppm² div 10⁶ (≤ 10⁶, exact — no float squaring), so
+    * the index is bit-identical in both engines; Shannon entropy would
+    * need a log and is deliberately NOT the payload (the doc_lm_coverage
+    * argument: the integer skeleton ranks the same days).
+    *
+    * Scale: one scan → (day, type) partial-combined counts (domain-
+    * sized), day totals derived FROM the cells (no second scan), a
+    * ≤|days|·|types| fold. Mergeable all the way down — stored daily
+    * cells roll up to any window.
+    */
+  def eventsDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val withTotal = cells
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("d"))))
+      .withColumn("share_ppm", expr("cnt * 1000000 div n"))
+    withTotal.groupBy(col("d"))
+      .agg(max(col("n")).cast("long").as("n_events"),
+        count(lit(1)).as("n_types"),
+        expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"),
+        max(struct(col("cnt"), col("event_type"))).as("mx"))
+      .select(fmtDate(col("d")).as("day"), col("n_events"), col("n_types"),
+        col("hhi_ppm"),
+        col("mx.event_type").as("top_type"),
+        expr("mx.cnt * 1000000 div n_events").as("top_share_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val eventsDiversitySql: String =
+    s"""WITH cells AS (SELECT CAST(ts AS DATE) AS d, event_type,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |wt AS (SELECT d, event_type, cnt,
+       |    sum(cnt) OVER (PARTITION BY d) AS n
+       |  FROM cells),
+       |wt2 AS (SELECT d, event_type, cnt, n,
+       |    cnt * 1000000 // n AS share_ppm FROM wt)
+       |SELECT ${sqlFmtDate("d")} AS day,
+       |  CAST(max(n) AS BIGINT) AS n_events,
+       |  count(*) AS n_types,
+       |  CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+       |  max(struct_pack(cnt := cnt, event_type := event_type)).event_type
+       |    AS top_type,
+       |  CAST(max(struct_pack(cnt := cnt, event_type := event_type)).cnt
+       |    * 1000000 // max(n) AS BIGINT) AS top_share_ppm
+       |FROM wt2 GROUP BY d ORDER BY day""".stripMargin
+
   /** events_holt (A22) — Holt's LINEAR (level + trend) exponential
     * smoothing per event type over the hourly cents series, the adaptive
     * sibling of events_trend's global least squares: the recurrence
@@ -1150,6 +1204,7 @@ object Analytics {
     "events_rfm" -> (eventsRfm _),
     "events_trend" -> (eventsTrend _),
     "events_holt" -> (eventsHolt _),
+    "events_diversity" -> (eventsDiversity _),
     "events_seasonality" -> (eventsSeasonality _),
     "events_autocorr" -> (eventsAutocorr _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -1171,6 +1226,7 @@ object Analytics {
     "events_rfm" -> eventsRfmSql,
     "events_trend" -> eventsTrendSql,
     "events_holt" -> eventsHoltSql,
+    "events_diversity" -> eventsDiversitySql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_autocorr" -> eventsAutocorrSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,

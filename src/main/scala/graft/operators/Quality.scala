@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Det.{fmtTs, sqlFmtTs}
 
 /** Data-quality constraint audit over the fact tables (SURVEY.md §2 row
   * Q1) — the Deequ/"unit tests for data" idiom every production pipeline
@@ -352,15 +353,81 @@ object Quality {
       |    // greatest(pa, 1), b := b)).b AS BIGINT) AS worst_bucket
       |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** dq_freshness (Q6) — per-stream FRESHNESS/VOLUME monitor (the
+    * Monte-Carlo-style "did the pipeline stop?" check next to dq_drift's
+    * distribution test): per event type, the last observed event, its
+    * age in minutes against a fixed reference instant (a deployment
+    * passes now(); fixed here for determinism — the repo-wide ban on
+    * wall-clock in compared output), the final-24h volume against the
+    * stream's mean daily volume in ppm, and two integer SLA verdicts
+    * (stale = age > 120 min; volume anomaly = last day under half or
+    * over double the mean). Every number is integer arithmetic on exact
+    * epoch seconds and counts — both engines agree bit-for-bit.
+    *
+    * Scale: ONE scan → per-type mergeable aggregate (max ts, total, a
+    * conditional last-24h count); day span derives from min/max ts. No
+    * window, no second pass.
+    */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val REF = "2024-02-01 00:00:00"
+    val refS = unix_timestamp(lit(REF).cast("timestamp"))
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        min(unix_timestamp(col("ts"))).as("first_s"),
+        max(unix_timestamp(col("ts"))).as("last_s"),
+        sum(when(unix_timestamp(col("ts")) >= refS - 86400L, 1L)
+          .otherwise(0L)).as("n_last_day"))
+      .withColumn("ref_s", refS)
+      .select(col("event_type"), col("n_events"),
+        fmtTs(col("last_ts")).as("last_seen"),
+        expr("(ref_s - last_s) div 60").as("age_min"),
+        col("n_last_day").cast("long").as("n_last_day"),
+        expr("n_last_day * ((last_s - first_s) div 86400 + 1) * 1000000" +
+          " div n_events").as("volume_ratio_ppm"))
+      .withColumn("stale", col("age_min") > 120L)
+      .withColumn("volume_anomaly",
+        col("volume_ratio_ppm") < 500000L ||
+          col("volume_ratio_ppm") > 2000000L)
+      .orderBy(col("event_type"))
+  }
+
+  val dqFreshnessSql: String =
+    s"""WITH a AS (SELECT event_type, count(*) AS n_events,
+       |    max(ts) AS last_ts,
+       |    min(CAST(epoch(ts) AS BIGINT)) AS first_s,
+       |    max(CAST(epoch(ts) AS BIGINT)) AS last_s,
+       |    sum(CASE WHEN CAST(epoch(ts) AS BIGINT) >=
+       |        CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') AS BIGINT) - 86400
+       |      THEN 1 ELSE 0 END) AS n_last_day
+       |  FROM events GROUP BY event_type)
+       |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+       |  ${sqlFmtTs("last_ts")} AS last_seen,
+       |  (CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') AS BIGINT) - last_s)
+       |    // 60 AS age_min,
+       |  CAST(n_last_day AS BIGINT) AS n_last_day,
+       |  CAST(n_last_day * ((last_s - first_s) // 86400 + 1) * 1000000
+       |    // n_events AS BIGINT) AS volume_ratio_ppm,
+       |  (CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') AS BIGINT) - last_s)
+       |    // 60 > 120 AS stale,
+       |  (n_last_day * ((last_s - first_s) // 86400 + 1) * 1000000
+       |     // n_events < 500000
+       |   OR n_last_day * ((last_s - first_s) // 86400 + 1) * 1000000
+       |     // n_events > 2000000) AS volume_anomaly
+       |FROM a ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> (dqAudit _),
     "dq_profile" -> (dqProfile _),
     "dq_drift" -> (dqDrift _),
+    "dq_freshness" -> (dqFreshness _),
     "events_lateness_profile" -> (eventsLatenessProfile _))
 
   def oracle: Map[String, String] = Map(
     "dq_audit" -> dqAuditSql,
     "dq_profile" -> dqProfileSql,
     "dq_drift" -> dqDriftSql,
+    "dq_freshness" -> dqFreshnessSql,
     "events_lateness_profile" -> eventsLatenessProfileSql)
 }
