@@ -310,6 +310,71 @@ object Docs {
        |FROM scored GROUP BY 1, 2, 3
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** doc_readability (L41) — Flesch reading-ease in an INTEGER skeleton,
+    * the classic readability quality signal next to doc_quality's
+    * length/stopword ratios: per doc, words (whitespace tokens),
+    * sentences (terminal-punctuation runs, floored at 1), a vowel-group
+    * syllable proxy (the standard cheap estimator), and
+    * score_milli = 206835 − (1015·words) div sentences −
+    * (84600·syllables) div words — Flesch's constants ×1000 with the two
+    * rational terms as truncating integer divisions, so both engines
+    * emit identical scores and band the same documents (easy ≥ 60000 >
+    * medium ≥ 30000 > hard). Report per language: doc count, exact sums,
+    * mean score, band census.
+    *
+    * Scale: three codegen'd regexp_count/size projections per row
+    * (map-side), ONE |langs|-row aggregate. No explode, no shuffle
+    * beyond the partial-combined rollup.
+    */
+  def docReadability(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(norm(col("text")), " ")).cast("long").as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+          lit(1L)).as("s"),
+        greatest(regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long"), lit(1L)).as("y"))
+      .withColumn("score_m",
+        expr("206835 - (1015 * w) div s - (84600 * y) div w"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).cast("long").as("total_words"),
+        sum(col("s")).cast("long").as("total_sentences"),
+        sum(col("y")).cast("long").as("total_syllables"),
+        expr("sum(score_m) div count(1)").as("mean_score_milli"),
+        sum(when(col("score_m") >= 60000L, 1L).otherwise(0L)).cast("long")
+          .as("n_easy"),
+        sum(when(col("score_m") >= 30000L && col("score_m") < 60000L, 1L)
+          .otherwise(0L)).cast("long").as("n_medium"),
+        sum(when(col("score_m") < 30000L, 1L).otherwise(0L)).cast("long")
+          .as("n_hard"))
+      .orderBy(col("lang"))
+  }
+
+  val docReadabilitySql: String =
+    s"""WITH d AS (SELECT lang,
+       |    CAST(len(string_split($sqlNorm, ' ')) AS BIGINT) AS w,
+       |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+       |      AS BIGINT), 1) AS s,
+       |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |      AS BIGINT), 1) AS y
+       |  FROM documents),
+       |sc AS (SELECT lang, w, s, y,
+       |    206835 - (1015 * w) // s - (84600 * y) // w AS score_m
+       |  FROM d)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(w) AS BIGINT) AS total_words,
+       |  CAST(sum(s) AS BIGINT) AS total_sentences,
+       |  CAST(sum(y) AS BIGINT) AS total_syllables,
+       |  CAST(sum(score_m) // count(*) AS BIGINT) AS mean_score_milli,
+       |  CAST(sum(CASE WHEN score_m >= 60000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_easy,
+       |  CAST(sum(CASE WHEN score_m >= 30000 AND score_m < 60000
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+       |  CAST(sum(CASE WHEN score_m < 30000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hard
+       |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Tiny built-in stopword list shared by quality scoring and language-ID.
     * (lang, marker-token) pairs — public-knowledge function words.
     */
@@ -853,6 +918,7 @@ object Docs {
     "doc_heavy_hitters" -> (docHeavyHitters _),
     "doc_keyword_search" -> (docKeywordSearch _),
     "doc_bm25" -> (docBm25 _),
+    "doc_readability" -> (docReadability _),
     "doc_collocations" -> (docCollocations _),
     "doc_bpe_pairs" -> (docBpePairs _),
     "doc_lm_coverage" -> (docLmCoverage _),
@@ -870,6 +936,7 @@ object Docs {
     "doc_heavy_hitters" -> docHeavyHittersSql,
     "doc_keyword_search" -> docKeywordSearchSql,
     "doc_bm25" -> docBm25Sql,
+    "doc_readability" -> docReadabilitySql,
     "doc_collocations" -> docCollocationsSql,
     "doc_bpe_pairs" -> docBpePairsSql,
     "doc_lm_coverage" -> docLmCoverageSql,
