@@ -1451,10 +1451,116 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY kind, dist""".stripMargin
 
+  /** graph_kcore (G4) — bounded k-core PEELING (3 rounds) over the part
+    * co-purchase graph (graph_triangles' subgraph): each round drops
+    * every node whose current degree is < k, which lowers its neighbors'
+    * degrees — the vertex-DELETION iterative shape next to G1's mass
+    * flow, G3's frontier expansion, and L10's label propagation. The
+    * threshold is DATA-DERIVED: k = mean degree + 1 of the round-0 graph
+    * (2E div N + 1, exact integers, one 1-row broadcast) — a fixed small
+    * k never bites on a dense co-purchase graph (measured: k=3 left all
+    * 1000 nodes untouched at sf0.01, mean degree ≈ 58), while
+    * mean-anchored k peels the sparse half and the cascade is visible in
+    * the round census. The 3-round prefix of the fixpoint is the
+    * declared semantics (bounded rounds keep the plan deterministic and
+    * the oracle unrollable). Per round: surviving node/edge counts and a
+    * node XOR checksum.
+    *
+    * Scale: degrees are node-sized aggregates off the pinned edge frame;
+    * the survivor set broadcasts back as two semi-joins (src, dst) —
+    * edges never shuffle; each round's edge frame is pinned so round
+    * lineage never nests (the G3 lesson). At cluster scale the semi
+    * degrades to a keyed shuffle; the true-fixpoint form adds G3-style
+    * convergence probes per round.
+    */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = p.select(col("l_orderkey"), col("l_partkey").as("x"))
+    val b = p.select(col("l_orderkey"), col("l_partkey").as("y"))
+    var edges = a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct().localCheckpoint()
+    // k = mean degree + 1 of the round-0 graph: 2E div N + 1
+    val kf = edges.agg(count(lit(1)).as("e0_edges")).crossJoin(
+        edges.select(col("x").as("n"))
+          .unionByName(edges.select(col("y").as("n"))).distinct()
+          .agg(count(lit(1)).as("e0_nodes")))
+      .select(expr("2 * e0_edges div e0_nodes + 1").as("k"))
+    val rounds = (1 to 3).map { r =>
+      val deg = edges.select(col("x").as("n"))
+        .unionByName(edges.select(col("y").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val keep = deg.crossJoin(broadcast(kf))
+        .filter(col("deg") >= col("k")).select(col("n"))
+      edges = edges
+        .join(broadcast(keep.select(col("n").as("x"))), Seq("x"),
+          "left_semi")
+        .join(broadcast(keep.select(col("n").as("y"))), Seq("y"),
+          "left_semi")
+        .select(col("x"), col("y")).localCheckpoint()
+      val nodes = edges.select(col("x").as("n"))
+        .unionByName(edges.select(col("y").as("n"))).distinct()
+      val stats = nodes.agg(count(lit(1)).as("n_nodes"),
+        coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      stats.select(lit(r.toLong).as("round"), col("n_nodes"),
+        col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  val graphKcoreSql: String = {
+    // unrolled peel: eN = edges whose endpoints both have deg >= 3 in
+    // e(N-1); one CTE pair per round
+    def peel(prev: String, cur: String): String =
+      s"""d$cur AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
+         |    SELECT x AS n FROM $prev UNION ALL SELECT y FROM $prev)
+         |  GROUP BY n),
+         |$cur AS MATERIALIZED (SELECT x, y FROM $prev
+         |  WHERE x IN (SELECT n FROM d$cur WHERE deg >= (SELECT k FROM kf))
+         |    AND y IN (SELECT n FROM d$cur
+         |              WHERE deg >= (SELECT k FROM kf)))"""
+        .stripMargin
+    def census(e: String, r: Int): String =
+      s"""SELECT $r AS round,
+         |  (SELECT count(*) FROM (SELECT DISTINCT n FROM (
+         |     SELECT x AS n FROM $e UNION ALL SELECT y FROM $e)))
+         |    AS n_nodes,
+         |  (SELECT count(*) FROM $e) AS n_edges,
+         |  (SELECT COALESCE(bit_xor(n), 0) FROM (SELECT DISTINCT n FROM (
+         |     SELECT x AS n FROM $e UNION ALL SELECT y FROM $e)))
+         |    AS node_xor""".stripMargin
+    s"""WITH p AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+       |  FROM lineitem WHERE l_partkey % 2 = 0),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+       |  FROM p a JOIN p b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |kf AS MATERIALIZED (SELECT 2 * (SELECT count(*) FROM e0)
+       |    // (SELECT count(*) FROM (SELECT DISTINCT n FROM (
+       |         SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0)))
+       |    + 1 AS k),
+       |${peel("e0", "e1")},
+       |${peel("e1", "e2")},
+       |${peel("e2", "e3")}
+       |SELECT CAST(round AS BIGINT) AS round,
+       |  CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(n_edges AS BIGINT) AS n_edges,
+       |  CAST(node_xor AS BIGINT) AS node_xor
+       |FROM (
+       |${census("e1", 1)}
+       |UNION ALL
+       |${census("e2", 2)}
+       |UNION ALL
+       |${census("e3", 3)})
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_shortest_paths" -> (graphShortestPaths _),
+    "graph_kcore" -> (graphKcore _),
     "corpus_mix" -> (corpusMix _),
     "doc_dup_spans" -> (docDupSpans _),
     "doc_repetition" -> (docRepetition _),
@@ -1492,5 +1598,6 @@ object Pipeline {
     "dedup_survivorship" -> dedupSurvivorshipSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
-    "graph_shortest_paths" -> graphShortestPathsSql)
+    "graph_shortest_paths" -> graphShortestPathsSql,
+    "graph_kcore" -> graphKcoreSql)
 }
