@@ -585,7 +585,9 @@ object Olap {
     "events_ab_test" -> (eventsAbTest _),
     "basket_rules" -> (basketRules _),
     "events_funnel_time" -> (eventsFunnelTime _),
-    "events_cohort_matrix" -> (eventsCohortMatrix _))
+    "events_cohort_matrix" -> (eventsCohortMatrix _),
+    "events_adoption" -> (eventsAdoption _),
+    "events_pareto" -> (eventsPareto _))
 
   /** events_ab_test (A20) — deterministic A/B experiment analysis: users
     * hash-assigned to variants by md5(user_id) (the sample_split idiom —
@@ -633,6 +635,129 @@ object Olap {
         expr("cents_b div n_b").as("mean_cents_b"),
         expr("cents_b div n_b - cents_a div n_a").as("mean_lift_cents"))
   }
+
+  /** events_adoption (A25) — the cumulative ADOPTION CURVE: per day, how
+    * many users crossed into the high-value tier (first purchase with
+    * cents >= 10000 — the cohort-matrix qualifying event; first-ANY-
+    * activity saturates day one on a dense log) and the running total —
+    * the growth-accounting twin of events_cohort_matrix (cohorts slice
+    * retention; adoption accumulates acquisition). First-seen day is a
+    * user-keyed min; the cumulative is the triangular self-join over the
+    * ≤|days| daily frame (domain-sized, ≤|days|² pairs — never a window
+    * over users and no partition-less WindowExec, the suite-wide ban);
+    * share of the final user base in exact ppm via a 1-row broadcast.
+    */
+  def eventsAdoption(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" &&
+        scaledLong(col("value"), 100L) >= 10000L)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d"))
+    val daily = firstDay.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_new"))
+    val total = firstDay.agg(count(lit(1)).as("n_total"))
+    val cum = daily.as("a")
+      .join(daily.as("b"), col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("d"), col("a.n_new").as("n_new"))
+      .agg(sum(col("b.n_new")).as("cum_users"))
+    cum
+      .crossJoin(broadcast(total))
+      .select(fmtDate(col("d")).as("day"), col("n_new"),
+        col("cum_users").cast("long").as("cum_users"),
+        expr("cum_users * 1000000 div n_total").as("base_share_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val eventsAdoptionSql: String =
+    s"""WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS d
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND CAST(round(value * 100) AS BIGINT) >= 10000
+       |  GROUP BY user_id),
+       |daily AS (SELECT d, count(*) AS n_new FROM fd GROUP BY d),
+       |tot AS (SELECT count(*) AS n_total FROM fd),
+       |cum AS (SELECT a.d, a.n_new, sum(b.n_new) AS cum_users
+       |  FROM daily a JOIN daily b ON b.d <= a.d GROUP BY a.d, a.n_new)
+       |SELECT ${sqlFmtDate("d")} AS day, CAST(n_new AS BIGINT) AS n_new,
+       |  CAST(cum_users AS BIGINT) AS cum_users,
+       |  CAST(cum_users * 1000000 // n_total AS BIGINT) AS base_share_ppm
+       |FROM cum, tot ORDER BY day""".stripMargin
+
+  /** events_pareto (A26) — volume CONCENTRATION across users (the Lorenz
+    * /80-20 readout next to events_diversity's per-day type HHI): what
+    * share of total monetary cents the heaviest users carry, read at the
+    * top-decile and top-percentile marks. The heavy-user thresholds are
+    * type-1 quantiles of the per-user cents distribution read off a
+    * WHOLE-DOLLAR domain histogram with the triangular cumulative (the
+    * aggHistQuantile idiom — threshold cost independent of user count,
+    * no global sort of users, no partition-less window), then one
+    * conditional rollup computes each tier's user count and exact cents
+    * share in ppm.
+    */
+  def eventsPareto(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(scaledLong(col("value"), 100L)).as("cents"))
+      .withColumn("d", expr("cents div 100"))
+    val hist = u.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.as("a").join(hist.as("b"), col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("d")).agg(sum(col("b.cnt")).as("cum"))
+    val th = cum
+      .crossJoin(broadcast(u.agg(count(lit(1)).as("n_users"))))
+      .agg(
+        min(when(col("cum") >= expr("(n_users * 90 + 99) div 100"),
+          col("d"))).as("p90_d"),
+        min(when(col("cum") >= expr("(n_users * 99 + 99) div 100"),
+          col("d"))).as("p99_d"))
+    u.crossJoin(broadcast(th))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("cents")).cast("long").as("total_cents"),
+        sum(when(col("d") > col("p90_d"), 1L).otherwise(0L)).cast("long")
+          .as("n_top10"),
+        sum(when(col("d") > col("p90_d"), col("cents")).otherwise(0L))
+          .cast("long").as("cents_top10"),
+        sum(when(col("d") > col("p99_d"), 1L).otherwise(0L)).cast("long")
+          .as("n_top1"),
+        sum(when(col("d") > col("p99_d"), col("cents")).otherwise(0L))
+          .cast("long").as("cents_top1"))
+      .select(col("n_users"), col("total_cents"),
+        col("n_top10"),
+        expr("cents_top10 * 1000000 div total_cents").as("top10_share_ppm"),
+        col("n_top1"),
+        expr("cents_top1 * 1000000 div total_cents").as("top1_share_ppm"))
+  }
+
+  val eventsParetoSql: String =
+    """WITH u AS (SELECT user_id,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id),
+      |u2 AS (SELECT user_id, cents, cents // 100 AS d FROM u),
+      |hist AS (SELECT d, count(*) AS cnt FROM u2 GROUP BY d),
+      |nt AS (SELECT count(*) AS n_users FROM u2),
+      |cum AS (SELECT a.d, sum(b.cnt) AS cum
+      |  FROM hist a JOIN hist b ON b.d <= a.d GROUP BY a.d),
+      |th AS (SELECT
+      |    min(CASE WHEN cum >= (n_users * 90 + 99) // 100 THEN d END)
+      |      AS p90_d,
+      |    min(CASE WHEN cum >= (n_users * 99 + 99) // 100 THEN d END)
+      |      AS p99_d
+      |  FROM cum, nt),
+      |agg AS (SELECT count(*) AS n_users,
+      |    sum(cents) AS total_cents,
+      |    sum(CASE WHEN d > p90_d THEN 1 ELSE 0 END) AS n_top10,
+      |    sum(CASE WHEN d > p90_d THEN cents ELSE 0 END) AS cents_top10,
+      |    sum(CASE WHEN d > p99_d THEN 1 ELSE 0 END) AS n_top1,
+      |    sum(CASE WHEN d > p99_d THEN cents ELSE 0 END) AS cents_top1
+      |  FROM u2, th)
+      |SELECT CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(total_cents AS BIGINT) AS total_cents,
+      |  CAST(n_top10 AS BIGINT) AS n_top10,
+      |  CAST(cents_top10 * 1000000 // total_cents AS BIGINT)
+      |    AS top10_share_ppm,
+      |  CAST(n_top1 AS BIGINT) AS n_top1,
+      |  CAST(cents_top1 * 1000000 // total_cents AS BIGINT)
+      |    AS top1_share_ppm
+      |FROM agg""".stripMargin
 
   /** events_cohort_matrix (A23) — the WEEKLY COHORT RETENTION MATRIX,
     * the standard product-analytics artifact one step up from
@@ -898,5 +1023,7 @@ object Olap {
     "events_ab_test" -> eventsAbTestSql,
     "basket_rules" -> basketRulesSql,
     "events_funnel_time" -> eventsFunnelTimeSql,
-    "events_cohort_matrix" -> eventsCohortMatrixSql)
+    "events_cohort_matrix" -> eventsCohortMatrixSql,
+    "events_adoption" -> eventsAdoptionSql,
+    "events_pareto" -> eventsParetoSql)
 }
