@@ -1474,23 +1474,31 @@ object Pipeline {
     * convergence probes per round.
     */
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.lineitem(spark, dir)
+    // e0 via the basket idiom (basket_rules): ONE order-keyed exchange,
+    // pairs expand map-side from the sorted item array, one pair-distinct
+    // exchange — the relational p⋈p self-join paid three wide exchanges
+    val baskets = Tables.lineitem(spark, dir)
       .filter(col("l_partkey") % 2 === 0)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = p.select(col("l_orderkey"), col("l_partkey").as("x"))
-    val b = p.select(col("l_orderkey"), col("l_partkey").as("y"))
-    var edges = a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
-      .select(col("x"), col("y")).distinct().localCheckpoint()
-    // k = mean degree + 1 of the round-0 graph: 2E div N + 1
-    val kf = edges.agg(count(lit(1)).as("e0_edges")).crossJoin(
-        edges.select(col("x").as("n"))
-          .unionByName(edges.select(col("y").as("n"))).distinct()
-          .agg(count(lit(1)).as("e0_nodes")))
-      .select(expr("2 * e0_edges div e0_nodes + 1").as("k"))
-    val rounds = (1 to 3).map { r =>
-      val deg = edges.select(col("x").as("n"))
-        .unionByName(edges.select(col("y").as("n")))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    var edges = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct().localCheckpoint()
+    // every census statistic derives from the DEGREE frame (n_nodes =
+    // rows, n_edges = Σdeg/2, xor over keys) — no per-round node
+    // distinct over the edge frame
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("x").as("n")).unionByName(e.select(col("y").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges).localCheckpoint()
+    // k = mean degree + 1 of the round-0 graph (Σdeg div N + 1 ≡ 2E/N+1)
+    val kf = deg.agg(
+      expr("sum(deg) div count(1) + 1").as("k"))
+    val rounds = (1 to 3).map { r =>
       val keep = deg.crossJoin(broadcast(kf))
         .filter(col("deg") >= col("k")).select(col("n"))
       edges = edges
@@ -1499,13 +1507,13 @@ object Pipeline {
         .join(broadcast(keep.select(col("n").as("y"))), Seq("y"),
           "left_semi")
         .select(col("x"), col("y")).localCheckpoint()
-      val nodes = edges.select(col("x").as("n"))
-        .unionByName(edges.select(col("y").as("n"))).distinct()
-      val stats = nodes.agg(count(lit(1)).as("n_nodes"),
-        coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
-        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-      stats.select(lit(r.toLong).as("round"), col("n_nodes"),
-        col("n_edges"), col("node_xor"))
+      deg = degrees(edges).localCheckpoint()
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
     }
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
