@@ -212,11 +212,56 @@ object Layout {
        |  ${Det.sqlFmtTs("max(ts)")} AS max_ts
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** layout_deletion_vectors (S27) — POSITIONAL deletes, the Delta/
+    * Iceberg deletion-vector mechanism: instead of rewriting data files
+    * to drop rows (the copy-on-write tax a CDC delete stream would make
+    * perpetual), a sidecar identifies deleted rows BY POSITION —
+    * (file, row_index) — and the read path subtracts them. Both halves
+    * run on Spark's parquet `_metadata` columns: the vector builds as
+    * (file_path, row_index) pairs under the delete predicate, and the
+    * merge-on-read is a LEFT ANTI join on that positional identity. The
+    * oracle reads the same table with the logical predicate — the
+    * hash-match proves positional delete ≡ predicate delete, i.e. the
+    * vector captured exactly the right rows and the anti-join dropped
+    * exactly those.
+    *
+    * Scale: a production DV is a roaring bitmap per file applied inside
+    * the scan; the relational equivalent here is the anti-join keyed on
+    * (file, position) — mergeable, shuffle bounded by |deletes| after
+    * the runtime filter, and at bitmap-per-file granularity the join
+    * degrades to a broadcast of file-level bitmaps. Row positions are
+    * stable because parquet files are immutable — the same property the
+    * real DV format relies on.
+    */
+  def layoutDeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("ri"),
+        col("event_id"), col("event_type"), col("value"))
+    val dv = raw.filter(col("event_type") === "error")
+      .select(col("f"), col("ri"))
+    val purged = raw.join(dv, Seq("f", "ri"), "left_anti")
+    purged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        Det.dsum(col("value")).as("sum_value"),
+        bit_xor(col("event_id")).as("event_id_xor"))
+      .orderBy(col("event_type"))
+  }
+
+  val layoutDeletionVectorsSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_rows,
+       |  ${Det.sqlDsum("value")} AS sum_value,
+       |  CAST(bit_xor(event_id) AS BIGINT) AS event_id_xor
+       |FROM events WHERE event_type <> 'error'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
-    "layout_compaction" -> (layoutCompaction _))
+    "layout_compaction" -> (layoutCompaction _),
+    "layout_deletion_vectors" -> (layoutDeletionVectors _))
 
   def oracle: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
-    "layout_compaction" -> layoutCompactionSql)
+    "layout_compaction" -> layoutCompactionSql,
+    "layout_deletion_vectors" -> layoutDeletionVectorsSql)
 }
