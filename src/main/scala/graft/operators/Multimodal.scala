@@ -218,13 +218,98 @@ object Multimodal {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** mm_interleave_pack (M4) — INTERLEAVED multimodal sequence packing:
+    * the training-unit assembly step for image-text models (LLaVA/
+    * Flamingo-style corpora), where each unit's token budget is shared
+    * between text tokens and per-asset VISION-TOKEN costs. Every
+    * document contributes its text item (whitespace-token count) AND its
+    * media asset (vision cost = 64 + (width·height) div 50000 from the
+    * stub-decoded dims — the patch-count shape of a real vision
+    * tokenizer, deterministic here); both modalities union into ONE
+    * per-lang stream ordered by (doc_id, media-after-text) and pack
+    * greedily into 2000-token units with doc_shard_pack's
+    * running-sum-window assignment — so a unit interleaves text and
+    * images exactly as the loader would emit them. Per (lang, unit):
+    * item/media counts and the text/vision token split.
+    *
+    * Scale: the pack is one per-lang window over (docs + assets) rows —
+    * metadata-sized, payload bytes never enter the window; at fleet
+    * scale the stream is bucketed per (lang, day) like shard_pack.
+    */
+  def mmInterleavePack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val textItems = d.select(col("lang"), col("doc_id"),
+      lit(0L).as("kind"),
+      size(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+        " ")).cast("long").as("tokens"))
+    val mediaItems = d
+      .select(col("lang"), col("doc_id"),
+        md5(col("text")).as("h"))
+      .select(col("lang"), col("doc_id"), lit(1L).as("kind"),
+        (lit(64L) + expr(
+          "((1 + cast(conv(substring(h, 1, 6), 16, 10) as bigint) % 1920)" +
+            " * (1 + cast(conv(substring(h, 7, 6), 16, 10) as bigint)" +
+            " % 1080)) div 50000"))
+          .as("tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"), col("kind"))
+    textItems.unionByName(mediaItems)
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("unit_id", expr("(cum - tokens) div 2000"))
+      .groupBy(col("lang"), col("unit_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("kind") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_media"),
+        sum(when(col("kind") === 0L, col("tokens")).otherwise(0L))
+          .cast("long").as("text_tokens"),
+        sum(when(col("kind") === 1L, col("tokens")).otherwise(0L))
+          .cast("long").as("vision_tokens"))
+      .orderBy(col("lang"), col("unit_id"))
+  }
+
+  val mmInterleavePackSql: String = {
+    def hv(from: Int, len: Int): String =
+      (from until from + len).map(j =>
+        s"(strpos('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1)" +
+          s" * ${math.pow(16, from + len - 1 - j).toLong}")
+        .mkString("(", " + ", ")")
+    s"""WITH d AS (SELECT lang, doc_id, text, md5(text) AS h
+       |  FROM documents),
+       |items AS (
+       |  SELECT lang, doc_id, 0 AS kind,
+       |    CAST(len(string_split(
+       |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+       |      AS BIGINT) AS tokens
+       |  FROM d
+       |  UNION ALL
+       |  SELECT lang, doc_id, 1 AS kind,
+       |    64 + ((1 + ${hv(0, 6)} % 1920) * (1 + ${hv(6, 6)} % 1080))
+       |      // 50000 AS tokens
+       |  FROM d),
+       |c AS (SELECT lang, doc_id, kind, tokens,
+       |    SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id, kind
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM items)
+       |SELECT lang, CAST((cum - tokens) // 2000 AS BIGINT) AS unit_id,
+       |  COUNT(*) AS n_items,
+       |  CAST(SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_media,
+       |  CAST(SUM(CASE WHEN kind = 0 THEN tokens ELSE 0 END) AS BIGINT)
+       |    AS text_tokens,
+       |  CAST(SUM(CASE WHEN kind = 1 THEN tokens ELSE 0 END) AS BIGINT)
+       |    AS vision_tokens
+       |FROM c GROUP BY lang, unit_id ORDER BY lang, unit_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_phash_dedup" -> (mmPhashDedup _))
+    "mm_phash_dedup" -> (mmPhashDedup _),
+    "mm_interleave_pack" -> (mmInterleavePack _))
 
   def oracle: Map[String, String] = Map(
     "mm_decode" -> mmDecodeSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_phash_dedup" -> mmPhashDedupSql)
+    "mm_phash_dedup" -> mmPhashDedupSql,
+    "mm_interleave_pack" -> mmInterleavePackSql)
 }
