@@ -18,6 +18,23 @@ import graft.functions.Det._
   */
 object Analytics {
 
+  private val HOLT_B = 4294967296L // 2^32 field split
+  private val HOLT_HL = 536870912L // 2^29 level offset
+  private val HOLT_HB = 2147483648L // 2^31 trend offset
+  /** One lambda template, two dialects: `divOp` is "div" (Spark) or
+    * "//" (DuckDB); everything else is shared text so the folds cannot
+    * drift apart.
+    */
+  private def holtStep(divOp: String): String = {
+    val xl = s"((x $divOp $HOLT_B) - $HOLT_HL)"
+    val l = s"((acc $divOp $HOLT_B) - $HOLT_HL)"
+    val b = s"((acc % $HOLT_B) - $HOLT_HB)"
+    val l2 = s"(((2 * $xl) + 8 * ($l + $b)) $divOp 10)"
+    val b2 = s"(((3 * ($l2 - $l)) + 7 * $b) $divOp 10)"
+    s"(acc, x) -> (($l2 + $HOLT_HL) * $HOLT_B + ($b2 + $HOLT_HB))"
+  }
+
+
   /** events_rfm — RFM (recency / frequency / monetary) customer
     * segmentation, the canonical marketing-analytics aggregate: per-user
     * recency in days from a fixed reference date, event count, and exact
@@ -299,6 +316,134 @@ object Analytics {
       |       // (n * (n * sxx - sx * sx)) AS BIGINT) AS forecast_cents
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** events_forecast_backtest (A27) — HOLDOUT BACKTEST of the engine's
+    * two forecasters: the last 3 hours of each type's series are held
+    * out, least-squares (A16's closed form) and Holt (A22's fold) train
+    * on the prefix only, and each horizon-h forecast is scored against
+    * the actual in exact absolute-percentage-error ppm — the
+    * model-eval-as-a-query pattern (embedding_recall_eval's time-series
+    * sibling): a scheduled backtest is how a production pipeline decides
+    * WHICH forecaster serves. All arithmetic is the integer machinery of
+    * the underlying operators (i64 power sums + DECIMAL(38,0) closed
+    * form; offset-encoded Holt fold), so both engines emit identical
+    * forecasts and identical APE integers; a missing actual-hour slot
+    * scores as 0 cents (declared).
+    *
+    * Scale: the hourly frame is domain-sized; the holdout cut is a
+    * 1-row broadcast (global max hour − 3); train aggregates and folds
+    * run on the prefix partials; the 3-horizon fan-out is a map-side
+    * sequence explode on |types| rows.
+    */
+  def eventsForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val EPOCH = "2024-01-01 00:00:00"
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(scaledLong(col("value"), 100L)).as("y"))
+      .withColumn("x",
+        ((unix_timestamp(col("h")) - unix_timestamp(lit(EPOCH))) / 3600L)
+          .cast("long"))
+      .select(col("event_type"), col("x"), col("y"))
+    val cut = hourly.agg((max(col("x")) - 3L).as("xcut"))
+    val prefix = hourly.crossJoin(broadcast(cut))
+      .filter(col("x") <= col("xcut"))
+    // least-squares on the prefix (A16's closed form), forecasts at
+    // xcut + h
+    val ls = prefix.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), max(col("x")).as("xm"))
+      .select(col("event_type"),
+        explode(expr("sequence(1L, 3L)")).as("horizon"),
+        col("n").cast("decimal(38,0)").as("nd"),
+        (col("n").cast("decimal(38,0)") * col("sxy").cast("decimal(38,0)")
+          - col("sx").cast("decimal(38,0)") * col("sy").cast("decimal(38,0)"))
+          .as("snum"),
+        (col("n").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)")
+          - col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+          .as("den"),
+        col("sy").cast("decimal(38,0)").as("syd"),
+        col("sx").cast("decimal(38,0)").as("sxd"),
+        col("xm"))
+      .select(col("event_type"), col("horizon"),
+        expr("(syd * den + snum * (nd * (xm + horizon) - sxd))" +
+          " div (nd * den)").cast("long").as("ls_forecast"))
+    // Holt on the prefix (A22's encoded fold), forecast l + h·b
+    val holt = prefix.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("s"))
+      .select(col("event_type"),
+        expr(s"transform(s, e -> (e.y + $HOLT_HL) * $HOLT_B + $HOLT_HB)")
+          .as("enc"))
+      .select(col("event_type"),
+        expr("aggregate(slice(enc, 2, size(enc)), element_at(enc, 1), " +
+          holtStep("div") + ")").as("acc"))
+      .select(col("event_type"),
+        expr(s"(acc div $HOLT_B) - $HOLT_HL").as("l"),
+        expr(s"(acc % $HOLT_B) - $HOLT_HB").as("b"))
+      .select(col("event_type"), explode(expr("sequence(1L, 3L)"))
+        .as("horizon"), (col("l") + col("horizon") * col("b"))
+        .as("holt_forecast"))
+    val actual = hourly.crossJoin(broadcast(cut))
+      .filter(col("x") > col("xcut"))
+      .select(col("event_type"), (col("x") - col("xcut")).as("horizon"),
+        col("y").as("actual_cents"))
+    ls.join(holt, Seq("event_type", "horizon"))
+      .join(actual, Seq("event_type", "horizon"), "left")
+      .select(col("event_type"), col("horizon"),
+        coalesce(col("actual_cents"), lit(0L)).as("actual_cents"),
+        col("ls_forecast"), col("holt_forecast"))
+      .withColumn("ls_ape_ppm", expr(
+        "abs(ls_forecast - actual_cents) * 1000000" +
+          " div greatest(actual_cents, 1)"))
+      .withColumn("holt_ape_ppm", expr(
+        "abs(holt_forecast - actual_cents) * 1000000" +
+          " div greatest(actual_cents, 1)"))
+      .orderBy(col("event_type"), col("horizon"))
+  }
+
+  val eventsForecastBacktestSql: String =
+    s"""WITH hourly AS (SELECT event_type,
+       |    CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+       |                   date_trunc('hour', ts)) AS BIGINT) AS x,
+       |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       |cut AS (SELECT max(x) - 3 AS xcut FROM hourly),
+       |prefix AS (SELECT h.* FROM hourly h, cut WHERE h.x <= cut.xcut),
+       |ls0 AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+       |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, max(x) AS xm
+       |  FROM prefix GROUP BY event_type),
+       |ls AS (SELECT event_type, h.horizon,
+       |    CAST((sy * (n * sxx - sx * sx)
+       |          + (n * sxy - sx * sy) * (n * (xm + h.horizon) - sx))
+       |         // (n * (n * sxx - sx * sx)) AS BIGINT) AS ls_forecast
+       |  FROM ls0 CROSS JOIN (VALUES (1), (2), (3)) h(horizon)),
+       |series AS (SELECT event_type,
+       |    list((y + $HOLT_HL) * $HOLT_B + $HOLT_HB ORDER BY x) AS enc
+       |  FROM prefix GROUP BY event_type),
+       |folded AS (SELECT event_type,
+       |    list_reduce(enc, ${holtStep("//")}) AS acc FROM series),
+       |holt AS (SELECT event_type, h.horizon,
+       |    ((acc // $HOLT_B) - $HOLT_HL)
+       |      + h.horizon * ((acc % $HOLT_B) - $HOLT_HB) AS holt_forecast
+       |  FROM folded CROSS JOIN (VALUES (1), (2), (3)) h(horizon)),
+       |actual AS (SELECT h.event_type, h.x - cut.xcut AS horizon,
+       |    h.y AS actual_cents
+       |  FROM hourly h, cut WHERE h.x > cut.xcut)
+       |SELECT ls.event_type, CAST(ls.horizon AS BIGINT) AS horizon,
+       |  CAST(COALESCE(a.actual_cents, 0) AS BIGINT) AS actual_cents,
+       |  ls_forecast, CAST(holt_forecast AS BIGINT) AS holt_forecast,
+       |  CAST(abs(ls_forecast - COALESCE(a.actual_cents, 0)) * 1000000
+       |    // greatest(COALESCE(a.actual_cents, 0), 1) AS BIGINT)
+       |    AS ls_ape_ppm,
+       |  CAST(abs(holt_forecast - COALESCE(a.actual_cents, 0)) * 1000000
+       |    // greatest(COALESCE(a.actual_cents, 0), 1) AS BIGINT)
+       |    AS holt_ape_ppm
+       |FROM ls
+       |JOIN holt ON holt.event_type = ls.event_type
+       |  AND holt.horizon = ls.horizon
+       |LEFT JOIN actual a ON a.event_type = ls.event_type
+       |  AND a.horizon = ls.horizon
+       |ORDER BY ls.event_type, ls.horizon""".stripMargin
+
   /** events_diversity (A24) — concentration/diversity indices per day:
     * the Herfindahl-Hirschman index (Σ share², the Simpson index's
     * complement) over event-type shares and the argmax top type — the
@@ -385,22 +530,6 @@ object Analytics {
     * maps in date order (the W10 scale note — Holt's step is affine in
     * (l, b)).
     */
-  private val HOLT_B = 4294967296L // 2^32 field split
-  private val HOLT_HL = 536870912L // 2^29 level offset
-  private val HOLT_HB = 2147483648L // 2^31 trend offset
-  /** One lambda template, two dialects: `divOp` is "div" (Spark) or
-    * "//" (DuckDB); everything else is shared text so the folds cannot
-    * drift apart.
-    */
-  private def holtStep(divOp: String): String = {
-    val xl = s"((x $divOp $HOLT_B) - $HOLT_HL)"
-    val l = s"((acc $divOp $HOLT_B) - $HOLT_HL)"
-    val b = s"((acc % $HOLT_B) - $HOLT_HB)"
-    val l2 = s"(((2 * $xl) + 8 * ($l + $b)) $divOp 10)"
-    val b2 = s"(((3 * ($l2 - $l)) + 7 * $b) $divOp 10)"
-    s"(acc, x) -> (($l2 + $HOLT_HL) * $HOLT_B + ($b2 + $HOLT_HB))"
-  }
-
   def eventsHolt(spark: SparkSession, dir: String): DataFrame = {
     val EPOCH = "2024-01-01 00:00:00"
     val hourly = Tables.events(spark, dir)
@@ -1205,6 +1334,7 @@ object Analytics {
     "events_trend" -> (eventsTrend _),
     "events_holt" -> (eventsHolt _),
     "events_diversity" -> (eventsDiversity _),
+    "events_forecast_backtest" -> (eventsForecastBacktest _),
     "events_seasonality" -> (eventsSeasonality _),
     "events_autocorr" -> (eventsAutocorr _),
     "agg_grouping_sets" -> (aggGroupingSets _),
@@ -1227,6 +1357,7 @@ object Analytics {
     "events_trend" -> eventsTrendSql,
     "events_holt" -> eventsHoltSql,
     "events_diversity" -> eventsDiversitySql,
+    "events_forecast_backtest" -> eventsForecastBacktestSql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_autocorr" -> eventsAutocorrSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
