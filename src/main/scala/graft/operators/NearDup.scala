@@ -697,7 +697,10 @@ object NearDup {
     * division) is engine-identical integer math.
     */
   def docMinhashEstError(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingles(Tables.documentsWide(spark, dir))
+    // ex feeds FOUR consumers (bands, both verify legs, the signature
+    // probe) — pinned once so the documents scan + shingle explode + md5
+    // run once instead of four times (measured 2.8 -> ~2.0 s at sf0.1)
+    val ex = shingles(Tables.documentsWide(spark, dir)).localCheckpoint()
     val bands = minhashBands(ex)
     val cand = bands.as("a")
       .join(bands.as("b"),
