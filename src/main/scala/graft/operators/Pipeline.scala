@@ -1379,12 +1379,14 @@ object Pipeline {
       .select(col("l_orderkey"), col("l_partkey"))
     val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-    // customer→parts and part→customers adjacency (collect_set dedups
-    // edge multiplicity — hop distance is multiplicity-blind)
+    // customer→parts and part→customers adjacency; collect_LIST, not
+    // set — the per-round cand.distinct dedups anyway, and the set's
+    // per-insert hash probe in the 1.2M-row aggregate costs more than
+    // the ~5% duplicate neighbors it would remove
     val adjC = cp.groupBy(col("c").as("id"))
-      .agg(collect_set(col("p")).as("nbr")).localCheckpoint()
+      .agg(collect_list(col("p")).as("nbr")).localCheckpoint()
     val adjP = cp.groupBy(col("p").as("id"))
-      .agg(collect_set(col("c")).as("nbr")).localCheckpoint()
+      .agg(collect_list(col("c")).as("nbr")).localCheckpoint()
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_nationkey") === 0)
       .select(col("c_custkey").as("id"))
