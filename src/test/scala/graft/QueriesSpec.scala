@@ -207,6 +207,128 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("basket_rules equals a sequential support/confidence/lift reference") {
+    // driver-side recompute over Set-based baskets with the declared
+    // integer ppm arithmetic — pins that the map-side pair expansion
+    // and broadcast support joins compute Apriori's statistics
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = rows.groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    val n = baskets.size.toLong
+    val supp = baskets.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val pairCnt = baskets.flatMap(b =>
+      b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = pairCnt.toSeq.map { case ((pa, pb), sab) =>
+      (pa, pb, sab, supp(pa), supp(pb),
+        sab * 1000000L / supp(pa), sab * 1000000L / supp(pb),
+        sab * n * 1000000L / (supp(pa) * supp(pb)))
+    }.sortBy { case (pa, pb, sab, _, _, _, _, lift) =>
+      (-sab, -lift, pa, pb) }.take(20)
+    val got = SparkEntry.queries("basket_rules")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("graph_kcore equals a sequential peel reference") {
+    // driver-side mean-anchored 3-round peel over Set adjacency — pins
+    // that the distributed degree/semi-join rounds compute the declared
+    // cascade, including empty-core rounds
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .filter(_.getLong(1) % 2 == 0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges: Set[(Long, Long)] = rows.groupBy(_._1).values.flatMap { ps =>
+      val ks: Seq[Long] = ps.map(_._2).toSeq.distinct.sorted
+      ks.combinations(2).map(p => (p(0), p(1)))
+    }.toSet
+    def degs(es: Set[(Long, Long)]): Map[Long, Long] =
+      es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+    val d0 = degs(edges)
+    val k = d0.values.sum / d0.size + 1
+    val want = (1 to 3).map { r =>
+      val d = degs(edges)
+      val keep = d.filter(_._2 >= k).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      val nodes = edges.toSeq.flatMap(e => Seq(e._1, e._2)).distinct
+      (r.toLong, nodes.size.toLong, edges.size.toLong,
+        if (nodes.isEmpty) 0L else nodes.reduce(_ ^ _))
+    }
+    val got = SparkEntry.queries("graph_kcore")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("events_pareto tiers are consistent and exactly recomputable") {
+    // tier shares must recompute from per-user totals driver-side with
+    // the same histogram-quantile thresholds
+    val cents = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("value")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, v) =>
+        v.map(r => math.rint(r.getDouble(1) * 100).toLong).sum }
+      .toSeq
+    val n = cents.size.toLong
+    val dollars = cents.map(_ / 100L)
+    val hist = dollars.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }.toSeq.sortBy(_._1)
+    def th(q: Long): Long = {
+      var cum = 0L
+      hist.collectFirst {
+        case (d, c) if { cum += c; cum >= (n * q + 99) / 100 } => d
+      }.get
+    }
+    val (p90, p99) = (th(90), th(99))
+    val total = cents.sum
+    val top10 = cents.zip(dollars).filter(_._2 > p90).map(_._1)
+    val top1 = cents.zip(dollars).filter(_._2 > p99).map(_._1)
+    val want = (n, total, top10.size.toLong,
+      top10.sum * 1000000L / total, top1.size.toLong,
+      top1.sum * 1000000L / total)
+    val got = SparkEntry.queries("events_pareto")(spark, sfTiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).head
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("events_funnel_time equals a sequential latency reference") {
+    val evs = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    val sUs = byUser.flatMap { case (u, rows) =>
+      val s = rows.filter(_._2 == "signup").map(_._3)
+      if (s.isEmpty) None else Some(u -> s.min)
+    }
+    val deltas = sUs.flatMap { case (u, s0) =>
+      val p = byUser(u).filter(r => r._2 == "purchase" && r._3 >= s0)
+        .map(_._3)
+      if (p.isEmpty) None else Some(p.min - s0)
+    }.toSeq
+    val nС = deltas.size.toLong
+    val hist = deltas.map(_ / 3600000000L).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }.toSeq.sortBy(_._1)
+    def q(mark: Long): Long = {
+      var cum = 0L
+      hist.collectFirst {
+        case (h, c) if { cum += c; cum >= mark } => h
+      }.get
+    }
+    val want = (sUs.size.toLong, nС, nС * 1000000L / sUs.size,
+      deltas.min, deltas.max, q((nС + 1) / 2), q((nС * 90 + 99) / 100))
+    val got = SparkEntry.queries("events_funnel_time")(spark, sfTiny)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).head
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("events_anomaly_mad equals a sequential median/MAD reference") {
     // driver-side lower-median + MAD + integer Hampel fence — pins that
     // the domain-histogram median formulation computes the DECLARED
