@@ -329,6 +329,78 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("events_cohort_matrix equals a sequential reference") {
+    val rows = Tables.events(spark, sfTiny)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"),
+        expr("cast(datediff(to_date(ts), date'2024-01-01') div 7 as bigint)")
+          .as("w")).collect()
+      .filter(r => math.rint(r.getDouble(1) * 100).toLong >= 10000L)
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val uw = rows.distinct
+    val cohort = uw.groupBy(_._1).map { case (u, v) =>
+      u -> v.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (c, v) =>
+      c -> v.size.toLong }
+    val want = uw.map { case (u, w) => (cohort(u), w - cohort(u)) }
+      .groupBy(identity).map { case ((c, off), v) =>
+        (c, off, sizes(c), v.size.toLong,
+          v.size.toLong * 1000000L / sizes(c)) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("events_cohort_matrix")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("events_ab_test equals a sequential reference") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val rows = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.rint(r.getDouble(2) * 100).toLong))
+    val byU = rows.groupBy(_._1).toSeq.map { case (u, v) =>
+      (md5hex(u.toString).charAt(0) < '8', v.size.toLong,
+        v.count(t => t._2 == "purchase" && t._3 >= 10000L).toLong,
+        v.map(_._3).sum)
+    }
+    def side(a: Boolean) = byU.filter(_._1 == a)
+    val (na, nb) = (side(true).size.toLong, side(false).size.toLong)
+    val (eva, evb) = (side(true).map(_._2).sum, side(false).map(_._2).sum)
+    val (hva, hvb) = (side(true).map(_._3).sum, side(false).map(_._3).sum)
+    val (ca, cb) = (side(true).map(_._4).sum, side(false).map(_._4).sum)
+    val want = (na, nb, eva, evb, hva, hvb,
+      hva * 1000000L / eva, hvb * 1000000L / evb,
+      hvb * 1000000L / evb - hva * 1000000L / eva,
+      ca / na, cb / nb, cb / nb - ca / na)
+    val got = SparkEntry.queries("events_ab_test")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
+        r.getLong(11))).head
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("date_business_days: the closed form counts actual weekdays") {
+    // brute-force weekday count between sampled date pairs must equal
+    // g(b) − g(a) — the identity the operator rests on
+    val anchor = java.time.LocalDate.parse("1990-01-01") // a Monday
+    def g(d: Long): Long = 5 * (d / 7) + math.min(d % 7, 5)
+    def brute(a: java.time.LocalDate, b: java.time.LocalDate): Long =
+      Iterator.iterate(a)(_.plusDays(1)).takeWhile(_.isBefore(b))
+        .count(d => d.getDayOfWeek.getValue <= 5).toLong
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = anchor.plusDays(rnd.nextInt(3000))
+      val b = a.plusDays(rnd.nextInt(90))
+      val da = java.time.temporal.ChronoUnit.DAYS.between(anchor, a)
+      val db = java.time.temporal.ChronoUnit.DAYS.between(anchor, b)
+      assert(g(db) - g(da) == brute(a, b), s"$a -> $b")
+    }
+  }
+
   test("events_anomaly_mad equals a sequential median/MAD reference") {
     // driver-side lower-median + MAD + integer Hampel fence — pins that
     // the domain-histogram median formulation computes the DECLARED
