@@ -92,6 +92,70 @@ object TimeSeries {
        |  ON grid.user_id = hourly.user_id AND grid.h = hourly.h
        |ORDER BY grid.user_id, hour""".stripMargin
 
+  /** orders_backlog (W13) — the BACKLOG TIMELINE: how many orders are
+    * open (placed, not yet fully shipped) at each point in time — the
+    * interval-STABBING-count complement of join_interval_bins' pairwise
+    * overlap. Computed by the boundary SWEEP: each order contributes
+    * +1 at its order date and −1 the day after its last line ships;
+    * the running sum of boundary deltas IS the open count, evaluated at
+    * boundary days (between boundaries the count is constant — declared
+    * granularity). Monthly report: boundary-day count, end-of-month
+    * backlog (the argmax-by-day struct carry), and the month's peak.
+    *
+    * Scale: the order×time interval frame NEVER materializes — spans
+    * collapse map-side to boundary deltas, the delta frame aggregates to
+    * ≤|days| rows, and the cumulative is the triangular self-join over
+    * that domain-sized frame (the suite's no-partition-less-window
+    * discipline; at |days|² ≈ 6M integer pairs it is compute-trivial,
+    * and a per-year partitioned window with carried offsets is the
+    * refinement when the domain grows). The ship-date aggregate rides
+    * the same l_orderkey clustering as the join.
+    */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
+    val ship = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val spans = o.join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(col("s"), date_add(col("last_ship"), 1).as("e"))
+    val deltas = spans.select(col("s").as("d"), lit(1L).as("delta"))
+      .unionByName(spans.select(col("e").as("d"), lit(-1L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    val cum = deltas.as("a")
+      .join(deltas.as("b"), col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("d"))
+      .agg(sum(col("b.delta")).as("open_orders"))
+    cum.groupBy(trunc(col("d"), "month").as("m"))
+      .agg(count(lit(1)).as("n_boundary_days"),
+        max(struct(col("d"), col("open_orders"))).as("eom"),
+        max(col("open_orders")).as("peak_open"))
+      .select(fmtDate(col("m")).as("month"), col("n_boundary_days"),
+        col("eom.open_orders").cast("long").as("eom_open"),
+        col("peak_open").cast("long").as("peak_open"))
+      .orderBy(col("month"))
+  }
+
+  val ordersBacklogSql: String =
+    s"""WITH ship AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE))
+       |    AS last_ship
+       |  FROM lineitem GROUP BY l_orderkey),
+       |spans AS (SELECT CAST(o_orderdate AS DATE) AS s,
+       |    last_ship + INTERVAL 1 DAY AS e
+       |  FROM orders JOIN ship ON l_orderkey = o_orderkey),
+       |deltas AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+       |    SELECT s AS d, 1 AS delta FROM spans
+       |    UNION ALL SELECT CAST(e AS DATE), -1 FROM spans)
+       |  GROUP BY d),
+       |cum AS (SELECT a.d, sum(b.delta) AS open_orders
+       |  FROM deltas a JOIN deltas b ON b.d <= a.d GROUP BY a.d)
+       |SELECT ${sqlFmtDate("date_trunc('month', d)")} AS month,
+       |  count(*) AS n_boundary_days,
+       |  CAST(max(struct_pack(d := d, open_orders := open_orders))
+       |    .open_orders AS BIGINT) AS eom_open,
+       |  CAST(max(open_orders) AS BIGINT) AS peak_open
+       |FROM cum GROUP BY date_trunc('month', d) ORDER BY month""".stripMargin
+
   /** events_ohlc — hourly OHLC bars per event type (open/high/low/close +
     * exact volume), the downsampling aggregate every time-series store
     * serves. Open/close are SINGLE-PASS argmin/argmax: `min/max(struct(ts,
@@ -419,6 +483,7 @@ object TimeSeries {
     "events_streaks" -> (eventsStreaks _),
     "events_transitions" -> (eventsTransitions _),
     "events_gapfill" -> (eventsGapfill _),
+    "orders_backlog" -> (ordersBacklog _),
     "events_ohlc" -> (eventsOhlc _),
     "events_cusum" -> (eventsCusum _))
 
@@ -428,6 +493,7 @@ object TimeSeries {
     "events_streaks" -> eventsStreaksSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_gapfill" -> eventsGapfillSql,
+    "orders_backlog" -> ordersBacklogSql,
     "events_ohlc" -> eventsOhlcSql,
     "events_cusum" -> eventsCusumSql)
 }

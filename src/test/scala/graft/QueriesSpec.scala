@@ -329,6 +329,34 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("orders_backlog equals a sequential sweep reference") {
+    val oMap = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), to_date(col("o_orderdate"))).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    val lastShip = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), to_date(col("l_shipdate"))).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_.toEpochDay) }
+    val deltas = scala.collection.mutable.Map[java.time.LocalDate, Long]()
+    for ((k, s) <- oMap if lastShip.contains(k)) {
+      deltas(s) = deltas.getOrElse(s, 0L) + 1
+      val e = lastShip(k).plusDays(1)
+      deltas(e) = deltas.getOrElse(e, 0L) - 1
+    }
+    var run = 0L
+    val cum = deltas.toSeq.sortBy(_._1.toEpochDay).map { case (d, dl) =>
+      run += dl; (d, run) }
+    val want = cum.groupBy(t => (t._1.getYear, t._1.getMonthValue))
+      .map { case ((y, m), rows) =>
+        (f"$y%04d-$m%02d-01", rows.size.toLong,
+          rows.maxBy(_._1.toEpochDay)._2, rows.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("orders_backlog")(spark, sfTiny).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got=${got.take(5)}...\nwant=${want.take(5)}...")
+  }
+
   test("events_cohort_matrix equals a sequential reference") {
     val rows = Tables.events(spark, sfTiny)
       .filter(col("event_type") === "purchase")
