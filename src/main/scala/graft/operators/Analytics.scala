@@ -182,27 +182,29 @@ object Analytics {
     * histogram derives FROM the cents histogram (|c − med| re-keys the
     * counted cells — no second raw aggregation); raw events feed only
     * the histogram build and the final flag+XOR pass against the
-    * broadcast med/MAD fences. The whole query runs off ONE exchange:
-    * raw rows repartition by event_type once, and every downstream
-    * aggregation — the cents histogram (type, c), both cumulative
-    * windows, the deviation histogram (type, d), and the final report —
-    * is keyed by (event_type, …), which HashPartitioning(event_type)
-    * already satisfies, so no further exchange exists anywhere in the
-    * plan and the shared exchange dedups across the med/mad broadcast
-    * subtrees (ReusedExchange). The histogram cells carry a per-cell
-    * bit_xor(event_id) so the final report is domain-sized too: n_anom
-    * sums anomalous cells' counts and anom_id_xor folds the per-cell
-    * xors (xor of cell-xors over anomalous cells IS the xor of all
-    * anomalous event_ids). Measured (interleaved same-JVM A/B, min of
-    * 6): 1.45 → 1.16 s at sf0.1; a checkpointed-histogram variant
-    * measured WORSE (1.63) — the materialization job outweighs re-running
-    * domain-sized aggregates off the reused exchange.
+    * broadcast med/MAD fences. The whole chain past the cell aggregate
+    * runs exchange-free: the map-side-combined (type, c) histogram —
+    * already domain-sized when it first shuffles — repartitions ONCE by
+    * event_type, and every downstream consumer (both cumulative windows,
+    * the (type, d) deviation histogram, the final report) is keyed by
+    * (event_type, …), which HashPartitioning(event_type) satisfies, so
+    * no further exchange exists anywhere and the shared subtree dedups
+    * across the med/mad broadcast legs (ReusedExchange). Raw rows NEVER
+    * hash to |types| partitions — only ≤49k-cell partials do (the
+    * scale-correct ordering; repartitioning raw events by type would
+    * funnel 100 TB into |types| reducers). The histogram cells carry a
+    * per-cell bit_xor(event_id) so the final report is domain-sized too:
+    * n_anom sums anomalous cells' counts and anom_id_xor folds the
+    * per-cell xors (xor of cell-xors over anomalous cells IS the xor of
+    * all anomalous event_ids). Measured (interleaved same-JVM A/B, min
+    * of 7): 1.36 → 1.01 s at sf0.1; a checkpointed-histogram variant
+    * measured WORSE (1.63) — the materialization job outweighs
+    * re-running domain-sized aggregates off the reused exchange.
     */
   def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"),
         scaledLong(col("value"), 100L).as("c"))
-      .repartition(col("event_type"))
     def lowerMedian(hist: DataFrame, vcol: String, out: String): DataFrame = {
       val wCum = Window.partitionBy(col("event_type")).orderBy(col(vcol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -215,6 +217,7 @@ object Analytics {
     }
     val hist1 = ev.groupBy(col("event_type"), col("c"))
       .agg(count(lit(1)).as("cnt"), bit_xor(col("event_id")).as("idx"))
+      .repartition(col("event_type"))
     val med = lowerMedian(hist1, "c", "med")
     val hist2 = hist1.join(broadcast(med), Seq("event_type"))
       .select(col("event_type"), abs(col("c") - col("med")).as("d"),

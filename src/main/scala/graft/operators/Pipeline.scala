@@ -1341,36 +1341,33 @@ object Pipeline {
     * localCheckpoint — same discipline as connectedComponents, without
     * its convergence probe.
     *
-    * Scale: FRONTIER-DELTA level-synchronous BFS on NODE-SIZED ADJACENCY
-    * LISTS (graph_triangles' representation): the raw 2·|lineitem| edge
-    * stream collapses ONCE into per-node sorted neighbor sets — two
-    * keyed exchanges, after which NO round ever touches an edge-sized
-    * frame again. Each round joins only the nodes reached LAST round
-    * against the pinned adjacency, explodes their neighbor lists
-    * (Σ degree(frontier) rows, map-side), partial-agg dedups, and
-    * anti-joins out already-reached nodes — per-round cost is
-    * delta-proportional, the property that makes BFS tractable when the
-    * reached set plateaus. Levels are synchronous, so a node enters
-    * `dist` exactly once at its true hop distance — no union-min
-    * re-aggregation of the whole state (the one-DAG union-min variant
-    * measured 2.5 s: its non-broadcast union branch replays the round
-    * chain; edge-frame frontier BFS measured 2.7 s: four 1.2M-row edge
-    * scans). Bipartite node spaces keep each side's dist table and
-    * anti-join broadcast half-sized. On a cluster where adjacency rows
-    * outgrow broadcast, the identical joins degrade to the keyed-shuffle
-    * Pregel shape.
+    * Scale: FRONTIER-DELTA level-synchronous BFS against ONE pinned
+    * edge frame: the customer↔part edge list materializes once
+    * (UNDIRECTED — 0.6M rows, the bipartite key switch per round stands
+    * in for the 2× directed doubling), and each round is a broadcast
+    * hash join of the node-sized frontier against the pinned frame +
+    * a node-sized distinct + an anti-join against the reached set —
+    * per-round cost is Σ degree(frontier), delta-proportional, the
+    * property that makes BFS tractable when the reached set plateaus.
+    * Levels are synchronous, so a node enters `dist` exactly once at
+    * its true hop distance. Bipartite node spaces keep each side's dist
+    * table and anti-join broadcast half-sized. On a cluster where the
+    * frontier outgrows broadcast, the identical joins degrade to the
+    * keyed-shuffle Pregel shape.
     *
-    * Measured floor (sf0.1, quiet host, min-of-5): FOUR shapes probed to
-    * ground — per-round-checkpointed union-min 3.8 s; one-DAG union-min
-    * 2.5 s (its non-broadcast union branch replays the round chain);
-    * edge-frame frontier BFS 2.7 s (four 1.2M-row edge scans); this
-    * adjacency form 2.6 s, of which ~1.4 s is the one-time adjacency
-    * build (two keyed exchanges + collect_set over 1.2M directed edges —
-    * a single-exchange union-tag build measured the same) and ~0.7 s the
-    * four delta-proportional rounds. The residual vs DuckDB's 0.69 s
-    * recursive CTE is Spark's ~8-job floor, not asymptotics: at scale
-    * the adjacency build amortizes across queries (it is the stored
-    * graph representation) and rounds stay delta-proportional.
+    * Measured floor (sf0.1): FIVE shapes probed to ground —
+    * per-round-checkpointed union-min 3.8 s; one-DAG union-min 2.5 s
+    * (its non-broadcast union branch replays the round chain);
+    * DIRECTED edge-frame BFS with per-direction frames 2.7 s; the
+    * collect_list adjacency form 2.6 s (its two adjacency landings pay
+    * two keyed exchanges + array materialization); THIS single-pinned-
+    * undirected-frame form 1.93 s interleaved-A/B min-of-7 vs 2.64 for
+    * the adjacency form under identical load — the adjacency build was
+    * the dominant term, and scanning the pinned 0.6M-row frame per
+    * round (BHJ probe, no shuffle) undercuts re-materializing per-node
+    * arrays. The residual vs DuckDB's recursive CTE is Spark's ~7-job
+    * floor, not asymptotics: at scale the pinned edge frame IS the
+    * stored graph representation and rounds stay delta-proportional.
     */
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -1379,18 +1376,11 @@ object Pipeline {
       .select(col("l_orderkey"), col("l_partkey"))
     val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-    // customer→parts and part→customers adjacency; collect_LIST, not
-    // set — the per-round cand.distinct dedups anyway, and the set's
-    // per-insert hash probe in the 1.2M-row aggregate costs more than
-    // the ~5% duplicate neighbors it would remove
-    val adjC = cp.groupBy(col("c").as("id"))
-      .agg(collect_list(col("p")).as("nbr")).localCheckpoint()
-    val adjP = cp.groupBy(col("p").as("id"))
-      .agg(collect_list(col("c")).as("nbr")).localCheckpoint()
+      .localCheckpoint()
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_nationkey") === 0)
       .select(col("c_custkey").as("id"))
-      .join(adjC.select(col("id")), Seq("id"), "left_semi")
+      .join(cp.select(col("c").as("id")), Seq("id"), "left_semi")
     // per-side dist tables; fresh per level is pinned (tiny) so lineage
     // never nests across rounds
     var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
@@ -1398,11 +1388,11 @@ object Pipeline {
     var frontier = dC.select(col("id"))
     for (k <- 1 to 4) {
       val fromC = k % 2 == 1
-      val adj = if (fromC) adjC else adjP
+      val (key, other) = if (fromC) ("c", "p") else ("p", "c")
       val own = if (fromC) dP else dC
-      val cand = adj
-        .join(broadcast(frontier), Seq("id"))
-        .select(explode(col("nbr")).as("id")).distinct()
+      val cand = cp
+        .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
+        .select(col(other).as("id")).distinct()
       val fresh = cand
         .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
         .select(col("id"), lit(k.toLong).as("dist"))
@@ -1411,9 +1401,11 @@ object Pipeline {
       else dC = dC.unionByName(fresh)
       frontier = fresh.select(col("id"))
     }
-    val custs = adjC.select(col("id")).join(dC, Seq("id"), "left")
+    val custs = cp.select(col("c").as("id")).distinct()
+      .join(dC, Seq("id"), "left")
       .select(lit("customer").as("kind"), col("id"), col("dist"))
-    val parts = adjP.select(col("id")).join(dP, Seq("id"), "left")
+    val parts = cp.select(col("p").as("id")).distinct()
+      .join(dP, Seq("id"), "left")
       .select(lit("part").as("kind"), col("id"), col("dist"))
     custs.unionByName(parts)
       .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),

@@ -15,10 +15,140 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AB {
   private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+  import graft.Tables
+  import graft.functions.Det._
+
+  private def scaledLong(c: org.apache.spark.sql.Column, s: Long) =
+    when(c >= 0, ((c * s.toDouble) + 0.5).cast("long"))
+      .otherwise(((c * s.toDouble) - 0.5).cast("long"))
+
+  /** mad: domain-sized repartition AFTER the map-side-combined cell agg
+    * (scale-correct: raw rows never hash to |types| partitions). */
+  def madV3(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        scaledLong(col("value"), 100L).as("c"))
+    def lowerMedian(hist: org.apache.spark.sql.DataFrame, vcol: String,
+        out: String): DataFrame = {
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(vcol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n",
+          sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(vcol)))
+          .as(out))
+    }
+    val hist1 = ev.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("cnt"), bit_xor(col("event_id")).as("idx"))
+      .repartition(col("event_type"))
+    val med = lowerMedian(hist1, "c", "med")
+    val hist2 = hist1.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("c") - col("med")).as("d"),
+        col("cnt"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = lowerMedian(hist2, "d", "mad")
+    hist1.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .withColumn("d", abs(col("c") - col("med")))
+      .withColumn("anom", col("d") * 10000L > col("mad") * 44478L)
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).cast("long").as("n_events"),
+        max(col("med")).cast("long").as("med_cents"),
+        max(col("mad")).cast("long").as("mad_cents"),
+        sum(when(col("anom"), col("cnt")).otherwise(0L)).cast("long")
+          .as("n_anom"),
+        bit_xor(when(col("anom"), col("idx"))).as("anom_id_xor"))
+      .orderBy(col("event_type"))
+  }
+
+  /** sliding distinct: no checkpoint; domain-sized repartition(type)
+    * after the word agg, exchange-free downstream, raw scan dedups via
+    * ReusedExchange across the hours/expanded consumers. */
+  def slidingV2(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourly = e
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        shiftright(col("user_id"), 6).as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))")
+        .as("bits"))
+      .repartition(col("event_type"))
+    val hours = hourly.select(col("h").as("we")).distinct()
+    val expanded = hourly.select(col("event_type"),
+        explode(array(col("h"),
+          col("h") + expr("INTERVAL 1 HOUR"),
+          col("h") + expr("INTERVAL 2 HOURS"))).as("we"),
+        col("w"), col("bits"))
+      .join(broadcast(hours), Seq("we"), "left_semi")
+    expanded.groupBy(col("event_type"), col("we"), col("w"))
+      .agg(expr("bit_or(bits)").as("b"))
+      .groupBy(col("event_type"), col("we"))
+      .agg(sum(bit_count(col("b"))).cast("long").as("n_users"))
+      .select(col("event_type"), fmtTs(col("we")).as("window_end"),
+        col("n_users"))
+      .orderBy(col("event_type"), col("window_end"))
+  }
+
+  /** shortest paths: frontier expands against ONE pinned edge frame
+    * (broadcast-hash join per level) instead of two collect_list
+    * adjacency landings. */
+  def gspV2(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .localCheckpoint()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cp.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    for (k <- 1 to 4) {
+      val fromC = k % 2 == 1
+      val (key, other) = if (fromC) ("c", "p") else ("p", "c")
+      val own = if (fromC) dP else dC
+      val cand = cp
+        .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
+        .select(col(other).as("id")).distinct()
+      val fresh = cand
+        .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+        .localCheckpoint()
+      if (fromC) dP = dP.unionByName(fresh)
+      else dC = dC.unionByName(fresh)
+      frontier = fresh.select(col("id"))
+    }
+    val custs = cp.select(col("c").as("id")).distinct()
+      .join(dC, Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = cp.select(col("p").as("id")).distinct()
+      .join(dP, Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
   /** Scratch map: point entries at candidate implementations while
     * iterating (e.g. a rewritten operator vs the registered one). */
   def variants: Map[String, (SparkSession, String) => DataFrame] =
-    graft.SparkEntry.queries
+    graft.SparkEntry.queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "mad_v3" -> (madV3 _),
+      "sliding_v2" -> (slidingV2 _),
+      "gsp_v2" -> (gspV2 _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
