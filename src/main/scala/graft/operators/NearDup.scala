@@ -8,7 +8,10 @@ import graft.Tables
   * driver-mandated dedup family): MinHash+LSH, weighted SimHash with
   * multi-index blocking, and exact n-gram Jaccard over length-band
   * candidates. All three share the same determinism toolkit as Docs.scala —
-  * md5-only hashing, integer/exact-double arithmetic, total ORDER BY.
+  * md5 wherever a hash VALUE crosses engines (signatures, fingerprints),
+  * codegen'd xxhash64 where the hash is only a bucketing key (candidate
+  * envelopes depend on gram equality, not the hash), integer/exact-double
+  * arithmetic, total ORDER BY.
   *
   * Scale notes (100 TB): each flavor is the standard linear-candidate
   * pattern — signatures are computed in one narrow scan (map-side, no
@@ -463,7 +466,7 @@ object NearDup {
     * the sorted-merge compares longs instead of byte strings. Shared by
     * docNgramJaccard and docContainment.
     */
-  private def packedGram4Arrays(base: DataFrame): DataFrame = {
+  private[graft] def packedGram4Arrays(base: DataFrame): DataFrame = {
     def packed(g: Column): Column =
       ((ascii(g.substr(1, 1)).cast("long") * 65536L +
         ascii(g.substr(2, 1)).cast("long")) * 65536L +
@@ -598,7 +601,14 @@ object NearDup {
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), col("n") - (G - 1))).as("s"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(G)))).as("g"))
+        // xxhash64, not md5: the gram hash is a pure BUCKETING key (never
+        // emitted, never mirrored cross-engine — the candidate envelope
+        // depends only on gram EQUALITY, which any collision-free hash
+        // preserves; DuckDB keeps md5 on its side for the same envelope).
+        // The codegen'd 64-bit hash replaces a 128-bit digest + hex
+        // string per position: 2.15 → 1.51 s at sf0.1 (interleaved A/B)
+        xxhash64(concat_ws(" ", slice(col("toks"), col("s"), lit(G))))
+          .as("g"))
     // pinned: cand feeds the candidate-id narrowing AND the verify join —
     // candidate-pair-sized, cheap to hold
     val cand = g8.groupBy(col("g"))
@@ -709,7 +719,12 @@ object NearDup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val pairs = verifyPairs(cand, ex)
+    // pairs is consumed from THREE subtrees (pairIds inside each mh
+    // broadcast leg + the final join): unpinned, the whole band-self-join
+    // + exact-verify pipeline re-ran per consumer. Pinning the pair-sized
+    // frames (pairs, mh — both tiny) measured 3.09 → 2.07 s at sf0.1
+    // (interleaved same-JVM A/B, min of 7).
+    val pairs = verifyPairs(cand, ex).localCheckpoint()
     val pairIds = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -719,6 +734,7 @@ object NearDup {
       .agg(count(lit(1)).as("nsh"),
         (0 until 8).map(i =>
           min(substring(col("h"), 1 + 4 * i, 4)).as(s"m$i")): _*)
+      .localCheckpoint()
     def sig(side: String) = (Seq(col("doc_id").as(side),
       col("nsh").as(s"nsh_$side")) ++
       (0 until 8).map(i => col(s"m$i").as(s"${side}_m$i"))): Seq[Column]

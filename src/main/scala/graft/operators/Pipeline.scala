@@ -1062,7 +1062,13 @@ object Pipeline {
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(1), col("n") - (G - 1))).as("s"))
       .select(col("doc_id"), col("s"),
-        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(G)))).as("g"))
+        // xxhash64, not md5: a pure bucketing key (grouped on, never
+        // emitted) — equal grams collide identically under any hash, so
+        // the shared-gram envelope is unchanged while the codegen'd
+        // 64-bit hash drops the per-position digest+hex cost: 1.85 →
+        // 1.23 s at sf0.1 (interleaved A/B, min of 7)
+        xxhash64(concat_ws(" ", slice(col("toks"), col("s"), lit(G))))
+          .as("g"))
     // ONE pass over the gram table: the same groupBy(g) that decides
     // "shared by ≥2 distinct docs" (min≠max spares a count-distinct)
     // also CARRIES the occurrence list, so the shared grams' positions

@@ -142,13 +142,145 @@ object AB {
       .orderBy(col("kind"), col("dist"))
   }
 
+  private def nrm(c: org.apache.spark.sql.Column) =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** est_error with the verify pipeline and signature frame PINNED. */
+  def estV2(spark: SparkSession, dir: String): DataFrame = {
+    val ex = graft.operators.NearDup.shingles(Tables.documentsWide(spark, dir))
+      .localCheckpoint()
+    val bands = graft.operators.NearDup.minhashBands(ex)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val pairs = graft.operators.NearDup.verifyPairs(cand, ex).localCheckpoint()
+    val pairIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val mh = ex.join(broadcast(pairIds), Seq("doc_id"), "left_semi")
+      .withColumn("h", md5(col("g")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nsh"),
+        (0 until 8).map(i =>
+          min(substring(col("h"), 1 + 4 * i, 4)).as(s"m$i")): _*)
+      .localCheckpoint()
+    def sig(side: String) = (Seq(col("doc_id").as(side),
+      col("nsh").as(s"nsh_$side")) ++
+      (0 until 8).map(i => col(s"m$i").as(s"${side}_m$i"))): Seq[org.apache.spark.sql.Column]
+    val matches = (0 until 8).map(i =>
+      when(col(s"doc_a_m$i") === col(s"doc_b_m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(broadcast(mh.select(sig("doc_a"): _*)), Seq("doc_a"))
+      .join(broadcast(mh.select(sig("doc_b"): _*)), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("n_common * 1000000 div (nsh_doc_a + nsh_doc_b - n_common)")
+          .as("exact_ppm"),
+        (matches * lit(125000L)).as("est_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** containment with xxhash64 gram keys (bucketing only). */
+  def contV2(spark: SparkSession, dir: String): DataFrame = {
+    val G = 8
+    val base = Tables.documentsWide(spark, dir)
+      .select(col("doc_id"), nrm(col("text")).as("nt"))
+      .filter(length(col("nt")) >= 4)
+    val toked = base
+      .select(col("doc_id"), split(col("nt"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val g8 = toked.filter(col("n") >= G)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n") - (G - 1))).as("s"))
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("s"), lit(G))))
+          .as("g"))
+    val cand = g8.groupBy(col("g"))
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("x"), col("docs"))
+      .select(col("x"), explode(col("docs")).as("y"))
+      .filter(col("x") < col("y"))
+      .distinct()
+      .localCheckpoint()
+    val candIds = cand
+      .select(explode(array(col("x"), col("y"))).as("doc_id"))
+      .distinct()
+    val arr = graft.operators.NearDup.packedGram4Arrays(
+      base.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    val v = cand
+      .join(arr.select(col("doc_id").as("x"), col("gs").as("gsx"),
+        col("ng").as("ngx")), Seq("x"))
+      .join(arr.select(col("doc_id").as("y"), col("gs").as("gsy"),
+        col("ng").as("ngy")), Seq("y"))
+      .withColumn("n_common",
+        graft.functions.VectorExprs.sortedIntersectCount(
+          col("gsx"), col("gsy")))
+      .select(
+        when(col("ngx") <= col("ngy"), col("x")).otherwise(col("y"))
+          .as("doc_small"),
+        when(col("ngx") <= col("ngy"), col("y")).otherwise(col("x"))
+          .as("doc_big"),
+        least(col("ngx"), col("ngy")).as("ng_small"),
+        greatest(col("ngx"), col("ngy")).as("ng_big"),
+        col("n_common"))
+    v.filter(col("n_common") * 2 >= col("ng_small"))
+      .select(col("doc_small"), col("doc_big"), col("ng_small"),
+        col("ng_big"), col("n_common"),
+        expr("n_common * 1000000 div ng_small").as("containment_ppm"))
+      .orderBy(col("doc_small"), col("doc_big"))
+  }
+
+  /** dup_spans with xxhash64 gram keys (bucketing only). */
+  def spansV2(spark: SparkSession, dir: String): DataFrame = {
+    val G = 8
+    val d = Tables.documentsWide(spark, dir)
+    val toked = d.select(col("doc_id"), col("lang"),
+        split(nrm(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .localCheckpoint()
+    val grams = toked.filter(col("n") >= G)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(1), col("n") - (G - 1))).as("s"))
+      .select(col("doc_id"), col("s"),
+        xxhash64(concat_ws(" ", slice(col("toks"), col("s"), lit(G))))
+          .as("g"))
+    val perDoc = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        collect_list(struct(col("doc_id"), col("s"))).as("occ"))
+      .filter(col("lo") =!= col("hi"))
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"),
+        explode(sequence(col("o.s"), col("o.s") + (G - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+    toked.join(perDoc, Seq("doc_id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("dup_tokens")).as("n_docs_hit"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        sum(col("n").cast("long")).as("total_tokens"),
+        coalesce(expr(
+          "bit_xor(CASE WHEN dup_tokens IS NOT NULL THEN doc_id END)"),
+          lit(0L)).as("hit_id_xor"))
+      .withColumn("dup_rate",
+        col("dup_tokens").cast("double") / col("total_tokens").cast("double"))
+      .orderBy(col("lang"))
+  }
+
   /** Scratch map: point entries at candidate implementations while
     * iterating (e.g. a rewritten operator vs the registered one). */
   def variants: Map[String, (SparkSession, String) => DataFrame] =
     graft.SparkEntry.queries ++ Map[String, (SparkSession, String) => DataFrame](
-      "mad_v3" -> (madV3 _),
-      "sliding_v2" -> (slidingV2 _),
-      "gsp_v2" -> (gspV2 _))
+      "est_v2" -> (estV2 _),
+      "cont_v2" -> (contV2 _),
+      "spans_v2" -> (spansV2 _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
