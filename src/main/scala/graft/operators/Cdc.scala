@@ -157,6 +157,77 @@ object Cdc {
       |FROM offsets o LEFT JOIN live l ON l.partition = o.partition
       |ORDER BY o.partition""".stripMargin
 
+  /** cdc_forget_audit (S28) — DELETION-COMPLIANCE audit (right-to-be-
+    * forgotten propagation): for every key that ever received a delete
+    * (the forget request), verify nothing arrived AFTER its latest
+    * delete on the changelog's exact (ts, event_id) total order. A row
+    * landing after the purge is the classic compliance leak — an
+    * upstream re-ingest, a late-arriving producer, or a replay from a
+    * pre-purge offset silently resurrects erased data (the
+    * tombstone-retention failure cdc_resume_offsets pins from the resume
+    * side). The report is the audit a privacy pipeline files: request
+    * count, clean vs violating keys, the violating-key checksum, the
+    * worst post-purge arrival lag, and the total history row count a
+    * physical purge must erase.
+    *
+    * Scale: ONE user-keyed mergeable aggregate — per key the row count,
+    * the latest-delete argmax and the latest-anything argmax (two
+    * max(struct) partials, constant size) — then a 1-row conditional
+    * rollup over the |keys|-sized frame. "Violating" is pure struct
+    * comparison (latest_any > latest_delete on the shared total order);
+    * the lag divides exact epoch-micros only where a violation exists.
+    * Nothing partition-less, nothing quadratic, map-side combine all the
+    * way down.
+    */
+  def cdcForgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "error").as("is_del"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(when(col("is_del"), struct(col("ts"), col("event_id"))))
+          .as("ld"),
+        max(struct(col("ts"), col("event_id"))).as("la"))
+      .filter(col("ld").isNotNull)
+      .withColumn("violating", col("la") > col("ld"))
+      .withColumn("leak_s",
+        when(col("violating"),
+          expr("(unix_micros(la.ts) - unix_micros(ld.ts)) div 1000000")))
+    perKey.agg(
+        count(lit(1)).cast("long").as("n_forget_keys"),
+        sum(when(col("violating"), 1L).otherwise(0L)).cast("long")
+          .as("n_violating"),
+        sum(when(!col("violating"), 1L).otherwise(0L)).cast("long")
+          .as("n_clean"),
+        coalesce(bit_xor(when(col("violating"), col("user_id"))), lit(0L))
+          .as("violating_xor"),
+        coalesce(max(col("leak_s")), lit(0L)).as("max_leak_s"),
+        sum(col("n_rows")).cast("long").as("n_history_rows"))
+  }
+
+  val cdcForgetAuditSql: String =
+    """WITH pk AS (
+      |  SELECT user_id, count(*) AS n_rows,
+      |    max(CASE WHEN event_type = 'error'
+      |      THEN struct_pack(ts := ts, event_id := event_id) END) AS ld,
+      |    max(struct_pack(ts := ts, event_id := event_id)) AS la
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT user_id, n_rows, ld, la, la > ld AS violating,
+      |    CASE WHEN la > ld THEN
+      |      (epoch_us(la.ts) - epoch_us(ld.ts)) // 1000000 END AS leak_s
+      |  FROM pk WHERE ld IS NOT NULL)
+      |SELECT count(*) AS n_forget_keys,
+      |  CAST(sum(CASE WHEN violating THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating,
+      |  CAST(sum(CASE WHEN violating THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_clean,
+      |  CAST(COALESCE(bit_xor(CASE WHEN violating THEN user_id END), 0)
+      |    AS BIGINT) AS violating_xor,
+      |  CAST(COALESCE(max(leak_s), 0) AS BIGINT) AS max_leak_s,
+      |  CAST(sum(n_rows) AS BIGINT) AS n_history_rows
+      |FROM f""".stripMargin
+
   /** cdc_at_least_once (S22) — AT-LEAST-ONCE delivery hardening: every
     * real CDC transport (Kafka default semantics, retried HTTP pushes,
     * resumed change-stream cursors) can deliver an operation more than
@@ -1125,6 +1196,7 @@ object Cdc {
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
     "cdc_resume_offsets" -> (cdcResumeOffsets _),
+    "cdc_forget_audit" -> (cdcForgetAudit _),
     "cdc_at_least_once" -> (cdcAtLeastOnce _),
     "cdc_compaction" -> (cdcCompaction _),
     "cdc_merge_apply" -> (cdcMergeApply _),
@@ -1145,6 +1217,7 @@ object Cdc {
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
     "cdc_resume_offsets" -> cdcResumeOffsetsSql,
+    "cdc_forget_audit" -> cdcForgetAuditSql,
     "cdc_at_least_once" -> cdcAtLeastOnceSql,
     "cdc_compaction" -> cdcCompactionSql,
     "cdc_merge_apply" -> cdcMergeApplySql,

@@ -156,6 +156,64 @@ object TimeSeries {
        |  CAST(max(open_orders) AS BIGINT) AS peak_open
        |FROM cum GROUP BY date_trunc('month', d) ORDER BY month""".stripMargin
 
+  /** orders_fill_rate (W14) — monthly order-fulfilment SERVICE-LEVEL
+    * report: for each order month, the share of orders fully shipped
+    * (last line shipped) within 30/60/90 days of placement, in exact
+    * integer ppm — the SLA attainment readout next to orders_backlog's
+    * open-count timeline (backlog asks "how much is open NOW", fill rate
+    * asks "how often did we hit the promise"). Day spans are integer
+    * datediffs, shares integral divisions — both engines agree
+    * bit-for-bit, no float anywhere.
+    *
+    * Scale: the lineitem→last-ship aggregate and the orders join share
+    * one l_orderkey/o_orderkey clustering (the orders_backlog shape);
+    * the month rollup is domain-sized with map-side combine. At 100 TB
+    * this is two keyed exchanges end to end.
+    */
+  def ordersFillRate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val ship = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    o.join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(trunc(col("od"), "month").as("m"),
+        datediff(col("last_ship"), col("od")).as("span"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("span") <= 30, 1L).otherwise(0L)).as("n30"),
+        sum(when(col("span") <= 60, 1L).otherwise(0L)).as("n60"),
+        sum(when(col("span") <= 90, 1L).otherwise(0L)).as("n90"),
+        max(col("span")).cast("long").as("worst_span_days"))
+      .select(fmtDate(col("m")).as("month"),
+        col("n_orders"),
+        expr("n30 * 1000000 div n_orders").as("fill30_ppm"),
+        expr("n60 * 1000000 div n_orders").as("fill60_ppm"),
+        expr("n90 * 1000000 div n_orders").as("fill90_ppm"),
+        col("worst_span_days"))
+      .orderBy(col("month"))
+  }
+
+  val ordersFillRateSql: String =
+    s"""WITH ship AS (SELECT l_orderkey,
+       |    max(CAST(l_shipdate AS DATE)) AS last_ship
+       |  FROM lineitem GROUP BY l_orderkey),
+       |sp AS (SELECT date_trunc('month', o_orderdate) AS m,
+       |    datediff('day', CAST(o_orderdate AS DATE), last_ship) AS span
+       |  FROM orders JOIN ship ON l_orderkey = o_orderkey),
+       |agg AS (SELECT m, count(*) AS n_orders,
+       |    sum(CASE WHEN span <= 30 THEN 1 ELSE 0 END) AS n30,
+       |    sum(CASE WHEN span <= 60 THEN 1 ELSE 0 END) AS n60,
+       |    sum(CASE WHEN span <= 90 THEN 1 ELSE 0 END) AS n90,
+       |    max(span) AS worst
+       |  FROM sp GROUP BY m)
+       |SELECT ${sqlFmtDate("m")} AS month, n_orders,
+       |  CAST(n30 * 1000000 // n_orders AS BIGINT) AS fill30_ppm,
+       |  CAST(n60 * 1000000 // n_orders AS BIGINT) AS fill60_ppm,
+       |  CAST(n90 * 1000000 // n_orders AS BIGINT) AS fill90_ppm,
+       |  CAST(worst AS BIGINT) AS worst_span_days
+       |FROM agg ORDER BY month""".stripMargin
+
   /** events_ohlc — hourly OHLC bars per event type (open/high/low/close +
     * exact volume), the downsampling aggregate every time-series store
     * serves. Open/close are SINGLE-PASS argmin/argmax: `min/max(struct(ts,
@@ -484,6 +542,7 @@ object TimeSeries {
     "events_transitions" -> (eventsTransitions _),
     "events_gapfill" -> (eventsGapfill _),
     "orders_backlog" -> (ordersBacklog _),
+    "orders_fill_rate" -> (ordersFillRate _),
     "events_ohlc" -> (eventsOhlc _),
     "events_cusum" -> (eventsCusum _))
 
@@ -494,6 +553,7 @@ object TimeSeries {
     "events_transitions" -> eventsTransitionsSql,
     "events_gapfill" -> eventsGapfillSql,
     "orders_backlog" -> ordersBacklogSql,
+    "orders_fill_rate" -> ordersFillRateSql,
     "events_ohlc" -> eventsOhlcSql,
     "events_cusum" -> eventsCusumSql)
 }

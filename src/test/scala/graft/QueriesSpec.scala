@@ -1447,4 +1447,61 @@ class QueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == ref, s"weighted sample diverges from direct recompute")
   }
+
+  test("cdc_forget_audit equals a sequential per-key replay reference") {
+    // replay the log per key driver-side: a key is forget-requested iff
+    // it ever saw a delete; it violates iff ANY op (of either kind)
+    // lands strictly after its latest delete on the (ts, event_id)
+    // total order — including the equal-ts-higher-id edge
+    val rows = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2),
+        r.getString(3) == "error"))
+    val byKey = rows.groupBy(_._1)
+    val forget = byKey.filter(_._2.exists(_._4))
+    val stats = forget.map { case (uid, ops) =>
+      val ld = ops.filter(_._4).map(o => (o._2, o._3)).max
+      val la = ops.map(o => (o._2, o._3)).max
+      val viol = Ordering[(Long, Long)].gt(la, ld)
+      (uid, ops.length.toLong, viol,
+        if (viol) (la._1 - ld._1) / 1000000L else 0L)
+    }.toSeq
+    val wantViol = stats.filter(_._3)
+    val want = (forget.size.toLong, wantViol.size.toLong,
+      (forget.size - wantViol.size).toLong,
+      if (wantViol.isEmpty) 0L else wantViol.map(_._1).reduce(_ ^ _),
+      if (wantViol.isEmpty) 0L else wantViol.map(_._4).max,
+      stats.map(_._2).sum)
+    val got = SparkEntry.queries("cdc_forget_audit")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).head
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("orders_fill_rate equals a sequential SLA-band reference") {
+    val ship = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    val orders = Tables.orders(spark, sfTiny)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val spans = orders.flatMap { case (k, od) =>
+      ship.get(k).map { ls =>
+        (od.withDayOfMonth(1).toString,
+          java.time.temporal.ChronoUnit.DAYS.between(od, ls)) }
+    }
+    val want = spans.groupBy(_._1).toSeq.sortBy(_._1).map { case (m, v) =>
+      val n = v.length.toLong
+      val c = (b: Long) => v.count(_._2 <= b).toLong
+      (m, n, c(30) * 1000000L / n, c(60) * 1000000L / n,
+        c(90) * 1000000L / n, v.map(_._2).max)
+    }
+    val got = SparkEntry.queries("orders_fill_rate")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
 }
