@@ -274,13 +274,118 @@ object AB {
       .orderBy(col("lang"))
   }
 
+  /** backlog with a hash join (skips the SMJ sorts) on the ship attach. */
+  def backlogV2(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
+    val ship = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val spans = o.join(ship.hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("s"), date_add(col("last_ship"), 1).as("e"))
+    val deltas = spans.select(col("s").as("d"), lit(1L).as("delta"))
+      .unionByName(spans.select(col("e").as("d"), lit(-1L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    val cum = deltas.as("a")
+      .join(deltas.as("b"), col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("d"))
+      .agg(sum(col("b.delta")).as("open_orders"))
+    cum.groupBy(trunc(col("d"), "month").as("m"))
+      .agg(count(lit(1)).as("n_boundary_days"),
+        max(struct(col("d"), col("open_orders"))).as("eom"),
+        max(col("open_orders")).as("peak_open"))
+      .select(fmtDate(col("m")).as("month"), col("n_boundary_days"),
+        col("eom.open_orders").cast("long").as("eom_open"),
+        col("peak_open").cast("long").as("peak_open"))
+      .orderBy(col("month"))
+  }
+
+  /** basket without the checkpoint: supports from raw distinct pairs,
+    * order count from raw distinct, baskets single-consumer. */
+  def basketV3(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val po = li.distinct()
+    val supp = po.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp_i"))
+    val nOrders = po.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val baskets = li
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (x, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "y -> struct(x AS pa, y AS pb))))")
+    val pairs = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("supp_ab"))
+    pairs
+      .join(broadcast(supp.select(col("l_partkey").as("pa"),
+        col("supp_i").as("supp_a"))), Seq("pa"))
+      .join(broadcast(supp.select(col("l_partkey").as("pb"),
+        col("supp_i").as("supp_b"))), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"),
+        col("supp_ab").cast("long").as("supp_ab"),
+        col("supp_a").cast("long").as("supp_a"),
+        col("supp_b").cast("long").as("supp_b"),
+        expr("supp_ab * 1000000 div supp_a").as("conf_ab_ppm"),
+        expr("supp_ab * 1000000 div supp_b").as("conf_ba_ppm"),
+        expr("supp_ab * n_orders * 1000000 div (supp_a * supp_b)")
+          .as("lift_ppm"))
+      .orderBy(col("supp_ab").desc, col("lift_ppm").desc,
+        col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  /** kcore: committed shape but both endpoint semi-joins probe ONE
+    * broadcast build (no per-side alias projection). */
+  def kcoreV3(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 2 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    var edges = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct().localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("x").as("n")).unionByName(e.select(col("y").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges).localCheckpoint()
+    val kf = deg.agg(
+      expr("sum(deg) div count(1) + 1").as("k"))
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.crossJoin(broadcast(kf))
+        .filter(col("deg") >= col("k")).select(col("n"))
+      edges = edges
+        .join(broadcast(keep), col("x") === keep("n"), "left_semi")
+        .join(broadcast(keep), col("y") === keep("n"), "left_semi")
+        .select(col("x"), col("y")).localCheckpoint()
+      deg = degrees(edges).localCheckpoint()
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** Scratch map: point entries at candidate implementations while
     * iterating (e.g. a rewritten operator vs the registered one). */
   def variants: Map[String, (SparkSession, String) => DataFrame] =
     graft.SparkEntry.queries ++ Map[String, (SparkSession, String) => DataFrame](
       "est_v2" -> (estV2 _),
       "cont_v2" -> (contV2 _),
-      "spans_v2" -> (spansV2 _))
+      "spans_v2" -> (spansV2 _),
+      "backlog_v2" -> (backlogV2 _),
+      "basket_v3" -> (basketV3 _),
+      "kcore_v3" -> (kcoreV3 _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
