@@ -301,6 +301,35 @@ object AB {
       .orderBy(col("month"))
   }
 
+  /** backlog: map-side ± boundary explode — the span join runs ONCE
+    * (the union shape re-executes the join per branch). */
+  def backlogV3(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
+    val ship = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val deltas = o.join(ship.hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(explode(array(
+        struct(col("s").as("d"), lit(1L).as("delta")),
+        struct(date_add(col("last_ship"), 1).as("d"),
+          lit(-1L).as("delta")))).as("b"))
+      .groupBy(col("b.d").as("d")).agg(sum(col("b.delta")).as("delta"))
+    val cum = deltas.as("a")
+      .join(deltas.as("b"), col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("d"))
+      .agg(sum(col("b.delta")).as("open_orders"))
+    cum.groupBy(trunc(col("d"), "month").as("m"))
+      .agg(count(lit(1)).as("n_boundary_days"),
+        max(struct(col("d"), col("open_orders"))).as("eom"),
+        max(col("open_orders")).as("peak_open"))
+      .select(fmtDate(col("m")).as("month"), col("n_boundary_days"),
+        col("eom.open_orders").cast("long").as("eom_open"),
+        col("peak_open").cast("long").as("peak_open"))
+      .orderBy(col("month"))
+  }
+
   /** basket without the checkpoint: supports from raw distinct pairs,
     * order count from raw distinct, baskets single-consumer. */
   def basketV3(spark: SparkSession, dir: String): DataFrame = {
@@ -384,6 +413,7 @@ object AB {
       "cont_v2" -> (contV2 _),
       "spans_v2" -> (spansV2 _),
       "backlog_v2" -> (backlogV2 _),
+      "backlog_v3" -> (backlogV3 _),
       "basket_v3" -> (basketV3 _),
       "kcore_v3" -> (kcoreV3 _))
 
