@@ -215,15 +215,71 @@ object Collections {
       |    AS quarantine_xor
       |FROM parsed GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** json_variant — Spark 4 VARIANT as the semi-structured column type:
+    * the payload is wrapped into a NESTED envelope ({"meta": {...},
+    * "payload": {...}} — the shape a Debezium/Mongo event actually has),
+    * parsed ONCE with `parse_json` into a VariantType column, and every
+    * extraction is a typed `variant_get` path navigation ('$.meta.id',
+    * '$.payload.k') — no per-path re-parse, no declared struct schema.
+    * Variant is the engine answer to BSON's schemaless reality that
+    * map/struct decoding (map_ops, json_evolution) approximates: the
+    * binary encoding keeps paths navigable WITHOUT committing to a
+    * schema at read time, and shredding pushes typed paths columnar.
+    * A deep path that does not exist ('$.meta.missing') must yield
+    * null, not an error — counted per row to prove it.
+    *
+    * Scale: one scan, one parse per row into the compact variant binary,
+    * one hash agg per (event_type) — the variant column never shuffles
+    * (extractions project before the aggregate). The oracle performs the
+    * identical envelope surgery and path extraction in DuckDB JSON.
+    */
+  def jsonVariant(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsWide(spark, dir)
+    val envelope = concat(
+      lit("{\"meta\": {\"src\": \"s\", \"id\": "), (col("event_id") % 97),
+      lit("}, \"payload\": "), col("props"), lit("}"))
+    e.withColumn("v", parse_json(envelope))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.meta.id", "bigint").as("meta_id"),
+        variant_get(col("v"), "$.payload.k", "bigint").as("k"),
+        variant_get(col("v"), "$.meta.missing", "bigint").as("absent"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("meta_id")).as("sum_meta_id"),
+        sum(when(col("absent").isNull, 1L).otherwise(0L))
+          .as("n_absent_path"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonVariantSql: String =
+    """WITH env AS (
+      |  SELECT event_type,
+      |    '{"meta": {"src": "s", "id": ' || (event_id % 97) ||
+      |      '}, "payload": ' || props || '}' AS j
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(j->>'$.payload.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(j->>'$.payload.k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(j->>'$.payload.k' AS BIGINT)) AS max_k,
+      |  CAST(SUM(CAST(j->>'$.meta.id' AS BIGINT)) AS BIGINT) AS sum_meta_id,
+      |  CAST(SUM(CASE WHEN j->>'$.meta.missing' IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_absent_path
+      |FROM env GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "map_ops" -> (mapOps _),
     "array_hof" -> (arrayHof _),
     "json_malformed" -> (jsonMalformed _),
+    "json_variant" -> (jsonVariant _),
     "json_evolution" -> (jsonEvolution _))
 
   def oracle: Map[String, String] = Map(
     "map_ops" -> mapOpsSql,
     "array_hof" -> arrayHofSql,
     "json_malformed" -> jsonMalformedSql,
+    "json_variant" -> jsonVariantSql,
     "json_evolution" -> jsonEvolutionSql)
 }
