@@ -1271,20 +1271,24 @@ object Pipeline {
     * occupancy-bounded (≤ items/order², the gram-envelope discipline).
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    // the (ok, pk) pre-distinct looks redundant (the edge distinct dedups
-    // anyway) but benched 3× FASTER than skipping it: it halves the
-    // self-join's probe input and its exchange co-partitions both sides
-    // of the equi-join (measured 2.1 s with vs 5.9 s without at sf0.1)
-    val p = Tables.lineitem(spark, dir)
+    // e0 via the basket idiom (basket_rules/graph_kcore): ONE order-keyed
+    // exchange + map-side pair expansion from the sorted item array + one
+    // pair-distinct exchange — the earlier (ok, pk)-distinct p⋈p
+    // self-join paid a third wide exchange (interleaved A/B, min of 7:
+    // 1.67 → 1.47 s at sf0.1 together with the shared adjacency build
+    // below)
+    val baskets = Tables.lineitem(spark, dir)
       .filter(col("l_partkey") % 2 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
     // e0 feeds THREE consumers (adjacency twice via the union, the edge
-    // probe) — pin the edge list once or each one replays the self-join
-    val e0 = p.as("a")
-      .join(p.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("x"), col("b.pk").as("y"))
+    // probe) — pin the edge list once or each one replays the build
+    val e0 = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
       .distinct()
       .localCheckpoint()
     val ad = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
@@ -1293,14 +1297,16 @@ object Pipeline {
     // emb feeds TWO consumers (the totals row and the top-10) and the
     // totals broadcast runs as its own job — without a pin that job
     // replays the whole adjacency-build + intersect pass; 3-long rows ×
-    // |edges| pin cheaply
-    val emb = e0
-      .join(broadcast(adj.select(col("x"), col("arr").as("ax"))), Seq("x"))
-      .join(broadcast(adj.select(col("x").as("y"), col("arr").as("ay"))),
-        Seq("y"))
-      .select(col("x").as("part_a"), col("y").as("part_b"),
+    // |edges| pin cheaply. Both endpoint joins probe the SAME adjacency
+    // build plan (aliases strip before physical planning) — the
+    // adjacency aggregation and its broadcast run once (ReusedExchange),
+    // not per side
+    val emb = e0.as("e")
+      .join(broadcast(adj.as("p")), col("e.x") === col("p.x"))
+      .join(broadcast(adj.as("q")), col("e.y") === col("q.x"))
+      .select(col("e.x").as("part_a"), col("e.y").as("part_b"),
         graft.functions.VectorExprs.sortedIntersectCount(
-          col("ax"), col("ay")).as("n_common"))
+          col("p.arr"), col("q.arr")).as("n_common"))
       .localCheckpoint()
     val tot = emb.agg(count(lit(1)).as("n_edges"),
       expr("sum(n_common) div 3").as("n_triangles"))

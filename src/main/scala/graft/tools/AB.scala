@@ -405,6 +405,38 @@ object AB {
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** triangles: basket-idiom edge build + one shared adjacency
+    * broadcast build probed by both endpoint joins. */
+  def trianglesV2(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 2 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    val e0 = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct()
+      .localCheckpoint()
+    val ad = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
+    val adj = ad.groupBy(col("x"))
+      .agg(sort_array(collect_list(col("y"))).as("arr"))
+    val emb = e0.as("e")
+      .join(broadcast(adj.as("p")), col("e.x") === col("p.x"))
+      .join(broadcast(adj.as("q")), col("e.y") === col("q.x"))
+      .select(col("e.x").as("part_a"), col("e.y").as("part_b"),
+        graft.functions.VectorExprs.sortedIntersectCount(
+          col("p.arr"), col("q.arr")).as("n_common"))
+      .localCheckpoint()
+    val tot = emb.agg(count(lit(1)).as("n_edges"),
+      expr("sum(n_common) div 3").as("n_triangles"))
+    emb.crossJoin(broadcast(tot))
+      .orderBy(col("n_common").desc, col("part_a"), col("part_b"))
+      .limit(10)
+  }
+
   /** Scratch map: point entries at candidate implementations while
     * iterating (e.g. a rewritten operator vs the registered one). */
   def variants: Map[String, (SparkSession, String) => DataFrame] =
@@ -415,7 +447,8 @@ object AB {
       "backlog_v2" -> (backlogV2 _),
       "backlog_v3" -> (backlogV3 _),
       "basket_v3" -> (basketV3 _),
-      "kcore_v3" -> (kcoreV3 _))
+      "kcore_v3" -> (kcoreV3 _),
+      "triangles_v2" -> (trianglesV2 _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
