@@ -228,6 +228,71 @@ object Cdc {
       |  CAST(sum(n_rows) AS BIGINT) AS n_history_rows
       |FROM f""".stripMargin
 
+  /** cdc_inc_apply (S29) — OP-BASED counter apply (MongoDB `$inc` / CRDT
+    * G-counter semantics): the changelog carries INCREMENTS, not absolute
+    * values, so the applied state is the SUM of deltas since the key's
+    * latest reset tombstone — not the last writer's value. LWW (S6) and
+    * column-merge (S16) lose increments by construction; op-based apply
+    * is the other half of Mongo's update model ($set ⇒ S16, $inc ⇒
+    * here). Reset = the 'error' tombstone on the standard (ts, event_id)
+    * total order; a key's counter restarts at zero after its last reset
+    * and reports only if at least one increment follows (live counters).
+    * Increment order never matters — addition commutes — which is
+    * exactly why counters are the CRDT-friendly CDC payload: no window,
+    * no sort, any replay order converges.
+    *
+    * Scale: two user-keyed aggregates sharing ONE hash(user_id)
+    * clustering (the reset argmax joins back co-partitioned — no extra
+    * exchange on the big side), both with map-side combine; sums in
+    * exact i64 cents.
+    */
+  def cdcIncApply(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        scaledLong(col("value"), 100L).as("cents"),
+        (col("event_type") === "error").as("is_reset"))
+    val rs = e.groupBy(col("user_id"))
+      .agg(max(when(col("is_reset"), struct(col("ts"), col("event_id"))))
+        .as("r"))
+    e.join(rs, Seq("user_id"))
+      .filter(!col("is_reset") &&
+        (col("r").isNull || struct(col("ts"), col("event_id")) > col("r")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_incs"),
+        sum(col("cents")).cast("long").as("counter_cents"),
+        max(struct(col("ts"), col("event_id"))).as("li"))
+      .select(col("user_id"), col("n_incs"), col("counter_cents"),
+        fmtTs(col("li.ts")).as("last_inc_ts"),
+        col("li.event_id").as("last_inc_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcIncApplySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    event_type = 'error' AS is_reset
+       |  FROM events),
+       |rs AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN is_reset
+       |      THEN struct_pack(ts := ts, event_id := event_id) END) AS r
+       |  FROM e GROUP BY user_id),
+       |live AS (
+       |  SELECT e.user_id, e.ts, e.event_id, e.cents
+       |  FROM e JOIN rs ON e.user_id = rs.user_id
+       |  WHERE NOT e.is_reset AND (rs.r IS NULL OR
+       |    struct_pack(ts := e.ts, event_id := e.event_id) > rs.r)),
+       |agg AS (
+       |  SELECT user_id, count(*) AS n_incs,
+       |    CAST(sum(cents) AS BIGINT) AS counter_cents,
+       |    max(struct_pack(ts := ts, event_id := event_id)) AS li
+       |  FROM live GROUP BY user_id)
+       |SELECT user_id, n_incs, counter_cents,
+       |  ${sqlFmtTs("li.ts")} AS last_inc_ts,
+       |  CAST(li.event_id AS BIGINT) AS last_inc_id
+       |FROM agg ORDER BY user_id""".stripMargin
+
   /** cdc_at_least_once (S22) — AT-LEAST-ONCE delivery hardening: every
     * real CDC transport (Kafka default semantics, retried HTTP pushes,
     * resumed change-stream cursors) can deliver an operation more than
@@ -1197,6 +1262,7 @@ object Cdc {
     "cdc_apply" -> (cdcApply _),
     "cdc_resume_offsets" -> (cdcResumeOffsets _),
     "cdc_forget_audit" -> (cdcForgetAudit _),
+    "cdc_inc_apply" -> (cdcIncApply _),
     "cdc_at_least_once" -> (cdcAtLeastOnce _),
     "cdc_compaction" -> (cdcCompaction _),
     "cdc_merge_apply" -> (cdcMergeApply _),
@@ -1218,6 +1284,7 @@ object Cdc {
     "cdc_apply" -> cdcApplySql,
     "cdc_resume_offsets" -> cdcResumeOffsetsSql,
     "cdc_forget_audit" -> cdcForgetAuditSql,
+    "cdc_inc_apply" -> cdcIncApplySql,
     "cdc_at_least_once" -> cdcAtLeastOnceSql,
     "cdc_compaction" -> cdcCompactionSql,
     "cdc_merge_apply" -> cdcMergeApplySql,

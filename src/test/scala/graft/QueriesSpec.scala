@@ -1480,6 +1480,32 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("cdc_inc_apply equals a sequential ordered replay") {
+    // fold each key's ops in (ts, event_id) order: reset zeroes the
+    // counter and its inc count, an increment adds — the op-based apply
+    // must equal the ordered replay even though it computes order-free
+    val rows = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0),
+        (r.getTimestamp(1).getTime * 1000 +
+          r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2)),
+        math.rint(r.getDouble(3) * 100).toLong, r.getString(4) == "error"))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (uid, ops) =>
+      var n = 0L; var sum = 0L
+      var last: Option[(Long, Long)] = None
+      for ((_, ord, cents, isReset) <- ops.sortBy(_._2)) {
+        if (isReset) { n = 0; sum = 0; last = None }
+        else { n += 1; sum += cents; last = Some(ord) }
+      }
+      last.map(l => (uid, n, sum, l._2))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("cdc_inc_apply")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("orders_fill_rate equals a sequential SLA-band reference") {
     val ship = Tables.lineitem(spark, sfTiny)
       .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
