@@ -209,11 +209,108 @@ object Catalog {
       |FROM t GROUP BY half, o_orderpriority
       |ORDER BY half, o_orderpriority""".stripMargin
 
+  /** catalog_stats (S30) — COST-BASED-OPTIMIZER statistics as a
+    * first-class surface: `ANALYZE TABLE … COMPUTE STATISTICS FOR
+    * COLUMNS` writes table row counts and per-column min/max/null/NDV
+    * into the catalog (the numbers Catalyst's CBO join-reorder and
+    * broadcast decisions read), and this query reports them BACK OUT of
+    * `CatalogColumnStat` — proving the stats pipeline end to end rather
+    * than trusting it. Row count, null counts, and min/max are EXACT by
+    * ANALYZE's contract and hash-match the oracle; the NDV is Spark's
+    * HLL±5% sketch (engine-specific bytes), so — as with every sketch
+    * row in this suite — the compared claim is the accuracy bound,
+    * proven against an exact countDistinct computed alongside.
+    *
+    * Scale: ANALYZE is one scan with constant-size per-column sketch
+    * state (the same mergeable-partials shape as agg_approx_distinct);
+    * the stats READ is catalog-metadata-rate, O(columns), no data
+    * touched. Stats persist in the SharedState catalog (ExternalCatalog
+    * — the path a Hive metastore stores durably), memoized per
+    * (catalog, dir) like the DDL round.
+    */
+  private val analyzed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  def catalogStats(spark: SparkSession, dir: String): DataFrame = {
+    val db = register(spark, dir)
+    val key = (System.identityHashCode(spark.sharedState), dir)
+    if (!analyzed.contains(key)) {
+      spark.sql(s"ANALYZE TABLE $db.customer COMPUTE STATISTICS " +
+        "FOR COLUMNS c_custkey, c_nationkey, c_acctbal")
+      analyzed.add(key)
+    }
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("customer", Some(db)))
+    val stats = meta.stats.getOrElse(
+      sys.error("catalog_stats: ANALYZE left no table statistics"))
+    val nRows = stats.rowCount.getOrElse(
+      sys.error("catalog_stats: no rowCount")).toLong
+    // exact NDV twin, computed alongside to PROVE the sketch bound (one
+    // 1-row aggregate over the analyzed table — broadcast-sized)
+    val ex = spark.table(s"$db.customer").agg(
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("c_custkey")),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("c_nationkey")),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("c_acctbal"))).head()
+    val exact = Map("c_custkey" -> ex.getLong(0),
+      "c_nationkey" -> ex.getLong(1), "c_acctbal" -> ex.getLong(2))
+    // acctbal min/max surface in exact cents; key columns raw — the
+    // per-column scale both engines apply identically
+    def cents(s: String): Long = math.rint(s.toDouble * 100).toLong
+    val rows = Seq("c_custkey", "c_nationkey", "c_acctbal").map { c =>
+      val cs = stats.colStats.getOrElse(c,
+        sys.error(s"catalog_stats: no column stats for $c"))
+      val scale: String => Long =
+        if (c == "c_acctbal") cents else (_.toDouble.toLong)
+      val ndv = cs.distinctCount.getOrElse(
+        sys.error(s"catalog_stats: no NDV for $c")).toLong
+      (c, nRows, cs.nullCount.map(_.toLong).getOrElse(0L),
+        scale(cs.min.getOrElse(sys.error(s"no min for $c"))),
+        scale(cs.max.getOrElse(sys.error(s"no max for $c"))),
+        math.abs(ndv - exact(c)) <= exact(c) / 10)
+    }
+    import spark.implicits._
+    rows.toDF("col_name", "n_rows", "n_nulls", "min_stat", "max_stat",
+        "ndv_within_10pct")
+      .orderBy(org.apache.spark.sql.functions.col("col_name"))
+  }
+
+  val catalogStatsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'c_acctbal' AS col_name, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_nulls,
+      |    CAST(round(min(c_acctbal) * 100) AS BIGINT) AS min_stat,
+      |    CAST(round(max(c_acctbal) * 100) AS BIGINT) AS max_stat,
+      |    true AS ndv_within_10pct -- oracle CONSTANT by contract: NDV
+      |    -- sketch bytes are engine-specific; Spark must prove its
+      |    -- catalog NDV lands within 10% of exact to produce `true`
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'c_custkey', count(*),
+      |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(min(c_custkey) AS BIGINT), CAST(max(c_custkey) AS BIGINT),
+      |    true
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'c_nationkey', count(*),
+      |    CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(min(c_nationkey) AS BIGINT), CAST(max(c_nationkey) AS BIGINT),
+      |    true
+      |  FROM customer)
+      |ORDER BY col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_view" -> (catalogView _),
+    "catalog_stats" -> (catalogStats _),
     "sql_ctas" -> (sqlCtas _))
 
   def oracle: Map[String, String] = Map(
     "catalog_view" -> catalogViewSql,
+    "catalog_stats" -> catalogStatsSql,
     "sql_ctas" -> sqlCtasSql)
 }

@@ -72,4 +72,21 @@ class CatalogSpec extends SparkSpec {
       .orderBy(col("region"), col("c_mktsegment"))
     assert(viaCatalog.collect().toSeq == direct.collect().toSeq)
   }
+
+  test("catalog_stats: ANALYZE stats are exact and visible cross-session") {
+    val got = sources.Catalog.catalogStats(spark, sfTiny).collect()
+    assert(got.length == 3)
+    val exactRows = Tables.customer(spark, sfTiny).count()
+    assert(got.forall(_.getLong(1) == exactRows),
+      "stats rowCount diverges from exact count")
+    assert(got.forall(_.getBoolean(5)), "an NDV sketch left its 10% bound")
+    // the analyzed stats live in the SHARED catalog: a fresh session on
+    // the same SparkContext reads them without re-running ANALYZE
+    val s2 = spark.newSession()
+    val db = sources.Catalog.dbName(sfTiny)
+    val meta = s2.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("customer", Some(db)))
+    assert(meta.stats.exists(_.colStats.contains("c_custkey")),
+      "column stats not visible from a new session")
+  }
 }
