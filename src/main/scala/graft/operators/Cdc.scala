@@ -228,6 +228,83 @@ object Cdc {
       |  CAST(sum(n_rows) AS BIGINT) AS n_history_rows
       |FROM f""".stripMargin
 
+  /** cdc_gap_detection (S31) — OFFSET-GAP detection, the lost-message
+    * wire monitor next to cdc_resume_offsets' commit table: ops route to
+    * 8 transport partitions by offset hash (event_id % 8 — within a
+    * partition the expected offsets step by exactly 8), the wire LOSES a
+    * deterministic 1% slice (event_id % 101 == 0 — the dropped-produce /
+    * compacted-away / truncated-segment reality), and the consumer must
+    * detect every hole from what it RECEIVED alone: interior holes from
+    * consecutive-offset steps > 8, head holes from first-received >
+    * partition id. The report carries the missing-offset census (count +
+    * id XOR — enough to drive a targeted replay request) per partition.
+    * Tail loss past the last received offset is undetectable without an
+    * end marker — declared semantics, the reason real protocols ship
+    * high-watermarks.
+    *
+    * Scale: ONE partition-keyed ordered pass (the order a consumer reads
+    * a partition in anyway — the streaming form keeps one offset of
+    * state per partition); missing ids explode map-side from gap spans
+    * only (~1% of rows), so the shuffle carries received + missing rows
+    * once. Nothing partition-less: the window partitions by transport
+    * partition.
+    */
+  def cdcGapDetection(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Tables.events(spark, dir)
+      .filter(col("event_id") % 101 =!= 0)
+      .select((col("event_id") % 8).as("p"), col("event_id").as("id"))
+    val w = Window.partitionBy(col("p")).orderBy(col("id"))
+    val interior = wire.withColumn("nxt", lead(col("id"), 1).over(w))
+      .filter(col("nxt") > col("id") + 8)
+      .select(col("p"),
+        explode(sequence(col("id") + 8, col("nxt") - 8, lit(8L)))
+          .as("miss"))
+    val per = wire.groupBy(col("p"))
+      .agg(count(lit(1)).as("n_received"), min(col("id")).as("first_off"),
+        max(col("id")).as("last_off"))
+    val head = per.filter(col("first_off") > col("p"))
+      .select(col("p"),
+        explode(sequence(col("p"), col("first_off") - 8, lit(8L)))
+          .as("miss"))
+    val missing = interior.unionByName(head)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_missing"), bit_xor(col("miss")).as("missing_xor"))
+    per.join(missing, Seq("p"), "left")
+      .select(col("p").as("partition"), col("n_received"),
+        col("first_off"), col("last_off"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        coalesce(col("missing_xor"), lit(0L)).as("missing_xor"))
+      .orderBy(col("partition"))
+  }
+
+  val cdcGapDetectionSql: String =
+    """WITH wire AS (
+      |  SELECT event_id % 8 AS p, event_id AS id FROM events
+      |  WHERE event_id % 101 <> 0),
+      |interior AS (
+      |  SELECT p, unnest(range(id + 8, nxt, 8)) AS miss FROM (
+      |    SELECT p, id, lead(id) OVER (PARTITION BY p ORDER BY id) AS nxt
+      |    FROM wire)
+      |  WHERE nxt > id + 8),
+      |per AS (
+      |  SELECT p, count(*) AS n_received, min(id) AS first_off,
+      |    max(id) AS last_off
+      |  FROM wire GROUP BY p),
+      |head AS (
+      |  SELECT p, unnest(range(p, first_off, 8)) AS miss
+      |  FROM per WHERE first_off > p),
+      |missing AS (
+      |  SELECT p, count(*) AS n_missing, bit_xor(miss) AS missing_xor
+      |  FROM (SELECT * FROM interior UNION ALL SELECT * FROM head)
+      |  GROUP BY p)
+      |SELECT per.p AS partition, per.n_received,
+      |  CAST(per.first_off AS BIGINT) AS first_off,
+      |  CAST(per.last_off AS BIGINT) AS last_off,
+      |  CAST(COALESCE(missing.n_missing, 0) AS BIGINT) AS n_missing,
+      |  CAST(COALESCE(missing.missing_xor, 0) AS BIGINT) AS missing_xor
+      |FROM per LEFT JOIN missing ON missing.p = per.p
+      |ORDER BY partition""".stripMargin
+
   /** cdc_inc_apply (S29) — OP-BASED counter apply (MongoDB `$inc` / CRDT
     * G-counter semantics): the changelog carries INCREMENTS, not absolute
     * values, so the applied state is the SUM of deltas since the key's
@@ -1263,6 +1340,7 @@ object Cdc {
     "cdc_resume_offsets" -> (cdcResumeOffsets _),
     "cdc_forget_audit" -> (cdcForgetAudit _),
     "cdc_inc_apply" -> (cdcIncApply _),
+    "cdc_gap_detection" -> (cdcGapDetection _),
     "cdc_at_least_once" -> (cdcAtLeastOnce _),
     "cdc_compaction" -> (cdcCompaction _),
     "cdc_merge_apply" -> (cdcMergeApply _),
@@ -1285,6 +1363,7 @@ object Cdc {
     "cdc_resume_offsets" -> cdcResumeOffsetsSql,
     "cdc_forget_audit" -> cdcForgetAuditSql,
     "cdc_inc_apply" -> cdcIncApplySql,
+    "cdc_gap_detection" -> cdcGapDetectionSql,
     "cdc_at_least_once" -> cdcAtLeastOnceSql,
     "cdc_compaction" -> cdcCompactionSql,
     "cdc_merge_apply" -> cdcMergeApplySql,

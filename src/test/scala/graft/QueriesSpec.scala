@@ -1506,6 +1506,26 @@ class QueriesSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("cdc_gap_detection recovers exactly the dropped offsets") {
+    // the detector must find EXACTLY the simulated drops (event_id %
+    // 101 == 0) that precede each partition's last received offset —
+    // tail losses are undetectable by declared semantics (none exist
+    // here: the max id is not a multiple of 101 at this SF)
+    val n = Tables.events(spark, sfTiny).count()
+    val want = (0L until n).filter(_ % 101 == 0).groupBy(_ % 8)
+      .map { case (p, ids) => p -> (ids.size.toLong,
+        ids.reduce(_ ^ _)) }
+    val got = SparkEntry.queries("cdc_gap_detection")(spark, sfTiny)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    for ((p, (cnt, xor)) <- want) {
+      assert(got(p) == ((cnt, xor)),
+        s"partition $p: got ${got(p)}, want ($cnt, $xor)")
+    }
+    assert(got.values.map(_._1).sum == want.values.map(_._1).sum,
+      "phantom missing offsets reported")
+  }
+
   test("orders_fill_rate equals a sequential SLA-band reference") {
     val ship = Tables.lineitem(spark, sfTiny)
       .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
