@@ -91,6 +91,159 @@ object Cdc {
        |FROM ranked WHERE rn = 1 AND op <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** cdc_dual_wire_merge (S32) — the heterogeneous-wire CDC hub: ONE
+    * logical change stream arrives over TWO wire encodings — a
+    * MongoDB-oplog-style JSON document envelope (`{o: {_id, wall, cents,
+    * opid}, op: u|d}`, timestamps as epoch-micros i64, money as cents
+    * i64 — the NumberLong conventions a real oplog uses) and a
+    * MySQL-binlog-style TYPED row-image (flat pk / commit_ts / log_pos /
+    * val_after columns with UPDATE/DELETE row kinds). The hub normalizes
+    * both into the canonical ChangeEvent envelope map-side, merges them
+    * on the global (ts, event_id) total order, and applies LWW — deletes
+    * drop keys regardless of which wire carried them, and the winning
+    * op's wire is surfaced as provenance next to per-user per-wire op
+    * censuses. This is the mongodb+mysql ingestion fan-in that gives the
+    * engine's domain its name; the oracle computes the canonical answer
+    * straight from the unified log, so the hash-match proves the
+    * encode→decode→normalize round-trip is the identity on every row.
+    *
+    * Wire routing is deterministic (even event_id → oplog wire, odd →
+    * binlog wire) so both engines agree without RNG. The oplog decode is
+    * exact by construction: epoch-micros round-trips through i64, and a
+    * 2dp money double → cents i64 → /100.0 double is the identity
+    * (nearest-double(n/100) is the stored value itself).
+    *
+    * Scale: ONE scan of the log — both encodings are produced and parsed
+    * in the same map-side projection (no union of two scans, no second
+    * exchange); from_json is codegen'd per-row work. The only shuffle is
+    * the same user-keyed exchange cdc_apply needs, and the per-wire
+    * censuses ride that exchange as unbounded window sums. At 100 TB the
+    * two wires would be two real sources unioned BEFORE the one keyed
+    * exchange — per-wire decode stays embarrassingly parallel either way.
+    */
+  def cdcDualWireMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val onMongo = col("event_id") % 2 === 0
+    // ENCODE, map-side: each op leaves the source on exactly one wire.
+    val wire = e.select(
+      onMongo.as("is_mongo"),
+      when(onMongo, to_json(struct(
+        struct(
+          col("user_id").as("_id"),
+          unix_micros(col("ts")).as("wall"),
+          scaledLong(col("value"), 100L).as("cents"),
+          col("event_id").as("opid")).as("o"),
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u"))
+          .as("op")))).as("oplog_doc"),
+      when(!onMongo, col("user_id")).as("pk"),
+      when(!onMongo, col("ts")).as("commit_ts"),
+      when(!onMongo, col("event_id")).as("log_pos"),
+      when(!onMongo, col("value")).as("val_after"),
+      when(!onMongo,
+        when(col("event_type") === "error", "DELETE").otherwise("UPDATE"))
+        .as("row_kind"))
+    // DECODE + NORMALIZE, same map-side projection: canonical envelope.
+    val oplogSchema = StructType(Seq(
+      StructField("o", StructType(Seq(
+        StructField("_id", LongType), StructField("wall", LongType),
+        StructField("cents", LongType), StructField("opid", LongType)))),
+      StructField("op", StringType)))
+    // PARSE ONCE into a concrete column: the five normalize expressions
+    // below sit inside when() branches, which are conditionally evaluated
+    // and therefore invisible to codegen's common-subexpression
+    // elimination — inlining from_json there re-parses the document per
+    // field (measured ~0.4 s extra at sf0.1).
+    val parsed = wire.withColumn("m", from_json(col("oplog_doc"), oplogSchema))
+    val unified = parsed.select(
+      when(col("is_mongo"), col("m.o._id"))
+        .otherwise(col("pk")).as("user_id"),
+      when(col("is_mongo"), timestamp_micros(col("m.o.wall")))
+        .otherwise(col("commit_ts")).as("ts"),
+      when(col("is_mongo"), col("m.o.opid"))
+        .otherwise(col("log_pos")).as("event_id"),
+      when(col("is_mongo"), col("m.o.cents").cast("double") / 100)
+        .otherwise(col("val_after")).as("value"),
+      when(col("is_mongo"), col("m.op") === "d")
+        .otherwise(col("row_kind") === "DELETE").as("is_delete"),
+      when(col("is_mongo"), "mongo").otherwise("mysql").as("wire"))
+    // LWW as a MERGEABLE argmax (max(struct) on the unique (ts, event_id)
+    // prefix) instead of cdc_apply's window form: partial aggregation
+    // combines map-side and there is no per-key sort — the shape that
+    // survives 100 TB — and the per-wire censuses ride the same hash agg.
+    unified
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("is_delete"),
+          col("value"), col("wire"))).as("last"),
+        sum(when(col("wire") === "mongo", 1L).otherwise(0L))
+          .as("n_mongo_ops"),
+        sum(when(col("wire") === "mysql", 1L).otherwise(0L))
+          .as("n_mysql_ops"))
+      .filter(!col("last.is_delete"))
+      .select(
+        col("user_id"), fmtTs(col("last.ts")).as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"),
+        col("last.wire").as("last_wire"),
+        col("n_mongo_ops"), col("n_mysql_ops"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The oracle pays the SAME wire surgery in DuckDB's own JSON engine
+    * (to_json encode → ->> path decode, the json_variant precedent):
+    * each engine round-trips its OWN oplog encoding, the row-images stay
+    * typed, and the results still hash-match — a like-for-like
+    * denominator AND an independent proof that encode→decode→normalize
+    * is the identity in both engines. */
+  val cdcDualWireMergeSql: String =
+    s"""WITH wire AS (
+       |  SELECT event_id % 2 = 0 AS is_mongo,
+       |    CASE WHEN event_id % 2 = 0 THEN to_json({o: {_id: user_id,
+       |      wall: epoch_us(ts), cents: CAST(round(value * 100) AS BIGINT),
+       |      opid: event_id},
+       |      op: CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END})
+       |    END AS oplog_doc,
+       |    CASE WHEN event_id % 2 = 1 THEN user_id END AS pk,
+       |    CASE WHEN event_id % 2 = 1 THEN ts END AS commit_ts,
+       |    CASE WHEN event_id % 2 = 1 THEN event_id END AS log_pos,
+       |    CASE WHEN event_id % 2 = 1 THEN value END AS val_after,
+       |    CASE WHEN event_id % 2 = 1 THEN
+       |      CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPDATE' END
+       |    END AS row_kind
+       |  FROM events),
+       |unified AS (
+       |  SELECT
+       |    CASE WHEN is_mongo
+       |      THEN CAST(oplog_doc->>'$$.o._id' AS BIGINT) ELSE pk
+       |    END AS user_id,
+       |    CASE WHEN is_mongo
+       |      THEN make_timestamp(CAST(oplog_doc->>'$$.o.wall' AS BIGINT))
+       |      ELSE commit_ts END AS ts,
+       |    CASE WHEN is_mongo
+       |      THEN CAST(oplog_doc->>'$$.o.opid' AS BIGINT) ELSE log_pos
+       |    END AS event_id,
+       |    CASE WHEN is_mongo
+       |      THEN CAST(CAST(oplog_doc->>'$$.o.cents' AS BIGINT) AS DOUBLE)
+       |        / 100 ELSE val_after END AS value,
+       |    CASE WHEN is_mongo THEN oplog_doc->>'$$.op' = 'd'
+       |      ELSE row_kind = 'DELETE' END AS is_delete,
+       |    CASE WHEN is_mongo THEN 'mongo' ELSE 'mysql' END AS wire
+       |  FROM wire),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+       |    CAST(SUM(CASE WHEN wire = 'mongo' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id) AS BIGINT) AS n_mongo_ops,
+       |    CAST(SUM(CASE WHEN wire = 'mysql' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id) AS BIGINT) AS n_mysql_ops
+       |  FROM unified)
+       |SELECT user_id, ${sqlFmtTs("ts")} AS last_ts,
+       |  event_id AS last_event_id, value AS last_value, wire AS last_wire,
+       |  n_mongo_ops, n_mysql_ops
+       |FROM ranked WHERE rn = 1 AND NOT is_delete
+       |ORDER BY user_id""".stripMargin
+
   /** cdc_resume_offsets (S26) — per-partition RESUME-OFFSET bookkeeping,
     * the exactly-once commit table every changelog consumer maintains
     * atomically with its apply: the wire is key-hash-routed onto 8
@@ -1337,6 +1490,7 @@ object Cdc {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
+    "cdc_dual_wire_merge" -> (cdcDualWireMerge _),
     "cdc_resume_offsets" -> (cdcResumeOffsets _),
     "cdc_forget_audit" -> (cdcForgetAudit _),
     "cdc_inc_apply" -> (cdcIncApply _),
@@ -1360,6 +1514,7 @@ object Cdc {
   def oracle: Map[String, String] = Map(
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
+    "cdc_dual_wire_merge" -> cdcDualWireMergeSql,
     "cdc_resume_offsets" -> cdcResumeOffsetsSql,
     "cdc_forget_audit" -> cdcForgetAuditSql,
     "cdc_inc_apply" -> cdcIncApplySql,

@@ -448,16 +448,20 @@ object Embeddings {
     * ~385 µs/row = 0.77 s for the sf0.1 assignment); Greatest generates
     * compiled struct comparisons.
     */
-  private def cellOf(cents: Seq[Cent]): Column = {
+  private def cellOf(cents: Seq[Cent]): Column =
+    bestCell(cents).getField("cent_id")
+
+  /** The full winning (c_cos, -id, cent_id) struct of the argmax in
+    * cellOf — the assignment cosine rides along for consumers that need
+    * the vector→own-centroid similarity (embedding_outlier_gate). */
+  private def bestCell(cents: Seq[Cent]): Column = {
     val cands = cents.map { c =>
       struct(
         cosine(dotS(col("embedding"), litFloats(c.emb)),
           col("norm_s"), lit(c.norm)).as("c_cos"),
         lit(-c.id).as("nc"), lit(c.id).as("cent_id"))
     }
-    val best =
-      if (cands.lengthCompare(1) == 0) cands.head else greatest(cands: _*)
-    best.getField("cent_id")
+    if (cands.lengthCompare(1) == 0) cands.head else greatest(cands: _*)
   }
 
   /** A literal array<float> WITHOUT containsNull — Literal.create directly;
@@ -770,6 +774,95 @@ object Embeddings {
        |    ORDER BY cosine DESC, neighbor) AS rank FROM p)
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor, cosine, cell
        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** embedding_outlier_gate (L42) — embedding-space OUTLIER detection for
+    * training-data curation: a vector whose cosine to its own assigned
+    * centroid sits in the corpus's bottom 5% is flagged — the "doesn't
+    * belong to any cluster" gate a pipeline runs before contrastive
+    * training or index build (mis-embedded rows, garbage inputs, modality
+    * mix-ups all land here). Shares the trained coarse quantizer with
+    * embedding_ivf_knn / embedding_semantic_dedup (one corpus, one
+    * quantizer, many consumers); the report is per cell: population,
+    * flagged count and exact-ppm share, worst similarity, and the argmin
+    * vector — the row an operator inspects first.
+    *
+    * Engine shape: assignment cosine comes from the SAME map-side literal-
+    * centroid argmax as cellOf (no join, no shuffle, WholeStageCodegen —
+    * the bestCell struct just keeps c_cos alongside the winning id);
+    * cosines discretize to milli units via floor (both engines, identical
+    * doubles in, identical i64 out). The p05 threshold reads off a
+    * VALUE-DOMAIN milli-cosine histogram (≤2001 bins) with the triangular
+    * cumulative self-join — never a data-sized sort, per the suite-wide
+    * no-partition-less-window rule; the 1-row threshold broadcasts back.
+    *
+    * Scale (100 TB): one narrow scan per pass (score, histogram partials,
+    * report partials — all mergeable keyed aggregates), the histogram and
+    * threshold are domain-sized, and the report is nlist rows. The oracle
+    * replays the deterministic 2-iteration training chain and takes the
+    * winning assignment cosine from the same argmax frame.
+    */
+  def embeddingOutlierGate(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cents) = trained(spark, dir, 2)
+    val scored = withNorm(spark, dir)
+      .select(col("vec_id"), bestCell(cents).as("b"))
+      .select(col("vec_id"), col("b.cent_id").as("cell"),
+        floor(col("b.c_cos") * 1000).cast("long").as("cos_milli"))
+    val hist = scored.groupBy(col("cos_milli")).agg(count(lit(1)).as("n"))
+    val cum = hist
+      .join(broadcast(hist.select(col("cos_milli").as("m2"),
+        col("n").as("n2"))), col("m2") <= col("cos_milli"))
+      .groupBy(col("cos_milli")).agg(sum(col("n2")).as("cum"))
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    val thr = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(n_total + 19) div 20"))
+      .agg(min(col("cos_milli")).as("t_milli"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cos_milli") <= col("t_milli"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        min(col("cos_milli")).as("min_cos_milli"),
+        min(struct(col("cos_milli"), col("vec_id"))).as("w"),
+        min(col("t_milli")).as("t_milli"))
+      .select(col("cell"), col("n_vecs"), col("n_outliers"),
+        expr("n_outliers * 1000000 div n_vecs").as("outlier_ppm"),
+        col("min_cos_milli"), col("w.vec_id").as("worst_vec"),
+        col("t_milli"))
+      .orderBy(col("cell"))
+  }
+
+  val embeddingOutlierGateSql: String =
+    s"""WITH $sqlWithNorm,
+       |$sqlTrainedAssigned,
+       |scored AS (
+       |  SELECT vec_id, cent_id AS cell,
+       |    CAST(floor(c_cos * 1000) AS BIGINT) AS cos_milli
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY c_cos DESC, cent_id) AS arn FROM assigned0)
+       |  WHERE arn = 1),
+       |hist AS (SELECT cos_milli, COUNT(*) AS n FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT h.cos_milli, CAST(SUM(h2.n) AS BIGINT) AS cum
+       |  FROM hist h JOIN hist h2 ON h2.cos_milli <= h.cos_milli
+       |  GROUP BY h.cos_milli),
+       |thr AS (
+       |  SELECT MIN(cos_milli) AS t_milli FROM cum
+       |  WHERE cum >= (SELECT (COUNT(*) + 19) // 20 FROM scored)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cell
+       |    ORDER BY cos_milli, vec_id) AS wrn
+       |  FROM scored)
+       |SELECT cell, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN cos_milli <= t.t_milli THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers,
+       |  CAST(SUM(CASE WHEN cos_milli <= t.t_milli THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm,
+       |  CAST(MIN(cos_milli) AS BIGINT) AS min_cos_milli,
+       |  CAST(MAX(CASE WHEN wrn = 1 THEN vec_id END) AS BIGINT)
+       |    AS worst_vec,
+       |  CAST(MIN(t.t_milli) AS BIGINT) AS t_milli
+       |FROM ranked CROSS JOIN thr t
+       |GROUP BY cell ORDER BY cell""".stripMargin
 
   /** embedding_near_dedup — cosine near-duplicate pairs via a finer 8-bit
     * sign-LSH blocking (dims 1,9,…,57 → 256 buckets), verified at
@@ -1153,6 +1246,7 @@ object Embeddings {
     "embedding_sq_knn" -> (embeddingSqKnn _),
     "embedding_pq_knn" -> (embeddingPqKnn _),
     "embedding_ivf_knn" -> (embeddingIvfKnn _),
+    "embedding_outlier_gate" -> (embeddingOutlierGate _),
     "embedding_semantic_dedup" -> (embeddingSemanticDedup _),
     "embedding_near_dedup" -> (embeddingNearDedup _),
     "cdc_incremental_ivf" -> (cdcIncrementalIvf _))
@@ -1167,6 +1261,7 @@ object Embeddings {
     "embedding_sq_knn" -> embeddingSqKnnSql,
     "embedding_pq_knn" -> embeddingPqKnnSql,
     "embedding_ivf_knn" -> embeddingIvfKnnSql,
+    "embedding_outlier_gate" -> embeddingOutlierGateSql,
     "embedding_semantic_dedup" -> embeddingSemanticDedupSql,
     "embedding_near_dedup" -> embeddingNearDedupSql,
     "cdc_incremental_ivf" -> cdcIncrementalIvfSql)

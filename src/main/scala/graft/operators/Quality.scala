@@ -417,8 +417,84 @@ object Quality {
        |     // n_events > 2000000) AS volume_anomaly
        |FROM a ORDER BY event_type""".stripMargin
 
+  /** dq_kanonymity (Q7) — k-anonymity audit over the customer PII table:
+    * for the quasi-identifier (nation, market segment, account-balance
+    * band), every row's equivalence class must hold at least k=5 rows or
+    * a release of the table re-identifies individuals by QI intersection
+    * (Sweeney's k-anonymity, the privacy gate next to S28's
+    * right-to-be-forgotten audit). The audit walks a GENERALIZATION
+    * LADDER — band widths 1000 → 2500 → 10000 — and reports, per level,
+    * the class census (count, min/max k) and the suppression cost
+    * (rows in classes with k<5, as exact integer ppm of the table):
+    * the curve a privacy officer reads to pick the coarsest level that
+    * meets policy.
+    *
+    * Engine shape: ONE scan; the three ladder levels expand map-side as
+    * an explode of a 3-literal array (Expand, 3× rows, no extra scan),
+    * then two mergeable keyed aggregates: class sizes on (level, QI),
+    * and the domain-sized per-level rollup. Bands come from exact cents
+    * i64 (scaledLong) with floor division, so both engines bin
+    * identically including negative balances; the ppm is an integral
+    * division both engines truncate.
+    *
+    * Scale (100 TB): class-size partials combine map-side; the wide
+    * exchange carries |QI domain| rows per level, not data rows, and the
+    * report is 3 rows. Adding a ladder level adds one array literal.
+    */
+  def dqKanonymity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det.scaledLong
+    val c = Tables.customer(spark, dir)
+    val cents = scaledLong(col("c_acctbal"), 100L)
+    val leveled = c.select(
+      col("c_nationkey"), col("c_mktsegment"),
+      explode(array(Seq(1000L, 2500L, 10000L).map(wd =>
+        struct(lit(wd).as("level"),
+          floor(cents.cast("double") / lit(wd * 100).cast("double"))
+            .cast("long").as("band"))): _*)).as("g"))
+      .select(col("g.level").as("level"), col("c_nationkey"),
+        col("c_mktsegment"), col("g.band").as("band"))
+    val classes = leveled
+      .groupBy(col("level"), col("c_nationkey"), col("c_mktsegment"),
+        col("band"))
+      .agg(count(lit(1)).as("k"))
+    classes.groupBy(col("level"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("n_rows"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).as("rows_below_k5"))
+      .withColumn("suppressed_ppm",
+        expr("rows_below_k5 * 1000000 div n_rows"))
+      .select(col("level"), col("n_classes"), col("min_k"), col("max_k"),
+        col("n_rows"), col("rows_below_k5"), col("suppressed_ppm"))
+      .orderBy(col("level"))
+  }
+
+  val dqKanonymitySql: String =
+    """WITH leveled AS (
+      |  SELECT g.level, c_nationkey, c_mktsegment,
+      |    CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT)
+      |      / (g.level * 100.0)) AS BIGINT) AS band
+      |  FROM customer
+      |  CROSS JOIN (SELECT unnest([1000, 2500, 10000]) AS level) g),
+      |classes AS (
+      |  SELECT level, c_nationkey, c_mktsegment, band, COUNT(*) AS k
+      |  FROM leveled GROUP BY 1, 2, 3, 4)
+      |SELECT CAST(level AS BIGINT) AS level,
+      |  COUNT(*) AS n_classes,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(MAX(k) AS BIGINT) AS max_k,
+      |  CAST(SUM(k) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |    AS rows_below_k5,
+      |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000000 // SUM(k)
+      |    AS BIGINT) AS suppressed_ppm
+      |FROM classes GROUP BY level ORDER BY level""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> (dqAudit _),
+    "dq_kanonymity" -> (dqKanonymity _),
     "dq_profile" -> (dqProfile _),
     "dq_drift" -> (dqDrift _),
     "dq_freshness" -> (dqFreshness _),
@@ -426,6 +502,7 @@ object Quality {
 
   def oracle: Map[String, String] = Map(
     "dq_audit" -> dqAuditSql,
+    "dq_kanonymity" -> dqKanonymitySql,
     "dq_profile" -> dqProfileSql,
     "dq_drift" -> dqDriftSql,
     "dq_freshness" -> dqFreshnessSql,

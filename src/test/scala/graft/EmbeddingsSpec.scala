@@ -42,6 +42,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("outlier gate flags the bottom-5% tail exactly (threshold semantics)") {
+    // the p05 threshold must flag AT LEAST ceil(N/20) rows (cum >= 5%)
+    // and only tie-inflation beyond that; per cell, flagging must be
+    // consistent with the reported minima
+    val rows = SparkEntry.queries("embedding_outlier_gate")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val n = rows.map(_._2).sum
+    val flagged = rows.map(_._3).sum
+    assert(flagged >= (n + 19) / 20, s"flagged=$flagged < ceil($n/20)")
+    assert(flagged <= n / 4, s"tie inflation pathological: $flagged of $n")
+    val t = rows.head._7
+    assert(rows.forall(_._7 == t), "threshold differs across cells")
+    for ((cell, nv, no, ppm, minMilli, _, _) <- rows) {
+      assert((no > 0) == (minMilli <= t),
+        s"cell $cell: n_outliers=$no inconsistent with min=$minMilli t=$t")
+      assert(ppm == no * 1000000L / nv, s"cell $cell ppm drift")
+    }
+  }
+
   test("range search equals a driver-side exact-scan reference") {
     // radius semantics: EVERY vector with cosine >= 0.15 is in the ball
     // (count + id XOR pin exact membership), the nearest is the true

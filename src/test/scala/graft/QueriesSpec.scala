@@ -1526,6 +1526,31 @@ class QueriesSpec extends SparkSpec {
       "phantom missing offsets reported")
   }
 
+  test("cdc_dual_wire_merge: wire round-trip is identity and state ≡ cdc_apply") {
+    // the dual-wire hub must produce EXACTLY cdc_apply's state on the
+    // shared columns (encode→decode→normalize is the identity on every
+    // row), plus correct wire provenance and per-wire censuses
+    val got = SparkEntry.queries("cdc_dual_wire_merge")(spark, sfTiny)
+      .collect()
+    val plain = SparkEntry.queries("cdc_apply")(spark, sfTiny).collect()
+    assert(got.length == plain.length, "row-count drift vs cdc_apply")
+    for ((g, p) <- got.zip(plain)) {
+      assert((g.getLong(0), g.getString(1), g.getLong(2)) ==
+        ((p.getLong(0), p.getString(1), p.getLong(2))), s"key/ts drift: $g vs $p")
+      assert(g.isNullAt(3) == p.isNullAt(3) &&
+        (g.isNullAt(3) || g.getDouble(3) == p.getDouble(3)),
+        s"value did not survive the wire round-trip: $g vs $p")
+      // provenance = parity of the winning op id; censuses partition the
+      // user's ops between the wires
+      assert(g.getString(4) == (if (g.getLong(2) % 2 == 0) "mongo" else "mysql"),
+        s"wire provenance wrong: $g")
+    }
+    val censuses = got.map(r => r.getLong(5) + r.getLong(6)).sum
+    val deleted = Tables.events(spark, sfTiny)
+      .groupBy(col("user_id")).count().count() - got.length
+    assert(censuses > 0 && deleted >= 0, "degenerate census")
+  }
+
   test("orders_fill_rate equals a sequential SLA-band reference") {
     val ship = Tables.lineitem(spark, sfTiny)
       .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
