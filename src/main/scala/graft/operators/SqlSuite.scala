@@ -120,7 +120,34 @@ object SqlSuite {
     .replace(":status", "'F'")
     .replace(":cutoff", "'1996-06-01 00:00:00'")
 
+  /** sql_recursive — WITH RECURSIVE through the parser (Spark 4's
+    * recursive-CTE surface, the last classic ANSI shape the suite lacked):
+    * every customer walks its decimal-radix ancestor chain (parent =
+    * floor(key/10) — the org-hierarchy / folder-tree rollup idiom on a
+    * derived parent relation), and the per-depth census aggregates the
+    * chain rows. ONE text, two engines, verbatim: `/` on BIGINT is double
+    * division in both dialects, floor + CAST is exact below 2^53, and the
+    * census is all-integer. Recursion depth is log10(maxkey) (~5), so the
+    * iterative union runs a bounded handful of steps at ANY scale — the
+    * shape survives 100 TB because depth grows with log(keyspace), not
+    * rows; each step is one narrow self-union over the frontier.
+    */
+  val sqlRecursive: String =
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT node, CAST(floor(cur / 10) AS BIGINT) AS cur,
+      |    depth + 1 AS depth
+      |  FROM chain WHERE cur > 0)
+      |SELECT CAST(depth AS BIGINT) AS depth,
+      |  COUNT(*) AS n_chains,
+      |  CAST(SUM(cur) AS BIGINT) AS ancestor_key_sum,
+      |  CAST(bit_xor(node * 31 + cur) AS BIGINT) AS pair_xor
+      |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_recursive" -> (run(sqlRecursive) _),
     "sql_q1" -> (run(sqlQ1) _),
     "sql_q5" -> (run(sqlQ5) _),
     "sql_window" -> (run(sqlWindow) _),
@@ -131,6 +158,7 @@ object SqlSuite {
     * binds at execution; its oracle is the inlined text).
     */
   def oracle: Map[String, String] = Map(
+    "sql_recursive" -> sqlRecursive,
     "sql_q1" -> sqlQ1,
     "sql_q5" -> sqlQ5,
     "sql_window" -> sqlWindow,
