@@ -244,6 +244,131 @@ object Cdc {
        |FROM ranked WHERE rn = 1 AND NOT is_delete
        |ORDER BY user_id""".stripMargin
 
+  /** cdc_chunked_snapshot (S34) — LOCK-FREE CHUNKED BOOTSTRAP, the
+    * DBLog / Debezium-incremental-snapshot algebra: a consistent initial
+    * load of a table that is being actively written, WITHOUT a global
+    * read lock, by reading the table in key chunks at DIFFERENT times
+    * and reconciling each chunk with the changelog tail that follows its
+    * read point. Simulation is fully deterministic from the log: chunk =
+    * user_id % 8, and chunk c's snapshot read lands at 10·(c+1)% of the
+    * log's time span (cutoffs from the log's own min/max — exact integer
+    * micros, one 1-row broadcast). Per chunk the operator computes the
+    * snapshot state AT its cutoff (LWW ≤ cutoff, live keys only — what a
+    * SELECT at that moment returns), counts the changelog tail (> cutoff)
+    * for that chunk's keys, then merges snapshot ∪ tail with the same
+    * LWW argmax — re-emitting snapshot rows as upserts at their captured
+    * (ts, id) order keys, exactly how a DBLog chunk enters the wire. The
+    * oracle computes the final census STRAIGHT from the full log (never
+    * seeing the chunk/merge structure), so the hash-match proves the
+    * chunked bootstrap reconstructs the atomic-snapshot answer — the
+    * correctness claim that lets a 100-TB initial load run chunk by
+    * chunk behind the live stream.
+    *
+    * Scale: everything is user-keyed mergeable argmax/census aggregation
+    * (map-side combine, one logical clustering); the only broadcast is
+    * the 1-row span frame; chunks at cluster scale are key ranges read
+    * independently — per-chunk work is |chunk| + |its tail|, never
+    * |table|.
+    */
+  def cdcChunkedSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      scaledLong(col("value"), 100L).as("cents"),
+      (col("event_type") === "error").as("is_delete"),
+      (col("user_id") % 8).as("chunk"))
+    val span = e.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+    val cut = e.crossJoin(broadcast(span))
+      .withColumn("cutoff_us",
+        expr("mn + (chunk + 1) * ((mx - mn) div 10)"))
+    // ONE user-keyed aggregate computes the whole per-key bootstrap:
+    // snapshot argmax (<= cutoff), tail argmax + count (> cutoff). The
+    // chunk∪tail merge then needs NO second shuffle: LWW state is a
+    // max-semilattice, so re-emitting the snapshot row as an upsert and
+    // re-running the argmax over snapshot ∪ tail is EXACTLY
+    // greatest(live snapshot row, tail argmax) per key — the lattice
+    // join, computed map-side. (A first cut materialized snap/tail/merge
+    // as three frames: 3 scans + 4 shuffles, 1.29 s; this shape is one
+    // scan + one user-keyed exchange + the domain-sized chunk rollup,
+    // 0.78 s warm at sf0.1.)
+    val op = struct(col("ts_us"), col("event_id"), col("is_delete"),
+      col("cents"))
+    val perKey = cut
+      .groupBy(col("user_id"), col("chunk"), col("cutoff_us"))
+      .agg(
+        max(when(col("ts_us") <= col("cutoff_us"), op)).as("s"),
+        max(when(col("ts_us") > col("cutoff_us"), op)).as("t"),
+        sum(when(col("ts_us") > col("cutoff_us"), 1L).otherwise(0L))
+          .as("n_tail"))
+      .withColumn("snap_live", col("s").isNotNull && !col("s.is_delete"))
+      .withColumn("f", greatest(
+        when(col("snap_live"), struct(col("s.ts_us").as("ts_us"),
+          col("s.event_id").as("event_id"), lit(false).as("is_delete"),
+          col("s.cents").as("cents"))),
+        col("t")))
+      .withColumn("final_live", col("f").isNotNull && !col("f.is_delete"))
+    perKey.groupBy(col("chunk"))
+      .agg(
+        min(col("cutoff_us")).as("cutoff_us"),
+        sum(when(col("snap_live"), 1L).otherwise(0L)).as("n_snapshot_live"),
+        sum(col("n_tail")).as("n_tail_ops"),
+        sum(when(col("final_live"), 1L).otherwise(0L)).as("n_final_live"),
+        bit_xor(when(col("final_live"), col("user_id")))
+          .as("final_live_xor"),
+        sum(when(col("final_live"), col("f.cents"))).as("final_cents_sum"))
+      .select(col("chunk"),
+        fmtTs(timestamp_micros(col("cutoff_us"))).as("snapshot_cutoff"),
+        col("n_snapshot_live"), col("n_tail_ops"), col("n_final_live"),
+        col("final_live_xor"), col("final_cents_sum"))
+      .orderBy(col("chunk"))
+  }
+
+  /** The oracle never sees the chunk∪tail merge: snapshot/tail censuses
+    * are direct filters, and the final census is the FULL-LOG LWW per
+    * chunk — chunked bootstrap ≡ atomic snapshot, checked by hash. */
+  val cdcChunkedSnapshotSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    event_type = 'error' AS is_delete,
+       |    user_id % 8 AS chunk
+       |  FROM events),
+       |span AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e),
+       |cut AS (SELECT e.*, mn + (chunk + 1) * ((mx - mn) // 10)
+       |    AS cutoff_us FROM e CROSS JOIN span),
+       |snapc AS (
+       |  SELECT chunk, COUNT(*) AS n_snapshot_live
+       |  FROM (SELECT chunk, user_id, is_delete,
+       |          row_number() OVER (PARTITION BY chunk, user_id
+       |            ORDER BY ts_us DESC, event_id DESC) AS rn
+       |        FROM cut WHERE ts_us <= cutoff_us)
+       |  WHERE rn = 1 AND NOT is_delete GROUP BY chunk),
+       |tailc AS (SELECT chunk, COUNT(*) AS n_tail_ops
+       |  FROM cut WHERE ts_us > cutoff_us GROUP BY chunk),
+       |finalc AS (
+       |  SELECT chunk,
+       |    CAST(SUM(CASE WHEN NOT is_delete THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_final_live,
+       |    CAST(bit_xor(CASE WHEN NOT is_delete THEN user_id END)
+       |      AS BIGINT) AS final_live_xor,
+       |    CAST(SUM(CASE WHEN NOT is_delete THEN cents END) AS BIGINT)
+       |      AS final_cents_sum
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY chunk, user_id
+       |          ORDER BY ts_us DESC, event_id DESC) AS rn FROM cut)
+       |  WHERE rn = 1 GROUP BY chunk),
+       |chunks AS (SELECT chunk, MIN(cutoff_us) AS cutoff_us
+       |  FROM cut GROUP BY chunk)
+       |SELECT c.chunk,
+       |  ${sqlFmtTs("make_timestamp(c.cutoff_us)")} AS snapshot_cutoff,
+       |  CAST(COALESCE(s.n_snapshot_live, 0) AS BIGINT)
+       |    AS n_snapshot_live,
+       |  CAST(COALESCE(t.n_tail_ops, 0) AS BIGINT) AS n_tail_ops,
+       |  f.n_final_live, f.final_live_xor, f.final_cents_sum
+       |FROM chunks c
+       |LEFT JOIN snapc s ON s.chunk = c.chunk
+       |LEFT JOIN tailc t ON t.chunk = c.chunk
+       |LEFT JOIN finalc f ON f.chunk = c.chunk
+       |ORDER BY c.chunk""".stripMargin
+
   /** cdc_resume_offsets (S26) — per-partition RESUME-OFFSET bookkeeping,
     * the exactly-once commit table every changelog consumer maintains
     * atomically with its apply: the wire is key-hash-routed onto 8
@@ -1491,6 +1616,7 @@ object Cdc {
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
     "cdc_dual_wire_merge" -> (cdcDualWireMerge _),
+    "cdc_chunked_snapshot" -> (cdcChunkedSnapshot _),
     "cdc_resume_offsets" -> (cdcResumeOffsets _),
     "cdc_forget_audit" -> (cdcForgetAudit _),
     "cdc_inc_apply" -> (cdcIncApply _),
@@ -1515,6 +1641,7 @@ object Cdc {
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
     "cdc_dual_wire_merge" -> cdcDualWireMergeSql,
+    "cdc_chunked_snapshot" -> cdcChunkedSnapshotSql,
     "cdc_resume_offsets" -> cdcResumeOffsetsSql,
     "cdc_forget_audit" -> cdcForgetAuditSql,
     "cdc_inc_apply" -> cdcIncApplySql,

@@ -1551,6 +1551,24 @@ class QueriesSpec extends SparkSpec {
     assert(censuses > 0 && deleted >= 0, "degenerate census")
   }
 
+  test("cdc_chunked_snapshot: chunked bootstrap reconstructs cdc_apply exactly") {
+    // the union of all chunk bootstraps must be EXACTLY the atomic
+    // full-log apply: same live-key count, same key xor — at every chunk
+    // granularity the algebra holds (the oracle checks per-chunk; this
+    // pins the cross-operator global identity)
+    val rows = SparkEntry.queries("cdc_chunked_snapshot")(spark, sfTiny)
+      .collect()
+    val plain = SparkEntry.queries("cdc_apply")(spark, sfTiny)
+      .collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(4)).sum == plain.length,
+      "chunked live count != cdc_apply live count")
+    val gotXor = rows.map(r => if (r.isNullAt(5)) 0L else r.getLong(5))
+      .reduce(_ ^ _)
+    assert(gotXor == plain.reduce(_ ^ _), "chunked live xor != cdc_apply")
+    // every chunk that saw ops reports, even with an empty snapshot
+    assert(rows.map(_.getLong(0)).toSet.size == rows.length)
+  }
+
   test("orders_fill_rate equals a sequential SLA-band reference") {
     val ship = Tables.lineitem(spark, sfTiny)
       .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
