@@ -369,6 +369,103 @@ object Cdc {
        |LEFT JOIN finalc f ON f.chunk = c.chunk
        |ORDER BY c.chunk""".stripMargin
 
+  /** cdc_conflict_audit (S35) — CONCURRENT-WRITE conflict census for a
+    * bidirectional (multi-master) sync, the audit that answers "how much
+    * does my conflict-resolution POLICY matter on this workload": ops on
+    * the same key from DIFFERENT sites (the S32 wire split: even op-id =
+    * mongo site, odd = mysql) landing within a 1-hour window (clock skew + replication lag) are
+    * CONCURRENT for resolution purposes — wall clocks across sites are
+    * not comparable at that granularity (skew), so pure LWW is an
+    * arbitrary choice there. The audit counts, per transport partition:
+    * conflict adjacencies (consecutive same-key ops that cross sites
+    * within tolerance — one ordered pass, the Q3 lateness idiom, never a
+    * pairwise self-join), keys with ≥1 conflict, and POLICY-DIVERGENT
+    * keys — keys whose final state differs between LWW and
+    * mongo-priority resolution (the last op is a mysql write with a
+    * concurrent mongo rival: under mongo-priority the rival wins).
+    * Divergence share in exact ppm is the number a migration review
+    * reads before picking the policy.
+    *
+    * Scale: ONE scan → one user-keyed window pass (lag + argmax ride the
+    * same exchange) → domain-sized partition rollup with map-side
+    * combine. Tolerance is a literal; no self-join, no data-sized state.
+    */
+  def cdcConflictAudit(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs = 60L * 60 * 1000000
+    val e = Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      (col("event_id") % 2 === 0).as("is_mongo"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val marked = e
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("prev_mongo", lag(col("is_mongo"), 1).over(w))
+      .withColumn("conflict",
+        col("prev_ts").isNotNull &&
+          (col("is_mongo") =!= col("prev_mongo")) &&
+          col("ts_us") - col("prev_ts") <= tolUs)
+    val perKey = marked.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("conflict"), 1L).otherwise(0L)).as("n_conflicts"),
+        // the LWW winner and its immediate rival ride the same pass:
+        // divergent = last op is a mysql write whose predecessor is a
+        // concurrent mongo op (mongo-priority would flip the winner)
+        max(struct(col("ts_us"), col("event_id"), col("is_mongo"),
+          col("conflict"))).as("last"))
+      .withColumn("divergent",
+        !col("last.is_mongo") && col("last.conflict"))
+    perKey.groupBy((col("user_id") % 8).as("partition"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("n_conflicts") > 0, 1L).otherwise(0L))
+          .as("n_keys_with_conflicts"),
+        sum(col("n_conflicts")).as("n_conflict_adjacencies"),
+        sum(when(col("divergent"), 1L).otherwise(0L)).as("n_divergent"),
+        bit_xor(when(col("divergent"), col("user_id")))
+          .as("divergent_key_xor"))
+      .withColumn("divergent_ppm", expr("n_divergent * 1000000 div n_keys"))
+      .select(col("partition"), col("n_keys"), col("n_keys_with_conflicts"),
+        col("n_conflict_adjacencies"), col("n_divergent"),
+        col("divergent_ppm"), col("divergent_key_xor"))
+      .orderBy(col("partition"))
+  }
+
+  val cdcConflictAuditSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |    event_id % 2 = 0 AS is_mongo
+       |  FROM events),
+       |marked AS (
+       |  SELECT *,
+       |    lag(ts_us) OVER w AS prev_ts,
+       |    lag(is_mongo) OVER w AS prev_mongo,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts_us DESC, event_id DESC) AS rn_desc
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |flagged AS (
+       |  SELECT *, prev_ts IS NOT NULL AND is_mongo <> prev_mongo
+       |      AND ts_us - prev_ts <= 3600000000 AS conflict
+       |  FROM marked),
+       |per_key AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN conflict THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_conflicts,
+       |    bool_or(rn_desc = 1 AND NOT is_mongo AND conflict) AS divergent
+       |  FROM flagged GROUP BY user_id)
+       |SELECT user_id % 8 AS partition,
+       |  COUNT(*) AS n_keys,
+       |  CAST(SUM(CASE WHEN n_conflicts > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keys_with_conflicts,
+       |  CAST(SUM(n_conflicts) AS BIGINT) AS n_conflict_adjacencies,
+       |  CAST(SUM(CASE WHEN divergent THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_divergent,
+       |  CAST(SUM(CASE WHEN divergent THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS divergent_ppm,
+       |  CAST(bit_xor(CASE WHEN divergent THEN user_id END) AS BIGINT)
+       |    AS divergent_key_xor
+       |FROM per_key GROUP BY user_id % 8 ORDER BY partition""".stripMargin
+
   /** cdc_resume_offsets (S26) — per-partition RESUME-OFFSET bookkeeping,
     * the exactly-once commit table every changelog consumer maintains
     * atomically with its apply: the wire is key-hash-routed onto 8
@@ -1617,6 +1714,7 @@ object Cdc {
     "cdc_apply" -> (cdcApply _),
     "cdc_dual_wire_merge" -> (cdcDualWireMerge _),
     "cdc_chunked_snapshot" -> (cdcChunkedSnapshot _),
+    "cdc_conflict_audit" -> (cdcConflictAudit _),
     "cdc_resume_offsets" -> (cdcResumeOffsets _),
     "cdc_forget_audit" -> (cdcForgetAudit _),
     "cdc_inc_apply" -> (cdcIncApply _),
@@ -1642,6 +1740,7 @@ object Cdc {
     "cdc_apply" -> cdcApplySql,
     "cdc_dual_wire_merge" -> cdcDualWireMergeSql,
     "cdc_chunked_snapshot" -> cdcChunkedSnapshotSql,
+    "cdc_conflict_audit" -> cdcConflictAuditSql,
     "cdc_resume_offsets" -> cdcResumeOffsetsSql,
     "cdc_forget_audit" -> cdcForgetAuditSql,
     "cdc_inc_apply" -> cdcIncApplySql,
