@@ -573,7 +573,72 @@ object Olap {
       |    CAST(n3 AS DOUBLE) / n1 FROM c)
       |ORDER BY step""".stripMargin
 
+  /** agg_mode (A28) — EXACT per-group mode with a deterministic
+    * tie-break, the top-1 exact complement of the Misra-Gries heavy-hitter
+    * sketch (doc_heavy_hitters): the modal transaction amount and the
+    * modal (most active) user per event type. Neither engine's built-in
+    * mode() declares a tie-break, so both sides compute the argmax
+    * explicitly: count per (group, value) — domain-sized after the first
+    * mergeable aggregate — then ONE max(struct(cnt, -value)) per group
+    * picks highest count, ties → smallest value. Distinct-value census
+    * rides the same frame.
+    *
+    * Scale: raw rows collapse in the (group, value) partial aggregate
+    * (map-side combine); everything downstream is value-domain-sized.
+    */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        scaledLong(col("value"), 100L).as("cents"))
+    val vc = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val modeV = vc.groupBy(col("event_type"))
+      .agg(max(struct(col("cnt"), (-col("cents")).as("nv"))).as("m"),
+        count(lit(1)).as("n_distinct_cents"))
+      .select(col("event_type"), (-col("m.nv")).as("mode_cents"),
+        col("m.cnt").as("mode_cents_freq"), col("n_distinct_cents"))
+    val uc = e.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val modeU = uc.groupBy(col("event_type"))
+      .agg(max(struct(col("cnt"), (-col("user_id")).as("nu"))).as("m"))
+      .select(col("event_type"), (-col("m.nu")).as("mode_user"),
+        col("m.cnt").as("mode_user_freq"))
+    modeV.join(modeU, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggModeSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |vc AS (SELECT event_type, cents, COUNT(*) AS cnt
+      |  FROM e GROUP BY 1, 2),
+      |mv AS (
+      |  SELECT event_type, CAST(cents AS BIGINT) AS mode_cents,
+      |    CAST(cnt AS BIGINT) AS mode_cents_freq,
+      |    CAST(nd AS BIGINT) AS n_distinct_cents
+      |  FROM (SELECT *,
+      |          row_number() OVER (PARTITION BY event_type
+      |            ORDER BY cnt DESC, cents) AS rn,
+      |          COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |        FROM vc)
+      |  WHERE rn = 1),
+      |uc AS (SELECT event_type, user_id, COUNT(*) AS cnt
+      |  FROM e GROUP BY 1, 2),
+      |mu AS (
+      |  SELECT event_type, CAST(user_id AS BIGINT) AS mode_user,
+      |    CAST(cnt AS BIGINT) AS mode_user_freq
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |          ORDER BY cnt DESC, user_id) AS rn FROM uc)
+      |  WHERE rn = 1)
+      |SELECT mv.event_type, mode_cents, mode_cents_freq, n_distinct_cents,
+      |  mode_user, mode_user_freq
+      |FROM mv JOIN mu ON mu.event_type = mv.event_type
+      |ORDER BY mv.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (aggMode _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_sketch_rollup" -> (aggSketchRollup _),
     "agg_countmin" -> (aggCountmin _),
@@ -1020,6 +1085,7 @@ object Olap {
       |FROM s""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "agg_mode" -> aggModeSql,
     "agg_approx_distinct" -> aggApproxDistinctSql,
     "agg_sketch_rollup" -> aggSketchRollupSql,
     "agg_countmin" -> aggCountminSql,

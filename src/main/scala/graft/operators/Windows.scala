@@ -205,7 +205,55 @@ object Windows {
       .orderBy(col("p_brand"), col("rn"))
   }
 
+  /** window_ntile (W15) — equal-height decile segmentation per event
+    * type: ntile(10) over the per-type (value, id) total order, rolled up
+    * to one row per (type, decile) with population and exact cents
+    * bounds. ntile's remainder rule (SQL standard: first `n mod 10`
+    * buckets get the extra row) is engine-identical given the total
+    * order, so the decile boundaries hash-match. This is the
+    * "score-band" segmentation every campaign/risk readout uses; the
+    * rollup keeps the compared payload domain-sized.
+    *
+    * Scale: one per-type window pass (the partition IS the sort unit) +
+    * a (type, decile) mergeable rollup. Where the full sort would hurt at
+    * 100 TB, the RFM/histogram idiom (value-domain cumulative) replaces
+    * it — pinned by events_rfm; this row pins the ntile SEMANTICS.
+    */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        graft.functions.Det.scaledLong(col("value"), 100L).as("cents"))
+      .filter(col("cents").isNotNull)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    e.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        bit_xor(col("event_id")).as("id_xor"))
+      .select(col("event_type"), col("decile").cast("long").as("decile"),
+        col("n_rows"), col("min_cents"), col("max_cents"), col("id_xor"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
+  val windowNtileSql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |d AS (SELECT *, ntile(10) OVER (PARTITION BY event_type
+      |    ORDER BY cents, event_id) AS decile FROM e)
+      |SELECT event_type, CAST(decile AS BIGINT) AS decile,
+      |  COUNT(*) AS n_rows,
+      |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+      |  CAST(MAX(cents) AS BIGINT) AS max_cents,
+      |  CAST(bit_xor(event_id) AS BIGINT) AS id_xor
+      |FROM d GROUP BY event_type, decile
+      |ORDER BY event_type, decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ntile" -> (windowNtile _),
     "window_dist" -> (windowDist _),
     "window_rank" -> (windowRank _),
     "window_lag_gap" -> (windowLagGap _),
@@ -215,6 +263,7 @@ object Windows {
     "topk_native" -> (topkNative _))
 
   def oracle: Map[String, String] = Map(
+    "window_ntile" -> windowNtileSql,
     "window_dist" -> windowDistSql,
     "window_rank" -> windowRankSql,
     "window_lag_gap" -> windowLagGapSql,
