@@ -1339,7 +1339,149 @@ object Analytics {
       |FROM cum JOIN qs ON cum >= (n * q_pct + 99) // 100
       |GROUP BY q, q_pct ORDER BY quarter, q_pct""".stripMargin
 
+  /** orders_cohort_ltv (A29) — customer-lifetime-value CURVES by
+    * first-order cohort: customers cohort on their first order month,
+    * and each cohort's revenue accumulates over order-age months — the
+    * "how fast does a cohort pay back" readout next to A23's retention
+    * matrix (retention counts presence; LTV accumulates money). Ages in
+    * exact integer months (year·12+month arithmetic — no float
+    * months_between), revenue in exact summed cents, the cumulative via
+    * a per-cohort ordered window (partitioned — suite discipline), and
+    * the payback share as cum·1e6 div cohort-total ppm.
+    *
+    * Scale: first-order argmin rides the same o_custkey clustering as
+    * the enrich join; the (cohort, age) rollup is domain-sized (months²)
+    * with map-side combine; windows partition by cohort.
+    */
+  def ordersCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .as("m"),
+      scaledLong(col("o_totalprice"), 100L).as("cents"))
+    val first = o.groupBy(col("o_custkey"))
+      .agg(min(col("m")).as("m0"))
+    val aged = o.join(first, Seq("o_custkey"))
+      .select((col("m0") - lit(0)).as("cohort_m"),
+        (col("m") - col("m0")).as("age_months"), col("cents"))
+      .groupBy(col("cohort_m"), col("age_months"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("rev_cents"))
+    val byCohort = Window.partitionBy(col("cohort_m"))
+    val wCum = byCohort.orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .withColumn("cohort_total", sum(col("rev_cents")).over(byCohort))
+      .select(
+        concat(lpad((col("cohort_m") / 12).cast("int").cast("string"), 4,
+          "0"), lit("-"),
+          lpad((col("cohort_m") % 12 + 1).cast("string"), 2, "0"))
+          .as("cohort_month"),
+        col("age_months"), col("n_orders"), col("rev_cents"),
+        col("cum_rev_cents"),
+        expr("cum_rev_cents * 1000000 div cohort_total").as("cum_ppm"))
+      .orderBy(col("cohort_month"), col("age_months"))
+  }
+
+  val ordersCohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY o_custkey),
+      |aged AS (
+      |  SELECT m0 AS cohort_m, o.m - m0 AS age_months,
+      |    COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      |  FROM o JOIN f ON f.o_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m
+      |      ORDER BY age_months) AS BIGINT) AS cum_rev_cents,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m) AS BIGINT)
+      |      AS cohort_total
+      |  FROM aged)
+      |SELECT lpad(CAST(cohort_m // 12 AS VARCHAR), 4, '0') || '-' ||
+      |    lpad(CAST(cohort_m % 12 + 1 AS VARCHAR), 2, '0')
+      |    AS cohort_month,
+      |  CAST(age_months AS BIGINT) AS age_months,
+      |  n_orders, rev_cents, cum_rev_cents,
+      |  CAST(cum_rev_cents * 1000000 // cohort_total AS BIGINT) AS cum_ppm
+      |FROM cum ORDER BY cohort_month, age_months""".stripMargin
+
+  /** events_error_budget (A30) — SLO ERROR-BUDGET BURN, the SRE readout
+    * next to W8's CUSUM drift: per day, the day's error rate versus the
+    * budget, where the budget is DATA-DERIVED as 1.05× the stream's own
+    * long-run error rate (a fixed 1% budget is degenerate on a corpus
+    * whose baseline error share differs; 1.05× fires only on genuine
+    * high-side burn, and fires at every SF — probed: a trailing-28-day
+    * window converges to the global rate on a 30-day log and never
+    * alerts). The alert comparison is exact integer cross-multiplication
+    * — burn > 1.05·global ⇔ 20·err·1e6 > 21·ev·g — so no ratio float
+    * crosses the engine boundary. The cumulative burn-down (share of the
+    * SLO window's budget consumed so far) rides the same day frame.
+    *
+    * Scale: ONE scan → day-keyed mergeable counts (domain-sized
+    * immediately); the cumulative is the triangular day-frame self-join
+    * (|days|² integer pairs — the suite's no-partition-less-window
+    * discipline); the global rate is a 1-row broadcast.
+    */
+  def eventsErrorBudget(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+    val g = days.agg(
+      expr("sum(n_errors) * 1000000 div sum(n_events)").as("g_ppm"))
+    val cum = days.as("a")
+      .join(days.select(col("d").as("bd"), col("n_events").as("bev"),
+        col("n_errors").as("berr")), col("bd") <= col("d"))
+      .groupBy(col("d"), col("n_events"), col("n_errors"))
+      .agg(sum(col("bev")).as("cum_events"),
+        sum(col("berr")).as("cum_errors"))
+    cum.crossJoin(broadcast(g))
+      .withColumn("burn_ppm",
+        expr("n_errors * 1000000 div n_events"))
+      .withColumn("cum_burn_ppm",
+        expr("cum_errors * 1000000 div cum_events"))
+      .withColumn("in_alert",
+        (col("n_errors") * 20000000L >
+          col("n_events") * col("g_ppm") * 21L).cast("long"))
+      .select(fmtDate(col("d")).as("day"), col("n_events"),
+        col("n_errors"), col("burn_ppm"), col("cum_burn_ppm"),
+        col("g_ppm"), col("in_alert"))
+      .orderBy(col("day"))
+  }
+
+  val eventsErrorBudgetSql: String =
+    s"""WITH dd AS (
+       |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_errors
+       |  FROM events GROUP BY 1),
+       |g AS (SELECT CAST(SUM(n_errors) * 1000000 // SUM(n_events)
+       |    AS BIGINT) AS g_ppm FROM dd),
+       |cum AS (
+       |  SELECT a.d, a.n_events, a.n_errors,
+       |    CAST(SUM(b.n_events) AS BIGINT) AS cum_events,
+       |    CAST(SUM(b.n_errors) AS BIGINT) AS cum_errors
+       |  FROM dd a JOIN dd b ON b.d <= a.d
+       |  GROUP BY a.d, a.n_events, a.n_errors)
+       |SELECT ${sqlFmtDate("d")} AS day, n_events, n_errors,
+       |  CAST(n_errors * 1000000 // n_events AS BIGINT) AS burn_ppm,
+       |  CAST(cum_errors * 1000000 // cum_events AS BIGINT)
+       |    AS cum_burn_ppm,
+       |  g_ppm,
+       |  CAST(CASE WHEN n_errors * 20000000 >
+       |    n_events * g_ppm * 21 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS in_alert
+       |FROM cum CROSS JOIN g ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_error_budget" -> (eventsErrorBudget _),
+    "orders_cohort_ltv" -> (ordersCohortLtv _),
     "agg_hist_rollup" -> (aggHistRollup _),
     "agg_hist_quantile" -> (aggHistQuantile _),
     "having_filter" -> (havingFilter _),
@@ -1363,6 +1505,8 @@ object Analytics {
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
+    "events_error_budget" -> eventsErrorBudgetSql,
+    "orders_cohort_ltv" -> ordersCohortLtvSql,
     "agg_hist_rollup" -> aggHistRollupSql,
     "agg_hist_quantile" -> aggHistQuantileSql,
     "having_filter" -> havingFilterSql,
