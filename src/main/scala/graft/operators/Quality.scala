@@ -492,8 +492,75 @@ object Quality {
       |    AS BIGINT) AS suppressed_ppm
       |FROM classes GROUP BY level ORDER BY level""".stripMargin
 
+  /** events_srm_check (Q8) — SAMPLE-RATIO-MISMATCH guard for the A20
+    * experiment assignment, the validity check every experimentation
+    * platform runs BEFORE reading a lift: if the md5 traffic split is
+    * not uniform across its 16 first-hex-digit buckets, assignment is
+    * corrupted (bot traffic, logging loss, biased exposure) and the A/B
+    * readout is void. Chi-square against uniform in EXACT integers —
+    * stat_milli = Σ(16·obs − N)²·1000 div (16·N), df = 15, the 95%
+    * fence 24.996 folded to the integer literal 24996 — so the verdict
+    * is engine-identical (float chi-square would hash-drift). Report:
+    * per-bucket census with signed deviation ppm, each row carrying the
+    * global statistic and the verdict.
+    *
+    * Scale: one scan → user-keyed distinct (the same exchange A20 pays)
+    * → 16-cell mergeable census; the global stat is a 1-row broadcast
+    * back over 16 rows.
+    */
+  def eventsSrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("bucket",
+        substring(md5(col("user_id").cast("string")), 1, 1))
+    val cells = users.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+    val g = cells.agg(sum(col("n_users")).as("n_total"))
+    val stat = cells.crossJoin(broadcast(g))
+      .select(((col("n_users") * 16 - col("n_total")) *
+        (col("n_users") * 16 - col("n_total"))).as("sq"),
+        col("n_total"))
+      .groupBy(col("n_total"))
+      .agg(sum(col("sq")).as("sqsum"))
+      .select(col("n_total"),
+        expr("sqsum * 1000 div (16 * n_total)").as("chi2_milli"))
+    cells.crossJoin(broadcast(stat))
+      .select(col("bucket"), col("n_users"),
+        expr("n_total div 16").as("expected"),
+        (col("n_users") - expr("n_total div 16")).as("dev"),
+        expr("(n_users * 16 - n_total) * 1000000 div n_total")
+          .as("dev_ppm"),
+        col("chi2_milli"),
+        (col("chi2_milli") > 24996L).cast("long").as("srm_detected"))
+      .orderBy(col("bucket"))
+  }
+
+  val eventsSrmCheckSql: String =
+    """WITH users AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |cells AS (
+      |  SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 1) AS bucket,
+      |    COUNT(*) AS n_users
+      |  FROM users GROUP BY 1),
+      |g AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM cells),
+      |stat AS (
+      |  SELECT n_total,
+      |    CAST(SUM((n_users * 16 - n_total) * (n_users * 16 - n_total))
+      |      * 1000 // (16 * n_total) AS BIGINT) AS chi2_milli
+      |  FROM cells CROSS JOIN g GROUP BY n_total)
+      |SELECT bucket, n_users,
+      |  CAST(n_total // 16 AS BIGINT) AS expected,
+      |  CAST(n_users - n_total // 16 AS BIGINT) AS dev,
+      |  CAST((n_users * 16 - n_total) * 1000000 // n_total AS BIGINT)
+      |    AS dev_ppm,
+      |  chi2_milli,
+      |  CAST(CASE WHEN chi2_milli > 24996 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS srm_detected
+      |FROM cells CROSS JOIN stat ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> (dqAudit _),
+    "events_srm_check" -> (eventsSrmCheck _),
     "dq_kanonymity" -> (dqKanonymity _),
     "dq_profile" -> (dqProfile _),
     "dq_drift" -> (dqDrift _),
@@ -502,6 +569,7 @@ object Quality {
 
   def oracle: Map[String, String] = Map(
     "dq_audit" -> dqAuditSql,
+    "events_srm_check" -> eventsSrmCheckSql,
     "dq_kanonymity" -> dqKanonymitySql,
     "dq_profile" -> dqProfileSql,
     "dq_drift" -> dqDriftSql,
