@@ -324,6 +324,40 @@ class PlanSpec extends SparkSpec {
       "catalog_view dims no longer broadcast")
   }
 
+  test("round-8 fifth-session additions keep their designed shapes") {
+    def scans(name: String): Int =
+      SparkEntry.queries(name)(spark, sfTiny)
+        .queryExecution.sparkPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.size
+    def windows(name: String): Int =
+      SparkEntry.queries(name)(spark, sfTiny)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }.size
+    // dual-wire fan-in: both encodings ride ONE scan of the log, and the
+    // LWW is the mergeable argmax aggregate, never a window sort
+    assert(scans("cdc_dual_wire_merge") == 1,
+      "cdc_dual_wire_merge no longer single-scan")
+    assert(windows("cdc_dual_wire_merge") == 0,
+      "cdc_dual_wire_merge reverted to the window LWW")
+    // chunked bootstrap: main scan + the 1-row span scan, nothing more,
+    // and the chunk∪tail merge stays the lattice-join aggregate
+    assert(scans("cdc_chunked_snapshot") <= 2,
+      "cdc_chunked_snapshot grew extra scans")
+    assert(windows("cdc_chunked_snapshot") == 0,
+      "cdc_chunked_snapshot reverted to window LWW")
+    // outlier gate: threshold from the domain histogram via broadcast,
+    // no data-sized window anywhere
+    assert(windows("embedding_outlier_gate") == 0,
+      "embedding_outlier_gate planned a window")
+    assert(plan("embedding_outlier_gate").contains("BroadcastNestedLoopJoin")
+        || plan("embedding_outlier_gate").contains("BroadcastExchange"),
+      "embedding_outlier_gate threshold no longer broadcasts")
+    // exact mode: argmax aggregate, not a ranking window
+    assert(windows("agg_mode") == 0, "agg_mode planned a window")
+  }
+
   test("no query plans a partition-less (single-task) WindowExec") {
     // A window with an empty partitionSpec funnels every row through ONE
     // task — fine at |groups| rows, a straggler at 100 TB. The engine has
