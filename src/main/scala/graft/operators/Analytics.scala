@@ -1479,7 +1479,68 @@ object Analytics {
        |    AS in_alert
        |FROM cum CROSS JOIN g ORDER BY day""".stripMargin
 
+  /** nation_revenue_yoy (A31) — year-over-year revenue growth per nation,
+    * the classic BI trend readout the star-join family (J1) lacked: per
+    * (nation, year) exact cents revenue, previous year via lag over the
+    * per-nation ordered window (partitioned — suite discipline), growth
+    * in SIGNED exact ppm. The signed integral division is the probed
+    * cross-engine hazard here: Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, which DISAGREE on negative growth — both
+    * sides therefore compute sign·(|Δ|·1e6 div prev) on non-negative
+    * operands, where truncation and floor coincide.
+    *
+    * Scale: the orders⋈customer join shuffles once on custkey (nation
+    * broadcast), the (nation, year) rollup is domain-sized with map-side
+    * combine, and the YoY window partitions by nation.
+    */
+  def nationRevenueYoy(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      scaledLong(col("o_totalprice"), 100L).as("cents"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val rev = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    rev.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("yoy_ppm",
+        when(col("prev_cents").isNotNull,
+          when(col("rev_cents") >= col("prev_cents"), lit(1L))
+            .otherwise(lit(-1L)) *
+            expr("abs(rev_cents - prev_cents) * 1000000 div prev_cents")))
+      .select(col("n_name"), col("yr"), col("n_orders"), col("rev_cents"),
+        col("prev_cents"), col("yoy_ppm"))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
+  val nationRevenueYoySql: String =
+    """WITH rev AS (
+      |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON n_nationkey = c_nationkey
+      |  GROUP BY 1, 2),
+      |lagd AS (
+      |  SELECT *, lag(rev_cents) OVER (PARTITION BY n_name ORDER BY yr)
+      |    AS prev_cents
+      |  FROM rev)
+      |SELECT n_name, yr, n_orders, rev_cents, prev_cents,
+      |  CASE WHEN prev_cents IS NOT NULL THEN
+      |    (CASE WHEN rev_cents >= prev_cents THEN 1 ELSE -1 END) *
+      |    CAST(abs(rev_cents - prev_cents) * 1000000 // prev_cents
+      |      AS BIGINT)
+      |  END AS yoy_ppm
+      |FROM lagd ORDER BY n_name, yr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nation_revenue_yoy" -> (nationRevenueYoy _),
     "events_error_budget" -> (eventsErrorBudget _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "agg_hist_rollup" -> (aggHistRollup _),
@@ -1505,6 +1566,7 @@ object Analytics {
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
+    "nation_revenue_yoy" -> nationRevenueYoySql,
     "events_error_budget" -> eventsErrorBudgetSql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,
     "agg_hist_rollup" -> aggHistRollupSql,

@@ -186,7 +186,62 @@ object Relational {
        |GROUP BY l_orderkey, odate, o_orderpriority
        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  /** q19_disjunction (P5) — the TPC-H Q19 shape: an OR-of-ANDs predicate
+    * spanning both join sides (three (brand, size-range, quantity-range)
+    * branches), the classic test of DISJUNCTIVE pushdown — a naive
+    * planner evaluates the whole disjunction post-join; a good one
+    * pushes the part-side projection of the OR (brand/size branches) to
+    * the part scan and the derived quantity envelope [1,30] to the
+    * lineitem scan, shrinking BOTH inputs before the join (pinned in
+    * PlanSpec). Revenue per branch in exact 6dp fixed-point.
+    *
+    * Scale: part prunes to the 3-brand union (broadcast side), lineitem
+    * prunes on the quantity envelope at the scan; one broadcast join, a
+    * 3-row aggregate.
+    */
+  def q19Disjunction(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def branch(b: String, s1: Int, s2: Int, q1: Int, q2: Int) =
+      col("p_brand") === b &&
+        col("p_size").between(s1, s2) &&
+        col("l_quantity").between(q1, q2)
+    val b1 = branch("Brand#12", 1, 15, 1, 11)
+    val b2 = branch("Brand#23", 10, 25, 10, 20)
+    val b3 = branch("Brand#15", 20, 40, 20, 30)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .select(when(b1, "b1").when(b2, "b2").otherwise("b3").as("branch"),
+        col("l_extendedprice"), col("l_discount"))
+      .groupBy(col("branch"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("branch"))
+  }
+
+  val q19DisjunctionSql: String =
+    s"""WITH j AS (
+       |  SELECT p_brand, p_size, l_quantity, l_extendedprice, l_discount,
+       |    CASE
+       |      WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       |        AND l_quantity BETWEEN 1 AND 11 THEN 'b1'
+       |      WHEN p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+       |        AND l_quantity BETWEEN 10 AND 20 THEN 'b2'
+       |      WHEN p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 40
+       |        AND l_quantity BETWEEN 20 AND 30 THEN 'b3'
+       |    END AS branch
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey)
+       |SELECT branch, COUNT(*) AS n_items,
+       |  ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM j WHERE branch IS NOT NULL
+       |GROUP BY branch ORDER BY branch""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_disjunction" -> (q19Disjunction _),
     "q1_pricing" -> (q1Pricing _),
     "filter_pushdown" -> (filterPushdown _),
     "agg_distinct" -> (aggDistinct _),
@@ -194,6 +249,7 @@ object Relational {
     "q3_join_topk" -> (q3JoinTopk _))
 
   def oracle: Map[String, String] = Map(
+    "q19_disjunction" -> q19DisjunctionSql,
     "q1_pricing" -> q1PricingSql,
     "filter_pushdown" -> filterPushdownSql,
     "agg_distinct" -> aggDistinctSql,

@@ -356,6 +356,16 @@ class PlanSpec extends SparkSpec {
       "embedding_outlier_gate threshold no longer broadcasts")
     // exact mode: argmax aggregate, not a ranking window
     assert(windows("agg_mode") == 0, "agg_mode planned a window")
+    // Q19 disjunction: the per-side projections of the OR-of-ANDs reach
+    // BOTH scans (brand/size branches on part, the quantity disjunction
+    // on lineitem) — the whole point of the shape
+    val q19 = plan("q19_disjunction")
+    assert(q19.contains("PushedFilters: [IsNotNull(p_partkey), Or(") ||
+      q19.contains("Or(Or(And(EqualTo(p_brand"),
+      s"q19_disjunction lost the part-side OR pushdown")
+    assert(q19.contains("Or(Or(And(GreaterThanOrEqual(l_quantity") ||
+      q19.contains("PushedFilters: [IsNotNull(l_partkey), Or("),
+      s"q19_disjunction lost the lineitem-side quantity-envelope pushdown")
   }
 
   test("no query plans a partition-less (single-task) WindowExec") {
