@@ -1539,7 +1539,116 @@ object Analytics {
       |  END AS yoy_ppm
       |FROM lagd ORDER BY n_name, yr""".stripMargin
 
+  /** agg_corr (A33) — exact Pearson association between quantity and
+    * order value per returnflag: the "are bigger orders bigger-ticket?"
+    * readout, and the deterministic-correlation idiom next to
+    * events_autocorr (A18) — r² in ppm + sign, never a float corr()
+    * crossing the engine boundary. Power sums run in i64 on scaled
+    * integers (quantity ×100 ≤ 5e3, price in whole dollars ≤ ~1.1e5:
+    * sum(d²) ≤ 6.6e15 per 6e5-row group, ~1e3× i64 headroom; past
+    * ~1e5× that scale the dprodSum 3-way split applies unchanged); the
+    * closed-form numerator/denominators run in DECIMAL(38,0) / HUGEINT,
+    * and the two truncating divisions are op-identical (the A16 probe).
+    * The exact scaled covariance num div n² ships as its own column.
+    *
+    * Scale: one scan → 3-group partial-combined aggregate; everything
+    * after the shuffle touches 3 rows.
+    */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"),
+      scaledLong(col("l_quantity"), 100L).as("q"),
+      scaledLong(col("l_extendedprice"), 1L).as("d"))
+    val s = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("d")).as("sd"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("d")).as("sqd"))
+    def dec(c: String) = col(c).cast("decimal(38,0)")
+    s.select(col("l_returnflag"), col("n").as("n_rows"),
+        (dec("n") * dec("sqd") - dec("sq") * dec("sd")).as("num"),
+        (dec("n") * dec("sqq") - dec("sq") * dec("sq")).as("d1"),
+        (dec("n") * dec("sdd") - dec("sd") * dec("sd")).as("d2"))
+      .select(col("l_returnflag"), col("n_rows"),
+        when(col("d1") === 0 || col("d2") === 0, lit(null))
+          .otherwise(expr("(num * 1000 div d1) * (num * 1000 div d2)"))
+          .cast("long").as("r2_ppm"),
+        when(col("num") > 0, lit(1L)).when(col("num") < 0, lit(-1L))
+          .otherwise(lit(0L)).as("corr_sign"),
+        expr("num div (n_rows * n_rows)").cast("long").as("cov_scaled"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggCorrSql: String =
+    """WITH s AS (SELECT l_returnflag, count(*) AS n,
+      |    sum(q) AS sq, sum(d) AS sd, sum(q*q) AS sqq,
+      |    sum(d*d) AS sdd, sum(q*d) AS sqd
+      |  FROM (SELECT l_returnflag,
+      |      CAST(round(l_quantity * 100) AS BIGINT) AS q,
+      |      CAST(round(l_extendedprice) AS BIGINT) AS d
+      |    FROM lineitem) GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN (n*sqq - sq*sq) = 0 OR (n*sdd - sd*sd) = 0
+      |    THEN NULL
+      |    ELSE ((n*sqd - sq*sd) * 1000 // (n*sqq - sq*sq))
+      |       * ((n*sqd - sq*sd) * 1000 // (n*sdd - sd*sd))
+      |  END AS BIGINT) AS r2_ppm,
+      |  CAST(CASE WHEN (n*sqd - sq*sd) > 0 THEN 1
+      |    WHEN (n*sqd - sq*sd) < 0 THEN -1 ELSE 0 END AS BIGINT)
+      |    AS corr_sign,
+      |  CAST((n*sqd - sq*sd) // (n*n) AS BIGINT) AS cov_scaled
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  /** events_dau_mau (A34) — per (month, event_type) engagement
+    * stickiness: avg-DAU / MAU in ppm, the canonical product-health
+    * ratio. The whole month of per-user daily activity packs into ONE
+    * i64 day-bitmask per (month, type, user) — day-of-month ≤ 31 → bit
+    * d−1 — so a single exchange serves all three readouts: MAU = row
+    * count, ΣDAU = Σ popcount(mask), active-day count = popcount of the
+    * OR-fold. The naive formulation pays two distincts ((day,user) and
+    * (month,user)) over the raw scan; here both derive from one
+    * aggregate, the same packed-bitmap discipline as agg_distinct (A2).
+    *
+    * Scale: one scan → (month, type, user)-keyed exchange (user-sized,
+    * the minimum any exact MAU pays) → domain-sized rollup. Masks merge
+    * by bit_or, so the partial aggregation is mergeable at any fan-in.
+    */
+  def eventsDauMau(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      date_format(col("ts"), "yyyy-MM").as("month"),
+      col("event_type"), col("user_id"),
+      expr("shiftleft(1L, dayofmonth(ts) - 1)").as("day_bit"))
+    val perUser = e.groupBy(col("month"), col("event_type"),
+        col("user_id"))
+      .agg(bit_or(col("day_bit")).as("mask"))
+    perUser.groupBy(col("month"), col("event_type"))
+      .agg(count(lit(1)).as("mau"),
+        sum(bit_count(col("mask")).cast("long")).as("dau_total"),
+        bit_count(bit_or(col("mask"))).cast("long").as("n_days"))
+      .select(col("month"), col("event_type"), col("mau"),
+        col("dau_total"), col("n_days"),
+        expr("dau_total * 1000000 div (mau * n_days)")
+          .as("stickiness_ppm"))
+      .orderBy(col("month"), col("event_type"))
+  }
+
+  val eventsDauMauSql: String =
+    """WITH pu AS (SELECT strftime(ts, '%Y-%m') AS month, event_type,
+      |    user_id,
+      |    bit_or(CAST(1 AS BIGINT) << (day(ts) - 1)) AS mask
+      |  FROM events GROUP BY 1, 2, 3),
+      |m AS (SELECT month, event_type, count(*) AS mau,
+      |    CAST(sum(bit_count(mask)) AS BIGINT) AS dau_total,
+      |    CAST(bit_count(bit_or(mask)) AS BIGINT) AS n_days
+      |  FROM pu GROUP BY 1, 2)
+      |SELECT month, event_type, mau, dau_total, n_days,
+      |  CAST(dau_total * 1000000 // (mau * n_days) AS BIGINT)
+      |    AS stickiness_ppm
+      |FROM m ORDER BY month, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr" -> (aggCorr _),
+    "events_dau_mau" -> (eventsDauMau _),
     "nation_revenue_yoy" -> (nationRevenueYoy _),
     "events_error_budget" -> (eventsErrorBudget _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
@@ -1566,6 +1675,8 @@ object Analytics {
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
+    "agg_corr" -> aggCorrSql,
+    "events_dau_mau" -> eventsDauMauSql,
     "nation_revenue_yoy" -> nationRevenueYoySql,
     "events_error_budget" -> eventsErrorBudgetSql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Det.{fmtTs, sqlFmtTs}
@@ -558,7 +559,111 @@ object Quality {
       |    AS srm_detected
       |FROM cells CROSS JOIN stat ORDER BY bucket""".stripMargin
 
+  /** events_benford (Q9) — Benford's-law first-significant-digit audit
+    * of the money column: fabricated or systematically generated amounts
+    * flunk the log-distribution of leading digits, the classic
+    * forensic-accounting / data-fabrication screen. The digit extracts
+    * with NO float log: value scales to cents (×100 preserves the
+    * leading significant digit) and the first character of the integer's
+    * decimal string IS the digit — pure string/integer ops, identical in
+    * both engines. Expected shares are the log10(1+1/d) constants folded
+    * to ppm integer literals (they sum to exactly 1e6), deviations and
+    * the Σ(obs−exp)²/exp statistic stay in integer ppm.
+    *
+    * Scale: one scan → 9-cell mergeable census; the total is a 1-row
+    * broadcast back over 9 rows (the Q8 idiom).
+    */
+  def eventsBenford(spark: SparkSession, dir: String): DataFrame = {
+    val BENFORD = "array(301030, 176091, 124939, 96910, 79181, 66947, " +
+      "57992, 51153, 45757)"
+    val cells = Tables.events(spark, dir)
+      .select(graft.functions.Det.scaledLong(col("value"), 100L)
+        .as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val g = cells.agg(sum(col("n")).as("n_total"))
+    cells.crossJoin(broadcast(g))
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        expr("n * 1000000 div n_total").as("obs_ppm"),
+        expr(s"element_at($BENFORD, digit)").cast("long").as("exp_ppm"))
+      .withColumn("dev_ppm",
+        abs(col("obs_ppm") - col("exp_ppm")))
+      .withColumn("chi_contrib_ppm",
+        expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  val eventsBenfordSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    COUNT(*) AS n
+      |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      |    FROM events) WHERE cents > 0 GROUP BY 1),
+      |g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cells)
+      |SELECT CAST(digit AS BIGINT) AS digit, n,
+      |  CAST(n * 1000000 // n_total AS BIGINT) AS obs_ppm,
+      |  CAST([301030, 176091, 124939, 96910, 79181, 66947, 57992,
+      |        51153, 45757][digit] AS BIGINT) AS exp_ppm,
+      |  CAST(abs(n * 1000000 // n_total
+      |    - [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+      |       51153, 45757][digit]) AS BIGINT) AS dev_ppm,
+      |  CAST((n * 1000000 // n_total
+      |      - [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+      |         51153, 45757][digit])
+      |    * (n * 1000000 // n_total
+      |      - [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+      |         51153, 45757][digit])
+      |    // [301030, 176091, 124939, 96910, 79181, 66947, 57992,
+      |        51153, 45757][digit] AS BIGINT) AS chi_contrib_ppm
+      |FROM cells CROSS JOIN g ORDER BY digit""".stripMargin
+
+  /** events_rapid_repeat (Q10) — duplicate-transaction screen: purchase
+    * events by the same user within 10 minutes of each other — the
+    * double-charge / double-click audit every payments pipeline runs.
+    * Adjacent-pair detection via lag() over (user, ts, event_id); the
+    * gap compares in EXACT microseconds (no float seconds), and the
+    * unique event_id tiebreak makes pair formation engine-identical
+    * even under equal timestamps.
+    *
+    * Scale: the type filter prunes at the scan; one window pass
+    * partitioned by user (millions of small partitions, no global
+    * sort); output is the flagged pairs only.
+    */
+  def eventsRapidRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    p.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_us").isNotNull &&
+        col("us") - col("prev_us") <= 600000000L)
+      .select(col("user_id"), col("prev_event_id"), col("event_id"),
+        (col("us") - col("prev_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val eventsRapidRepeatSql: String =
+    """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (SELECT user_id, event_id, us,
+      |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS prev_us,
+      |    lag(event_id) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id) AS prev_event_id
+      |  FROM p)
+      |SELECT user_id, prev_event_id, event_id,
+      |  CAST(us - prev_us AS BIGINT) AS gap_us
+      |FROM w WHERE prev_us IS NOT NULL AND us - prev_us <= 600000000
+      |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_benford" -> (eventsBenford _),
+    "events_rapid_repeat" -> (eventsRapidRepeat _),
     "dq_audit" -> (dqAudit _),
     "events_srm_check" -> (eventsSrmCheck _),
     "dq_kanonymity" -> (dqKanonymity _),
@@ -568,6 +673,8 @@ object Quality {
     "events_lateness_profile" -> (eventsLatenessProfile _))
 
   def oracle: Map[String, String] = Map(
+    "events_benford" -> eventsBenfordSql,
+    "events_rapid_repeat" -> eventsRapidRepeatSql,
     "dq_audit" -> dqAuditSql,
     "events_srm_check" -> eventsSrmCheckSql,
     "dq_kanonymity" -> dqKanonymitySql,

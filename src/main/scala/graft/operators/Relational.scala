@@ -240,7 +240,173 @@ object Relational {
        |FROM j WHERE branch IS NOT NULL
        |GROUP BY branch ORDER BY branch""".stripMargin
 
+  /** q2_min_cost_supp (A32) — the TPC-H Q2 shape: a CORRELATED-MIN
+    * subquery ("the supplier offering this part cheapest") resolved as a
+    * two-level aggregate + packed argmin instead of a per-part rescan.
+    * Per (part, supplier) the exact sourcing cost (cents, i64) aggregates
+    * once; the per-part argmin rides a single packed i64
+    * min(cost·10⁶ + suppkey) — deterministic tie-break by suppkey built
+    * into the packing, no window, no self-join back onto the agg (the
+    * textbook correlated formulation rescans the cost table per part).
+    *
+    * Packing bound: cost ≤ ~9.2e12 cents per (part, supplier) before
+    * cost·10⁶ leaves i64 — $92B from one supplier for one part; suppkey
+    * occupies the low 10⁶ slots (TPC-H suppliers = 10k per 1k SF).
+    *
+    * Scale: the filtered part dim broadcasts into the lineitem scan (the
+    * join prunes the fact before any exchange); both aggregates cluster
+    * on p_partkey so one exchange serves them; supplier re-broadcasts
+    * for the name. Top-20 is TakeOrderedAndProject.
+    */
+  def q2MinCostSupp(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_brand"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        scaledLong(col("l_extendedprice"), 100L).as("cents"))
+    val cost = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+      .agg(sum(col("cents")).as("cost"))
+    val best = cost.groupBy(col("p_partkey"), col("p_brand"))
+      .agg(min(col("cost") * lit(1000000L) + col("l_suppkey")).as("packed"),
+        count(lit(1)).as("n_supp"))
+      .select(col("p_partkey"), col("p_brand"),
+        expr("packed % 1000000").as("s_suppkey"),
+        expr("packed div 1000000").as("min_cost_cents"),
+        col("n_supp"))
+    best.join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("sk"), col("s_name"))),
+        col("s_suppkey") === col("sk"))
+      .select(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+        col("s_name"), col("min_cost_cents"), col("n_supp"))
+      .orderBy(col("min_cost_cents"), col("p_partkey"))
+      .limit(20)
+  }
+
+  val q2MinCostSuppSql: String =
+    """WITH p AS (SELECT p_partkey, p_brand FROM part
+      |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'),
+      |cost AS (SELECT p_partkey, p_brand, l_suppkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cost
+      |  FROM lineitem JOIN p ON p_partkey = l_partkey GROUP BY 1, 2, 3),
+      |best AS (SELECT p_partkey, p_brand,
+      |    min(cost * 1000000 + l_suppkey) AS packed,
+      |    count(*) AS n_supp
+      |  FROM cost GROUP BY 1, 2)
+      |SELECT b.p_partkey, b.p_brand,
+      |  CAST(packed % 1000000 AS BIGINT) AS s_suppkey, s.s_name,
+      |  CAST(packed // 1000000 AS BIGINT) AS min_cost_cents,
+      |  CAST(n_supp AS BIGINT) AS n_supp
+      |FROM best b JOIN supplier s ON s.s_suppkey = packed % 1000000
+      |ORDER BY min_cost_cents, p_partkey LIMIT 20""".stripMargin
+
+  /** q21_sole_returner (J12) — the TPC-H Q21 shape: EXISTS + NOT-EXISTS
+    * against the same fact ("suppliers who alone returned goods on a
+    * multi-supplier order"). Both correlated quantifiers collapse into
+    * ONE grouped pass: per (order, supplier) an any-R flag, per order the
+    * supplier count, the R-supplier count, and — because the predicate
+    * pins n_r = 1 — THE sole R-supplier as max(when(has_r, suppkey)).
+    * EXISTS(another supplier) ⟺ n_supp ≥ 2; NOT EXISTS(another
+    * R-supplier) ⟺ n_r = 1. The textbook formulation pays two extra
+    * correlated semi/anti joins of lineitem against itself.
+    *
+    * Scale: the orders(status F) filter joins on l_orderkey, and BOTH
+    * downstream aggregates cluster on l_orderkey — Spark's
+    * HashPartitioning(orderkey) satisfies the (orderkey, suppkey)
+    * clustering, so the join exchange is the only fact exchange in the
+    * plan; the final per-supplier census is |suppliers|-sized.
+    */
+  def q21SoleReturner(spark: SparkSession, dir: String): DataFrame = {
+    val of = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val ls = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .join(of, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("has_r"))
+    val perOrder = ls.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r"),
+        max(when(col("has_r") === 1, col("l_suppkey"))).as("the_supp"))
+    perOrder.filter(col("n_supp") >= 2 && col("n_r") === 1)
+      .groupBy(col("the_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_sole_return"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("sk"), col("s_name"))),
+        col("s_suppkey") === col("sk"))
+      .select(col("s_suppkey"), col("s_name"), col("n_sole_return"))
+      .orderBy(col("n_sole_return").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
+  val q21SoleReturnerSql: String =
+    """WITH ls AS (SELECT l_orderkey, l_suppkey,
+      |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+      |per_o AS (SELECT l_orderkey, count(*) AS n_supp, sum(has_r) AS n_r,
+      |    max(CASE WHEN has_r = 1 THEN l_suppkey END) AS the_supp
+      |  FROM ls GROUP BY 1)
+      |SELECT the_supp AS s_suppkey, s_name,
+      |  count(*) AS n_sole_return
+      |FROM per_o JOIN supplier ON s_suppkey = the_supp
+      |WHERE n_supp >= 2 AND n_r = 1
+      |GROUP BY 1, 2 ORDER BY n_sole_return DESC, s_suppkey LIMIT 10""".stripMargin
+
+  /** q22_dormant_value (J13) — the TPC-H Q22 shape: a SCALAR subquery
+    * (global positive-balance average) + anti join ("above-average-balance
+    * customers with no recent orders, by nation"). The float-compare trap:
+    * `acctbal > avg(acctbal)` diverges between engines when the avg is a
+    * float — here the comparison CROSS-MULTIPLIES in exact integers
+    * (cents·n_pos > total_cents ⟺ cents > total/n), so the rich set is
+    * engine-exact. Dormancy = left_anti against orders since 2000-01-01.
+    *
+    * Scale: the scalar aggregate is one row broadcast into the customer
+    * scan; the anti join keys on custkey (the orders side prunes to the
+    * date window at the scan); final census is |nations|-sized.
+    */
+  def q22DormantValue(spark: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.customer(spark, dir).filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        scaledLong(col("c_acctbal"), 100L).as("cents"))
+    val stats = pos.agg(sum(col("cents")).as("tot"),
+      count(lit(1)).as("n_pos"))
+    val rich = pos.crossJoin(broadcast(stats))
+      .filter(col("cents") * col("n_pos") > col("tot"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val dormant = rich.join(recent,
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    dormant.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"), sum(col("cents")).as("bal_cents"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_custs"), col("bal_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  val q22DormantValueSql: String =
+    """WITH pos AS (SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer WHERE c_acctbal > 0),
+      |stats AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot,
+      |    COUNT(*) AS n_pos FROM pos),
+      |rich AS (SELECT p.* FROM pos p, stats WHERE cents * n_pos > tot),
+      |dormant AS (SELECT * FROM rich WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+      |SELECT n_name, COUNT(*) AS n_custs,
+      |  CAST(SUM(cents) AS BIGINT) AS bal_cents
+      |FROM dormant JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supp" -> (q2MinCostSupp _),
+    "q21_sole_returner" -> (q21SoleReturner _),
+    "q22_dormant_value" -> (q22DormantValue _),
     "q19_disjunction" -> (q19Disjunction _),
     "q1_pricing" -> (q1Pricing _),
     "filter_pushdown" -> (filterPushdown _),
@@ -249,6 +415,9 @@ object Relational {
     "q3_join_topk" -> (q3JoinTopk _))
 
   def oracle: Map[String, String] = Map(
+    "q2_min_cost_supp" -> q2MinCostSuppSql,
+    "q21_sole_returner" -> q21SoleReturnerSql,
+    "q22_dormant_value" -> q22DormantValueSql,
     "q19_disjunction" -> q19DisjunctionSql,
     "q1_pricing" -> q1PricingSql,
     "filter_pushdown" -> filterPushdownSql,

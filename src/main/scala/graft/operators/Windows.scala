@@ -252,7 +252,55 @@ object Windows {
       |FROM d GROUP BY event_type, decile
       |ORDER BY event_type, decile""".stripMargin
 
+  /** window_first_last (W16) — the boundary-value window family:
+    * first_value / last_value / nth_value over the FULL partition frame
+    * (ROWS UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING) per customer's
+    * order history — "first order date, latest order price, second-ever
+    * order" is the classic customer-lifecycle projection. The default
+    * frame trap: last_value under the SQL default frame (… AND CURRENT
+    * ROW) returns the current row, not the partition max — both engines
+    * here pin the explicit full frame, and the ORDER BY carries the
+    * unique o_orderkey tiebreak so boundary rows are engine-identical.
+    *
+    * Scale: one window pass partitioned by custkey (millions of
+    * independent partitions — no global sort); the % 17 sample bounds the
+    * compared payload, not the plan shape.
+    */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 17 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
+          .as("cents"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        fmtDate(first(col("o_orderdate")).over(w)).as("first_date"),
+        last(col("cents")).over(w).as("last_cents"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+        count(lit(1)).over(w).as("n_orders"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val windowFirstLastSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey % 17 = 0)
+      |SELECT o_custkey, o_orderkey,
+      |  strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d')
+      |    AS first_date,
+      |  last_value(cents) OVER w AS last_cents,
+      |  nth_value(o_orderkey, 2) OVER w AS second_key,
+      |  count(*) OVER w AS n_orders
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_first_last" -> (windowFirstLast _),
     "window_ntile" -> (windowNtile _),
     "window_dist" -> (windowDist _),
     "window_rank" -> (windowRank _),
@@ -263,6 +311,7 @@ object Windows {
     "topk_native" -> (topkNative _))
 
   def oracle: Map[String, String] = Map(
+    "window_first_last" -> windowFirstLastSql,
     "window_ntile" -> windowNtileSql,
     "window_dist" -> windowDistSql,
     "window_rank" -> windowRankSql,
