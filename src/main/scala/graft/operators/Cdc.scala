@@ -680,6 +680,71 @@ object Cdc {
       |FROM per LEFT JOIN missing ON missing.p = per.p
       |ORDER BY partition""".stripMargin
 
+  /** cdc_replication_lag (S36) — end-to-end REPLICATION-LAG profile, the
+    * first dashboard any CDC operator reads: ops commit upstream at ts
+    * and apply downstream when their 5-minute micro-batch closes, so
+    * per-op lag = batch_close − commit_ts. Report per table (event_type
+    * stands in): op count, max and exact-milli average lag, and p95 —
+    * computed on the LAG-DOMAIN census (lag ∈ (0, 300] integer seconds →
+    * ≤300 cells per table), never a per-op sort: the same value-domain
+    * cumulative discipline as events_rfm. All integer: floor-seconds
+    * commit times (both engines floor µs div 1e6), truncating avg
+    * division, p95 = smallest lag whose cumulative count clears 95% by
+    * integer cross-multiply (cum·100 ≥ n·95).
+    *
+    * Scale: one scan → (table, lag)-keyed mergeable census (≤300·|tables|
+    * rows); the cumulative window, totals, and p95 join all run on that
+    * domain-sized frame — the window partitions by table, and the census
+    * exchange serves both consumers (ReusedExchange).
+    */
+  def cdcReplicationLag(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("s"))
+      .select(col("event_type"),
+        (((col("s").cast("long") / 300L).cast("long") + 1L) * 300L -
+          col("s")).as("lag_s"))
+      .groupBy(col("event_type"), col("lag_s"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("lag_s"))
+    val cum = cells.withColumn("cum", sum(col("n")).over(w))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_ops"),
+        sum(col("lag_s") * col("n")).as("lag_sum"),
+        max(col("lag_s")).as("max_lag_s"))
+    val p95 = cum.join(tot, Seq("event_type"))
+      .filter(col("cum") * 100 >= col("n_ops") * 95)
+      .groupBy(col("event_type"))
+      .agg(min(col("lag_s")).as("p95_lag_s"))
+    tot.join(p95, Seq("event_type"))
+      .select(col("event_type"), col("n_ops"), col("max_lag_s"),
+        expr("lag_sum * 1000 div n_ops").as("avg_lag_milli"),
+        col("p95_lag_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val cdcReplicationLagSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, ((s // 300) + 1) * 300 - s AS lag_s,
+      |    count(*) AS n
+      |  FROM (SELECT event_type, epoch_us(ts) // 1000000 AS s FROM events)
+      |  GROUP BY 1, 2),
+      |cum AS (SELECT event_type, lag_s, n,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY lag_s) AS cum
+      |  FROM cells),
+      |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_ops,
+      |    CAST(sum(lag_s * n) AS BIGINT) AS lag_sum,
+      |    CAST(max(lag_s) AS BIGINT) AS max_lag_s
+      |  FROM cells GROUP BY 1),
+      |p95 AS (SELECT c.event_type, CAST(min(lag_s) AS BIGINT)
+      |      AS p95_lag_s
+      |  FROM cum c JOIN tot t USING (event_type)
+      |  WHERE cum * 100 >= n_ops * 95 GROUP BY 1)
+      |SELECT event_type, n_ops, max_lag_s,
+      |  CAST(lag_sum * 1000 // n_ops AS BIGINT) AS avg_lag_milli,
+      |  p95_lag_s
+      |FROM tot JOIN p95 USING (event_type) ORDER BY event_type""".stripMargin
+
   /** cdc_inc_apply (S29) — OP-BASED counter apply (MongoDB `$inc` / CRDT
     * G-counter semantics): the changelog carries INCREMENTS, not absolute
     * values, so the applied state is the SUM of deltas since the key's
@@ -1719,6 +1784,7 @@ object Cdc {
     "cdc_forget_audit" -> (cdcForgetAudit _),
     "cdc_inc_apply" -> (cdcIncApply _),
     "cdc_gap_detection" -> (cdcGapDetection _),
+    "cdc_replication_lag" -> (cdcReplicationLag _),
     "cdc_at_least_once" -> (cdcAtLeastOnce _),
     "cdc_compaction" -> (cdcCompaction _),
     "cdc_merge_apply" -> (cdcMergeApply _),
@@ -1745,6 +1811,7 @@ object Cdc {
     "cdc_forget_audit" -> cdcForgetAuditSql,
     "cdc_inc_apply" -> cdcIncApplySql,
     "cdc_gap_detection" -> cdcGapDetectionSql,
+    "cdc_replication_lag" -> cdcReplicationLagSql,
     "cdc_at_least_once" -> cdcAtLeastOnceSql,
     "cdc_compaction" -> cdcCompactionSql,
     "cdc_merge_apply" -> cdcMergeApplySql,
