@@ -368,6 +368,51 @@ class PlanSpec extends SparkSpec {
       s"q19_disjunction lost the lineitem-side quantity-envelope pushdown")
   }
 
+  test("round-8 sixth-session additions keep their designed shapes") {
+    def sparkPlanOf(name: String) =
+      SparkEntry.queries(name)(spark, sfTiny).queryExecution.sparkPlan
+    def windows(name: String): Int = sparkPlanOf(name).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size
+    def exchanges(name: String): Int = sparkPlanOf(name).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    // Q2 shape: the per-part argmin is the packed aggregate, never a
+    // ranking window, and the filtered part dim broadcasts into the scan
+    assert(windows("q2_min_cost_supp") == 0,
+      "q2_min_cost_supp reverted to a window argmin")
+    assert(plan("q2_min_cost_supp").contains("BroadcastHashJoin"),
+      "q2_min_cost_supp part dim no longer broadcasts")
+    // Q21 shape: both quantifiers fold into aggregates over ONE fact-side
+    // exchange — the orders filter rides a broadcast join, and
+    // HashPartitioning(orderkey) serves both grouped passes
+    assert(plan("q21_sole_returner").contains("BroadcastHashJoin"),
+      "q21_sole_returner orders side no longer broadcasts")
+    assert(exchanges("q21_sole_returner") <= 3,
+      "q21_sole_returner grew extra fact exchanges")
+    // Q22 shape: the scalar threshold broadcasts (never a float avg in a
+    // filter), dormancy is a left_anti
+    val q22 = plan("q22_dormant_value")
+    assert(q22.contains("LeftAnti"), "q22_dormant_value lost the anti join")
+    assert(q22.contains("BroadcastExchange"),
+      "q22_dormant_value scalar threshold no longer broadcasts")
+    // DAU/MAU: ONE user-keyed exchange serves all three readouts — no
+    // Expand-based multi-distinct, no second scan
+    assert(plan("events_dau_mau").indexOf("Expand") < 0,
+      "events_dau_mau planned an Expand multi-distinct")
+    assert(exchanges("events_dau_mau") <= 2,
+      "events_dau_mau pays more than the user exchange + final rollup")
+    // replication lag: the census is domain-sized; the window partitions
+    // by table (never partition-less — suite invariant) and the per-op
+    // frame never sorts
+    assert(windows("cdc_replication_lag") == 1,
+      "cdc_replication_lag window count drifted")
+    // rapid-repeat: type filter reaches the scan
+    assert(plan("events_rapid_repeat").contains("PushedFilters") &&
+      plan("events_rapid_repeat").contains("EqualTo(event_type,purchase)"),
+      "events_rapid_repeat type filter not pushed to the scan")
+  }
+
   test("no query plans a partition-less (single-task) WindowExec") {
     // A window with an empty partitionSpec funnels every row through ONE
     // task — fine at |groups| rows, a straggler at 100 TB. The engine has
