@@ -1646,7 +1646,88 @@ object Analytics {
       |    AS stickiness_ppm
       |FROM m ORDER BY month, event_type""".stripMargin
 
+  /** q11_important_share (A35) — the TPC-H Q11 shape: HAVING against a
+    * GLOBAL scalar ("parts whose inventory value exceeds 1/2000 of the
+    * national total"). The classic trap is the float threshold
+    * (sum(group) > total · 0.0005); here the comparison cross-multiplies
+    * in exact integers — cents·2000 > total_cents — so membership is
+    * engine-identical (the J13/q22 discipline applied to HAVING).
+    *
+    * Scale: one fact scan → per-part exact cents aggregate; the global
+    * total derives from the SAME aggregate (ReusedExchange) instead of a
+    * second scan, broadcasts as 1 row, and the filter + top-25 are
+    * domain-sized (TakeOrderedAndProject).
+    */
+  def q11ImportantShare(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(scaledLong(col("l_extendedprice"), 100L)).as("cents"))
+    val tot = perPart.agg(sum(col("cents")).as("total_cents"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("cents") * 2000 > col("total_cents"))
+      .select(col("l_partkey"), col("cents").as("value_cents"),
+        expr("cents * 1000000 div total_cents").as("share_ppm"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+      .limit(25)
+  }
+
+  val q11ImportantShareSql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM per_part)
+      |SELECT l_partkey, cents AS value_cents,
+      |  CAST(cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+      |FROM per_part CROSS JOIN tot
+      |WHERE cents * 2000 > total_cents
+      |ORDER BY value_cents DESC, l_partkey LIMIT 25""".stripMargin
+
+  /** events_burstiness (A36) — index of dispersion (Fano factor) of the
+    * hourly arrival counts per event type: F = var/mean distinguishes
+    * Poisson-like steady streams (F≈1) from bursty ones (F≫1) — the
+    * capacity-planning readout next to A18's memory diagnostic. Entirely
+    * exact integers over the PRESENT-hour frame (declared semantics —
+    * empty hours are gaps, not zeros, the same frame A18 pairs on):
+    * F_ppm = (n·Σc² − (Σc)²)·10⁶ div (n·Σc), power sums in i64
+    * (c ≤ per-hour row count; Σc² ≤ rows²/hours — i64-safe past 1e9
+    * rows/hour/type).
+    *
+    * Scale: one scan → (type, hour) partial-combined census
+    * (domain-sized) → 5-row rollup.
+    */
+  def eventsBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        expr("(n_hours * scc - n_events * n_events) * 1000000" +
+          " div (n_hours * n_events)").as("fano_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsBurstinessSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, count(*) AS n_hours,
+      |    CAST(sum(c) AS BIGINT) AS n_events,
+      |    CAST(sum(c*c) AS BIGINT) AS scc
+      |  FROM hourly GROUP BY 1)
+      |SELECT event_type, n_hours, n_events,
+      |  CAST((n_hours * scc - n_events * n_events) * 1000000
+      |    // (n_hours * n_events) AS BIGINT) AS fano_ppm
+      |FROM s ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_important_share" -> (q11ImportantShare _),
+    "events_burstiness" -> (eventsBurstiness _),
     "agg_corr" -> (aggCorr _),
     "events_dau_mau" -> (eventsDauMau _),
     "nation_revenue_yoy" -> (nationRevenueYoy _),
@@ -1675,6 +1756,8 @@ object Analytics {
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
+    "q11_important_share" -> q11ImportantShareSql,
+    "events_burstiness" -> eventsBurstinessSql,
     "agg_corr" -> aggCorrSql,
     "events_dau_mau" -> eventsDauMauSql,
     "nation_revenue_yoy" -> nationRevenueYoySql,

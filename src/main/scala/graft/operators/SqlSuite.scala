@@ -146,7 +146,44 @@ object SqlSuite {
       |  CAST(bit_xor(node * 31 + cur) AS BIGINT) AS pair_xor
       |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** sql_pivot — SQL-standard PIVOT through the parser (the
+    * spreadsheet-shaped readout BI tools generate), ONE text verbatim in
+    * both engines: the aliased IN-list (`'O' AS n_open`) names the output
+    * columns identically — the unaliased form would leave each engine to
+    * invent its own column names (and Spark backticks vs DuckDB double
+    * quotes make quoting non-portable). The DataFrame twin is
+    * pivot_segment; this row pins the PARSER surface. Plans exactly like
+    * groupBy(priority).pivot(status): one scan, domain-sized output.
+    */
+  val sqlPivot: String =
+    """SELECT o_orderpriority, n_open, n_filled, n_pending
+      |FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+      |PIVOT (count(1) FOR o_orderstatus
+      |       IN ('O' AS n_open, 'F' AS n_filled, 'P' AS n_pending))
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** sql_lateral — correlated LATERAL subquery through the parser (the
+    * ANSI per-row-subplan shape every federated tool generates for
+    * "top/agg per outer row"): each nation evaluates a correlated
+    * aggregate over its customers. Catalyst decorrelates the lateral into
+    * a plain aggregate + join (DomainJoin elimination) — per-outer-row
+    * re-execution never happens, which is why the shape survives scale.
+    * COALESCE pins the empty-group row (a lateral, unlike a bare
+    * correlated scalar, preserves outer rows with no matches via the
+    * implicit cross apply — both engines agree). One text, two engines.
+    */
+  val sqlLateral: String =
+    """SELECT n_name, t.n_cust, t.bal_cents
+      |FROM nation, LATERAL (
+      |  SELECT count(*) AS n_cust,
+      |    COALESCE(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+      |      AS BIGINT), 0) AS bal_cents
+      |  FROM customer WHERE c_nationkey = n_nationkey) t
+      |ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pivot" -> (run(sqlPivot) _),
+    "sql_lateral" -> (run(sqlLateral) _),
     "sql_recursive" -> (run(sqlRecursive) _),
     "sql_q1" -> (run(sqlQ1) _),
     "sql_q5" -> (run(sqlQ5) _),
@@ -158,6 +195,8 @@ object SqlSuite {
     * binds at execution; its oracle is the inlined text).
     */
   def oracle: Map[String, String] = Map(
+    "sql_pivot" -> sqlPivot,
+    "sql_lateral" -> sqlLateral,
     "sql_recursive" -> sqlRecursive,
     "sql_q1" -> sqlQ1,
     "sql_q5" -> sqlQ5,
