@@ -409,7 +409,42 @@ object Relational {
       |FROM dormant JOIN nation ON n_nationkey = c_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q13_order_dist (A37) — the TPC-H Q13 shape: DISTRIBUTION OF COUNTS
+    * ("how many customers placed exactly k qualifying orders"), the
+    * two-level aggregate whose first level must be a LEFT join so
+    * zero-order customers land in the k=0 bucket — an inner join silently
+    * drops them, the classic Q13 bug. Qualifying = non-urgent orders.
+    *
+    * Scale: the join and the per-customer count share one custkey
+    * clustering (no extra exchange between them); the second aggregate
+    * is |distinct counts|-sized. count(o_orderkey) — not count(*) —
+    * makes the null-padded row count 0.
+    */
+  def q13OrderDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13OrderDistSql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM per_cust GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_order_dist" -> (q13OrderDist _),
     "q2_min_cost_supp" -> (q2MinCostSupp _),
     "q21_sole_returner" -> (q21SoleReturner _),
     "q22_dormant_value" -> (q22DormantValue _),
@@ -421,6 +456,7 @@ object Relational {
     "q3_join_topk" -> (q3JoinTopk _))
 
   def oracle: Map[String, String] = Map(
+    "q13_order_dist" -> q13OrderDistSql,
     "q2_min_cost_supp" -> q2MinCostSuppSql,
     "q21_sole_returner" -> q21SoleReturnerSql,
     "q22_dormant_value" -> q22DormantValueSql,
