@@ -1593,4 +1593,121 @@ class QueriesSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got == want, s"got=$got\nwant=$want")
   }
+
+  test("events_dau_mau bitmask fold equals naive distinct-set counting") {
+    // independent re-derivation with plain Sets — no bitmasks: pins that
+    // the packed day-bit OR-fold computes the DECLARED MAU / ΣDAU /
+    // active-day semantics, not merely something both engines agree on
+    val rows = Tables.events(spark, sfTiny)
+      .select(date_format(col("ts"), "yyyy-MM").as("m"), col("event_type"),
+        col("user_id"), dayofmonth(col("ts")).as("d"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val want = rows.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1).map {
+      case ((m, ty), v) =>
+        val byUser = v.groupBy(_._3).map { case (_, es) =>
+          es.map(_._4).toSet }
+        val mau = byUser.size.toLong
+        val dauTotal = byUser.map(_.size.toLong).sum
+        val nDays = byUser.flatten.toSet.size.toLong
+        (m, ty, mau, dauTotal, nDays, dauTotal * 1000000L / (mau * nDays))
+    }
+    val got = SparkEntry.queries("events_dau_mau")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("q21_sole_returner equals the textbook EXISTS/NOT-EXISTS evaluation") {
+    // literal quantifier semantics over driver-side collections: supplier
+    // s qualifies on order o iff s shipped an R-flagged line of o, SOME
+    // other supplier shipped a line of o, and NO other supplier shipped
+    // an R-flagged line of o — pins that the grouped fold implements the
+    // quantifier pair, not merely something both engines agree on
+    val fOrders = Tables.orders(spark, sfTiny)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val lines = Tables.lineitem(spark, sfTiny)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(t => fOrders.contains(t._1))
+    val byOrder = lines.groupBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    for ((_, ls) <- byOrder) {
+      val supps = ls.map(_._2).toSet
+      for (s <- supps) {
+        val sHasR = ls.exists(l => l._2 == s && l._3 == "R")
+        val otherExists = (supps - s).nonEmpty
+        val otherHasR = ls.exists(l => l._2 != s && l._3 == "R")
+        if (sHasR && otherExists && !otherHasR)
+          counts(s) = counts.getOrElse(s, 0L) + 1L
+      }
+    }
+    val want = counts.toSeq.sortBy { case (s, n) => (-n, s) }.take(10)
+    val got = SparkEntry.queries("q21_sole_returner")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("q2_min_cost_supp equals a direct per-part argmin recompute") {
+    val parts = Tables.part(spark, sfTiny)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val cost = Tables.lineitem(spark, sfTiny)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        math.round(r.getDouble(2) * 100)))
+      .filter(t => parts.contains(t._1._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val want = cost.groupBy(_._1._1).map { case (pk, m) =>
+      val (sk, c) = m.toSeq.map { case ((_, s), c) => (s, c) }
+        .minBy { case (s, c) => (c, s) }
+      (pk, sk, c)
+    }.toSeq.sortBy { case (pk, _, c) => (c, pk) }.take(20)
+    val got = SparkEntry.queries("q2_min_cost_supp")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("events_benford digits partition the rows and expectations sum to 1e6") {
+    val got = SparkEntry.queries("events_benford")(spark, sfTiny).collect()
+    val n = Tables.events(spark, sfTiny)
+      .filter(graft.functions.Det.scaledLong(col("value"), 100L) > 0).count()
+    assert(got.map(_.getLong(1)).sum == n,
+      "digit census does not partition the positive-cents rows")
+    assert(got.map(_.getLong(3)).sum == 1000000L,
+      "Benford expected shares must sum to exactly 1e6 ppm")
+    // independent digit extraction: numeric first-significant-digit
+    val cents = Tables.events(spark, sfTiny)
+      .select(graft.functions.Det.scaledLong(col("value"), 100L).as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val want = cents.map { c =>
+      var x = c; while (x >= 10) x /= 10; x
+    }.groupBy(identity).map { case (d, v) => d -> v.size.toLong }
+    val gotMap = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMap == want, s"got=$gotMap\nwant=$want")
+  }
+
+  test("cdc_replication_lag equals a sequential batch-close replay") {
+    val lags = Tables.events(spark, sfTiny)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getString(0), {
+        val s = r.getLong(1) / 1000000L
+        (s / 300L + 1L) * 300L - s
+      }))
+    val want = lags.groupBy(_._1).toSeq.sortBy(_._1).map { case (ty, v) =>
+      val ls = v.map(_._2).sorted
+      val n = ls.length.toLong
+      // p95 = smallest lag whose cumulative count clears 95% (integer
+      // cross-multiply) — same rule as the query
+      val p95 = ls.zipWithIndex
+        .find { case (_, i) => (i + 1) * 100L >= n * 95L }.get._1
+      (ty, n, ls.max, ls.sum * 1000L / n, p95)
+    }
+    val got = SparkEntry.queries("cdc_replication_lag")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
 }
