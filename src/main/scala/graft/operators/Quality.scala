@@ -514,8 +514,19 @@ object Quality {
       .select(col("user_id")).distinct()
       .withColumn("bucket",
         substring(md5(col("user_id").cast("string")), 1, 1))
-    val cells = users.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_users"))
+    // The 16-bucket domain is LITERAL, not observed: a bucket with ZERO
+    // users is the strongest possible mismatch and must contribute its
+    // full (0−E)²/E term (ADVICE r8 — deriving the domain from observed
+    // rows silently under-weights total bucket loss). lower(hex(0..15))
+    // enumerates the md5 first-hex-digit alphabet.
+    // domain is the ROW-PRESERVING side, so the observed counts are the
+    // broadcast build side (build-left right-outer — a broadcast hint on
+    // the preserved side of an outer join is unsupported and would warn)
+    val domain = spark.range(16).select(lower(hex(col("id"))).as("bucket"))
+    val cells = broadcast(
+        users.groupBy(col("bucket")).agg(count(lit(1)).as("n_obs")))
+      .join(domain, Seq("bucket"), "right")
+      .select(col("bucket"), coalesce(col("n_obs"), lit(0L)).as("n_users"))
     val g = cells.agg(sum(col("n_users")).as("n_total"))
     val stat = cells.crossJoin(broadcast(g))
       .select(((col("n_users") * 16 - col("n_total")) *
@@ -539,10 +550,15 @@ object Quality {
   val eventsSrmCheckSql: String =
     """WITH users AS (
       |  SELECT DISTINCT user_id FROM events),
-      |cells AS (
+      |obs AS (
       |  SELECT substring(md5(CAST(user_id AS VARCHAR)), 1, 1) AS bucket,
-      |    COUNT(*) AS n_users
+      |    COUNT(*) AS n_obs
       |  FROM users GROUP BY 1),
+      |cells AS (
+      |  SELECT d.bucket, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_users
+      |  FROM (SELECT unnest(['0','1','2','3','4','5','6','7',
+      |                       '8','9','a','b','c','d','e','f']) AS bucket) d
+      |  LEFT JOIN obs o ON o.bucket = d.bucket),
       |g AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM cells),
       |stat AS (
       |  SELECT n_total,

@@ -249,9 +249,13 @@ object Relational {
     * into the packing, no window, no self-join back onto the agg (the
     * textbook correlated formulation rescans the cost table per part).
     *
-    * Packing bound: cost ≤ ~9.2e12 cents per (part, supplier) before
-    * cost·10⁶ leaves i64 — $92B from one supplier for one part; suppkey
-    * occupies the low 10⁶ slots (TPC-H suppliers = 10k per 1k SF).
+    * Argmin is `min(struct(cost, suppkey))` — lexicographic struct
+    * ordering, no arithmetic packing. (The r8 form packed
+    * `min(cost·10⁶ + suppkey)`, which silently corrupts both fields once
+    * suppkey reaches 10⁶ — TPC-H has SF×10,000 suppliers, so SF ≥ 100
+    * overflows the modulus; ADVICE r8.) The struct min keeps the same
+    * single-pass partial-aggregate shape with no overflow bound, and the
+    * tie-break (lowest suppkey at equal cost) is now explicit.
     *
     * Scale: the filtered part dim broadcasts into the lineitem scan (the
     * join prunes the fact before any exchange); both aggregates cluster
@@ -269,11 +273,11 @@ object Relational {
       .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
       .agg(sum(col("cents")).as("cost"))
     val best = cost.groupBy(col("p_partkey"), col("p_brand"))
-      .agg(min(col("cost") * lit(1000000L) + col("l_suppkey")).as("packed"),
+      .agg(min(struct(col("cost"), col("l_suppkey"))).as("m"),
         count(lit(1)).as("n_supp"))
       .select(col("p_partkey"), col("p_brand"),
-        expr("packed % 1000000").as("s_suppkey"),
-        expr("packed div 1000000").as("min_cost_cents"),
+        col("m.l_suppkey").as("s_suppkey"),
+        col("m.cost").as("min_cost_cents"),
         col("n_supp"))
     best.join(broadcast(Tables.supplier(spark, dir)
         .select(col("s_suppkey").as("sk"), col("s_name"))),
@@ -292,15 +296,19 @@ object Relational {
       |      AS cost
       |  FROM lineitem JOIN p ON p_partkey = l_partkey GROUP BY 1, 2, 3),
       |best AS (SELECT p_partkey, p_brand,
-      |    min(cost * 1000000 + l_suppkey) AS packed,
+      |    min(cost) AS min_cost_cents,
       |    count(*) AS n_supp
-      |  FROM cost GROUP BY 1, 2)
-      |SELECT b.p_partkey, b.p_brand,
-      |  CAST(packed % 1000000 AS BIGINT) AS s_suppkey, s.s_name,
-      |  CAST(packed // 1000000 AS BIGINT) AS min_cost_cents,
-      |  CAST(n_supp AS BIGINT) AS n_supp
-      |FROM best b JOIN supplier s ON s.s_suppkey = packed % 1000000
-      |ORDER BY min_cost_cents, p_partkey LIMIT 20""".stripMargin
+      |  FROM cost GROUP BY 1, 2),
+      |pick AS (SELECT c.p_partkey, min(c.l_suppkey) AS s_suppkey
+      |  FROM cost c JOIN best b
+      |    ON c.p_partkey = b.p_partkey AND c.cost = b.min_cost_cents
+      |  GROUP BY 1)
+      |SELECT b.p_partkey, b.p_brand, k.s_suppkey, s.s_name,
+      |  CAST(b.min_cost_cents AS BIGINT) AS min_cost_cents,
+      |  CAST(b.n_supp AS BIGINT) AS n_supp
+      |FROM best b JOIN pick k ON k.p_partkey = b.p_partkey
+      |JOIN supplier s ON s.s_suppkey = k.s_suppkey
+      |ORDER BY min_cost_cents, b.p_partkey LIMIT 20""".stripMargin
 
   /** q21_sole_returner (J12) — the TPC-H Q21 shape: EXISTS + NOT-EXISTS
     * against the same fact ("suppliers who alone returned goods on a
@@ -319,17 +327,23 @@ object Relational {
     * plan; the final per-supplier census is |suppliers|-sized.
     */
   def q21SoleReturner(spark: SparkSession, dir: String): DataFrame = {
-    val of = Tables.orders(spark, dir)
+    val of0 = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
     // the status filter keeps ~1/3 of orders: one projected key column
-    // broadcasts at this scale (the q3 dim-filter discipline), so
+    // broadcasts at small scale (the q3 dim-filter discipline), so
     // lineitem reaches its (orderkey, suppkey) aggregate with NO join
-    // exchange — measured 1.25 → 0.77 s at sf0.1. Where orders(F)
-    // outgrows broadcast the hint drops and the join shares the
-    // orderkey exchange the aggregate pays anyway.
+    // exchange — measured 1.25 → 0.77 s at sf0.1. But an explicit
+    // broadcast() hint is honored REGARDLESS of size (it bypasses
+    // autoBroadcastJoinThreshold — ADVICE r8), so it is GATED on the
+    // orders source size: ≤64 MB compressed (≈ SF 2; one projected long
+    // column of the F-subset is far smaller still) forces the hint; above
+    // that the planner chooses, and the join shares the orderkey exchange
+    // the downstream aggregate pays anyway.
+    val of = if (Tables.srcBytes(dir, "orders") <= (64L << 20)) broadcast(of0)
+             else of0
     val ls = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      .join(broadcast(of), col("l_orderkey") === col("o_orderkey"))
+      .join(of, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
         .as("has_r"))

@@ -225,22 +225,29 @@ object Catalog {
     * state (the same mergeable-partials shape as agg_approx_distinct);
     * the stats READ is catalog-metadata-rate, O(columns), no data
     * touched. Stats persist in the SharedState catalog (ExternalCatalog
-    * — the path a Hive metastore stores durably), memoized per
-    * (catalog, dir) like the DDL round.
+    * — the path a Hive metastore stores durably). The CATALOG ITSELF is
+    * the memo (ADVICE r8: the old process-wide identityHashCode-keyed
+    * set could collide and silently made rep 1 the only rep that paid
+    * ANALYZE): ANALYZE runs iff the table metadata lacks the requested
+    * column stats, so a warm catalog serves the stats-read path — the
+    * regime this query DECLARES (listed in Bench's `warm_state`), the
+    * exact split a metastore-backed deployment has between the nightly
+    * ANALYZE job and every query that reads its numbers.
     */
-  private val analyzed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+  private def tableIdent(db: String) =
+    org.apache.spark.sql.catalyst.TableIdentifier("customer", Some(db))
 
   def catalogStats(spark: SparkSession, dir: String): DataFrame = {
     val db = register(spark, dir)
-    val key = (System.identityHashCode(spark.sharedState), dir)
-    if (!analyzed.contains(key)) {
+    val statCols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+    val have = spark.sessionState.catalog.getTableMetadata(tableIdent(db))
+      .stats.exists(s => s.rowCount.isDefined &&
+        statCols.forall(s.colStats.contains))
+    if (!have) {
       spark.sql(s"ANALYZE TABLE $db.customer COMPUTE STATISTICS " +
         "FOR COLUMNS c_custkey, c_nationkey, c_acctbal")
-      analyzed.add(key)
     }
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier("customer", Some(db)))
+    val meta = spark.sessionState.catalog.getTableMetadata(tableIdent(db))
     val stats = meta.stats.getOrElse(
       sys.error("catalog_stats: ANALYZE left no table statistics"))
     val nRows = stats.rowCount.getOrElse(
@@ -257,8 +264,14 @@ object Catalog {
     val exact = Map("c_custkey" -> ex.getLong(0),
       "c_nationkey" -> ex.getLong(1), "c_acctbal" -> ex.getLong(2))
     // acctbal min/max surface in exact cents; key columns raw — the
-    // per-column scale both engines apply identically
-    def cents(s: String): Long = math.rint(s.toDouble * 100).toLong
+    // per-column scale both engines apply identically. Half-AWAY-from-
+    // zero, the suite-wide scaledLong rounding rule (ADVICE r8: the old
+    // math.rint here was half-to-even — harmless for 2dp data but
+    // divergent from the declared discipline on exact half-cents).
+    def cents(s: String): Long = {
+      val x = s.toDouble * 100
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    }
     val rows = Seq("c_custkey", "c_nationkey", "c_acctbal").map { c =>
       val cs = stats.colStats.getOrElse(c,
         sys.error(s"catalog_stats: no column stats for $c"))
