@@ -620,7 +620,13 @@ object Docs {
     // steady state by run 2; measured 1.14 → ~0.8 s warm at sf0.1).
     // A repartitionByRange variant (free final order) loses the same way:
     // its sampling pass is a second full pass over the corpus.
-    // Residual = the 3-job floor (exchange, broadcast build, final).
+    // r9: TopKPartialExec now reports its child's outputPartitioning, so
+    // the heap FUSES onto the inherited doc_id partitioning — the
+    // partial→final re-exchange EnsureRequirements used to insert is gone
+    // (4 → 3 hash exchanges, pinned in PlanSpec). Residual = the 3-job
+    // floor (exchange, broadcast build, final) + the tokenize pass that
+    // re-runs once post-exchange for the df branch — the DOCUMENTED FLOOR
+    // for this query: every cheaper shape was measured and rejected above.
     val tf = d.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(split(norm(col("text")), " ")).as("term"))

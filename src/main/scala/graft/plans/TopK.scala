@@ -114,6 +114,15 @@ case class TopKPartialExec(
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: Nil
+  // Row-filtering per partition preserves the child's partitioning; the
+  // SparkPlan DEFAULT is UnknownPartitioning, which made EnsureRequirements
+  // insert a redundant exchange above the partial whenever the input was
+  // ALREADY clustered on the group keys (doc_tfidf's repartition(doc_id),
+  // the inherited agg partitionings in the kNN chains) — the final node's
+  // ClusteredDistribution could never see the satisfied distribution.
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions({ iter =>
       TopKHeap.process(iter, groupExprs, ordering, k, child.output,
@@ -136,6 +145,11 @@ case class TopKPerGroupExec(
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
+  // as with the partial: preserves the child's (possibly inherited)
+  // partitioning for downstream consumers instead of Unknown
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions({ iter =>
       TopKHeap.process(iter, groupExprs, ordering, k, child.output,

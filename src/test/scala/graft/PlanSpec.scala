@@ -413,6 +413,26 @@ class PlanSpec extends SparkSpec {
       "events_rapid_repeat type filter not pushed to the scan")
   }
 
+  test("doc_tfidf rides one corpus exchange and a fused TopK heap") {
+    // The r7→r9 carry-over's documented floor: corpus text moves through
+    // exactly ONE doc_id repartition (the df branch ReusedExchanges it),
+    // df is a vocab-sized broadcast, and the TopK heap fuses onto the
+    // inherited partitioning with NO partial→final re-exchange (the
+    // TopKPartialExec outputPartitioning fix). Exchanges in the final
+    // plan: doc_id repartition + term agg (vocab-sized) + presentation
+    // range — anything more is a regression.
+    val df = SparkEntry.queries("doc_tfidf")(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TopKPerGroup"), "doc_tfidf lost the native TopK heap")
+    assert(p.contains("ReusedExchange"),
+      "df branch no longer reuses the corpus exchange (corpus scans twice)")
+    val hashX = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashX <= 3,
+      s"doc_tfidf grew to $hashX hash exchanges (expected ≤3):\n$p")
+  }
+
   test("no query plans a partition-less (single-task) WindowExec") {
     // A window with an empty partitionSpec funnels every row through ONE
     // task — fine at |groups| rows, a straggler at 100 TB. The engine has
