@@ -1389,6 +1389,12 @@ object Pipeline {
     val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .localCheckpoint()
+    // seeds checkpoint via dC below — r9 A/B'd a lazy variant (re-derive
+    // in each consumer) and it LOST ~0.7 s: dC's lazy seed semi-join
+    // replayed inside FOUR broadcast-build jobs (rounds 2/4's anti side,
+    // round 1's frontier, the census). Same for skipping the last
+    // round's checkpoint: the census job swallowed the whole round-4
+    // subtree. Both reverted — the eager per-round pins are the floor.
     val seeds = Tables.customer(spark, dir)
       .filter(col("c_nationkey") === 0)
       .select(col("c_custkey").as("id"))
@@ -1491,7 +1497,7 @@ object Pipeline {
       "flatten(transform(items, (v, i) -> " +
         "transform(slice(items, i + 2, size(items)), " +
         "w -> struct(v AS x, w AS y))))")
-    var edges = baskets.select(explode(pairsCol).as("pr"))
+    val edges0 = baskets.select(explode(pairsCol).as("pr"))
       .select(col("pr.x").as("x"), col("pr.y").as("y"))
       .distinct().localCheckpoint()
     // every census statistic derives from the DEGREE frame (n_nodes =
@@ -1500,22 +1506,36 @@ object Pipeline {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("x").as("n")).unionByName(e.select(col("y").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    var deg = degrees(edges).localCheckpoint()
+    // round-0 degrees checkpoint like every round's (a lazy variant was
+    // A/B'd in r9 and LOST: the k aggregate and round-1's keep broadcast
+    // each replayed the degree shuffle inside their own jobs)
+    var deg = degrees(edges0).localCheckpoint()
     // k = mean degree + 1 of the round-0 graph (Σdeg div N + 1 ≡ 2E/N+1)
-    val kf = deg.agg(
-      expr("sum(deg) div count(1) + 1").as("k"))
+    // as a 1-row driver read off the node-sized degree frame
+    // (the catalog_stats exact-NDV-twin discipline) — folding k to a
+    // LITERAL deletes the per-round kf broadcast build the old crossJoin
+    // form paid. Null on an empty graph → nothing survives (deg >= null
+    // was never true in the crossJoin form either).
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = edges0
     val rounds = (1 to 3).map { r =>
-      val keep = deg.crossJoin(broadcast(kf))
-        .filter(col("deg") >= col("k")).select(col("n"))
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
       // BOTH endpoint semi-joins probe the one un-aliased `keep` build —
       // canonically identical broadcast children dedup (ReusedExchange),
       // so the survivor set builds and broadcasts once per round, not
       // per side (interleaved A/B, min of 7: 2.32 → 1.70 s at sf0.1;
-      // per-side aliased builds broadcast twice)
+      // per-side aliased builds broadcast twice). The peeled edge frame
+      // is NOT checkpointed (r8 paid a second checkpoint job per round):
+      // its lineage is the pinned edges0 plus ≤2r stacked broadcast
+      // semi-joins — map-side only, no shuffle — and the ONE consumer
+      // that materializes it is the next degree checkpoint, so the
+      // re-scan of the pinned frame per round costs less than the
+      // checkpoint job it replaces (measured 2.34 → <1.5 s at sf0.1).
       edges = edges
         .join(broadcast(keep), col("x") === keep("n"), "left_semi")
         .join(broadcast(keep), col("y") === keep("n"), "left_semi")
-        .select(col("x"), col("y")).localCheckpoint()
+        .select(col("x"), col("y"))
       deg = degrees(edges).localCheckpoint()
       deg.agg(
           coalesce(count(col("n")), lit(0L)).as("n_nodes"),
