@@ -103,13 +103,16 @@ object TimeSeries {
     * backlog (the argmax-by-day struct carry), and the month's peak.
     *
     * Scale: the order×time interval frame NEVER materializes — spans
-    * collapse map-side to boundary deltas, the delta frame aggregates to
-    * ≤|days| rows, and the cumulative is the triangular self-join over
-    * that domain-sized frame (the suite's no-partition-less-window
-    * discipline; at |days|² ≈ 6M integer pairs it is compute-trivial,
-    * and a per-year partitioned window with carried offsets is the
-    * refinement when the domain grows). The ship-date aggregate rides
-    * the same l_orderkey clustering as the join.
+    * collapse map-side to boundary deltas and the delta frame aggregates
+    * to ≤|days| rows. The cumulative is the PER-YEAR partitioned window
+    * + carried year offsets (r9, replacing the r8 triangular self-join
+    * whose |days|² pairs grew quadratically in the day domain): each
+    * year's running sum is a WindowExec over ≤366 rows partitioned on
+    * year — never partition-less, per the suite discipline — and the
+    * cross-year carry is the triangular join over the YEAR-sized totals
+    * frame (|years|², trivial at any horizon), broadcast back. The
+    * ship-date aggregate rides the same l_orderkey clustering as the
+    * join.
     */
   def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -130,10 +133,20 @@ object TimeSeries {
         struct(date_add(col("last_ship"), 1).as("d"),
           lit(-1L).as("delta")))).as("b"))
       .groupBy(col("b.d").as("d")).agg(sum(col("b.delta")).as("delta"))
-    val cum = deltas.as("a")
-      .join(deltas.as("b"), col("b.d") <= col("a.d"))
-      .groupBy(col("a.d").as("d"))
-      .agg(sum(col("b.delta")).as("open_orders"))
+      .withColumn("yr", year(col("d")))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("yr")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val inYear = deltas
+      .withColumn("cin", sum(col("delta")).over(wCum))
+    val yearTot = deltas.groupBy(col("yr")).agg(sum(col("delta")).as("yt"))
+    val off = yearTot.as("a")
+      .join(yearTot.as("b"), col("b.yr") < col("a.yr"))
+      .groupBy(col("a.yr").as("yr")).agg(sum(col("b.yt")).as("off"))
+    val cum = inYear.join(broadcast(off), Seq("yr"), "left")
+      .select(col("d"),
+        (col("cin") + coalesce(col("off"), lit(0L))).as("open_orders"))
     cum.groupBy(trunc(col("d"), "month").as("m"))
       .agg(count(lit(1)).as("n_boundary_days"),
         max(struct(col("d"), col("open_orders"))).as("eom"),
