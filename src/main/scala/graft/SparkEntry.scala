@@ -35,6 +35,7 @@ object SparkEntry {
       (sources.Formats.queries, sources.Formats.oracle),
       (sources.Bucketed.queries, sources.Bucketed.oracle),
       (sources.Catalog.queries, sources.Catalog.oracle),
+      (sources.Dml.queries, sources.Dml.oracle),
       (sources.Layout.queries, sources.Layout.oracle),
       (sources.ChangeLog.queries, sources.ChangeLog.oracle))
 

@@ -52,6 +52,31 @@ class CatalogSpec extends SparkSpec {
     assert(again == first, "partition overwrite changed the table content")
   }
 
+  test("row-level DML statements re-run idempotently") {
+    // every statement re-executes per call (there is no DML memo): the
+    // second run must find nothing to do (UPDATE's assignment falsified
+    // its own predicate, DELETE's rows are gone, MERGE re-asserts the
+    // same absolute values) and the readback must be bit-identical.
+    for (q <- Seq("sql_update", "sql_delete", "sql_merge")) {
+      val first = SparkEntry.queries(q)(spark, sfTiny).collect().toSeq
+      val second = SparkEntry.queries(q)(spark, sfTiny).collect().toSeq
+      assert(first == second, s"$q drifted on re-run")
+      assert(first.nonEmpty, s"$q returned no rows")
+    }
+    // DELETE actually removed the rows (no negative balance survives)
+    val db = sources.Catalog.dbName(sfTiny)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $db.t_dml_del WHERE cents < 0")
+      .head().getLong(0) == 0L)
+    // MERGE inserted the synthetic segment exactly once
+    val n = spark.sql(
+      s"SELECT count(*) FROM $db.t_dml_merge WHERE seg = 'NEWSEG'")
+      .head().getLong(0)
+    val expect = spark.table(s"$db.customer")
+      .filter(col("c_custkey") % 1000 === 0).count()
+    assert(n == expect, s"NEWSEG rows $n != $expect")
+  }
+
   test("catalog_view equals the direct-reader computation") {
     val viaCatalog = sources.Catalog.catalogView(spark, sfTiny)
     val c = Tables.customer(spark, sfTiny)
