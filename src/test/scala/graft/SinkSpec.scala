@@ -260,4 +260,52 @@ class SinkSpec extends SparkSpec {
         s"restart must read ONLY the outage fragment (${f3.size} rows), read $replayed")
     }
   }
+
+  test("JDBC sink: the upsert pipeline runs end-to-end off a RATE source") {
+    // The non-Memory live-source leg (r7/r8 verdict carry-over): the same
+    // cdcUpsertJdbcQuery that SinkSpec drives from MemoryStream here
+    // consumes Spark's built-in rate source — a genuinely asynchronous,
+    // wall-clock-driven stream (the sandbox's stand-in for a Kafka-class
+    // bus) — and applies LWW upserts into Derby. Rate row COUNTS are
+    // nondeterministic, so the assertions are prefix-stable invariants:
+    // processed offsets form a prefix 0..N-1, events map user_id =
+    // event_id % 50, no deletes occur, so the table holds one row per
+    // user whose stored event_id is the LARGEST processed id of that
+    // residue class — all 50 users present once N >= 50, every stored id
+    // within a 50-wide tail window, ids ≡ user (mod 50), value = 1.0.
+    import graft.streaming.Streams
+    val url = "jdbc:derby:memory:graftrate;create=true"
+    withDerby("graftrate") { conn =>
+      conn.createStatement().execute(
+        """CREATE TABLE sink_t (user_id BIGINT PRIMARY KEY,
+          |ts TIMESTAMP, event_id BIGINT, value DOUBLE)""".stripMargin)
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", "500").option("numPartitions", "1").load()
+      val base = 1704067200L
+      val events = rate.select(
+        col("value").as("event_id"),
+        timestamp_seconds(lit(base) + col("value")).as("ts"),
+        (col("value") % 50).as("user_id"),
+        lit("click").as("event_type"),
+        lit(1.0).as("value"),
+        lit("""{"k": 1}""").as("props"))
+      val q = Streams.cdcUpsertJdbcQuery(events, url, "sink_t",
+        tmp("rate-jdbc-ckpt"))
+      try {
+        var tries = 0
+        while (tableState(conn).size < 50 && tries < 60) {
+          Thread.sleep(500); q.processAllAvailable(); tries += 1
+        }
+      } finally q.stop()
+      val state = tableState(conn)
+      assert(state.size == 50, s"expected all 50 users, got ${state.size}")
+      val ids = state.map { case (_, (eid, _)) => eid }
+      assert(ids.max - ids.min < 50,
+        s"stored ids must be the per-user maxima of one prefix: $ids")
+      state.foreach { case (user, (eid, v)) =>
+        assert(eid % 50 == user, s"event $eid landed on wrong user $user")
+        assert(v == 1.0, s"value drifted for user $user: $v")
+      }
+    }
+  }
 }
