@@ -299,7 +299,13 @@ object Olap {
       .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))")
         .as("bits"))
       .repartition(col("event_type"))
-    // real event hours from the PARTIALS, not a second raw scan
+    // real event hours: written against the partials, though column
+    // pruning rewrites this branch into its own narrow scan+agg chain
+    // (no bits), so the corpus IS read twice — the r9 plan audit
+    // confirmed it, and the pinned-frame alternative that would read
+    // once still measured WORSE (0.92 vs 1.21 s interleaved: the
+    // checkpoint job + lost codegen fusion cost more than the narrow
+    // second scan). Declared floor; exchange count pinned in PlanSpec.
     val hours = hourly.select(col("h").as("we")).distinct()
     val expanded = hourly.select(col("event_type"),
         explode(array(col("h"),

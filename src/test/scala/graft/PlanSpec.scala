@@ -433,6 +433,69 @@ class PlanSpec extends SparkSpec {
       s"doc_tfidf grew to $hashX hash exchanges (expected ≤3):\n$p")
   }
 
+  test("iterative graph queries stay inside their job-floor budgets") {
+    // kcore/BFS wall time is JOB COUNT (checkpoint sync points + broadcast
+    // builds + AQE stages), not data — the r8/r9 floor work ground both to
+    // a measured minimum (kcore: one deg checkpoint per round, literal k,
+    // un-aliased shared keep build; BFS: one pinned frontier per round —
+    // every cheaper variant A/B'd and rejected in-source). Measured at
+    // sf0.01: kcore 20, BFS 31. A round gaining an extra checkpoint or a
+    // per-side broadcast build shows up as +3/+4 here.
+    val budgets = Seq("graph_kcore" -> 26, "graph_shortest_paths" -> 38)
+    for ((name, budget) <- budgets) {
+      SparkEntry.queries(name)(spark, sfTiny).queryExecution.toRdd.count()
+      val c = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          c.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        SparkEntry.queries(name)(spark, sfTiny).queryExecution.toRdd.count()
+        // listener bus is async; wait for the count to go quiet
+        var prev = -1
+        var spins = 0
+        while (c.get != prev && spins < 20) {
+          prev = c.get; Thread.sleep(250); spins += 1
+        }
+        assert(c.get <= budget,
+          s"$name scheduled ${c.get} jobs (budget $budget) — a round grew " +
+            "an extra checkpoint/broadcast job")
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
+  test("declared-floor detectors keep their candidate-bounded shapes") {
+    // doc_containment: the 8-token-gram candidate build IS the detector
+    // (in-source note) — the verify side must stay candidate-narrowed:
+    // the packed-gram build sits behind a broadcast left-semi on the
+    // candidate ids, and the exact intersect stays the codegen kernel.
+    val dc = SparkEntry.queries("doc_containment")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(dc.contains("sorted_intersect_count"),
+      "doc_containment lost the codegen intersect")
+    assert(dc.contains("LeftSemi"),
+      "doc_containment verify side no longer candidate-narrowed")
+    // events_sliding_distinct: the ×(window/step) word expansion is the
+    // declared exact-distinct trade; the expansion must multiply WORDS
+    // (post-aggregate). The measured-floor plan is 5 hash exchanges: the
+    // (type,h,w) partial chain + its event_type repartition, the pruned
+    // hours twin of that chain + ITS repartition (column pruning splits
+    // the subtrees, so no ReusedExchange — the pinned-frame alternative
+    // was A/B'd and lost, note in-source), and the hours distinct. A 6th
+    // exchange means the expansion stopped riding the word partials.
+    val esd = SparkEntry.queries("events_sliding_distinct")(spark, sfTiny)
+    esd.collect()
+    val p = esd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashX = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashX <= 5,
+      s"events_sliding_distinct grew to $hashX exchanges — the expansion " +
+        s"stopped riding the word partials:\n$p")
+  }
+
   test("no query plans a partition-less (single-task) WindowExec") {
     // A window with an empty partitionSpec funnels every row through ONE
     // task — fine at |groups| rows, a straggler at 100 TB. The engine has
