@@ -36,6 +36,7 @@ object SparkEntry {
       (sources.Bucketed.queries, sources.Bucketed.oracle),
       (sources.Catalog.queries, sources.Catalog.oracle),
       (sources.Dml.queries, sources.Dml.oracle),
+      (sources.TxLog.queries, sources.TxLog.oracle),
       (sources.Layout.queries, sources.Layout.oracle),
       (sources.ChangeLog.queries, sources.ChangeLog.oracle))
 
