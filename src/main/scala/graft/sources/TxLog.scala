@@ -213,6 +213,79 @@ object TxLog {
     commit(table, files, live.map(_.path), "compact")
   }
 
+  /** Highest batch id committed for `app`, from the txn markers in the
+    * log — the idempotence ledger of the exactly-once streaming sink.
+    */
+  def lastTxnBatch(table: File, app: String): Option[Long] = {
+    val re = ("""\{"txn":\s*\{"app":\s*""" +
+      java.util.regex.Pattern.quote(q(app)) +
+      """,\s*"batch":\s*(\d+)\}\}""").r
+    val ids = versions(table).flatMap { v =>
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(versionFile(table, v).toPath).asScala.collectFirst {
+        case re(b) => b.toLong
+      }
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** EXACTLY-ONCE streaming append (the Delta `txn` idempotence pattern):
+    * a foreachBatch sink calls this per micro-batch; the (app, batchId)
+    * marker rides the commit, and a batch REPLAYED after a crash-restart
+    * (source offsets rewound past a committed sink write — the classic
+    * at-least-once boundary) is detected in the log and skipped, so the
+    * table never holds a batch twice. Single writer per app (a streaming
+    * query's contract); different apps interleave freely through the
+    * optimistic commit loop.
+    */
+  def exactlyOnceAppend(table: File, app: String, batchId: Long,
+      df: DataFrame): Boolean = {
+    if (lastTxnBatch(table, app).exists(_ >= batchId)) return false
+    val files = writeFiles(df, table, s"txn$batchId")
+    logDir(table).mkdirs()
+    val body = (files.map { case (p, r) =>
+        s"""{"add": {"path": ${q(p)}, "rows": $r}}""" } :+
+      s"""{"txn": {"app": ${q(app)}, "batch": $batchId}}""" :+
+      s"""{"commit": {"op": "stream-append"}}""")
+      .mkString("", "\n", "\n")
+    var committed = false
+    var done = false
+    while (!done) {
+      val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
+      val tmp = new File(logDir(table), s".tmp-${System.nanoTime()}")
+      Files.writeString(tmp.toPath, body)
+      try {
+        Files.move(tmp.toPath, versionFile(table, v).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        committed = true; done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp.toPath)
+          // another commit landed first — re-check the txn ledger before
+          // retrying (the racer might have been OUR replayed batch)
+          if (lastTxnBatch(table, app).exists(_ >= batchId)) done = true
+      }
+    }
+    committed
+  }
+
+  /** Streaming writer: every micro-batch lands as one exactly-once
+    * TxLog commit. The TxLog twin of Streams.cdcUpsertJdbcQuery.
+    */
+  def streamAppendQuery(events: DataFrame, table: File, app: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          exactlyOnceAppend(table, app, id, batch.toDF())
+          ()
+      }
+      .start()
+
   // ---- registered queries ------------------------------------------------
 
   /** Demo table, built once per (JVM, corpus): three appends carve

@@ -110,6 +110,38 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t, Some(0L)).count() == 5)
   }
 
+  test("exactly-once streaming sink: replayed batches commit nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val t = freshTable("stream")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_txspec_ckpt").toFile.getAbsolutePath
+    val input = MemoryStream[Long](spark)
+    val q = TxLog.streamAppendQuery(
+      input.toDF().select(col("value").as("id"),
+        concat(lit("v"), col("value")).as("payload")),
+      t, app = "spec", checkpointDir = ckpt)
+    try {
+      input.addData(1L, 2L, 3L); q.processAllAvailable()
+      input.addData(4L, 5L); q.processAllAvailable()
+    } finally q.stop()
+    assert(TxLog.snapshot(spark, t).count() == 5)
+    val vBefore = TxLog.versions(t).last
+    // the at-least-once boundary: the source rewinds past a committed
+    // sink write and REPLAYS batch 0 — the txn ledger must refuse it
+    val replayed = TxLog.exactlyOnceAppend(t, "spec", 0L,
+      Seq((1L, "v1"), (2L, "v2"), (3L, "v3")).toDF("id", "payload"))
+    assert(!replayed, "replayed batch was committed again")
+    assert(TxLog.versions(t).last == vBefore, "replay minted a version")
+    assert(TxLog.snapshot(spark, t).count() == 5, "replay duplicated rows")
+    // a NEW batch id still lands, and a different app id is independent
+    assert(TxLog.exactlyOnceAppend(t, "spec", 2L,
+      Seq((6L, "v6")).toDF("id", "payload")))
+    assert(TxLog.exactlyOnceAppend(t, "other", 0L,
+      Seq((7L, "v7")).toDF("id", "payload")))
+    assert(TxLog.snapshot(spark, t).count() == 7)
+  }
+
   test("demo-table history replays to the registered query's state") {
     // the registered queries' table: 3 appends + file-pruned delete +
     // compact; the delete commit must have left the pre-1997 append
