@@ -457,7 +457,316 @@ object Relational {
       |FROM per_cust GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** q7_volume_shipping (J14) — the TPC-H Q7 shape: bilateral trade flows
+    * between a nation PAIR, grouped by (supp_nation, cust_nation, year).
+    * Both directions of the pair survive one scan: each side's dimension
+    * prunes to the 2-nation union BEFORE its join (supplier via a
+    * broadcast nation lookup, customer likewise), and the asymmetric
+    * pair filter (supp ≠ cust) runs post-join on the two tiny name
+    * columns.
+    *
+    * Scale: the supplier leg broadcasts (2/25 of suppliers joined to a
+    * 2-row nation slice); lineitem reaches the orders join already
+    * supplier-pruned to ~8%, so the one orderkey exchange moves 8% of
+    * the fact; the customer leg prunes to 2/25 before its join and the
+    * planner picks broadcast vs shuffle by size (no forced hint — at
+    * 100 TB customers outgrow broadcast). 4-group-per-year output.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_18", "NATION_19"))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("nk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7VolumeShippingSql: String =
+    s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  COUNT(*) AS n_items,
+       |  ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ns ON ns.n_nationkey = s_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation nc ON nc.n_nationkey = c_nationkey
+       |WHERE ns.n_name IN ('NATION_18', 'NATION_19')
+       |  AND nc.n_name IN ('NATION_18', 'NATION_19')
+       |  AND ns.n_name <> nc.n_name
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q8_market_share (A38) — the TPC-H Q8 shape: one nation's SHARE of a
+    * region's market per year — the ratio-of-conditional-aggregates
+    * pattern where both numerator and denominator must come out of ONE
+    * grouped pass (two scans would double the fact cost). Share =
+    * exact-6dp numerator / exact-6dp denominator in double division
+    * (both operands are exact-integer-derived doubles — the davg
+    * discipline — so the IEEE result is engine-identical).
+    *
+    * Scale: part prunes to the 1/6 type slice at its scan; the ASIA
+    * customer slice prunes to 1/5; nation+region broadcast (≤25 rows);
+    * supplier joins by planner choice (10k×SF — broadcastable only at
+    * small SF, and not forced). One orderkey exchange on the
+    * part-pruned fact; |years| output rows.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(asiaNat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        dsum6(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0.0)))
+          .as("nation_rev"),
+        dsum6(rev).as("total_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    s"""WITH j AS (
+       |  SELECT year(o_orderdate) AS o_year,
+       |    l_extendedprice * (1 - l_discount) AS rev,
+       |    ns.n_name AS supp_nation
+       |  FROM lineitem
+       |  JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA'
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ns ON ns.n_nationkey = s_nationkey)
+       |SELECT CAST(o_year AS BIGINT) AS o_year,
+       |  ${sqlDsum6("CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END")}
+       |    AS nation_rev,
+       |  ${sqlDsum6("rev")} AS total_rev,
+       |  ${sqlDsum6("CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END")}
+       |    / ${sqlDsum6("rev")} AS mkt_share
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q10_returned_top (J15) — the TPC-H Q10 shape: top-k customers by
+    * RETURNED-goods revenue in one quarter — the "who's sending product
+    * back" churn report. Quarter window prunes orders at the scan,
+    * returnflag prunes lineitem at the scan; group keys carry the
+    * customer attributes through the aggregate (no re-join after the
+    * agg); top-20 plans as TakeOrderedAndProject so only k rows reach
+    * the driver-side collect the parquet write replaces.
+    *
+    * Scale: both fact scans pre-pruned (quarter ≈ 1/26 of orders, R ≈
+    * 1/3 of lineitem); one orderkey exchange joins them; the customer
+    * join keys the aggregate's own custkey clustering; nation broadcasts.
+    */
+  def q10ReturnedTop(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedTopSql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q14_promo_share (A39) — the TPC-H Q14 shape: promo revenue share per
+    * month — the conditional-aggregate RATIO computed in the same grouped
+    * pass as its denominator (the q8 discipline, here with a month grain
+    * and a date-window scan prune). Share = exact-int-derived double /
+    * exact-int-derived double.
+    *
+    * Scale: the 1997 window prunes lineitem at the scan; part projects
+    * (partkey, type) only — the join carries one short string per row
+    * and the planner picks broadcast vs shuffle by part's size; 12
+    * output rows.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).cast("long").as("l_month"))
+      .agg(
+        dsum6(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        dsum6(rev).as("total_rev"))
+      .withColumn("promo_share", col("promo_rev") / col("total_rev"))
+      .orderBy(col("l_month"))
+  }
+
+  val q14PromoShareSql: String =
+    s"""SELECT CAST(month(l_shipdate) AS BIGINT) AS l_month,
+       |  ${sqlDsum6("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       |    AS promo_rev,
+       |  ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS total_rev,
+       |  ${sqlDsum6("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       |    / ${sqlDsum6("l_extendedprice * (1 - l_discount)")} AS promo_share
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q17_small_qty_rev (A40) — the TPC-H Q17 shape: revenue from orders
+    * SMALLER than 20% of their part's average quantity — the correlated
+    * per-group-average subquery. The textbook form rescans lineitem per
+    * part; here the per-part (n, Σqty) aggregates ONCE and joins back,
+    * and the 20%-of-average compare runs in exact integers by
+    * cross-multiplying (5·qty·n < Σqty ⟺ qty < 0.2·avg — quantities are
+    * integral, so no float compare anywhere).
+    *
+    * Scale: the brand slice of part broadcasts into the lineitem scan
+    * (fact pruned to ~1/25 before any exchange); the per-part stats and
+    * the join-back share one partkey clustering, and the stats side is
+    * |parts-in-brand|-sized (broadcastable at any SF). Single-row output.
+    */
+  def q17SmallQtyRev(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#11").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), scaledLong(col("l_quantity"), 1L).as("qty"),
+        col("l_extendedprice"))
+    val stats = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+    li.join(broadcast(stats), col("l_partkey") === col("pk"))
+      .filter(col("qty") * 5 * col("n") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        dsum(col("l_extendedprice")).as("small_rev"))
+  }
+
+  val q17SmallQtyRevSql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+       |    l_extendedprice
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_brand = 'Brand#11'),
+       |st AS (SELECT l_partkey AS pk, count(*) AS n,
+       |    CAST(sum(qty) AS BIGINT) AS sum_qty FROM li GROUP BY 1)
+       |SELECT count(*) AS n_small, ${sqlDsum("l_extendedprice")} AS small_rev
+       |FROM li JOIN st ON l_partkey = pk
+       |WHERE qty * 5 * n < sum_qty""".stripMargin
+
+  /** q18_big_orders (J16) — the TPC-H Q18 shape: orders whose TOTAL
+    * quantity clears a threshold, rejoined to their header + customer —
+    * the grouped-HAVING-drives-a-semi-join pattern. The per-order Σqty
+    * aggregates in exact integers and the qualifying set (rare by
+    * construction) joins back to orders and customer for the report
+    * columns.
+    *
+    * Scale: the per-order aggregate clusters on l_orderkey = the
+    * join-back key, so one fact exchange serves both; the qualifying
+    * orders are a tiny fraction (threshold in the distribution tail) and
+    * the customer join moves only them; top-100 by totalprice plans as
+    * TakeOrderedAndProject.
+    */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val oq = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), scaledLong(col("l_quantity"), 1L).as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty")).as("sum_qty"))
+      .filter(col("sum_qty") > 250L)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+    oq.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        fmtDate(col("o_orderdate")).as("odate"), col("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18BigOrdersSql: String =
+    s"""WITH oq AS (
+       |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT))
+       |    AS BIGINT) AS sum_qty
+       |  FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+       |SELECT c_custkey, c_name, o_orderkey,
+       |  ${sqlFmtDate("o_orderdate")} AS odate, o_totalprice, sum_qty
+       |FROM oq
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_top" -> (q10ReturnedTop _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q17_small_qty_rev" -> (q17SmallQtyRev _),
+    "q18_big_orders" -> (q18BigOrders _),
     "q13_order_dist" -> (q13OrderDist _),
     "q2_min_cost_supp" -> (q2MinCostSupp _),
     "q21_sole_returner" -> (q21SoleReturner _),
@@ -470,6 +779,12 @@ object Relational {
     "q3_join_topk" -> (q3JoinTopk _))
 
   def oracle: Map[String, String] = Map(
+    "q7_volume_shipping" -> q7VolumeShippingSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q10_returned_top" -> q10ReturnedTopSql,
+    "q14_promo_share" -> q14PromoShareSql,
+    "q17_small_qty_rev" -> q17SmallQtyRevSql,
+    "q18_big_orders" -> q18BigOrdersSql,
     "q13_order_dist" -> q13OrderDistSql,
     "q2_min_cost_supp" -> q2MinCostSuppSql,
     "q21_sole_returner" -> q21SoleReturnerSql,

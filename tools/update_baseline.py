@@ -35,7 +35,7 @@ def main():
         print(f"{name}: {best:.3f}s")
     base["n_queries"] = len(base["queries"])
     base["note"] = (base.get("note", "") +
-                    f"; round-8 re-timed: {', '.join(names)}")
+                    f"; re-timed: {', '.join(names)}")
     json.dump(base, open(BASELINE, "w"), indent=1)
     print(f"wrote {BASELINE} with {base['n_queries']} queries")
 
