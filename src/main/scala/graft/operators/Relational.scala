@@ -760,7 +760,106 @@ object Relational {
        |JOIN customer ON c_custkey = o_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** q15_top_supplier (A41) — the TPC-H Q15 shape: the supplier(s) whose
+    * quarter revenue EQUALS the global maximum — argmax-row ELECTION
+    * against a derived aggregate (Q11/A35 compares against a scalar
+    * THRESHOLD; Q15 must re-identify the winning rows, and ties must
+    * all surface). The float trap: electing on a double revenue silently
+    * drops tied winners whose float images differ — here election
+    * compares exact 6dp-micro INTEGERS, and the 1-row max broadcasts
+    * back into the per-supplier aggregate (no second scan of the fact).
+    *
+    * Scale: one quarter-pruned fact scan → per-supplier aggregate
+    * (suppkey clustering); the max is a 1-row broadcast; supplier name
+    * joins only the winners.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(splitSum(scaledLong(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1000000L))
+        .cast("long").as("rev_micros"))
+    val top = rev.agg(max(col("rev_micros")).as("max_micros"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_micros") === col("max_micros"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_micros").cast("double") / 1000000).as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS rev_micros
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name,
+      |  CAST(rev_micros AS DOUBLE) / 1000000 AS total_rev
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE rev_micros = (SELECT max(rev_micros) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q16_supp_variety (J17) — the TPC-H Q16 shape: how many DISTINCT
+    * suppliers can source each (brand, size) slice, EXCLUDING a derived
+    * deny-list (Q16's "customer complaints" NOT IN subquery — here,
+    * suppliers with a max-quantity 'R' return in early 1995). The
+    * exclusion is a left_anti against a distinct-key derived set, then a
+    * distinct count over the surviving (part, supplier) pairs — lineitem
+    * stands in for the partsupp relation (the schema has no partsupp
+    * table).
+    *
+    * Scale: the deny-list is |suppliers|-bounded (broadcastable at any
+    * SF) and derives from a scan-pruned slice (returnflag + quantity +
+    * window reach parquet); the (partkey, suppkey) distinct pairs and
+    * the per-(brand, size) distinct-supplier count both cluster on
+    * partkey after the part join.
+    */
+  def q16SuppVariety(spark: SparkSession, dir: String): DataFrame = {
+    val deny = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 50 &&
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-03-01").cast("timestamp"))
+      .select(col("l_suppkey").as("bad_suppkey")).distinct()
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(deny), col("l_suppkey") === col("bad_suppkey"),
+        "left_anti")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type").isin("SMALL", "MEDIUM"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    ps.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(30)
+  }
+
+  val q16SuppVarietySql: String =
+    """WITH deny AS (
+      |  SELECT DISTINCT l_suppkey FROM lineitem
+      |  WHERE l_returnflag = 'R' AND l_quantity >= 50
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1995-03-01 00:00:00')
+      |SELECT p_brand, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_type IN ('SMALL', 'MEDIUM')
+      |  AND l_suppkey NOT IN (SELECT l_suppkey FROM deny)
+      |GROUP BY 1, 2
+      |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 30""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supp_variety" -> (q16SuppVariety _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q10_returned_top" -> (q10ReturnedTop _),
@@ -779,6 +878,8 @@ object Relational {
     "q3_join_topk" -> (q3JoinTopk _))
 
   def oracle: Map[String, String] = Map(
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q16_supp_variety" -> q16SuppVarietySql,
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q8_market_share" -> q8MarketShareSql,
     "q10_returned_top" -> q10ReturnedTopSql,

@@ -414,4 +414,104 @@ object Streams {
       }
       .start()
   }
+
+  // ---- ST14: transformWithState (arbitrary-state v2 API) ----------------
+
+  /** The live per-user profile row ST14 maintains. */
+  case class UserProfile(
+      user_id: Long, n_events: Long, total_cents: Long,
+      n_types: Long, top_type: String)
+
+  /** ST14 — per-entity live profile via `transformWithState`, Structured
+    * Streaming's arbitrary-state v2 API (Spark 4.x): the successor to
+    * mapGroupsWithState that ST13/ST10 use. What v2 uniquely adds — and
+    * what this operator exercises — is MULTIPLE independently-typed state
+    * variables per key: a ValueState[(n, Σcents)] running total next to a
+    * MapState[event_type → count] census, each with its own encoder and
+    * (optional) TTL, instead of one monolithic case-class blob that every
+    * update must rewrite in full. On the RocksDB state store the map's
+    * per-type entries are separate KV pairs, so a 1-type update writes one
+    * entry, not the whole profile.
+    *
+    * Determinism contract (the suite's discipline): cents accumulate with
+    * the SAME half-away-from-zero rounding as Det.scaledLong, and top_type
+    * breaks count ties lexicographically — so any prefix split of a
+    * per-key-ordered feed converges to the batch fold (pinned in
+    * StreamingSpec: 1-batch ≡ 3-batch ≡ batch-twin recompute).
+    *
+    * Scale: state is keyed by user_id and shards with the groupByKey hash
+    * partitioning; per-key state is O(distinct types) — bounded by the
+    * event-type vocabulary, not the stream length. TimeMode.None: no
+    * timers; eviction policy belongs to TTLConfig when a deployment needs
+    * it (a one-line change per state var).
+    */
+  class ProfileProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ChangeEvent, UserProfile] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", Encoders.product[(Long, Long)], TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long](
+        "typeCounts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ChangeEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserProfile] = {
+      var (n, cents) =
+        if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { e =>
+        n += 1
+        // half-away-from-zero ×100 — the exact integer image Det.scaledLong
+        // gives the batch twin, so stream and batch folds are bit-equal
+        cents += (if (e.value >= 0) (e.value * 100 + 0.5).toLong
+                  else (e.value * 100 - 0.5).toLong)
+        val c = if (typeCounts.containsKey(e.event_type))
+          typeCounts.getValue(e.event_type) else 0L
+        typeCounts.updateValue(e.event_type, c + 1)
+      }
+      totals.update((n, cents))
+      var nTypes = 0L
+      var topT = ""
+      var topC = -1L
+      typeCounts.iterator().foreach { case (t, c) =>
+        nTypes += 1
+        if (c > topC || (c == topC && t < topT)) { topC = c; topT = t }
+      }
+      Iterator.single(UserProfile(key, n, cents, nTypes, topT))
+    }
+  }
+
+  /** ST14 entry: one UserProfile row per (key, micro-batch) in Update
+    * mode; the LAST emission per key is the live profile. Requires the
+    * RocksDB state store provider (the v2 API's backing store).
+    */
+  def liveProfile(events: Dataset[ChangeEvent]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Batch twin of ST14's fold (the Structured Streaming contract: the
+    * incremental plan must compute the batch answer). */
+  def liveProfileBatch(events: DataFrame): DataFrame = {
+    val cents = graft.functions.Det.scaledLong(col("value"), 100)
+    val perType = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("tc"), sum(cents).as("tcents"))
+    perType.groupBy(col("user_id"))
+      .agg(sum(col("tc")).as("n_events"),
+        sum(col("tcents")).as("total_cents"),
+        count(lit(1)).as("n_types"),
+        // same (max count, lexicographically-smallest) tie-break as the
+        // processor: maximize count, then minimize type string
+        min(struct((lit(Long.MaxValue) - col("tc")).as("negc"),
+          col("event_type").as("t"))).getField("t").as("top_type"))
+  }
 }

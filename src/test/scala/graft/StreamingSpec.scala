@@ -524,4 +524,63 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("ST14 transformWithState multi-state profile: batch-split invariant " +
+      "and equal to the batch twin (incl. top-type tie-break)") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 1, 1, "view", 2.5), ev(2, 2, 1, "click", -1.2),
+      ev(3, 3, 1, "view", 0.4),
+      ev(4, 1, 2, "purchase", 10.0), ev(5, 2, 2, "view", 1.0),
+      ev(6, 5, 3, "click", 3.3),
+      // user 4: count tie between "b" and "a" — lexicographic tiebreak
+      // must elect "a" in both the processor and the batch twin
+      ev(7, 1, 4, "b_type", 1.0), ev(8, 2, 4, "a_type", 1.0))
+    // the v2 API requires the RocksDB state store
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(batches: Seq[Seq[Streams.ChangeEvent]], name: String)
+          : Map[Long, (Long, Long, Long, String)] = {
+        val input = MemoryStream[ChangeEvent](spark)
+        val q = Streams.liveProfile(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          batches.foreach { b => input.addData(b); drain(q) }
+          // Update mode re-emits a key's profile every touched batch; the
+          // LIVE profile is the emission with the largest n_events per key
+          // (n_events is strictly monotone in the fold)
+          spark.table(name).collect()
+            .groupBy(_.getLong(0))
+            .map { case (u, rs) =>
+              val r = rs.maxBy(_.getLong(1))
+              u -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+            }
+        } finally q.stop()
+      }
+      val oneShot = run(Seq(events), "st14_one")
+      val split = run(Seq(events.take(3), events.slice(3, 6),
+        events.drop(6)), "st14_three")
+      assert(oneShot == split,
+        s"prefix split diverged: $oneShot vs $split")
+      val twin = Streams.liveProfileBatch(events.toDF())
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toMap
+      assert(oneShot == twin, s"stream fold diverged from batch twin: " +
+        s"$oneShot vs $twin")
+      // pin the tie-break and the exact cents arithmetic explicitly
+      assert(oneShot(4L)._4 == "a_type")
+      assert(oneShot(1L) == ((3L, 170L, 2L, "view"))) // 250 - 120 + 40
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
 }
