@@ -201,6 +201,127 @@ object TxLog {
     commit(table, files, affectedRel, "delete")
   }
 
+  /** Table-relative forms of absolute `input_file_name` URIs. */
+  private def relativize(table: File, abs: Seq[String]): Seq[String] = {
+    val tableUri = table.getCanonicalFile.toURI.toString
+    abs.map { u =>
+      val s = u.stripPrefix("file:").replaceAll("^/+", "/")
+      new File(s).getCanonicalFile.toURI.toString.stripPrefix(tableUri)
+    }
+  }
+
+  /** Transactional MERGE (upsert) — the Delta `WHEN MATCHED THEN UPDATE
+    * SET * / WHEN NOT MATCHED THEN INSERT *` form on the commit log:
+    * source rows REPLACE target rows sharing their `keys` (both sides
+    * must share the table schema), unmatched source rows insert, and
+    * everything lands as ONE atomic add+remove commit.
+    *
+    * File-pruned copy-on-write like deleteWhere: only live files that
+    * CONTAIN a matched key are rewritten (found via a semi-join
+    * of the distinct source keys against the snapshot — broadcast-sized
+    * sources broadcast by planner choice, larger ones shuffle + input_file_name —
+    * a file-count-bounded driver read); matched keys can only live in
+    * those files, so the rewrite joins the AFFECTED rows, never the whole
+    * table. Cost is |affected files| + |source|, not |table|.
+    */
+  def merge(spark: SparkSession, table: File, source: DataFrame,
+      keys: Seq[String]): Long = {
+    val snap = snapshot(spark, table)
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // input_file_name() must bind to the SNAPSHOT scan alone — stamped
+    // before the semi-join (Spark rejects it over a multi-source plan)
+    val affectedAbs = snap.withColumn("_gf", input_file_name())
+      .join(srcKeys, keys, "left_semi")
+      .select(col("_gf")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val affected =
+      if (affectedAbs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row], snap.schema)
+      else spark.read.parquet(affectedAbs: _*)
+    // matched keys live ONLY in affected files, so the match census needs
+    // no second snapshot scan
+    val keptTarget = affected.join(srcKeys, keys, "left_anti")
+    val affectedKeys = affected.select(keys.map(col): _*).distinct()
+    val updates = source.join(affectedKeys, keys, "left_semi")
+    val inserts = source.join(affectedKeys, keys, "left_anti")
+    val rewritten = keptTarget
+      .unionByName(updates.select(snap.columns.map(col): _*))
+      .unionByName(inserts.select(snap.columns.map(col): _*))
+    commit(table, writeFiles(rewritten, table, "merge"),
+      relativize(table, affectedAbs), "merge")
+  }
+
+  /** Row-level CHANGE DATA FEED between two versions, derived purely
+    * from the log's add/remove file sets (the Delta CDF shape, computed
+    * after the fact instead of written eagerly): for each commit in
+    * (fromVersion, toVersion], rows present in its added files but not
+    * its removed files are `insert`s, rows present in removed but not
+    * added are `delete`s, and a MERGE's updated row surfaces as its
+    * delete+insert pre/post-image pair. Data-preserving commits
+    * (op=compact) contribute nothing by definition and are skipped
+    * without reading a byte.
+    *
+    * Scale: cost is bounded by the files TOUCHED by the commits in
+    * range — the CDF property that makes downstream incremental view
+    * maintenance delta-proportional instead of snapshot-diff-sized
+    * (S7 diffs two full snapshots; this reads only the changed files).
+    * The bag-difference per commit (exceptAll) is exact under duplicate
+    * rows. Requires the touched files to still exist — i.e. a feed
+    * window inside the vacuum retention horizon, the same contract as
+    * Delta's.
+    */
+  def changeFeed(spark: SparkSession, table: File, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val vs = versions(table).filter(v => v > fromVersion && v <= toVersion)
+    val parts = vs.flatMap { v =>
+      val c = readCommit(table, v)
+      if (c.op == "compact") None
+      else {
+        def read(paths: Seq[String]): Option[DataFrame] =
+          if (paths.isEmpty) None
+          else Some(spark.read.parquet(
+            paths.map(p => new File(table, p).getAbsolutePath): _*))
+        val added = read(c.adds.map(_.path))
+        val removed = read(c.removes)
+        def tag(df: DataFrame, t: String) =
+          df.select(lit(v).as("_version") +: lit(t).as("_change_type") +:
+            df.columns.map(col): _*)
+        val ins = (added, removed) match {
+          case (Some(a), Some(r)) => Some(tag(a.exceptAll(r), "insert"))
+          case (Some(a), None) => Some(tag(a, "insert"))
+          case _ => None
+        }
+        val del = (added, removed) match {
+          case (Some(a), Some(r)) => Some(tag(r.exceptAll(a), "delete"))
+          case (None, Some(r)) => Some(tag(r, "delete"))
+          case _ => None
+        }
+        ins.toSeq ++ del.toSeq
+      }
+    }
+    require(parts.nonEmpty,
+      s"TxLog: no data-changing commits in ($fromVersion, $toVersion]")
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** VACUUM: physically delete data files no longer referenced by any
+    * version >= `retainFromVersion`. Time travel and changeFeed windows
+    * reaching below the horizon stop working — the Delta/Iceberg
+    * retention contract. Metadata (the log) is never deleted, so history
+    * STRUCTURE stays auditable. Returns the deleted relative paths.
+    */
+  def vacuum(table: File, retainFromVersion: Long): Seq[String] = {
+    val vs = versions(table)
+    val retained = vs.filter(_ >= retainFromVersion)
+      .flatMap(v => liveFiles(table, v).map(_.path)).toSet
+    // every file ever added, in log order
+    val everAdded = vs.flatMap(v => readCommit(table, v).adds.map(_.path))
+    // report only files ACTUALLY deleted this call — a re-run is a no-op
+    everAdded.filterNot(retained)
+      .filter(p => Files.deleteIfExists(new File(table, p).toPath))
+  }
+
   /** ACID compaction (S23, with the commit this time): bin ALL live
     * files into `targetFiles` rewritten ones in one add+remove commit.
     * Pre-compaction versions still time-travel from the original files.
@@ -382,11 +503,121 @@ object TxLog {
       |SELECT * FROM v2 UNION ALL SELECT * FROM lat
       |ORDER BY version, o_orderpriority""".stripMargin
 
+  /** txlog_changefeed (S41) — the change DATA FEED of the demo table's
+    * whole history, derived from the log (Delta CDF shape): the three
+    * appends surface as per-version `insert` batches, the copy-on-write
+    * delete surfaces as exactly the deleted slice (`delete` rows — the
+    * rewritten survivors cancel in the bag-difference), and the
+    * compaction contributes NOTHING (data-preserving, skipped unread).
+    * The oracle recomputes each version's delta from raw orders — the
+    * hash-match proves the feed is row-exact, not just file bookkeeping.
+    * Version numbers are data-derived (the delete commit only exists
+    * where its slice is non-empty), so Spark and oracle stay aligned at
+    * every SF.
+    */
+  def txlogChangefeed(spark: SparkSession, dir: String): DataFrame = {
+    val t = demoTable(spark, dir)
+    changeFeed(spark, t, -1L, versions(t).last)
+      .groupBy(col("_version"), col("_change_type"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("_version"), col("_change_type"), col("o_orderpriority"))
+  }
+
+  val txlogChangefeedSql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority, year(o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |cf AS (
+      |  SELECT CAST(0 AS BIGINT) AS _version, 'insert' AS _change_type,
+      |    o_orderpriority, cents FROM t WHERE yr < 1995
+      |  UNION ALL
+      |  SELECT 1, 'insert', o_orderpriority, cents FROM t
+      |  WHERE yr BETWEEN 1995 AND 1996
+      |  UNION ALL
+      |  SELECT 2, 'insert', o_orderpriority, cents FROM t WHERE yr > 1996
+      |  UNION ALL
+      |  SELECT 3, 'delete', o_orderpriority, cents FROM t
+      |  WHERE yr = 1997 AND o_orderpriority = '3-MEDIUM')
+      |SELECT _version, _change_type, o_orderpriority,
+      |  COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM cf GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Merge demo table, built once per (JVM, corpus): one range-
+    * partitioned append of the orders census, then ONE transactional
+    * MERGE whose source mixes updates (1998 urgent orders get +777
+    * cents) with inserts (the 1997 medium slice re-keyed above the
+    * orderkey domain). Range partitioning by (yr, key) concentrates the
+    * matched keys so the copy-on-write rewrite prunes files (pinned in
+    * TxLogSpec).
+    */
+  private[graft] def mergeDemoTable(spark: SparkSession, dir: String)
+      : File = {
+    val db = new File(dir).getName
+    val table = new File(
+      new File(sys.props("java.io.tmpdir")),
+      s"graft_txlogm_${ProcessHandle.current.pid}_$db")
+    val done = versions(table).lastOption
+      .exists(v => readCommit(table, v).op == "merge")
+    if (!done) {
+      val o = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
+          .as("cents"))
+      append(o.repartitionByRange(4, col("yr"), col("o_orderkey")), table)
+      val updates = o
+        .filter(col("yr") === 1998 && col("o_orderpriority") === "1-URGENT")
+        .withColumn("cents", col("cents") + 777L)
+      val inserts = o
+        .filter(col("yr") === 1997 && col("o_orderpriority") === "3-MEDIUM")
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      merge(spark, table, updates.unionByName(inserts), Seq("o_orderkey"))
+    }
+    table
+  }
+
+  /** txlog_merge (S42) — post-MERGE state read through the log: the
+    * oracle recomputes the upsert from raw orders (CASE uplift for the
+    * matched slice, UNION ALL for the re-keyed inserts), so the
+    * hash-match proves the one-commit upsert applied exactly the
+    * declared row algebra — replaced matches, preserved non-matches,
+    * appended non-matched source rows.
+    */
+  def txlogMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergeDemoTable(spark, dir)
+    snapshot(spark, t)
+      .groupBy(col("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("yr"), col("o_orderpriority"))
+  }
+
+  val txlogMergeSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderpriority, year(o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT o_orderpriority, yr,
+      |    CASE WHEN yr = 1998 AND o_orderpriority = '1-URGENT'
+      |      THEN cents + 777 ELSE cents END AS cents
+      |  FROM t
+      |  UNION ALL
+      |  SELECT o_orderpriority, yr, cents FROM t
+      |  WHERE yr = 1997 AND o_orderpriority = '3-MEDIUM')
+      |SELECT CAST(yr AS BIGINT) AS yr, o_orderpriority,
+      |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM merged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_snapshot" -> (txlogSnapshot _),
-    "txlog_time_travel" -> (txlogTimeTravel _))
+    "txlog_time_travel" -> (txlogTimeTravel _),
+    "txlog_changefeed" -> (txlogChangefeed _),
+    "txlog_merge" -> (txlogMerge _))
 
   def oracle: Map[String, String] = Map(
     "txlog_snapshot" -> txlogSnapshotSql,
-    "txlog_time_travel" -> txlogTimeTravelSql)
+    "txlog_time_travel" -> txlogTimeTravelSql,
+    "txlog_changefeed" -> txlogChangefeedSql,
+    "txlog_merge" -> txlogMergeSql)
 }

@@ -514,4 +514,99 @@ object Streams {
         min(struct((lit(Long.MaxValue) - col("tc")).as("negc"),
           col("event_type").as("t"))).getField("t").as("top_type"))
   }
+
+  // ---- ST15: event-time TIMERS in transformWithState --------------------
+
+  /** ST15 — timer-closed sessionization: the v2 API's EVENT-TIME TIMER
+    * surface (registerTimer / deleteTimer / handleExpiredTimer), which
+    * neither mapGroupsWithState's GroupStateTimeout (coarse, one timeout
+    * per key, checked only when the key sees traffic or the batch ends)
+    * nor the native session_window (fixed emission at window close, no
+    * custom per-key logic) exposes. Each key keeps ONE armed timer at
+    * `last_event + gap`; a new event disarms and re-arms it (deleteTimer
+    * + registerTimer — the store holds timers as their own keyed
+    * namespace, so re-arming is two KV ops, not a state rewrite). When
+    * the WATERMARK passes the armed expiry, handleExpiredTimer fires:
+    * the closed session emits in Append mode and the key's state clears
+    * to empty — state lifetime is bounded by (gap + lateness budget), the
+    * 100-TB property.
+    *
+    * Determinism: emission happens at watermark crossings, so WHICH batch
+    * emits a session depends on feed slicing, but the SET of closed
+    * sessions for a fully-drained feed is slicing-invariant (pinned in
+    * StreamingSpec against the batch sessionizer twin on the same gap).
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ChangeEvent, UserSession] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient private var session: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[(Long, Long, Long)](
+        "session", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ChangeEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSession] = {
+      // gap-splitting happens at EVENT time (deterministic, slicing-
+      // invariant): an event past last+gap closes the open session right
+      // here; the timer only flushes the final TRAILING session once the
+      // watermark passes it. Late events inside the watermark budget
+      // merge into the open session (extending it backwards if needed).
+      var st = if (session.exists()) Some(session.get()) else None
+      val oldLast = st.map(_._2)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      rows.toArray.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        st match {
+          case Some((s, l, n)) if t <= l + gapMs =>
+            st = Some((math.min(s, t), math.max(l, t), n + 1))
+          case Some((s, l, n)) =>
+            closed += UserSession(key, new Timestamp(s), new Timestamp(l), n)
+            st = Some((t, t, 1L))
+          case None =>
+            st = Some((t, t, 1L))
+        }
+      }
+      if (st.isEmpty) return closed.iterator
+      val (start, last, n) = st.get
+      if (oldLast.exists(_ != last)) getHandle.deleteTimer(
+        oldLast.get + gapMs)
+      session.update((start, last, n))
+      getHandle.registerTimer(last + gapMs)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[UserSession] = {
+      // the armed timer is always last+gap; an expiry with no state (or a
+      // stale one from a lost delete) emits nothing
+      if (!session.exists()) return Iterator.empty
+      val (start, last, n) = session.get()
+      if (expiredTimerInfo.getExpiryTimeInMs != last + gapMs)
+        return Iterator.empty
+      session.clear()
+      Iterator.single(UserSession(
+        key, new Timestamp(start), new Timestamp(last), n))
+    }
+  }
+
+  /** ST15 entry: Append-mode closed sessions; the watermark drives the
+    * timers, so `events` must carry one. RocksDB-backed like ST14.
+    */
+  def timerSessions(events: Dataset[ChangeEvent],
+      gapMinutes: Int = 30): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

@@ -583,4 +583,54 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("ST15 event-time timers close sessions at watermark; gap-splits " +
+      "are slicing-invariant") {
+    import spark.implicits._
+    // head: two u1 sessions split by a >30min gap, one u2 singleton
+    val head = Seq(
+      ev(1, 0, 1, "view"), ev(2, 5, 1, "click"), ev(3, 1, 2, "view"),
+      ev(4, 180, 1, "view"))
+    // fixed tail: u3 events that advance the watermark far enough to
+    // timer-flush every head session (and u3's own first singleton via
+    // the second event's gap-split)
+    val tail = Seq(Seq(ev(5, 600, 3, "view")), Seq(ev(6, 780, 3, "view")))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(headBatches: Seq[Seq[Streams.ChangeEvent]], name: String)
+          : Set[(Long, Int, Int, Long)] = {
+        val input = MemoryStream[ChangeEvent](spark)
+        val q = Streams.timerSessions(input.toDS(), gapMinutes = 30)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          (headBatches ++ tail).foreach { b => input.addData(b); drain(q) }
+          spark.table(name).collect().map { r =>
+            val base = ev(0, 0, 0, "x").ts.getTime
+            (r.getLong(0),
+              ((r.getTimestamp(1).getTime - base) / 60000L).toInt,
+              ((r.getTimestamp(2).getTime - base) / 60000L).toInt,
+              r.getLong(3))
+          }.toSet
+        } finally q.stop()
+      }
+      val expected = Set(
+        (1L, 0, 5, 2L),     // u1 first session, gap-split by ev@180
+        (1L, 180, 180, 1L), // u1 trailing session, timer-flushed
+        (2L, 1, 1, 1L),     // u2 singleton, timer-flushed
+        (3L, 600, 600, 1L)) // u3 first singleton, gap-split by ev@780
+      val oneBatch = run(Seq(head), "st15_one")
+      assert(oneBatch == expected, s"one-batch head: $oneBatch")
+      val perEvent = run(head.map(Seq(_)), "st15_split")
+      assert(perEvent == expected, s"per-event head: $perEvent")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
 }

@@ -160,4 +160,85 @@ class TxLogSpec extends SparkSpec {
       col("o_orderpriority") === "3-MEDIUM" && col("yr") === 1997).count()
     assert(preDelete.count() - latest.count() == deleted)
   }
+
+  test("merge upserts in one commit and rewrites ONLY files holding " +
+      "matched keys") {
+    import spark.implicits._
+    val t = freshTable("merge")
+    TxLog.append(rows(10).coalesce(1), t)         // ids 0-9, ONE file A
+    TxLog.append(rows(10, 100).coalesce(1), t)    // ids 100-109, ONE file B
+    val preFiles = TxLog.snapshot(spark, t).inputFiles.toSet
+    val groupB = TxLog.snapshot(spark, t).filter(col("id") >= 100)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    // source touches only group A: update id=3, insert id=500
+    val src = Seq((3L, "UPDATED"), (500L, "NEW")).toDF("id", "payload")
+    val v = TxLog.merge(spark, t, src, Seq("id"))
+    assert(v == 2L)
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 21)
+    assert(snap.filter(col("id") === 3).select(col("payload"))
+      .head().getString(0) == "UPDATED")
+    assert(snap.filter(col("id") === 500).count() == 1)
+    assert(snap.filter(col("id") === 4).select(col("payload"))
+      .head().getString(0) == "v4", "unmatched target row disturbed")
+    // file pruning: group B's files survive BY REFERENCE, group A's gone
+    val postFiles = snap.inputFiles.toSet
+    assert(groupB.subsetOf(postFiles),
+      "merge rewrote files with no matched keys")
+    assert((preFiles -- groupB).intersect(postFiles).isEmpty,
+      "a file holding a matched key survived the copy-on-write rewrite")
+    // no-match merge still inserts (affected file set empty)
+    val v2 = TxLog.merge(spark, t,
+      Seq((600L, "NEW2")).toDF("id", "payload"), Seq("id"))
+    assert(v2 == 3L && TxLog.snapshot(spark, t).count() == 22)
+  }
+
+  test("changeFeed derives row-exact per-commit deltas; an update is a " +
+      "delete+insert pair; compaction contributes nothing") {
+    import spark.implicits._
+    val t = freshTable("cdf")
+    TxLog.append(rows(5), t)                        // v0: 5 inserts
+    TxLog.deleteWhere(spark, t, col("id") < 2)      // v1: 2 deletes
+    TxLog.merge(spark, t,                           // v2: 1 update, 1 insert
+      Seq((4L, "POST"), (50L, "NEW")).toDF("id", "payload"), Seq("id"))
+    TxLog.compact(spark, t, 1)                      // v3: data-preserving
+    val cf = TxLog.changeFeed(spark, t, -1L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3))).toSet
+    val inserts0 = (0L until 5L).map(i => (0L, "insert", i, s"v$i")).toSet
+    val deletes1 = Set((1L, "delete", 0L, "v0"), (1L, "delete", 1L, "v1"))
+    val merge2 = Set((2L, "delete", 4L, "v4"), (2L, "insert", 4L, "POST"),
+      (2L, "insert", 50L, "NEW"))
+    assert(cf == inserts0 ++ deletes1 ++ merge2)
+    // feed window covering only the compaction has no data changes
+    intercept[IllegalArgumentException] {
+      TxLog.changeFeed(spark, t, 2L, 3L)
+    }
+    // consistency: replaying the feed reproduces the final snapshot
+    val replayed = cf.toSeq
+      .groupBy(r => (r._3, r._4))
+      .collect { case (row, evs)
+        if evs.count(_._2 == "insert") > evs.count(_._2 == "delete") => row }
+      .toSet
+    val snap = TxLog.snapshot(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed == snap)
+  }
+
+  test("vacuum deletes unreferenced files past the horizon: latest still " +
+      "reads, pre-horizon time travel stops") {
+    val t = freshTable("vacuum")
+    TxLog.append(rows(8), t)                        // v0
+    TxLog.deleteWhere(spark, t, col("id") < 4)      // v1 rewrites
+    TxLog.compact(spark, t, 1)                      // v2 rewrites again
+    val doomed = TxLog.vacuum(t, retainFromVersion = 2L)
+    assert(doomed.nonEmpty, "vacuum found nothing to delete")
+    assert(TxLog.snapshot(spark, t).count() == 4)
+    intercept[Exception] {
+      TxLog.snapshot(spark, t, Some(0L)).count()
+    }
+    // idempotent: a second vacuum finds nothing
+    assert(TxLog.vacuum(t, 2L).isEmpty)
+  }
 }
