@@ -857,7 +857,236 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 30""".stripMargin
 
+  /** q4_priority_exists (J18) — the TPC-H Q4 shape: order-priority census
+    * over a quarter, counting only orders where EXISTS a late lineitem.
+    * The schema has no commit/receipt dates, so "late" is a line shipped
+    * more than 60 days after the order date — which makes the EXISTS
+    * predicate CORRELATED on a non-key column (o_orderdate), the part of
+    * Q4's shape J3's plain semi-join rows don't cover: the quantifier
+    * condition references both sides, so it rides the join condition of
+    * the left_semi (Catalyst evaluates it inside the join, no
+    * post-filter materialization of matches).
+    *
+    * Scale: the quarter slice prunes orders at the scan (~1/28 of the
+    * date domain); lineitem enters the semi-join as a 2-column
+    * projection. Both sides exchange on orderkey (AQE picks the
+    * broadcast form when the slice fits); the priority census after the
+    * semi-join is 5 rows.
+    */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4PriorityExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q6_forecast_revenue (A42) — the TPC-H Q6 shape: the pure
+    * scan-pruned GLOBAL aggregate (no grouping at all), the simplest
+    * query in the suite and the one that most directly measures whether
+    * filters reach the reader. All three predicates (date window,
+    * discount band, quantity cap) land in PushedFilters; the revenue
+    * forecast `Σ price·discount` accumulates as exact 6dp-micro integers
+    * (splitSum) so the 1-row answer is engine-identical.
+    *
+    * Scale: map-side partial aggregation reduces every partition to one
+    * (hi, lo, count) triple — the exchange moves |partitions| rows
+    * regardless of input size. This is the floor query: nothing but
+    * scan + codegen'd filter + partial agg.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(splitSum(scaledLong(col("l_extendedprice") * col("l_discount"),
+          1000000L)).cast("long").as("revenue_micros"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6ForecastRevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(round(l_extendedprice * l_discount * 1000000)
+      |    AS BIGINT)) AS BIGINT) AS revenue_micros,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** q9_nation_profit (A43) — the TPC-H Q9 shape: product-line PROFIT per
+    * (nation, year) with a computed measure spanning two tables
+    * (revenue from lineitem minus a cost term priced off the part dim;
+    * the schema has no partsupp, so cost = 50% of retail price ×
+    * quantity). The name-substring part filter ('%gear%') is the
+    * classic non-sargable LIKE — it prunes AFTER the scan but BEFORE the
+    * join, so the fact joins only matching parts' lines.
+    *
+    * Scale: part (filtered) and supplier→nation are dimension legs —
+    * the planner broadcasts them while they fit and AQE swaps to shuffle
+    * beyond that (no forced hints); the profit expression folds into the
+    * scan projection as exact micros; the (nation, year) aggregate is
+    * 25×|years| rows.
+    */
+  def q9NationProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sn = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name").as("nation"),
+        year(col("l_shipdate")).cast("long").as("o_year"),
+        (scaledLong(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          1000000L) -
+         scaledLong(col("p_retailprice") * col("l_quantity") * lit(0.5),
+          1000000L)).as("amount_micros"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(splitSum(col("amount_micros")).cast("long").as("profit_micros"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9NationProfitSql: String =
+    """SELECT n_name AS nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+      |      AS BIGINT) -
+      |    CAST(round(p_retailprice * l_quantity * 0.5 * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS profit_micros,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** q12_shipmode_priority (A45) — the TPC-H Q12 shape: per-category
+    * census of HIGH vs LOW priority lines among late shipments (the
+    * two-conditional-sum pivot over a joined predicate). The schema has
+    * no shipmode or receiptdate, so the category is l_returnflag and
+    * "late" is shipped >90 days after the order date — the shape is the
+    * point: a fact⋈fact-key join whose AGGREGATE classifies on a column
+    * from the OTHER side (o_orderpriority pivots lineitem rows).
+    *
+    * Scale: both scans prune (lineitem to the year window + the join
+    * keeps only late lines); the join exchanges on orderkey; the
+    * conditional sums are map-side partials over 3 groups.
+    */
+  def q12ShipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(o, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12ShipmodePrioritySql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q20_excess_suppliers (J19) — the TPC-H Q20 shape: suppliers elected
+    * by comparing THEIR aggregate against a per-part aggregate threshold
+    * (Q20's "availqty > half the year's demand"; no partsupp table, so
+    * the election is "shipped >30% of the part's annual volume" — a
+    * dominance census). The nesting is the point: agg → per-group
+    * threshold → filter → DISTINCT census up the supplier dim.
+    *
+    * Scale: ONE fact exchange total — repartition(partkey) satisfies
+    * the (partkey, suppkey) aggregate (subset clustering), the per-part
+    * total is a WINDOW over the same partitioning (no self-join, no
+    * second exchange), and the integer cross-multiply q·10 > tq·3
+    * avoids division. The supplier join is dimension-sized.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("small%")).select(col("p_partkey"))
+    val ship = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(scaledLong(col("l_quantity"), 1L)).as("q"))
+    val dom = ship
+      .withColumn("tq", sum(col("q"))
+        .over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("q") * 10 > col("tq") * 3)
+    dom.groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .join(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20ExcessSuppliersSql: String =
+    """WITH ship AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'small%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1, 2),
+      |w AS (SELECT l_partkey, l_suppkey, q,
+      |    SUM(q) OVER (PARTITION BY l_partkey) AS tq FROM ship)
+      |SELECT s_suppkey, s_name, count(DISTINCT l_partkey) AS n_parts
+      |FROM w JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE q * 10 > tq * 3
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q9_nation_profit" -> (q9NationProfit _),
+    "q12_shipmode_priority" -> (q12ShipmodePriority _),
+    "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q16_supp_variety" -> (q16SuppVariety _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -878,6 +1107,11 @@ object Relational {
     "q3_join_topk" -> (q3JoinTopk _))
 
   def oracle: Map[String, String] = Map(
+    "q4_priority_exists" -> q4PriorityExistsSql,
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q9_nation_profit" -> q9NationProfitSql,
+    "q12_shipmode_priority" -> q12ShipmodePrioritySql,
+    "q20_excess_suppliers" -> q20ExcessSuppliersSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q16_supp_variety" -> q16SuppVarietySql,
     "q7_volume_shipping" -> q7VolumeShippingSql,

@@ -413,6 +413,54 @@ class PlanSpec extends SparkSpec {
       "events_rapid_repeat type filter not pushed to the scan")
   }
 
+  test("round-9 TPC-H completions keep their designed shapes") {
+    def sparkPlanOf(name: String) =
+      SparkEntry.queries(name)(spark, sfTiny).queryExecution.sparkPlan
+    def windows(name: String): Int = sparkPlanOf(name).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size
+    def exchanges(name: String): Int = sparkPlanOf(name).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    // Q4: the correlated late-line predicate rides the SEMI-JOIN
+    // condition (never a post-join filter over materialized matches)
+    val q4 = plan("q4_priority_exists")
+    assert(q4.contains("LeftSemi"), "q4_priority_exists lost the semi join")
+    assert(q4.contains("PushedFilters") && q4.contains("o_orderdate"),
+      "q4_priority_exists quarter window not pushed to the orders scan")
+    // Q6: the floor query — all three predicates reach the reader, no
+    // join, no window, one global aggregate
+    val q6 = plan("q6_forecast_revenue")
+    // the PushedFilters list is TRUNCATED in plan toString — assert the
+    // pushdown started (IsNotNulls + first range bound) and that the
+    // post-scan Filter carries all three predicates in full
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q6_forecast_revenue lost scan pushdown")
+    for (f <- Seq(">= 0.05", "<= 0.07", "< 24.0", ">= 1996-01-01"))
+      assert(q6.contains(f), s"q6_forecast_revenue lost predicate: $f")
+    assert(!q6.contains("Join") && windows("q6_forecast_revenue") == 0,
+      "q6_forecast_revenue grew a join or window")
+    // Q9: both dim legs broadcast at this SF; profit folds into the scan
+    // projection (no post-agg recompute)
+    assert(plan("q9_nation_profit").contains("BroadcastHashJoin"),
+      "q9_nation_profit dim legs no longer broadcast")
+    // Q12: one orderkey exchange serves the join + 3-group census
+    assert(exchanges("q12_shipmode_priority") <= 3,
+      "q12_shipmode_priority grew extra exchanges")
+    // Q20: ONE fact exchange — the (partkey, suppkey) aggregate rides the
+    // repartition(partkey) by subset clustering and the per-part total is
+    // a WINDOW over the same partitioning (no self-join back)
+    val q20 = sparkPlanOf("q20_excess_suppliers")
+    val q20FactExchanges = q20.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.toString.contains("l_partkey") => e
+    }.size
+    assert(q20FactExchanges == 1,
+      s"q20_excess_suppliers fact exchange count drifted: $q20FactExchanges")
+    assert(windows("q20_excess_suppliers") == 1,
+      "q20_excess_suppliers per-part total is no longer a window")
+  }
+
   test("doc_tfidf rides one corpus exchange and a fused TopK heap") {
     // The r7→r9 carry-over's documented floor: corpus text moves through
     // exactly ONE doc_id repartition (the df branch ReusedExchanges it),
