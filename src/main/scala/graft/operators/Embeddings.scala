@@ -1247,8 +1247,92 @@ object Embeddings {
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
   }
 
+  /** embedding_bq_knn (L43) — BINARY-quantized similarity search, the
+    * deepest compression point on the FAISS ladder after SQ8 (L22) and
+    * PQ (L27): each 64-dim float vector collapses to its 64 SIGN BITS —
+    * two i64 words (here packed as two 32-bit halves so the fold stays
+    * inside non-negative i64 in both engines), a 128× compression — and
+    * candidate ranking is HAMMING distance, two XOR+popcount ops per
+    * pair (`bit_count(w^w')`, codegen'd integer ops, no float math at
+    * all in the scan). The selected top-5 then re-rank by EXACT cosine —
+    * the standard binary-index pipeline (coarse Hamming scan → exact
+    * re-rank of the survivors).
+    *
+    * Determinism: sign bits and Hamming are pure integers; the packing
+    * fold (acc·2 + bit over dims 32..1) is order-pinned so both engines
+    * build identical words; ties in Hamming break by vec_id. The exact
+    * cosine re-rank reuses the suite's scaled-BIGINT dot.
+    *
+    * Scale: the corpus scan reads TWO i64 words per vector instead of
+    * 64 floats (the memory-bandwidth win binary indexes exist for);
+    * queries broadcast; top-k is the native bounded heap; the exact
+    * re-rank joins embeddings back for only |queries|·k winners.
+    */
+  def embeddingBqKnn(spark: SparkSession, dir: String): DataFrame = {
+    def word(emb: Column, lo: Int, hi: Int): Column =
+      aggregate(
+        transform(sequence(lit(hi), lit(lo), lit(-1)),
+          i => when(element_at(emb, i) >= 0f, lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc * 2 + b)
+    val n = withNorm(spark, dir)
+    val bq = n.select(col("vec_id"),
+      word(col("embedding"), 1, 32).as("w0"),
+      word(col("embedding"), 33, 64).as("w1"))
+    val q = bq.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("w0").as("qw0"),
+        col("w1").as("qw1"))
+    val pairs = bq.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+         bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("long")
+          .as("hamming"))
+    val top = graft.plans.TopK.topKPerGroup(pairs, Seq("q_id"),
+      Seq(("hamming", false), ("vec_id", false)), 5)
+      .withColumnRenamed("rn", "rank")
+    // exact-cosine re-rank of the |queries|·k winners only: the 40-row
+    // winner frame broadcasts into the embedding scan, never the reverse
+    val cand = n.select(col("vec_id"), col("embedding"), col("norm_s"))
+      .join(broadcast(top), Seq("vec_id"))
+    val qe = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm_s").as("q_norm"))
+    cand.join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
+        col("hamming"),
+        cosine(dotS(col("q_emb"), col("embedding")),
+          col("q_norm"), col("norm_s")).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val embeddingBqKnnSql: String = {
+    def sqlWord(lo: Int, hi: Int): String =
+      s"list_reduce(list_transform(range($hi, ${lo - 1}, -1), " +
+        s"i -> CASE WHEN embedding[i] >= 0 THEN 1::BIGINT ELSE 0::BIGINT END), " +
+        "(acc, b) -> acc * 2 + b)"
+    s"""WITH $sqlWithNorm,
+       |bq AS (SELECT vec_id, ${sqlWord(1, 32)} AS w0, ${sqlWord(33, 64)} AS w1
+       |  FROM embeddings),
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+       |    CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1))
+       |      AS BIGINT) AS hamming
+       |  FROM bq q JOIN bq c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < 8),
+       |r AS (SELECT q_id, neighbor, hamming,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY hamming, neighbor) AS rank
+       |  FROM p)
+       |SELECT r.q_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor, r.hamming,
+       |  CAST(${sqlDotS("qn.embedding", "cn.embedding")} AS DOUBLE) /
+       |    sqrt(CAST(qn.norm_s AS DOUBLE) * CAST(cn.norm_s AS DOUBLE))
+       |    AS cosine
+       |FROM r JOIN n qn ON qn.vec_id = r.q_id
+       |JOIN n cn ON cn.vec_id = r.neighbor
+       |WHERE r.rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "array_ops" -> (arrayOps _),
+    "embedding_bq_knn" -> (embeddingBqKnn _),
     "embedding_recall_eval" -> (embeddingRecallEval _),
     "embedding_knn" -> (embeddingKnn _),
     "embedding_filtered_knn" -> (embeddingFilteredKnn _),
@@ -1264,6 +1348,7 @@ object Embeddings {
 
   def oracle: Map[String, String] = Map(
     "array_ops" -> arrayOpsSql,
+    "embedding_bq_knn" -> embeddingBqKnnSql,
     "embedding_recall_eval" -> embeddingRecallEvalSql,
     "embedding_knn" -> embeddingKnnSql,
     "embedding_filtered_knn" -> embeddingFilteredKnnSql,

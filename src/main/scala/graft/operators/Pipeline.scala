@@ -1593,7 +1593,71 @@ object Pipeline {
        |ORDER BY round""".stripMargin
   }
 
+  /** corpus_dsir (L44) — Data Selection via Importance Resampling (DSIR,
+    * Xie et al. 2023): select from the raw multilingual corpus the
+    * documents whose hashed-unigram distribution is closest to a TARGET
+    * distribution (here the English slice — "select data that looks like
+    * what I want to train on"). The published method importance-weights
+    * each document by Π p_target(gram)/p_raw(gram) and resamples; this is
+    * its integer skeleton: tokens hash into 1024 buckets (md5-hex8, the
+    * engine-portable L16 idiom), each bucket's importance is the
+    * add-one-smoothed integer ratio (target_cnt+1)·1e6 div (raw_cnt+1)
+    * (proportional to p_t/p_r — the constant N_r/N_t factor shifts every
+    * doc equally and cannot reorder), a document's score is its mean
+    * token importance (exact i64 sum, ONE integer division), and
+    * "resampling" is the deterministic top-100 — the verifiable stand-in
+    * for weighted sampling (L24 holds the sampling-without-RNG trick).
+    *
+    * Scale: ONE exploded token pass computes BOTH censuses (raw count +
+    * conditional target count per bucket — no second scan); the 1024-row
+    * importance table broadcasts back into a second token pass; the
+    * per-doc aggregate clusters on doc_id; top-100 is
+    * TakeOrderedAndProject. No corpus-sized intermediate anywhere.
+    */
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(norm(col("text")), " ")).as("tok"))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+        lit(1024L)))
+    val weights = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("raw_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"))
+      // integer div, not float /: exact past 2^53 (the 100-TB census)
+      .select(col("bucket"),
+        expr("(tgt_cnt + 1) * 1000000 div (raw_cnt + 1)").as("w_ppm"))
+    toks.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_ppm")).as("sum_w"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("sum_w div n_tokens").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val corpusDsirSql: String = {
+    val hex8 = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substring(md5(tok), $j, 1)) - 1) * ${math.pow(16, 8 - j).toLong}")
+      .mkString("(", " + ", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, unnest(string_split($sqlNorm, ' ')) AS tok
+       |  FROM documents),
+       |b AS (SELECT doc_id, lang, $hex8 % 1024 AS bucket FROM t),
+       |w AS (SELECT bucket,
+       |    CAST((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
+       |      * 1000000 // (COUNT(*) + 1) AS BIGINT) AS w_ppm
+       |  FROM b GROUP BY 1),
+       |s AS (SELECT doc_id, lang, COUNT(*) AS n_tokens,
+       |    CAST(SUM(w_ppm) AS BIGINT) AS sum_w
+       |  FROM b JOIN w USING (bucket) GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(sum_w // n_tokens AS BIGINT) AS score_ppm
+       |FROM s ORDER BY score_ppm DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir" -> (corpusDsir _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_shortest_paths" -> (graphShortestPaths _),
@@ -1615,6 +1679,7 @@ object Pipeline {
     "dedup_survivorship" -> (dedupSurvivorship _))
 
   def oracle: Map[String, String] = Map(
+    "corpus_dsir" -> corpusDsirSql,
     "corpus_mix" -> corpusMixSql,
     "doc_dup_spans" -> docDupSpansSql,
     "doc_repetition" -> docRepetitionSql,
