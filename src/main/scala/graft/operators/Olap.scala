@@ -23,6 +23,70 @@ object Olap {
     * within ±10% (DuckDB's own HLL differs, so the bound — not the sketch
     * value — is the cross-engine contract).
     */
+  /** agg_approx_percentile (A46) — approximate QUANTILE sketch with an
+    * error CONTRACT, the quantile twin of A3's HLL row: Spark's
+    * percentile_approx (Greenwald-Khanna, rank error ≤ n/accuracy) runs
+    * against an EXACT integer-domain p90 computed independently, and the
+    * compared claim is the accuracy bound (|approx − exact| within 5% of
+    * the exact value, floor 1.00) — sketch internals are engine-specific,
+    * so the oracle emits the bound as a constant, same contract as
+    * agg_approx_distinct/agg_sketch_rollup.
+    *
+    * The exact side never sorts raw rows: a (type, cents) VALUE-DOMAIN
+    * census + cumulative window picks the smallest value whose cumulative
+    * count clears 90% by integer cross-multiply (cum·10 ≥ total·9) — the
+    * same no-global-sort discipline as A10's histogram quantile, exact
+    * here because money lives on an integer domain.
+    *
+    * Scale: census is |types|×|distinct cents| (bounded by the value
+    * domain, not row count); the sketch side is a mergeable map-side
+    * partial. This is how a 100-TB latency/amount dashboard serves p90s —
+    * the exact twin exists to PROVE the bound.
+    */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), scaledLong(col("value"), 100L).as("cents"))
+    val census = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    val exact = census
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("total", sum(col("cnt")).over(tot))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 10 >= col("total") * 9, col("cents")))
+          .as("exact_p90_cents"),
+        sum(col("cnt")).as("n_events"))
+    val approx = e.groupBy(col("event_type"))
+      .agg(percentile_approx(col("cents"), lit(0.9), lit(10000))
+        .as("approx_p90"))
+    exact.join(approx, Seq("event_type"))
+      .withColumn("approx_within_5pct",
+        abs(col("approx_p90") - col("exact_p90_cents")).cast("double") <=
+          greatest(lit(100.0), col("exact_p90_cents") * 0.05))
+      .drop("approx_p90")
+      .orderBy(col("event_type"))
+  }
+
+  val aggApproxPercentileSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, cents,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS total, cnt
+      |  FROM c)
+      |SELECT event_type,
+      |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN cents END)
+      |    AS BIGINT) AS exact_p90_cents,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_events,
+      |  true AS approx_within_5pct -- oracle CONSTANT by contract (A3
+      |  -- idiom): the GK sketch is engine-specific; Spark must still run
+      |  -- it and prove |approx - exact| <= max(1.00, 5%) to emit `true`
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.groupBy(col("event_type"))
@@ -646,6 +710,7 @@ object Olap {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mode" -> (aggMode _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_sketch_rollup" -> (aggSketchRollup _),
     "agg_countmin" -> (aggCountmin _),
     "events_funnel_steps" -> (eventsFunnelSteps _),
@@ -1093,6 +1158,7 @@ object Olap {
   def oracle: Map[String, String] = Map(
     "agg_mode" -> aggModeSql,
     "agg_approx_distinct" -> aggApproxDistinctSql,
+    "agg_approx_percentile" -> aggApproxPercentileSql,
     "agg_sketch_rollup" -> aggSketchRollupSql,
     "agg_countmin" -> aggCountminSql,
     "events_funnel_steps" -> eventsFunnelStepsSql,
