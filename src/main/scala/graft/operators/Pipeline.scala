@@ -1621,15 +1621,24 @@ object Pipeline {
       .withColumn("bucket", pmod(
         conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
         lit(1024L)))
-    val weights = toks.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("raw_cnt"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_cnt"))
+    // tokenize+explode runs ONCE: the (doc, bucket) count is the shared
+    // intermediate — the bucket census re-aggregates it (1024 rows) and
+    // the doc scores join it (Σ per token w ≡ Σ per (doc,bucket) cnt·w),
+    // and because both consumers share the identical aggregate subtree
+    // the exchange is reused, not recomputed
+    val db = toks.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val weights = db.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("raw_cnt"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(0L))
+          .as("tgt_cnt"))
       // integer div, not float /: exact past 2^53 (the 100-TB census)
       .select(col("bucket"),
         expr("(tgt_cnt + 1) * 1000000 div (raw_cnt + 1)").as("w_ppm"))
-    toks.join(broadcast(weights), Seq("bucket"))
+    db.join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w_ppm")).as("sum_w"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("w_ppm")).as("sum_w"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr("sum_w div n_tokens").as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("doc_id"))

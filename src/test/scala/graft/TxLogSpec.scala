@@ -226,6 +226,21 @@ class TxLogSpec extends SparkSpec {
     assert(replayed == snap)
   }
 
+  test("history's metadata row counts equal time-travel snapshot counts " +
+      "at every version") {
+    // the invariant that makes DESCRIBE HISTORY trustworthy: the log's
+    // add-action row bookkeeping must agree with the DATA at each version
+    val t = TxLog.demoTable(spark, sfTiny)
+    val hist = TxLog.txlogHistory(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    for (v <- TxLog.versions(t))
+      assert(hist(v) == TxLog.snapshot(spark, t, Some(v)).count(),
+        s"version $v: metadata count ${hist(v)} != data count")
+    // deltas telescope back to the final count
+    val rows = TxLog.txlogHistory(spark, sfTiny).collect()
+    assert(rows.map(_.getLong(3)).sum == rows.last.getLong(2))
+  }
+
   test("vacuum deletes unreferenced files past the horizon: latest still " +
       "reads, pre-horizon time travel stops") {
     val t = freshTable("vacuum")
