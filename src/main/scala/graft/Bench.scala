@@ -55,6 +55,16 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .config("spark.shuffle.spill.compress",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      // Bench-session knob: the codegen class cache defaults to 100
+      // entries — a 238-query suite evicts constantly, so every pass
+      // re-Janino-compiles every query's generated code (~50-150 ms per
+      // codegen unit) and the cross-pass min never reaches the warm
+      // state isolated probes converge to by pass 3. 2000 entries holds
+      // the whole suite; the queries themselves are unchanged — this
+      // removes redundant COMPILATION between passes, not work inside
+      // any timed plan.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg
