@@ -95,7 +95,16 @@ object Bench {
     // extras cost idle budget that nothing else uses; they can only lower
     // the minima.
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "8").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // Per-query CONSECUTIVE repetitions inside a pass, min taken — the
+    // protocol the DuckDB denominator itself uses (update_baseline.py
+    // times best-of-3 back-to-back). r9 default 1 → 3: at 238 queries
+    // the 540 s budget fits only 2 temporally-spread passes, and
+    // cross-pass minima stop ~20% above the per-query steady state the
+    // isolated probes converge to (JIT + codegen locality is per-query;
+    // a 238-query round trip evicts it). Three consecutive reps reach
+    // the same warm state the denominator's protocol measures, inside
+    // one pass; passes beyond remain opportunistic host-load insurance.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Wall-clock insurance: the run must finish inside the driver-side
     // timeout (a missing artifact is worse than a short artifact). The
     // round-3 guard — skip remaining passes once half the budget is burned —
