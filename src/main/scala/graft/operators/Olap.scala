@@ -87,6 +87,56 @@ object Olap {
       |  -- it and prove |approx - exact| <= max(1.00, 5%) to emit `true`
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** agg_weighted_median (A47) — WEIGHTED percentile: the median unit
+    * price per return flag where each price counts with its line's
+    * QUANTITY (the "median dollar's price", not the median line's) — the
+    * volume-weighted readout SLO/latency and pricing dashboards use when
+    * rows carry unequal mass. Same value-domain discipline as A46: a
+    * (flag, cents) census aggregates the WEIGHT, the cumulative window
+    * walks the integer domain, and the pick is the smallest value whose
+    * cumulative weight clears half by integer cross-multiply (cumw·2 ≥
+    * totw) — exact, sort-free over raw rows, engine-identical.
+    *
+    * Scale: census size is bounded by the price domain per flag, not row
+    * count; weights sum in i64 (quantities integral).
+    */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        scaledLong(col("l_extendedprice"), 100L).as("cents"),
+        scaledLong(col("l_quantity"), 1L).as("w"))
+    val census = li.groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("wsum"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    census
+      .withColumn("cumw", sum(col("wsum")).over(cum))
+      .withColumn("totw", sum(col("wsum")).over(tot))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("cumw") * 2 >= col("totw"), col("cents")))
+          .as("weighted_median_cents"),
+        max(col("totw")).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggWeightedMedianSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wsum
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (SELECT l_returnflag, cents,
+      |    SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY cents)
+      |      AS cumw,
+      |    SUM(wsum) OVER (PARTITION BY l_returnflag) AS totw
+      |  FROM c)
+      |SELECT l_returnflag,
+      |  CAST(min(CASE WHEN cumw * 2 >= totw THEN cents END) AS BIGINT)
+      |    AS weighted_median_cents,
+      |  CAST(max(totw) AS BIGINT) AS total_weight
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.groupBy(col("event_type"))
@@ -711,6 +761,7 @@ object Olap {
     "agg_mode" -> (aggMode _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
+    "agg_weighted_median" -> (aggWeightedMedian _),
     "agg_sketch_rollup" -> (aggSketchRollup _),
     "agg_countmin" -> (aggCountmin _),
     "events_funnel_steps" -> (eventsFunnelSteps _),
@@ -1159,6 +1210,7 @@ object Olap {
     "agg_mode" -> aggModeSql,
     "agg_approx_distinct" -> aggApproxDistinctSql,
     "agg_approx_percentile" -> aggApproxPercentileSql,
+    "agg_weighted_median" -> aggWeightedMedianSql,
     "agg_sketch_rollup" -> aggSketchRollupSql,
     "agg_countmin" -> aggCountminSql,
     "events_funnel_steps" -> eventsFunnelStepsSql,

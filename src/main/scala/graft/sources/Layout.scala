@@ -255,13 +255,66 @@ object Layout {
        |FROM events WHERE event_type <> 'error'
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  private val hiveLaid =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Land (once) orders HIVE-PARTITIONED by year — `partitionBy` directory
+    * layout, the other physical-pruning lever next to S20's z-order:
+    * z-order tightens FILE STATS inside one directory tree, partitioning
+    * makes the pruned dimension a DIRECTORY so matching is listing-level
+    * (PartitionFilters — zero footers of non-matching partitions are even
+    * opened). One file per partition via repartition on the key.
+    */
+  private[graft] def partitionedOrders(spark: SparkSession, dir: String)
+      : String =
+    hiveLaid.getOrElseUpdate(dir, {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val stamp = Tables.srcStamp(new java.io.File(dir, "orders.parquet"))
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_layout_$safe/orders_byyear_$stamp")
+      Tables.publishOnce(out) { tmp =>
+        Tables.orders(spark, dir)
+          .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+          .repartition(col("o_year"))
+          .write.mode("overwrite").partitionBy("o_year")
+          .parquet(tmp.getAbsolutePath)
+      }
+    })
+
+  /** layout_hive_partition (S44) — partition-PRUNED scan over the
+    * hive-partitioned landing: the year predicate resolves at DIRECTORY
+    * listing time (the plan's PartitionFilters — pinned in LayoutSpec),
+    * so the scan never opens a non-1997 footer. At 100 TB this is the
+    * first-line pruning lever (partition on the coarse always-filtered
+    * dimension, z-order within partitions for the rest); content is
+    * layout-independent — the oracle reads the raw table.
+    */
+  def layoutHivePartition(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.read.parquet(partitionedOrders(spark, dir))
+    p.filter(col("o_year") === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(Det.scaledLong(col("o_totalprice"), 100L)).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val layoutHivePartitionSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders WHERE year(o_orderdate) = 1997
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
+    "layout_hive_partition" -> (layoutHivePartition _),
     "layout_compaction" -> (layoutCompaction _),
     "layout_deletion_vectors" -> (layoutDeletionVectors _))
 
   def oracle: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
+    "layout_hive_partition" -> layoutHivePartitionSql,
     "layout_compaction" -> layoutCompactionSql,
     "layout_deletion_vectors" -> layoutDeletionVectorsSql)
 }

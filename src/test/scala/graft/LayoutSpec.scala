@@ -54,6 +54,25 @@ class LayoutSpec extends SparkSpec {
     assert(physical.contains("l_shipdate") && physical.contains("l_partkey"))
   }
 
+  test("hive-partitioned landing prunes at the DIRECTORY level: the year " +
+      "predicate lands in PartitionFilters, and only one partition scans") {
+    val df = sources.Layout.layoutHivePartition(spark, sfTiny)
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides the scan
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScan in the plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("o_year")),
+      s"year predicate not a PartitionFilter: ${scan.partitionFilters}")
+    // listing-level pruning actually happened: the selected partition set
+    // is exactly the 1997 directory
+    val parts = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    assert(parts.map(_.files.size).sum >= 1)
+    assert(parts.flatMap(_.files).forall(
+      _.getPath.toString.contains("o_year=1997")),
+      "scan opened a file outside the o_year=1997 partition")
+  }
+
   test("layout query equals the raw-table computation") {
     val viaLayout = sources.Layout.layoutZorder(spark, sfTiny).collect().toSeq
     val raw = Tables.lineitem(spark, sfTiny)
