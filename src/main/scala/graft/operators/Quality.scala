@@ -296,6 +296,87 @@ object Quality {
     * q=0 ⇒ divisor 1) so a bucket appearing only in period B still
     * contributes its full drift term.
     */
+  /** dq_ks_test (Q11) — two-sample KOLMOGOROV-SMIRNOV drift test on the
+    * continuous value domain, the distribution-shape twin of Q5's
+    * binned chi-square (chi-square sees density shifts within its 10
+    * coarse buckets as noise; KS is binning-free — the max gap between
+    * the two periods' EXACT empirical CDFs over every observed cents
+    * value). Exact integer skeleton: per (type, cents) censuses of both
+    * periods in ONE pass, cumulative windows walk the shared value
+    * domain, and the gap is cross-multiplied (|cuma·nb − cumb·na|) so no
+    * CDF ratio ever materializes; the reported statistic is integer
+    * milli-D = gap·1000 div (na·nb). The 5% decision compares the SAME
+    * exact integers through the identical IEEE double ops in both
+    * engines (the cosine discipline): D > 1.358·√((na+nb)/(na·nb)).
+    *
+    * Scale: census bounded by the value domain per type (not rows); one
+    * scan, one window partition per type, |types|-row report.
+    */
+  def dqKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val census = Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.Det.scaledLong(col("value"), 100L).as("cents"),
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), 1L)
+          .otherwise(0L).as("ia"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("ia")).as("ca"),
+        sum(lit(1L) - col("ia")).as("cb"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    census
+      .withColumn("cuma", sum(col("ca")).over(cum))
+      .withColumn("cumb", sum(col("cb")).over(cum))
+      .withColumn("na", sum(col("ca")).over(tot))
+      .withColumn("nb", sum(col("cb")).over(tot))
+      .withColumn("gap", abs(col("cuma") * col("nb") -
+        col("cumb") * col("na")))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("gap")).as("gap_x"),
+        max(struct(col("gap"), (-col("cents")).as("nc")))
+          .getField("nc").as("neg_worst"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("gap_x * 1000 div (n_a * n_b)").as("ks_milli"),
+        (-col("neg_worst")).as("worst_cents"),
+        (col("gap_x").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")) >
+          lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))))
+          .as("drift_detected"))
+      .orderBy(col("event_type"))
+  }
+
+  val dqKsTestSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+      |      END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1
+      |      END) AS BIGINT) AS cb
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, cents,
+      |    SUM(ca) OVER (PARTITION BY event_type ORDER BY cents) AS cuma,
+      |    SUM(cb) OVER (PARTITION BY event_type ORDER BY cents) AS cumb,
+      |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+      |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM c),
+      |g AS (SELECT event_type, cents, na, nb,
+      |    abs(cuma * nb - cumb * na) AS gap FROM w),
+      |r AS (SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+      |    CAST(max(nb) AS BIGINT) AS n_b,
+      |    CAST(max(gap) AS BIGINT) AS gap_x,
+      |    CAST(max(struct_pack(g := gap, nc := -cents)).nc AS BIGINT)
+      |      AS neg_worst
+      |  FROM g GROUP BY 1)
+      |SELECT event_type, n_a, n_b,
+      |  CAST(gap_x * 1000 // (n_a * n_b) AS BIGINT) AS ks_milli,
+      |  CAST(-neg_worst AS BIGINT) AS worst_cents,
+      |  (CAST(gap_x AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS
+      |    DOUBLE))) > 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+      |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS drift_detected
+      |FROM r ORDER BY 1""".stripMargin
+
   def dqDrift(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(spark, dir).select(col("event_type"),
       least(floor(col("value") / 50).cast("long"), lit(9L)).as("b"),
@@ -685,6 +766,7 @@ object Quality {
     "dq_kanonymity" -> (dqKanonymity _),
     "dq_profile" -> (dqProfile _),
     "dq_drift" -> (dqDrift _),
+    "dq_ks_test" -> (dqKsTest _),
     "dq_freshness" -> (dqFreshness _),
     "events_lateness_profile" -> (eventsLatenessProfile _))
 
@@ -696,6 +778,7 @@ object Quality {
     "dq_kanonymity" -> dqKanonymitySql,
     "dq_profile" -> dqProfileSql,
     "dq_drift" -> dqDriftSql,
+    "dq_ks_test" -> dqKsTestSql,
     "dq_freshness" -> dqFreshnessSql,
     "events_lateness_profile" -> eventsLatenessProfileSql)
 }
