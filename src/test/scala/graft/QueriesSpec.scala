@@ -1710,4 +1710,115 @@ class QueriesSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSeq
     assert(got == want, s"got=$got\nwant=$want")
   }
+
+  // ---- round-9 sequential references ------------------------------------
+
+  private def scaled(d: Double, s: Long): Long =
+    if (d >= 0) (d * s + 0.5).toLong else (d * s - 0.5).toLong
+
+  test("agg_weighted_median equals a sequential weighted-walk reference") {
+    val rows = Tables.lineitem(spark, sfTiny)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), scaled(r.getDouble(1), 100L),
+        scaled(r.getDouble(2), 1L)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, v) =>
+      val byCents = v.groupBy(_._2).map { case (c, g) =>
+        c -> g.map(_._3).sum }.toSeq.sortBy(_._1)
+      val totw = byCents.map(_._2).sum
+      var cum = 0L
+      val med = byCents.find { case (_, w) =>
+        cum += w; cum * 2 >= totw }.get._1
+      (f, med, totw)
+    }
+    val got = SparkEntry.queries("agg_weighted_median")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("dq_ks_test equals a sequential exact-CDF-gap reference") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val rows = Tables.events(spark, sfTiny)
+      .select(col("event_type"), col("value"), col("ts")).collect()
+      .map(r => (r.getString(0), scaled(r.getDouble(1), 100L),
+        r.getTimestamp(2).before(cut)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (ty, v) =>
+      val na = v.count(_._3).toLong; val nb = v.size - na
+      val domain = v.map(_._2).distinct.sorted
+      var cuma = 0L; var cumb = 0L
+      var bestGap = -1L; var bestCents = 0L
+      for (c <- domain) {
+        cuma += v.count(e => e._2 == c && e._3)
+        cumb += v.count(e => e._2 == c && !e._3)
+        val gap = math.abs(cuma * nb - cumb * na)
+        if (gap > bestGap) { bestGap = gap; bestCents = c }
+      }
+      val drift = bestGap.toDouble / (na.toDouble * nb.toDouble) >
+        1.358 * math.sqrt((na + nb).toDouble / (na.toDouble * nb.toDouble))
+      (ty, na, nb, bestGap * 1000 / (na * nb), bestCents, drift)
+    }
+    val got = SparkEntry.queries("dq_ks_test")(spark, sfTiny)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("corpus_dsir equals a sequential importance-ratio reference") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(tok: String): Long =
+      java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 1024L
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").toSeq))
+    val toks = docs.flatMap { case (id, lang, ts) =>
+      ts.map(t => (id, lang, bucket(t))) }
+    val byBucket = toks.groupBy(_._3)
+    val wppm = byBucket.map { case (b, v) =>
+      b -> ((v.count(_._2 == "en") + 1L) * 1000000L / (v.size + 1L)) }
+    val want = docs.map { case (id, lang, ts) =>
+      val n = ts.size.toLong
+      val sw = ts.map(t => wppm(bucket(t))).sum
+      (id, lang, n, sw / n)
+    }.sortBy(t => (-t._4, t._1)).take(100).toSeq
+    val got = SparkEntry.queries("corpus_dsir")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"got=${got.take(5)}...\nwant=${want.take(5)}...")
+  }
+
+  test("embedding_bq_knn equals a sequential sign-bit Hamming reference") {
+    val vecs = Tables.embeddings(spark, sfTiny)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def words(e: Array[Float]): (Long, Long) = {
+      def w(lo: Int, hi: Int): Long =
+        (hi to lo by -1).foldLeft(0L)((acc, i) =>
+          acc * 2 + (if (e(i - 1) >= 0f) 1L else 0L))
+      (w(1, 32), w(33, 64))
+    }
+    def dotS(a: Array[Float], b: Array[Float]): Long =
+      (0 until 64).map(i =>
+        math.floor(a(i).toDouble * b(i).toDouble * 1e14).toLong).sum
+    val bq = vecs.map { case (id, e) => (id, words(e), e) }
+    val want = bq.filter(_._1 < 8).sortBy(_._1).flatMap {
+      case (q, (qw0, qw1), qe) =>
+        val top = bq.filter(_._1 != q).map { case (c, (w0, w1), _) =>
+          (c, java.lang.Long.bitCount(w0 ^ qw0) +
+            java.lang.Long.bitCount(w1 ^ qw1)) }
+          .sortBy { case (c, h) => (h, c) }.take(5)
+        top.zipWithIndex.map { case ((c, h), i) =>
+          val ce = vecs.find(_._1 == c).get._2
+          val cos = dotS(qe, ce).toDouble /
+            math.sqrt(dotS(qe, qe).toDouble * dotS(ce, ce).toDouble)
+          (q, (i + 1).toLong, c, h.toLong, cos)
+        }
+    }.toSeq
+    val got = SparkEntry.queries("embedding_bq_knn")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want, s"got=${got.take(6)}\nwant=${want.take(6)}")
+  }
 }
