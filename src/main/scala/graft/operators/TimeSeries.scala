@@ -92,6 +92,120 @@ object TimeSeries {
        |  ON grid.user_id = hourly.user_id AND grid.h = hourly.h
        |ORDER BY grid.user_id, hour""".stripMargin
 
+  /** events_rolling_corr (W17) — ROLLING 24-hour Pearson correlation
+    * between two event streams' hourly counts (view vs purchase), the
+    * joint-statistic window shape W3's single-series frames don't cover:
+    * monitoring asks "are these two signals still moving together?" and
+    * reads a windowed r, not a global one (A33 is the GLOBAL exact
+    * Pearson; this is its frame-bounded deployment).
+    *
+    * Exactness discipline: all five power sums (Σa, Σb, Σab, Σa², Σb²)
+    * are INTEGER window sums over the dense hourly grid (missing hours
+    * count 0 — a sequence() literal grid, no scan); r² then forms in
+    * ppm from exact integers through identical IEEE double ops in both
+    * engines (the A33/cosine rule), with the sign carried separately and
+    * a zero-variance guard (a constant series has no correlation — ppm
+    * NULL, not a division blowup). Frames shorter than 24 h (the grid
+    * head) are reported with their actual n.
+    *
+    * Scale: the hourly census is one scan → (hour, type) agg (grid-
+    * bounded); the dense frame walk is a window over ONE ordered grid —
+    * |grid| rows total regardless of event volume.
+    */
+  def eventsRollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val CFROM = "2024-01-05 00:00:00"; val CLAST = "2024-01-24 23:00:00"
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase") &&
+        col("ts") >= lit(CFROM).cast("timestamp") &&
+        col("ts") <= lit(CLAST).cast("timestamp"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("b"))
+    val grid = spark.range(1).select(explode(sequence(
+      lit(CFROM).cast("timestamp"), lit(CLAST).cast("timestamp"),
+      expr("interval 1 hour"))).as("h"))
+    val dense = grid.join(ev, Seq("h"), "left")
+      .select(col("h"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+      .withColumn("idx", expr(
+        s"(unix_timestamp(h) - unix_timestamp(timestamp'$CFROM')) div 3600"))
+    // OVERLAPPING-BLOCK rolling window (the 100-TB pattern a global
+    // ORDER BY window cannot be): each 120-hour block carries the last
+    // 23 rows of its predecessor as WARM-UP copies, the frame walks
+    // inside the block (parallel partitions, suite's no-single-task-
+    // window invariant holds), and warm-up rows drop after — every
+    // surviving row sees its full 24-hour history across the boundary
+    val blocked = dense.select(col("h"), col("a"), col("b"), col("idx"),
+        explode(when(pmod(col("idx"), lit(120L)) >= 97L,
+          array(expr("idx div 120"), expr("idx div 120 + 1")))
+          .otherwise(array(expr("idx div 120")))).as("block"))
+    val w = Window.partitionBy(col("block")).orderBy(col("h"))
+      .rowsBetween(-23, Window.currentRow)
+    blocked
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sa", sum(col("a")).over(w))
+      .withColumn("sb", sum(col("b")).over(w))
+      .withColumn("sab", sum(col("a") * col("b")).over(w))
+      .withColumn("saa", sum(col("a") * col("a")).over(w))
+      .withColumn("sbb", sum(col("b") * col("b")).over(w))
+      .filter(expr("idx div 120") === col("block")) // drop warm-up copies
+      .select(fmtTs(col("h")).as("hour"), col("n"), col("a"), col("b"),
+        (col("n") * col("sab") - col("sa") * col("sb")).as("num"),
+        (col("n") * col("saa") - col("sa") * col("sa")).as("da"),
+        (col("n") * col("sbb") - col("sb") * col("sb")).as("db"))
+      .select(col("hour"), col("n"), col("a"), col("b"),
+        when(col("da") > 0 && col("db") > 0,
+          floor(col("num").cast("double") * col("num").cast("double") *
+            1000000.0 / (col("da").cast("double") *
+              col("db").cast("double"))).cast("long"))
+          .as("r2_ppm"),
+        when(col("da") > 0 && col("db") > 0,
+          signum(col("num").cast("double")).cast("long")).as("r_sign"))
+      .orderBy(col("hour"))
+  }
+
+  val eventsRollingCorrSql: String =
+    s"""WITH ev AS (
+       |  SELECT date_trunc('hour', ts) AS h,
+       |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase')
+       |    AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+       |    AND ts <= TIMESTAMP '2024-01-24 23:00:00'
+       |  GROUP BY 1),
+       |dense AS (
+       |  SELECT g.h, COALESCE(ev.a, 0) AS a, COALESCE(ev.b, 0) AS b
+       |  FROM generate_series(TIMESTAMP '2024-01-05 00:00:00',
+       |    TIMESTAMP '2024-01-24 23:00:00', INTERVAL 1 HOUR) g(h)
+       |  LEFT JOIN ev ON ev.h = g.h),
+       |f AS (
+       |  SELECT h, a, b,
+       |    count(*) OVER w AS n,
+       |    SUM(a) OVER w AS sa, SUM(b) OVER w AS sb,
+       |    SUM(a * b) OVER w AS sab,
+       |    SUM(a * a) OVER w AS saa, SUM(b * b) OVER w AS sbb
+       |  FROM dense
+       |  WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+       |g AS (
+       |  SELECT h, n, a, b,
+       |    CAST(n * sab - sa * sb AS BIGINT) AS num,
+       |    CAST(n * saa - sa * sa AS BIGINT) AS da,
+       |    CAST(n * sbb - sb * sb AS BIGINT) AS db
+       |  FROM f)
+       |SELECT ${sqlFmtTs("h")} AS hour, CAST(n AS BIGINT) AS n, a, b,
+       |  CASE WHEN da > 0 AND db > 0 THEN
+       |    CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 1000000.0
+       |      / (CAST(da AS DOUBLE) * CAST(db AS DOUBLE))) AS BIGINT)
+       |  END AS r2_ppm,
+       |  CASE WHEN da > 0 AND db > 0 THEN
+       |    CAST(sign(CAST(num AS DOUBLE)) AS BIGINT) END AS r_sign
+       |FROM g ORDER BY hour""".stripMargin
+
   /** orders_backlog (W13) — the BACKLOG TIMELINE: how many orders are
     * open (placed, not yet fully shipped) at each point in time — the
     * interval-STABBING-count complement of join_interval_bins' pairwise
@@ -557,6 +671,7 @@ object TimeSeries {
        |FROM a ORDER BY user_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_corr" -> (eventsRollingCorr _),
     "events_ewma" -> (eventsEwma _),
     "events_paths" -> (eventsPaths _),
     "events_streaks" -> (eventsStreaks _),
@@ -568,6 +683,7 @@ object TimeSeries {
     "events_cusum" -> (eventsCusum _))
 
   def oracle: Map[String, String] = Map(
+    "events_rolling_corr" -> eventsRollingCorrSql,
     "events_ewma" -> eventsEwmaSql,
     "events_paths" -> eventsPathsSql,
     "events_streaks" -> eventsStreaksSql,
