@@ -1725,7 +1725,75 @@ object Analytics {
       |    // (n_hours * n_events) AS BIGINT) AS fano_ppm
       |FROM s ORDER BY event_type""".stripMargin
 
+  /** events_seasonal_anomaly (A48) — SEASONALLY-ADJUSTED outlier gate:
+    * L20's 3σ rule scores every event against its OWN seasonal cell's
+    * (type, day-of-week, hour-of-day) baseline instead of the global
+    * per-type one — the "is this normal FOR a Tuesday 3am" monitor; a
+    * value ordinary at the Friday-evening peak is anomalous at Sunday
+    * dawn, which a global gate cannot see. Composes A17's cell grid
+    * (same portable dow = days-since-Monday-2024-01-01 mod 7) with
+    * L20's power-sum discipline.
+    *
+    * Exactness: per-cell n, Σc, Σc² accumulate as exact i64 WINDOW
+    * aggregates over the cell partitioning — ONE scan, ONE exchange,
+    * and the per-cell census afterwards reuses that partitioning (no
+    * second exchange). The 3σ decision cross-multiplies into integers
+    * and compares through identical IEEE doubles both engines
+    * ((c·n − Σc)² > 9·(n·Σc² − (Σc)²), overflow-safe in double's exact
+    * range for the products involved).
+    *
+    * Scale: |types|·168 cells regardless of volume; state per row is
+    * three window columns; report is cell-sized.
+    */
+  def eventsSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          % 7).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"),
+        scaledLong(col("value"), 100L).as("c"))
+    val cell = Window.partitionBy(col("event_type"), col("dow"), col("hr"))
+    val scored = e
+      .withColumn("n", count(lit(1)).over(cell))
+      .withColumn("sc", sum(col("c")).over(cell))
+      .withColumn("scc", sum(col("c") * col("c")).over(cell))
+      .withColumn("anom",
+        (col("c") * col("n") - col("sc")).cast("double") *
+          (col("c") * col("n") - col("sc")).cast("double") >
+        lit(9.0) * (col("n") * col("scc") - col("sc") * col("sc"))
+          .cast("double"))
+    scored.groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(max(col("n")).as("n_events"),
+        expr("max(sc) * 1000000 div max(n)").as("mean_micro_cents"),
+        sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy(col("event_type"), col("dow"), col("hr"))
+  }
+
+  val eventsSeasonalAnomalySql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+      |      AS BIGINT) AS dow,
+      |    CAST(hour(ts) AS BIGINT) AS hr,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, dow, hr, c,
+      |    count(*) OVER w AS n, SUM(c) OVER w AS sc,
+      |    SUM(c * c) OVER w AS scc
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY event_type, dow, hr))
+      |SELECT event_type, dow, hr,
+      |  CAST(max(n) AS BIGINT) AS n_events,
+      |  CAST(max(sc) * 1000000 // max(n) AS BIGINT) AS mean_micro_cents,
+      |  CAST(SUM(CASE WHEN
+      |      CAST(c * n - sc AS DOUBLE) * CAST(c * n - sc AS DOUBLE) >
+      |      9.0 * CAST(n * scc - sc * sc AS DOUBLE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
     "q11_important_share" -> (q11ImportantShare _),
     "events_burstiness" -> (eventsBurstiness _),
     "agg_corr" -> (aggCorr _),
@@ -1756,6 +1824,7 @@ object Analytics {
     "sql_subquery" -> (sqlSubquery _))
 
   def oracle: Map[String, String] = Map(
+    "events_seasonal_anomaly" -> eventsSeasonalAnomalySql,
     "q11_important_share" -> q11ImportantShareSql,
     "events_burstiness" -> eventsBurstinessSql,
     "agg_corr" -> aggCorrSql,
