@@ -126,24 +126,63 @@ object Dml {
   private def colsOf(spark: SparkSession, tbl: String): Seq[String] =
     spark.table(tbl).schema.fieldNames.toSeq
 
+  /** Partition columns resolved from the catalog (r9 advice: nothing in
+    * the execution path may assume a particular partition column name).
+    * Empty for unpartitioned tables.
+    */
+  private def partColsOf(spark: SparkSession, tbl: String): Seq[String] = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(tbl)
+    spark.sessionState.catalog.getTableMetadata(id).partitionColumnNames
+  }
+
+  private def sqlLit(v: String) = s"'${v.replace("'", "''")}'"
+
+  /** OR-of-conjunctions scoping predicate over the affected partition
+    * tuples (collapses to a single-column IN list when possible).
+    */
+  private def scopePredicate(pcols: Seq[String],
+      parts: Seq[Seq[String]]): String =
+    if (pcols.size == 1)
+      s"${pcols.head} IN (${parts.map(t => sqlLit(t.head)).mkString(", ")})"
+    else parts.map(t =>
+      pcols.zip(t).map { case (c, v) => s"$c = ${sqlLit(v)}" }
+        .mkString("(", " AND ", ")")).mkString(" OR ")
+
   private def runUpdate(spark: SparkSession, target: (String, String),
       assignments: Seq[Assignment], condition: Option[Expression]): Unit = {
     val (tbl, _) = target
     val cond = condition.map(_.sql).getOrElse("true")
     val sets = assignments.map(a => keyName(a.key) -> a.value.sql).toMap
-    val parts = affectedPartitions(spark, tbl, cond)
-    if (parts.nonEmpty) {
-      val proj = colsOf(spark, tbl).map { c =>
-        sets.get(c)
-          .map(v => s"CASE WHEN $cond THEN ($v) ELSE $c END AS $c")
-          .getOrElse(c)
-      }
-      val inList = parts.map(v => s"'${v.replace("'", "''")}'")
-        .mkString(", ")
+    val pcols = partColsOf(spark, tbl)
+    // assignments to partition columns are rejected (the Hive/Delta-v1
+    // rule): rewritten rows would land in NEW partitions via dynamic
+    // overwrite, and dynamic overwrite REPLACES each destination
+    // partition wholesale — pre-existing rows of a destination partition
+    // outside the affected set would be silently deleted (r9 advice)
+    val badSets = pcols.filter(sets.contains)
+    require(badSets.isEmpty,
+      s"Dml UPDATE: assignment to partition column(s) " +
+        s"${badSets.mkString(", ")} of $tbl is not supported; " +
+        "use DELETE + INSERT to move rows across partitions")
+    val proj = colsOf(spark, tbl).map { c =>
+      sets.get(c)
+        .map(v => s"CASE WHEN $cond THEN ($v) ELSE $c END AS $c")
+        .getOrElse(c)
+    }
+    if (pcols.isEmpty) {
+      // unpartitioned: full copy-on-write rewrite, static overwrite
       val rewritten = spark.sql(
-        s"SELECT ${proj.mkString(", ")} FROM $tbl WHERE seg IN ($inList)")
-        .localCheckpoint()
-      overwritePartitions(spark, tbl, rewritten, parts)
+        s"SELECT ${proj.mkString(", ")} FROM $tbl").localCheckpoint()
+      rewritten.write.mode("overwrite").insertInto(tbl)
+    } else {
+      val parts = affectedPartitions(spark, tbl, pcols, cond)
+      if (parts.nonEmpty) {
+        val rewritten = spark.sql(
+          s"SELECT ${proj.mkString(", ")} FROM $tbl " +
+            s"WHERE ${scopePredicate(pcols, parts)}")
+          .localCheckpoint()
+        overwritePartitions(spark, tbl, pcols, rewritten, parts)
+      }
     }
   }
 
@@ -151,14 +190,21 @@ object Dml {
       condition: Expression): Unit = {
     val (tbl, _) = target
     val cond = condition.sql
-    val parts = affectedPartitions(spark, tbl, cond)
-    if (parts.nonEmpty) {
-      val inList = parts.map(v => s"'${v.replace("'", "''")}'")
-        .mkString(", ")
+    val pcols = partColsOf(spark, tbl)
+    if (pcols.isEmpty) {
       val surviving = spark.sql(
         s"SELECT ${colsOf(spark, tbl).mkString(", ")} FROM $tbl " +
-          s"WHERE seg IN ($inList) AND NOT ($cond)").localCheckpoint()
-      overwritePartitions(spark, tbl, surviving, parts)
+          s"WHERE NOT ($cond)").localCheckpoint()
+      surviving.write.mode("overwrite").insertInto(tbl)
+    } else {
+      val parts = affectedPartitions(spark, tbl, pcols, cond)
+      if (parts.nonEmpty) {
+        val surviving = spark.sql(
+          s"SELECT ${colsOf(spark, tbl).mkString(", ")} FROM $tbl " +
+            s"WHERE (${scopePredicate(pcols, parts)}) AND NOT ($cond)")
+          .localCheckpoint()
+        overwritePartitions(spark, tbl, pcols, surviving, parts)
+      }
     }
   }
 
@@ -214,30 +260,47 @@ object Dml {
     }
   }
 
-  /** DISTINCT partition values of rows matching `cond` — bounded by the
-    * table's partition count (driver-safe, the layout-stats discipline).
+  /** DISTINCT partition-value tuples (in `pcols` order, string-rendered)
+    * of rows matching `cond` — bounded by the table's partition count
+    * (driver-safe, the layout-stats discipline).
     */
   private def affectedPartitions(spark: SparkSession, tbl: String,
-      cond: String): Seq[String] =
-    spark.sql(s"SELECT DISTINCT seg FROM $tbl WHERE $cond")
-      .collect().map(_.getString(0)).toSeq.sorted
+      pcols: Seq[String], cond: String): Seq[Seq[String]] =
+    spark.sql(
+      s"SELECT DISTINCT ${pcols.map(c => s"CAST($c AS STRING) AS $c")
+        .mkString(", ")} FROM $tbl WHERE $cond")
+      .collect().map { r =>
+        pcols.indices.map { i =>
+          require(!r.isNullAt(i),
+            s"Dml: null partition value in $tbl is not supported")
+          r.getString(i)
+        }: Seq[String]
+      }.toSeq.sortBy(_.mkString(" "))
 
   /** Dynamic-overwrite the partitions present in `rows`; any affected
     * partition with NO surviving rows is cleared explicitly (a fully
     * emptied partition never appears in a dynamic overwrite).
     */
   private def overwritePartitions(spark: SparkSession, tbl: String,
-      rows: DataFrame, affected: Seq[String]): Unit = {
-    val present = rows.select(col("seg")).distinct()
-      .collect().map(_.getString(0)).toSet
+      pcols: Seq[String], rows: DataFrame, affected: Seq[Seq[String]]): Unit = {
+    val present = rows
+      .select(pcols.map(c => col(c).cast("string")): _*)
+      .distinct()
+      .collect().map(r => pcols.indices.map(r.getString): Seq[String]).toSet
     withDynamicOverwrite(spark) {
       rows.write.mode("overwrite").insertInto(tbl)
     }
-    affected.filterNot(present).foreach { v =>
-      val dataCols = colsOf(spark, tbl).filterNot(_ == "seg")
+    affected.filterNot(present).foreach { t =>
+      // typed-NULL empty relation, NOT a self-read: v1 refuses to
+      // overwrite a path it is also reading from
+      val dataCols = spark.table(tbl).schema
+        .filterNot(f => pcols.contains(f.name))
+        .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS ${f.name}")
+      val spec = pcols.zip(t)
+        .map { case (c, v) => s"$c = ${sqlLit(v)}" }.mkString(", ")
       spark.sql(
-        s"INSERT OVERWRITE TABLE $tbl PARTITION (seg = '${v.replace("'", "''")}') " +
-          s"SELECT ${dataCols.mkString(", ")} FROM $tbl WHERE false")
+        s"INSERT OVERWRITE TABLE $tbl PARTITION ($spec) " +
+          s"SELECT ${dataCols.mkString(", ")} WHERE false")
       ()
     }
   }

@@ -55,11 +55,15 @@ object TxLog {
   private def versionFile(table: File, v: Long) =
     new File(logDir(table), f"$v%08d.json")
 
-  /** Committed versions, ascending. */
+  /** Committed versions, ascending. `\d{8,}` (not `{8}`): versionFile's
+    * `%08d` format GROWS past 8 digits at version 100000000, and a fixed-
+    * width match would make those commits invisible — the version probe
+    * would restart low and corrupt the ordering (r9 advice).
+    */
   def versions(table: File): Seq[Long] = {
     val fs = logDir(table).listFiles()
     if (fs == null) Seq.empty
-    else fs.toSeq.map(_.getName).filter(_.matches("\\d{8}\\.json"))
+    else fs.toSeq.map(_.getName).filter(_.matches("\\d{8,}\\.json"))
       .map(_.stripSuffix(".json").toLong).sorted
   }
 
@@ -71,17 +75,17 @@ object TxLog {
       case c => c.toString
     } + "\""
 
-  private case class Add(path: String, rows: Long)
+  private[graft] case class Add(path: String, rows: Long)
 
   /** One committed action file, parsed. */
-  private case class Commit(adds: Seq[Add], removes: Seq[String], op: String)
+  private[graft] case class Commit(adds: Seq[Add], removes: Seq[String], op: String)
 
   private val addRe =
     """\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)\}\}""".r
   private val removeRe = """\{"remove":\s*\{"path":\s*"([^"]+)"\}\}""".r
   private val opRe = """\{"commit":\s*\{"op":\s*"([^"]+)"[^}]*\}\}""".r
 
-  private def readCommit(table: File, v: Long): Commit = {
+  private[graft] def readCommit(table: File, v: Long): Commit = {
     val lines = Files.readAllLines(versionFile(table, v).toPath)
     import scala.jdk.CollectionConverters._
     var adds = Vector.empty[Add]
@@ -96,21 +100,102 @@ object TxLog {
     Commit(adds, removes, op)
   }
 
-  /** The live file set as of version `v` (inclusive). */
-  private def liveFiles(table: File, v: Long): Seq[Add] = {
+  // ---- checkpoints (round-10, r9 verdict task 3) ---------------------------
+  // Every `checkpointEvery` commits the committer materializes the FULL
+  // live file set as `%08d.ckpt` (add-lines only, same wire grammar), so
+  // snapshot resolution reads newest-checkpoint + tail instead of replaying
+  // the whole log — O(checkpointEvery) driver reads at any log length, the
+  // Delta `_last_checkpoint` discipline. Checkpoint content for a version
+  // is deterministic, so a racing duplicate write is byte-identical and
+  // REPLACE semantics are safe (unlike commit slots, which must never
+  // replace).
+
+  private val checkpointEvery = 10
+
+  private def checkpointFile(table: File, v: Long) =
+    new File(logDir(table), f"$v%08d.ckpt")
+
+  /** Checkpointed versions, ascending. */
+  private[graft] def checkpoints(table: File): Seq[Long] = {
+    val fs = logDir(table).listFiles()
+    if (fs == null) Seq.empty
+    else fs.toSeq.map(_.getName).filter(_.matches("\\d{8,}\\.ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong).sorted
+  }
+
+  private def readCheckpoint(table: File, v: Long): Seq[Add] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(checkpointFile(table, v).toPath).asScala.toSeq.collect {
+      case addRe(p, r) => Add(p, r.toLong)
+    }
+  }
+
+  private def maybeCheckpoint(table: File, v: Long): Unit =
+    if (v > 0 && v % checkpointEvery == 0) {
+      val body = resolve(table, v)._1.map(a =>
+        s"""{"add": {"path": ${q(a.path)}, "rows": ${a.rows}}}""")
+        .mkString("", "\n", "\n")
+      val tmp = new File(logDir(table),
+        s".ckpt-${System.nanoTime()}-${Thread.currentThread().getId}")
+      Files.writeString(tmp.toPath, body)
+      Files.move(tmp.toPath, checkpointFile(table, v).toPath,
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+
+  /** Live file set as of `v` plus resolution cost: (live set, base
+    * checkpoint version or -1, commits replayed past it). The cost pair
+    * backs the TxLogSpec pin that a long log resolves from <=1 checkpoint
+    * + <=checkpointEvery action files.
+    */
+  private[graft] def resolve(table: File, v: Long): (Seq[Add], Long, Int) = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Add]
-    versions(table).filter(_ <= v).foreach { ver =>
+    val base = checkpoints(table).filter(_ <= v).lastOption
+    base.foreach(cv => readCheckpoint(table, cv).foreach(a =>
+      live(a.path) = a))
+    val tail = versions(table).filter(ver =>
+      ver <= v && base.forall(ver > _))
+    tail.foreach { ver =>
       val c = readCommit(table, ver)
       c.removes.foreach(live.remove)
       c.adds.foreach(a => live(a.path) = a)
     }
-    live.values.toSeq
+    (live.values.toSeq, base.getOrElse(-1L), tail.size)
   }
 
-  /** Publish `actions` as the next commit: write a temp file, atomic-
-    * rename it into the first free slot. A lost race (slot taken between
-    * the version probe and the rename) re-probes and retries — the
-    * optimistic-concurrency loop. Returns the committed version.
+  /** The live file set as of version `v` (inclusive). */
+  private def liveFiles(table: File, v: Long): Seq[Add] =
+    resolve(table, v)._1
+
+  /** Atomically occupy commit slot `target` with `body`, iff free.
+    * The publish primitive is hard-link CREATE-IF-ABSENT, not rename:
+    * POSIX rename(2) — what Files.move(ATOMIC_MOVE) compiles to —
+    * silently REPLACES an existing target, so a rename-based publish
+    * cannot detect a lost race and concurrent committers would clobber
+    * each other's committed versions (r9 advice, verified on-host).
+    * Files.createLink fails atomically with FileAlreadyExistsException
+    * when the slot is taken — the semantics optimistic concurrency needs.
+    */
+  private def publishSlot(target: File, body: String): Boolean = {
+    val tmp = new File(target.getParentFile,
+      s".tmp-${System.nanoTime()}-${Thread.currentThread().getId}")
+    Files.writeString(tmp.toPath, body)
+    try {
+      Files.createLink(target.toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp.toPath)
+      ()
+    }
+  }
+
+  /** Publish `actions` as the next commit: write a temp file, atomically
+    * LINK it into the first free slot (create-if-absent). A lost race
+    * (slot taken between the version probe and the link) re-probes and
+    * retries — the optimistic-concurrency loop. Returns the committed
+    * version.
     */
   def commit(table: File, adds: Seq[(String, Long)], removes: Seq[String],
       op: String): Long = {
@@ -122,15 +207,9 @@ object TxLog {
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
-      val tmp = new File(logDir(table), s".tmp-${System.nanoTime()}")
-      Files.writeString(tmp.toPath, body)
-      try {
-        Files.move(tmp.toPath, versionFile(table, v).toPath,
-          StandardCopyOption.ATOMIC_MOVE)
+      if (publishSlot(versionFile(table, v), body)) {
         committed = v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp.toPath) // lost the race; retry at v+1
+        maybeCheckpoint(table, v)
       }
     }
     committed
@@ -348,6 +427,45 @@ object TxLog {
     commit(table, files, live.map(_.path), "compact")
   }
 
+  // ---- multi-table atomic commit (S45, round-10; r9 verdict task 4) ------
+  // The S15 cross-table transaction semantics on the S40 table format: a
+  // DATABASE-level log (`<db>/_graft_log`) whose add actions reference
+  // files by db-relative path `<table>/<group>/<file>.parquet`, so ONE
+  // commit object can span several tables and a reader resolving any
+  // version sees every table's half of a transaction or none of it —
+  // multi-table atomicity by construction, not by coordination (the
+  // single-log-per-database design; Delta needs a separate coordinator
+  // for this because its log is per-table). All single-table machinery
+  // (optimistic commit loop, checkpoints, time travel) applies unchanged
+  // because the db directory IS the "table" the log machinery sees.
+
+  /** Atomically append one DataFrame per table as ONE commit spanning
+    * all of them. Data files land under `<db>/<table>/`; the shared log
+    * records every table's adds in a single commit object. Returns the
+    * committed version.
+    */
+  def dbAppend(db: File, batches: Seq[(String, DataFrame)]): Long = {
+    val adds = batches.flatMap { case (t, df) =>
+      writeFiles(df, new File(db, t), "append")
+        .map { case (p, r) => (s"$t/$p", r) }
+    }
+    commit(db, adds, Seq.empty, "txn-append")
+  }
+
+  /** Snapshot of ONE table of the database at `version` (default latest):
+    * the db-level live set filtered to the table's path prefix. Immutable-
+    * file reads, same isolation contract as `snapshot`.
+    */
+  def dbSnapshot(spark: SparkSession, db: File, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(versions(db).lastOption).getOrElse(
+      sys.error(s"TxLog: no commits in $db"))
+    val files = liveFiles(db, v).filter(_.path.startsWith(table + "/"))
+    require(files.nonEmpty, s"TxLog: version $v has no live files for $table")
+    spark.read.parquet(
+      files.map(a => new File(db, a.path).getAbsolutePath): _*)
+  }
+
   /** Highest batch id committed for `app`, from the txn markers in the
     * log — the idempotence ledger of the exactly-once streaming sink.
     */
@@ -387,21 +505,42 @@ object TxLog {
     var done = false
     while (!done) {
       val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
-      val tmp = new File(logDir(table), s".tmp-${System.nanoTime()}")
-      Files.writeString(tmp.toPath, body)
-      try {
-        Files.move(tmp.toPath, versionFile(table, v).toPath,
-          StandardCopyOption.ATOMIC_MOVE)
+      if (publishSlot(versionFile(table, v), body)) {
         committed = true; done = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp.toPath)
-          // another commit landed first — re-check the txn ledger before
-          // retrying (the racer might have been OUR replayed batch)
-          if (lastTxnBatch(table, app).exists(_ >= batchId)) done = true
+        maybeCheckpoint(table, v)
+      } else {
+        // another commit landed first — re-check the txn ledger before
+        // retrying (the racer might have been OUR replayed batch)
+        if (lastTxnBatch(table, app).exists(_ >= batchId)) done = true
       }
     }
+    // abandoning the commit (lost to our own replayed batch): the parquet
+    // group writeFiles just produced is referenced by NO log action, so
+    // vacuum (which walks logged adds) would never reclaim it — delete it
+    // here instead of leaking orphans forever (r9 advice)
+    if (!committed) discardFileGroup(table, files)
     committed
+  }
+
+  /** Physically delete a freshly written, never-committed file group
+    * (plus its now-empty per-commit subdirectory and writer markers).
+    */
+  private def discardFileGroup(table: File,
+      files: Seq[(String, Long)]): Unit = {
+    files.foreach { case (p, _) =>
+      Files.deleteIfExists(new File(table, p).toPath); ()
+    }
+    files.headOption.foreach { case (p, _) =>
+      val dir = new File(table, p).getParentFile
+      val rest = Option(dir.listFiles()).getOrElse(Array.empty)
+      // only writer markers (_SUCCESS, .crc) may remain in the group dir
+      if (rest.forall(f =>
+          f.getName.startsWith("_") || f.getName.startsWith("."))) {
+        rest.foreach(_.delete())
+        dir.delete()
+        ()
+      }
+    }
   }
 
   /** Streaming writer: every micro-batch lands as one exactly-once
@@ -674,7 +813,97 @@ object TxLog {
       |  UNION ALL SELECT 4, 'compact', v3, 0 FROM c)
       |ORDER BY version""".stripMargin
 
+  /** Txn demo database, built once per (JVM, corpus): TWO tables —
+    * `ord` (order header census) and `lin` (per-order line rollup) —
+    * populated by TWO cross-table atomic commits that carve the corpus
+    * by order year (<=1995, then the rest). Each commit carries BOTH
+    * tables' halves of one "source transaction"; a torn commit would
+    * leave a version where the halves disagree.
+    */
+  private[graft] def txnDemoDb(spark: SparkSession, dir: String): File = {
+    val dbName = new File(dir).getName
+    val db = new File(
+      new File(sys.props("java.io.tmpdir")),
+      s"graft_txdb_${ProcessHandle.current.pid}_$dbName")
+    val done = versions(db).size >= 2
+    if (!done) {
+      val o = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"),
+        graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
+          .as("cents"))
+      val ln = graft.Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+        .join(o.select(col("o_orderkey"), col("yr")), Seq("o_orderkey"))
+      dbAppend(db, Seq(
+        "ord" -> o.filter(col("yr") <= 1995),
+        "lin" -> ln.filter(col("yr") <= 1995).drop("yr")))
+      dbAppend(db, Seq(
+        "ord" -> o.filter(col("yr") > 1995),
+        "lin" -> ln.filter(col("yr") > 1995).drop("yr")))
+    }
+    db
+  }
+
+  /** txlog_txn_commit (S45) — cross-table ATOMIC commit audit: both demo
+    * tables read at version 0 (first transaction) and at latest, full-
+    * outer-joined on the order key. Atomicity is the invariant under
+    * test: at EVERY version each order header arrives with its line
+    * rollup (n_orphan_lines = 0, n_matched = n_orders), because one
+    * commit object published both tables' halves. The oracle recomputes
+    * each version's totals from raw orders+lineitem with the same year
+    * carve — the hash-match fails if either version ever exposes a half-
+    * transaction.
+    */
+  def txlogTxnCommit(spark: SparkSession, dir: String): DataFrame = {
+    val db = txnDemoDb(spark, dir)
+    def census(v: Option[Long], tag: String): DataFrame =
+      dbSnapshot(spark, db, "ord", v)
+        .join(dbSnapshot(spark, db, "lin", v), Seq("o_orderkey"),
+          "full_outer")
+        .agg(
+          count(col("cents")).as("n_orders"),
+          count(when(col("cents").isNotNull && col("n_lines").isNotNull,
+            1)).as("n_matched"),
+          count(when(col("cents").isNull, 1)).as("n_orphan_lines"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("n_lines")).as("total_lines"))
+        .select(lit(tag).as("version"), col("n_orders"), col("n_matched"),
+          col("n_orphan_lines"), col("total_cents"), col("total_lines"))
+    census(Some(0L), "v0_le1995").unionByName(census(None, "v1_full"))
+      .orderBy(col("version"))
+  }
+
+  val txlogTxnCommitSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, year(o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |ln AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_lines
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.yr, o.cents, ln.n_lines
+      |  FROM o LEFT JOIN ln ON o.o_orderkey = ln.l_orderkey)
+      |SELECT * FROM (
+      |  SELECT 'v0_le1995' AS version, COUNT(*) AS n_orders,
+      |    CAST(SUM(CASE WHEN n_lines IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_matched,
+      |    CAST(0 AS BIGINT) AS n_orphan_lines,
+      |    CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |    CAST(SUM(n_lines) AS BIGINT) AS total_lines
+      |  FROM j WHERE yr <= 1995
+      |  UNION ALL
+      |  SELECT 'v1_full', COUNT(*),
+      |    CAST(SUM(CASE WHEN n_lines IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    CAST(0 AS BIGINT),
+      |    CAST(SUM(cents) AS BIGINT), CAST(SUM(n_lines) AS BIGINT)
+      |  FROM j)
+      |ORDER BY version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txlog_txn_commit" -> (txlogTxnCommit _),
     "txlog_snapshot" -> (txlogSnapshot _),
     "txlog_history" -> (txlogHistory _),
     "txlog_time_travel" -> (txlogTimeTravel _),
@@ -682,6 +911,7 @@ object TxLog {
     "txlog_merge" -> (txlogMerge _))
 
   def oracle: Map[String, String] = Map(
+    "txlog_txn_commit" -> txlogTxnCommitSql,
     "txlog_snapshot" -> txlogSnapshotSql,
     "txlog_history" -> txlogHistorySql,
     "txlog_time_travel" -> txlogTimeTravelSql,

@@ -56,6 +56,92 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).count() == 1 + 4 * 3)
   }
 
+  test("commit primitive is create-if-absent under TIGHT contention: " +
+      "no committed version is ever clobbered") {
+    // r9 advice: rename(2) REPLACES an existing target, so an ATOMIC_MOVE
+    // publish silently clobbers the race winner. This drives the raw
+    // commit loop (no Spark writes to stagger threads) — 8 threads x 5
+    // commits all racing the probe-publish window — and asserts every
+    // commit survives with its body intact.
+    val t = freshTable("tightrace")
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(8)
+    val gate = new CountDownLatch(1)
+    val fs = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+        override def call(): Seq[Long] = {
+          gate.await()
+          (0 until 5).map(j => TxLog.commit(t,
+            Seq((s"f_${i}_$j.parquet", 1L)), Seq.empty, s"op_${i}_$j"))
+        }
+      })
+    }
+    gate.countDown()
+    val versions = fs.flatMap(_.get())
+    pool.shutdown()
+    assert(versions.sorted == (0L until 40L), s"lost commits: $versions")
+    // every body survived: the op tags are all distinct and all present
+    val ops = (0L until 40L).map(v => TxLog.readCommit(t, v).op)
+    assert(ops.toSet.size == 40, s"clobbered commit bodies: $ops")
+  }
+
+  test("checkpoints bound snapshot resolution: a 25-commit log resolves " +
+      "from <=1 checkpoint + <=10 action files") {
+    val t = freshTable("ckpt")
+    (0 until 25).foreach(i => TxLog.append(rows(2, 10L * i), t))
+    // checkpoints landed every 10 commits
+    assert(TxLog.checkpoints(t) == Seq(10L, 20L),
+      s"checkpoints: ${TxLog.checkpoints(t)}")
+    val (live, base, replayed) = TxLog.resolve(t, 24L)
+    assert(base == 20L && replayed <= 10,
+      s"resolution read base=$base + $replayed commits")
+    // checkpoint-based resolution is EXACT: same live set, same data
+    assert(live.map(_.rows).sum == 50)
+    assert(TxLog.snapshot(spark, t).count() == 50)
+    // time travel BELOW the first checkpoint still replays correctly
+    assert(TxLog.snapshot(spark, t, Some(4L)).count() == 10)
+    // and a version between checkpoints uses the right base
+    val (_, base14, replayed14) = TxLog.resolve(t, 14L)
+    assert(base14 == 10L && replayed14 <= 4)
+  }
+
+  test("multi-table commit is ATOMIC: every version sees both tables' " +
+      "halves or neither, even under a 4-writer race") {
+    val db = freshTable("txdb")
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(4)
+    val gate = new CountDownLatch(1)
+    val fs = (1 to 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          gate.await()
+          TxLog.dbAppend(db, Seq(
+            "ta" -> rows(3, 100L * i),
+            "tb" -> rows(2, 100L * i)))
+        }
+      })
+    }
+    gate.countDown()
+    val versions = fs.map(_.get()).sorted
+    pool.shutdown()
+    assert(versions == Seq(0L, 1L, 2L, 3L), s"got $versions")
+    // every commit object spans BOTH tables
+    for (v <- versions) {
+      val c = TxLog.readCommit(db, v)
+      assert(c.adds.exists(_.path.startsWith("ta/")) &&
+        c.adds.exists(_.path.startsWith("tb/")),
+        s"commit $v is not cross-table: ${c.adds.map(_.path)}")
+    }
+    // a reader at ANY version sees consistent halves: 3 ta rows and 2 tb
+    // rows per committed transaction, never a fraction
+    for (v <- versions) {
+      val ta = TxLog.dbSnapshot(spark, db, "ta", Some(v)).count()
+      val tb = TxLog.dbSnapshot(spark, db, "tb", Some(v)).count()
+      assert(ta == 3 * (v + 1) && tb == 2 * (v + 1),
+        s"version $v tore a transaction: ta=$ta tb=$tb")
+    }
+  }
+
   test("snapshot isolation: a resolved reader never sees a later commit") {
     val t = freshTable("iso")
     TxLog.append(rows(10), t)
