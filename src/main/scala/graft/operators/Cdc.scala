@@ -1774,7 +1774,147 @@ object Cdc {
        |WHERE p.event_type = 'purchase'
        |GROUP BY 1, 2, p.ts, 4 ORDER BY purchase_id""".stripMargin
 
+  /** cdc_debezium_envelope (S46, round-10) — the full Debezium wire
+    * envelope with SCHEMA-REGISTRY epochs: every op leaves the source as
+    * the `{schema: {id}, payload: {before, after, source: {db, tbl,
+    * lsn}, op: c|u|d, ts_ms}}` JSON document Debezium emits (deletes
+    * carry only the BEFORE image, creates/updates only the AFTER — the
+    * connector's contract), and mid-stream the upstream schema CHANGES:
+    * epoch-1 documents carry `value` (2dp double), epoch-2 documents
+    * (ts >= 2024-01-16) carry `amount_cents` (i64) — the rename+retype
+    * DDL event S14 models at the event level, here at the WIRE level.
+    * The decoder parses both shapes in one from_json pass and resolves
+    * the epoch difference through a broadcast schema-id → decode-rule
+    * dictionary (the S14 dictionary idiom standing in for a schema
+    * registry); the apply is the mergeable LWW argmax on (ts_ms, lsn)
+    * with per-key epoch/op censuses. Production Debezium wraps this
+    * envelope in Avro + a registry id; no Avro jar exists in this image
+    * (declared environment blocker, SURVEY.md §2 gap 2), so the envelope
+    * is JSON-encoded — the STRUCTURE (before/after images, source block,
+    * op codes, ms timestamps, schema epochs) is the faithful part.
+    *
+    * The oracle recomputes the canonical LWW state straight from the raw
+    * log (ordering by the SAME (epoch-ms, lsn) key the envelope carries),
+    * so the hash-match proves encode → registry decode → apply ≡ the
+    * canonical apply: the envelope round-trip is the identity, deletes
+    * drop keys, both epochs' value encodings decode to the same doubles
+    * (cents→/100.0 is exact on 2dp money, the S32 argument).
+    *
+    * Scale: ONE scan; encode, parse, and normalize are the same map-side
+    * codegen'd projection (the S32 discipline — parse once into a
+    * concrete column, never inside when() branches); the dictionary is a
+    * 2-row broadcast; the only exchange is the user-keyed hash aggregate
+    * every CDC apply pays.
+    */
+  def cdcDebeziumEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val e = Tables.events(spark, dir)
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val isDel = col("event_type") === "error"
+    val opCol = when(isDel, "d")
+      .when(col("event_id") % 3 === 0, "c").otherwise("u")
+    // per-epoch row images: the DDL rename+retype happens mid-stream
+    val img1 = struct(col("user_id"), col("value"))
+    val img2 = struct(col("user_id"),
+      scaledLong(col("value"), 100L).as("amount_cents"))
+    val srcBlock = struct(lit("app").as("db"), lit("events").as("tbl"),
+      col("event_id").as("lsn"))
+    def payload(img: Column) = struct(
+      when(isDel, img).as("before"),
+      when(!isDel, img).as("after"),
+      srcBlock.as("source"), opCol.as("op"),
+      unix_millis(col("ts")).as("ts_ms"))
+    // ENCODE map-side (to_json omits null struct fields, so a delete's
+    // envelope really has no `after` key — wire-faithful)
+    val env = when(col("ts") < cutoff,
+        to_json(struct(struct(lit(1L).as("id")).as("schema"),
+          payload(img1).as("payload"))))
+      .otherwise(
+        to_json(struct(struct(lit(2L).as("id")).as("schema"),
+          payload(img2).as("payload"))))
+    // DECODE: one schema parses both epochs (absent fields → null)
+    val imgT = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType),
+      StructField("amount_cents", LongType)))
+    val envT = StructType(Seq(
+      StructField("schema", StructType(Seq(StructField("id", LongType)))),
+      StructField("payload", StructType(Seq(
+        StructField("before", imgT), StructField("after", imgT),
+        StructField("source", StructType(Seq(
+          StructField("db", StringType), StructField("tbl", StringType),
+          StructField("lsn", LongType)))),
+        StructField("op", StringType),
+        StructField("ts_ms", LongType))))))
+    // schema-registry decode dictionary: schema_id → cents scale of the
+    // epoch's integer money encoding (broadcast, the S14 idiom)
+    import spark.implicits._
+    val registry = Seq((1L, 1L), (2L, 100L))
+      .toDF("schema_id", "cents_scale")
+    val parsed = e.select(env.as("doc"))
+      .withColumn("m", from_json(col("doc"), envT))
+    parsed.select(
+        col("m.schema.id").as("schema_id"),
+        col("m.payload.op").as("op"),
+        col("m.payload.ts_ms").as("ts_ms"),
+        col("m.payload.source.lsn").as("lsn"),
+        // a delete's image is its BEFORE; everything else decodes AFTER
+        coalesce(col("m.payload.after"), col("m.payload.before")).as("img"))
+      .join(broadcast(registry), Seq("schema_id"))
+      .select(col("schema_id"), col("op"), col("ts_ms"), col("lsn"),
+        col("img.user_id").as("user_id"),
+        coalesce(col("img.value"),
+          col("img.amount_cents").cast("double") / col("cents_scale"))
+          .as("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts_ms"), col("lsn"), (col("op") === "d").as("is_del"),
+          col("value"))).as("last"),
+        sum(when(col("schema_id") === 1L, 1L).otherwise(0L)).as("n_v1_events"),
+        sum(when(col("schema_id") === 2L, 1L).otherwise(0L)).as("n_v2_events"),
+        sum(when(col("op") === "c", 1L).otherwise(0L)).as("n_creates"),
+        sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_deletes"))
+      .filter(!col("last.is_del"))
+      .select(col("user_id"), col("last.ts_ms").as("last_ts_ms"),
+        col("last.lsn").as("last_event_id"),
+        col("last.value").as("last_value"),
+        col("n_v1_events"), col("n_v2_events"),
+        col("n_creates"), col("n_deletes"))
+      .orderBy(col("user_id"))
+  }
+
+  val cdcDebeziumEnvelopeSql: String =
+    """WITH log AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+      |    event_type = 'error' AS is_del,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END
+      |      AS epoch,
+      |    CASE WHEN event_type = 'error' THEN 'd'
+      |      WHEN event_id % 3 = 0 THEN 'c' ELSE 'u' END AS op
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn
+      |  FROM log),
+      |c AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_v1_events,
+      |    CAST(SUM(CASE WHEN epoch = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_v2_events,
+      |    CAST(SUM(CASE WHEN op = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_creates,
+      |    CAST(SUM(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_deletes
+      |  FROM log GROUP BY user_id)
+      |SELECT r.user_id, r.ts_ms AS last_ts_ms, r.event_id AS last_event_id,
+      |  r.value AS last_value,
+      |  c.n_v1_events, c.n_v2_events, c.n_creates, c.n_deletes
+      |FROM r JOIN c ON r.user_id = c.user_id
+      |WHERE r.rn = 1 AND NOT r.is_del
+      |ORDER BY r.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_debezium_envelope" -> (cdcDebeziumEnvelope _),
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
     "cdc_dual_wire_merge" -> (cdcDualWireMerge _),
@@ -1802,6 +1942,7 @@ object Cdc {
     "events_attribution_outer" -> (eventsAttributionOuter _))
 
   def oracle: Map[String, String] = Map(
+    "cdc_debezium_envelope" -> cdcDebeziumEnvelopeSql,
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
     "cdc_dual_wire_merge" -> cdcDualWireMergeSql,

@@ -818,38 +818,32 @@ object Relational {
     *
     * Scale: the deny-list is |suppliers|-bounded (broadcastable at any
     * SF) and derives from a scan-pruned slice (returnflag + quantity +
-    * window reach parquet); the (partkey, suppkey) distinct pairs and
-    * the per-(brand, size) distinct-supplier count both cluster on
-    * partkey after the part join.
+    * date window reach parquet as PushedFilters); the fact crosses
+    * exactly ONE exchange.
     */
   def q16SuppVariety(spark: SparkSession, dir: String): DataFrame = {
-    // ONE lineitem scan serves both the deny-list and the pair census:
-    // each row carries its own complaint flag, the (part, supp) aggregate
-    // (the distinct-pair pass the census needs anyway) folds it to a
-    // per-pair max, and the |suppliers|-bounded deny census derives from
-    // THAT frame — the r9 two-scan form paid a second fact scan for what
-    // is a re-aggregation of an existing intermediate
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"), col("l_suppkey"),
-        when(col("l_returnflag") === "R" && col("l_quantity") >= 50 &&
-          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1995-03-01").cast("timestamp"), 1L)
-          .otherwise(0L).as("bad"))
-    val pairs = li.groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(max(col("bad")).as("pair_bad"))
-    // the supplier-wide deny flag is a WINDOW over the pair frame (max of
-    // pair_bad per suppkey) — the pair aggregate stays single-computed
-    // (a derived deny FRAME would re-run it as a second consumer); the
-    // window exchange moves the pair frame, already fact-reduced
-    val supp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_suppkey"))
+    // ONE fact exchange total (r10, replacing the r9 one-scan form that
+    // was 0.93-1.06 s / 12x: it paid THREE fact-sized exchanges — pair
+    // aggregate, per-suppkey window, distinct-count clustering — to save
+    // one scan-pruned re-read). Here both broadcasts (deny-list, filtered
+    // part) apply map-side BEFORE the only aggregate, so the sole
+    // exchange is the (brand, size, suppkey) distinct-count clustering of
+    // the part-filtered fact, partially deduped map-side. The deny-list
+    // re-reads lineitem through pushed filters — a 3-column pruned scan
+    // is cheaper than re-clustering the full pair frame by suppkey at
+    // any scale (A/B'd r9→r10: 0.93 s → measured below).
+    val deny = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 50 &&
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-03-01").cast("timestamp"))
+      .select(col("l_suppkey")).distinct()
     val p = Tables.part(spark, dir)
       .filter(col("p_type").isin("SMALL", "MEDIUM"))
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
-    pairs
-      .withColumn("supp_bad", max(col("pair_bad")).over(supp))
-      .filter(col("supp_bad") === 0L)
-      .join(p, col("l_partkey") === col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(deny), Seq("l_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))

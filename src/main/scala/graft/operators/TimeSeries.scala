@@ -218,30 +218,39 @@ object TimeSeries {
     *
     * Scale: the order×time interval frame NEVER materializes — spans
     * collapse map-side to boundary deltas and the delta frame aggregates
-    * to ≤|days| rows. The cumulative is the PER-YEAR partitioned window
-    * + carried year offsets (r9, replacing the r8 triangular self-join
-    * whose |days|² pairs grew quadratically in the day domain): each
-    * year's running sum is a WindowExec over ≤366 rows partitioned on
-    * year — never partition-less, per the suite discipline — and the
-    * cross-year carry is the triangular join over the YEAR-sized totals
-    * frame (|years|², trivial at any horizon), broadcast back. The
-    * ship-date aggregate rides the same l_orderkey clustering as the
-    * join.
+    * to ≤|days| rows. The order⋈lineitem pairing is ONE co-clustered
+    * exchange, not a join (r10, replacing the r9 two-exchange
+    * shuffle-hash join that cost 0.97 s against DuckDB's 90 ms): both
+    * sides union-tag into a single frame and ONE groupBy(orderkey)
+    * merges them — max(ship-tagged d) is the last ship, max(order-tagged
+    * d) is the placement (unique per key) — the cogroup-via-union idiom.
+    * Each fact moves through the shuffle once either way; this removes
+    * the second exchange, the hash-build, and a whole AQE stage. Orders
+    * with no lines (1.8% of the corpus) drop on the post-merge
+    * both-sides-present filter, preserving the inner-join contract. The
+    * cumulative is the PER-YEAR partitioned window + carried year
+    * offsets (r9, replacing the r8 triangular self-join whose |days|²
+    * pairs grew quadratically in the day domain): each year's running
+    * sum is a WindowExec over ≤366 rows partitioned on year — never
+    * partition-less, per the suite discipline — and the cross-year carry
+    * is the triangular join over the YEAR-sized totals frame (|years|²,
+    * trivial at any horizon), broadcast back.
     */
   def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
-    val ship = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
-    // shuffle_hash: the ship side is already aggregated per orderkey and
-    // consumed once — hashing it skips the SMJ's two sorts. Boundary
-    // deltas explode MAP-SIDE from each span row (±1 structs) so the
-    // span join executes ONCE — the earlier two-branch union re-ran the
-    // join per branch (A/B: 1.35 → 1.30 s for the hint, 0.91 → 0.77 s
-    // for the single-pass explode under like-for-like load)
-    val deltas = o.join(ship.hint("shuffle_hash"),
-        col("o_orderkey") === col("l_orderkey"))
+    val shipSide = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"),
+        to_date(col("l_shipdate")).as("d"), lit(true).as("is_ship"))
+    val orderSide = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"),
+        to_date(col("o_orderdate")).as("d"), lit(false).as("is_ship"))
+    // one exchange merges both sides; the lineitem side partial-
+    // aggregates map-side (multiple lines per order collapse pre-shuffle)
+    val perOrder = shipSide.unionByName(orderSide)
+      .groupBy(col("k"))
+      .agg(max(when(col("is_ship"), col("d"))).as("last_ship"),
+        max(when(!col("is_ship"), col("d"))).as("s"))
+      .filter(col("last_ship").isNotNull && col("s").isNotNull)
+    val deltas = perOrder
       .select(explode(array(
         struct(col("s").as("d"), lit(1L).as("delta")),
         struct(date_add(col("last_ship"), 1).as("d"),

@@ -69,7 +69,7 @@ object ChangeLog {
   // timestamps included (microsecond round-trip via an explicit format).
   // JSONL splits by line and parallelizes by file — scale-neutral.
 
-  private val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private[graft] val TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** Declared JSONL schema: ts travels as a formatted string (JSON has no
     * timestamp type); everything else keeps its logical type. */

@@ -437,10 +437,130 @@ object AB {
       .limit(10)
   }
 
+  /** r9 agg_weighted_median: per-flag cumulative window (3 partitions). */
+  def wmedianOld(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        scaledLong(col("l_extendedprice"), 100L).as("cents"),
+        scaledLong(col("l_quantity"), 1L).as("w"))
+    val census = li.groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("wsum"))
+    val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    census
+      .withColumn("cumw", sum(col("wsum")).over(cum))
+      .withColumn("totw", sum(col("wsum")).over(tot))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("cumw") * 2 >= col("totw"), col("cents")))
+          .as("weighted_median_cents"),
+        max(col("totw")).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** wmedian v3: ONE fact exchange — raw rows repartition by (flag,
+    * shard); census, intra-shard window, and shard totals all satisfy
+    * that clustering (subset-key rule), so no second census-sized
+    * exchange exists anywhere.
+    */
+  def wmedianV3(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        scaledLong(col("l_extendedprice"), 100L).as("cents"),
+        scaledLong(col("l_quantity"), 1L).as("w"))
+      .withColumn("shard", (col("cents") / lit(262144L)).cast("long"))
+      .repartition(col("l_returnflag"), col("shard"))
+    val census = li.groupBy(col("l_returnflag"), col("shard"), col("cents"))
+      .agg(sum(col("w")).as("wsum"))
+    val shards = census.groupBy(col("l_returnflag"), col("shard"))
+      .agg(sum(col("wsum")).as("ssum"))
+    val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = shards
+      .withColumn("off", coalesce(sum(col("ssum")).over(wOff), lit(0L)))
+      .withColumn("totw",
+        sum(col("ssum")).over(Window.partitionBy(col("l_returnflag"))))
+      .select(col("l_returnflag"), col("shard"), col("off"), col("totw"))
+    val intra = Window.partitionBy(col("l_returnflag"), col("shard"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("icum", sum(col("wsum")).over(intra))
+      .join(broadcast(off), Seq("l_returnflag", "shard"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when((col("icum") + col("off")) * 2 >= col("totw"),
+          col("cents"))).as("weighted_median_cents"),
+        max(col("totw")).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** r9 orders_backlog: shuffle-hash join of ship agg against orders. */
+  def backlogOld(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("s"))
+    val ship = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val deltas = o.join(ship.hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(explode(array(
+        struct(col("s").as("d"), lit(1L).as("delta")),
+        struct(date_add(col("last_ship"), 1).as("d"),
+          lit(-1L).as("delta")))).as("b"))
+      .groupBy(col("b.d").as("d")).agg(sum(col("b.delta")).as("delta"))
+      .withColumn("yr", year(col("d")))
+    val wCum = Window.partitionBy(col("yr")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inYear = deltas.withColumn("cin", sum(col("delta")).over(wCum))
+    val yearTot = deltas.groupBy(col("yr")).agg(sum(col("delta")).as("yt"))
+    val off = yearTot.as("a")
+      .join(yearTot.as("b"), col("b.yr") < col("a.yr"))
+      .groupBy(col("a.yr").as("yr")).agg(sum(col("b.yt")).as("off"))
+    val cum = inYear.join(broadcast(off), Seq("yr"), "left")
+      .select(col("d"),
+        (col("cin") + coalesce(col("off"), lit(0L))).as("open_orders"))
+    cum.groupBy(trunc(col("d"), "month").as("m"))
+      .agg(count(lit(1)).as("n_boundary_days"),
+        max(struct(col("d"), col("open_orders"))).as("eom"),
+        max(col("open_orders")).as("peak_open"))
+      .select(col("m"), col("n_boundary_days"),
+        col("eom.open_orders").cast("long").as("eom_open"),
+        col("peak_open").cast("long").as("peak_open"))
+      .orderBy(col("m"))
+  }
+
+  /** r9 q16: one scan, pair agg + suppkey window + distinct count. */
+  def q16Old(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        when(col("l_returnflag") === "R" && col("l_quantity") >= 50 &&
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-03-01").cast("timestamp"), 1L)
+          .otherwise(0L).as("bad"))
+    val pairs = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(max(col("bad")).as("pair_bad"))
+    val supp = Window.partitionBy(col("l_suppkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type").isin("SMALL", "MEDIUM"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    pairs
+      .withColumn("supp_bad", max(col("pair_bad")).over(supp))
+      .filter(col("supp_bad") === 0L)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(30)
+  }
+
   /** Scratch map: point entries at candidate implementations while
     * iterating (e.g. a rewritten operator vs the registered one). */
   def variants: Map[String, (SparkSession, String) => DataFrame] =
     graft.SparkEntry.queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "wmedian_old" -> (wmedianOld _),
+      "wmedian_v3" -> (wmedianV3 _),
+      "backlog_old" -> (backlogOld _),
+      "q16_old" -> (q16Old _),
       "est_v2" -> (estV2 _),
       "cont_v2" -> (contV2 _),
       "spans_v2" -> (spansV2 _),

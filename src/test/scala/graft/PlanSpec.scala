@@ -544,6 +544,57 @@ class PlanSpec extends SparkSpec {
         s"stopped riding the word partials:\n$p")
   }
 
+  test("round-10 additions keep their designed shapes") {
+    def sparkPlanOf(name: String) =
+      SparkEntry.queries(name)(spark, sfTiny).queryExecution.sparkPlan
+    def exchanges(name: String) = sparkPlanOf(name).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    def windows(name: String) = sparkPlanOf(name).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // agg_weighted_median: ONE fact exchange — raw rows repartition by
+    // (flag, shard) and census/window/shard-mass all ride it by subset
+    // clustering; the intra-shard cumulative is a 2-key window (never the
+    // 3-partition per-flag cliff)
+    val wm = sparkPlanOf("agg_weighted_median").toString
+    assert(wm.contains("hashpartitioning(l_returnflag") &&
+      wm.contains("shard"),
+      s"agg_weighted_median lost the (flag, shard) fact repartition:\n$wm")
+    assert(windows("agg_weighted_median")
+      .exists(_.partitionSpec.size == 2),
+      "agg_weighted_median intra-shard window is no longer 2-key sharded")
+    assert(exchanges("agg_weighted_median").size <= 4,
+      "agg_weighted_median grew extra exchanges")
+    // orders_backlog: the order⋈lineitem pairing is ONE co-clustered
+    // union exchange — no shuffled fact join anywhere (the only joins
+    // left are tiny broadcast year-offset frames)
+    val ob = sparkPlanOf("orders_backlog")
+    val obShuffledJoins = ob.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(obShuffledJoins.isEmpty,
+      "orders_backlog regained a shuffled fact join (the union-merge is gone)")
+    assert(ob.toString.contains("Union"),
+      "orders_backlog lost the cogroup-via-union merge")
+    // q16_supp_variety: zero windows (the per-suppkey deny window is
+    // gone), both reductions broadcast BEFORE the only fact exchange
+    assert(windows("q16_supp_variety").isEmpty,
+      "q16_supp_variety regained the per-suppkey window exchange")
+    val q16 = sparkPlanOf("q16_supp_variety").toString
+    assert("BroadcastHashJoin".r.findAllIn(q16).length >= 2,
+      "q16_supp_variety deny-list/part joins stopped broadcasting")
+    assert(exchanges("q16_supp_variety").size <= 4,
+      "q16_supp_variety grew extra exchanges")
+    // cdc_debezium_envelope: encode→parse→normalize is map-side; the only
+    // hash exchange is the user-keyed apply aggregate
+    val dbz = exchanges("cdc_debezium_envelope").filter(
+      _.toString.contains("hashpartitioning"))
+    assert(dbz.size == 1,
+      s"cdc_debezium_envelope grew hash exchanges: ${dbz.size}")
+  }
+
   test("no query plans a partition-less (single-task) WindowExec") {
     // A window with an empty partitionSpec funnels every row through ONE
     // task — fine at |groups| rows, a straggler at 100 TB. The engine has

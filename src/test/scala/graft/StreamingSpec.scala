@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.Streams
+import graft.streaming.{EventSources, Streams}
 import graft.streaming.Streams.ChangeEvent
 
 /** Structured Streaming correctness (SURVEY.md §2.9, ST1–ST7): each
@@ -483,17 +483,12 @@ class StreamingSpec extends SparkSpec {
     // that hold for any prefix: synthetic event-time advances 30 s per
     // row, every appended window is hour-aligned, spans exactly 120
     // rows, and total_value ≡ n_events (each row carries value = 1.0).
-    val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", "500").option("numPartitions", "1").load()
+    // r10: the rate decode moved behind the EventSources seam — the ONE
+    // call site a deployment rebinds (rate → fileTail → kafka) with zero
+    // operator change
     val base = 1704067200L // hour-aligned epoch seconds
-    val events = rate.select(
-      col("value").as("event_id"),
-      timestamp_seconds(lit(base) + col("value") * 30).as("ts"),
-      (col("value") % 50).as("user_id"),
-      when(col("value") % 3 === 0, "view").otherwise("click")
-        .as("event_type"),
-      lit(1.0).as("value"),
-      lit("""{"k": 1}""").as("props"))
+    val events = EventSources.rate(spark, rowsPerSecond = 500,
+      baseEpochSec = base)
     val q = Streams.tumblingCounts(events)
       .writeStream.format("memory").queryName("st1_rate")
       .outputMode("append").start()
@@ -523,6 +518,43 @@ class StreamingSpec extends SparkSpec {
           s"duplicate event_type rows in window $w: ${rs.toSeq}")
       }
     } finally q.stop()
+  }
+
+  test("EventSources seam: ST6 upsert runs off fromFrame (memory), the " +
+      "JSONL decode round-trips, and the kafka leg reaches provider lookup") {
+    import spark.implicits._
+    // ST6 off the seam with a Memory source: same operator, same results
+    val input = MemoryStream[ChangeEvent](spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_seam").toFile.getAbsolutePath
+    val q = Streams.cdcUpsertQuery(spark, EventSources.fromFrame(input.toDF()),
+      s"$tmp/sink", s"$tmp/ckpt")
+    try {
+      input.addData(Seq(ev(1, 0, 1, "view", 10.0),
+        ev(2, 5, 1, "click", 20.0), ev(3, 9, 2, "error", 0.0)))
+      drain(q)
+      val got = Streams.finalState(spark.read.parquet(s"$tmp/sink"))
+        .select("user_id", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      assert(got == Seq((1L, 20.0)), s"seam-fed upsert state wrong: $got")
+    } finally q.stop()
+    // JSONL wire decode: encode → decodeJsonl is the identity
+    val rows = Seq(ev(7, 3, 42, "view", 1.25))
+    val lines = rows.toDF()
+      .select(to_json(struct(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")))
+        .as("line"))
+    val decoded = EventSources.decodeJsonl(lines).as[ChangeEvent].collect()
+    assert(decoded.toSeq == rows, s"JSONL decode diverged: ${decoded.toSeq}")
+    // Kafka: the seam reaches Spark's provider lookup and fails ONLY on
+    // the missing connector jar (the declared environment blocker) — the
+    // code path is complete up to that boundary
+    val e = intercept[Exception] {
+      EventSources.kafka(spark, "localhost:9092", "events").isStreaming
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"kafka seam failed for an unexpected reason: ${e.getMessage}")
   }
 
   test("ST14 transformWithState multi-state profile: batch-split invariant " +
