@@ -110,6 +110,20 @@ object Bench {
     // across ALL executions keeps the best-of-N semantics.
     val firstReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     def repsFor(p: Int): Int = if (p == 1) firstReps else 1
+    // r11 protocol fix (r10 verdict item 2): r10's uniform firstReps=2 made
+    // pass 1 wall 396 s of the 540 s budget, so the nextPassEst guard
+    // (correctly) refused pass 2 and the official artifact was ONE pass at
+    // load 4.46 — the single-sample fragility this protocol exists to kill.
+    // No pass-1 cost estimate exists before pass 1 runs, so the rep budget
+    // is enforced MID-PASS: each query runs `firstReps` consecutive reps
+    // only while the pass has consumed < repBudgetFrac of the total budget;
+    // past that point the rest of pass 1 runs single-rep. Guarantees pass 1
+    // wall <= repBudgetFrac*budget + one single-rep remainder, which always
+    // leaves room for a second full shuffled pass. Disclosed in the
+    // artifact as p1_full_reps_n (how many queries got the multi-rep
+    // treatment before the downgrade).
+    val repBudgetFrac =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_FRAC", "0.33").toDouble
     // Per-pass SHUFFLED query order (seeded, disclosed in the artifact):
     // with a fixed alphabetical order, a multi-second host stall poisons
     // the same CONTIGUOUS FAMILY of queries in every sample at the same
@@ -148,6 +162,9 @@ object Bench {
     // mid-resize map).
     val best = scala.collection.concurrent.TrieMap.empty[String, Double]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // queries that got the full consecutive-rep treatment before the
+    // mid-pass rep downgrade (disclosure for the artifact)
+    @volatile var p1FullReps = 0
     val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passRepsLog = scala.collection.mutable.ArrayBuffer.empty[Int]
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -183,13 +200,17 @@ object Bench {
       val warmState = Seq("cdc_incremental_join", "cdc_incremental_neardup",
           "cdc_incremental_ivf", "agg_hist_rollup", "embedding_ivf_knn",
           "embedding_pq_knn", "embedding_semantic_dedup", "layout_zorder",
-          "layout_compaction", "catalog_stats", "embedding_outlier_gate")
+          "layout_compaction", "catalog_stats", "embedding_outlier_gate",
+          // r11: the envelope topic lands once (the capture agent's write);
+          // the timed path is the consumer decode. The txn demo db builds
+          // once per JVM; the timed path reads committed versions.
+          "cdc_debezium_envelope", "txlog_txn_commit")
         .filter(best.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val passWallJson = passWalls.mkString("[", ",", "]")
       val passRepsJson = passRepsLog.mkString("[", ",", "]")
       val detail =
-        s"""{"bench_detail":$qs,"warm_state":$warmState,"passes":$passesJson,"pass_wall":$passWallJson,"pass_reps":$passRepsJson,"pass_load":$passLoadJson,"order":"shuffled(seed=$orderSeedBase+pass)"}"""
+        s"""{"bench_detail":$qs,"warm_state":$warmState,"passes":$passesJson,"pass_wall":$passWallJson,"pass_reps":$passRepsJson,"pass_load":$passLoadJson,"p1_full_reps_n":$p1FullReps,"order":"shuffled(seed=$orderSeedBase+pass)"}"""
       println(detail)
       try {
         val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
@@ -232,7 +253,12 @@ object Bench {
         val order = new scala.util.Random(orderSeedBase + p).shuffle(names)
         val passTimes = order.map { name =>
           val fn = SparkEntry.queries(name)
-          val t = (1 to reps).map { _ =>
+          val passElapsed = (System.nanoTime() - tPass) / 1e9
+          val qReps =
+            if (reps > 1 && passElapsed > budgetSec * repBudgetFrac) 1
+            else reps
+          if (qReps > 1) p1FullReps += 1
+          val t = (1 to qReps).map { _ =>
             val t0 = System.nanoTime()
             // Rebuild the DataFrame each rep: re-running a cached plan
             // object would reuse shuffle outputs and AQE stage results

@@ -191,17 +191,22 @@ object Dml {
     val (tbl, _) = target
     val cond = condition.sql
     val pcols = partColsOf(spark, tbl)
+    // SQL DELETE removes only rows where the condition is TRUE; a
+    // NULL-valued condition (e.g. `v > 5` with NULL v) must keep the row.
+    // Plain `NOT (cond)` is NULL for those rows and would silently delete
+    // them — coalesce to the three-valued-logic-safe survivor predicate.
+    val survives = s"NOT coalesce(($cond), false)"
     if (pcols.isEmpty) {
       val surviving = spark.sql(
         s"SELECT ${colsOf(spark, tbl).mkString(", ")} FROM $tbl " +
-          s"WHERE NOT ($cond)").localCheckpoint()
+          s"WHERE $survives").localCheckpoint()
       surviving.write.mode("overwrite").insertInto(tbl)
     } else {
       val parts = affectedPartitions(spark, tbl, pcols, cond)
       if (parts.nonEmpty) {
         val surviving = spark.sql(
           s"SELECT ${colsOf(spark, tbl).mkString(", ")} FROM $tbl " +
-            s"WHERE (${scopePredicate(pcols, parts)}) AND NOT ($cond)")
+            s"WHERE (${scopePredicate(pcols, parts)}) AND $survives")
           .localCheckpoint()
         overwritePartitions(spark, tbl, pcols, surviving, parts)
       }
@@ -275,7 +280,7 @@ object Dml {
             s"Dml: null partition value in $tbl is not supported")
           r.getString(i)
         }: Seq[String]
-      }.toSeq.sortBy(_.mkString(" "))
+      }.toSeq.sortBy(_.mkString("\u0000"))
 
   /** Dynamic-overwrite the partitions present in `rows`; any affected
     * partition with NO surviving rows is cleared explicitly (a fully

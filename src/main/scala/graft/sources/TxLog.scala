@@ -132,15 +132,24 @@ object TxLog {
 
   private def maybeCheckpoint(table: File, v: Long): Unit =
     if (v > 0 && v % checkpointEvery == 0) {
-      val body = resolve(table, v)._1.map(a =>
-        s"""{"add": {"path": ${q(a.path)}, "rows": ${a.rows}}}""")
-        .mkString("", "\n", "\n")
-      val tmp = new File(logDir(table),
-        s".ckpt-${System.nanoTime()}-${Thread.currentThread().getId}")
-      Files.writeString(tmp.toPath, body)
-      Files.move(tmp.toPath, checkpointFile(table, v).toPath,
-        StandardCopyOption.ATOMIC_MOVE)
-      ()
+      // A checkpoint is a read-path OPTIMIZATION, never part of the commit
+      // contract: the callers run this AFTER the commit slot is published,
+      // and a thrown IO error here would surface as a failed commit to a
+      // caller whose data is already durable — a retry would then write and
+      // commit the batch a second time (r10 advice). Swallow non-fatal
+      // failures; the next eligible commit simply re-attempts.
+      try {
+        val body = resolve(table, v)._1.map(a =>
+          s"""{"add": {"path": ${q(a.path)}, "rows": ${a.rows}}}""")
+          .mkString("", "\n", "\n")
+        val tmp = new File(logDir(table),
+          s".ckpt-${ProcessHandle.current.pid}-${System.nanoTime()}-" +
+            s"${Thread.currentThread().getId}")
+        Files.writeString(tmp.toPath, body)
+        Files.move(tmp.toPath, checkpointFile(table, v).toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** Live file set as of `v` plus resolution cost: (live set, base
@@ -177,8 +186,13 @@ object TxLog {
     * when the slot is taken — the semantics optimistic concurrency needs.
     */
   private def publishSlot(target: File, body: String): Boolean = {
+    // pid in the staged name: thread ids are small per-JVM counters, so
+    // nanoTime+threadId alone can collide across concurrent PROCESSES and
+    // one writer's writeString would truncate another's staged temp before
+    // it links (r10 advice)
     val tmp = new File(target.getParentFile,
-      s".tmp-${System.nanoTime()}-${Thread.currentThread().getId}")
+      s".tmp-${ProcessHandle.current.pid}-${System.nanoTime()}-" +
+        s"${Thread.currentThread().getId}")
     Files.writeString(tmp.toPath, body)
     try {
       Files.createLink(target.toPath, tmp.toPath)
@@ -820,30 +834,38 @@ object TxLog {
     * tables' halves of one "source transaction"; a torn commit would
     * leave a version where the halves disagree.
     */
-  private[graft] def txnDemoDb(spark: SparkSession, dir: String): File = {
-    val dbName = new File(dir).getName
-    val db = new File(
-      new File(sys.props("java.io.tmpdir")),
-      s"graft_txdb_${ProcessHandle.current.pid}_$dbName")
-    val done = versions(db).size >= 2
-    if (!done) {
-      val o = graft.Tables.orders(spark, dir).select(
-        col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"),
-        graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
-          .as("cents"))
-      val ln = graft.Tables.lineitem(spark, dir)
-        .groupBy(col("l_orderkey").as("o_orderkey"))
-        .agg(count(lit(1)).as("n_lines"))
-        .join(o.select(col("o_orderkey"), col("yr")), Seq("o_orderkey"))
-      dbAppend(db, Seq(
-        "ord" -> o.filter(col("yr") <= 1995),
-        "lin" -> ln.filter(col("yr") <= 1995).drop("yr")))
-      dbAppend(db, Seq(
-        "ord" -> o.filter(col("yr") > 1995),
-        "lin" -> ln.filter(col("yr") > 1995).drop("yr")))
+  private[graft] def txnDemoDb(spark: SparkSession, dir: String): File =
+    // synchronized: two threads racing the first build in one JVM would
+    // both see 0 commits and double-append (r10 advice); the lock
+    // serializes builders, and the per-commit guards below make a
+    // crash-interrupted build (leftover db with exactly 1 commit) resume
+    // by appending ONLY the missing commit instead of re-running both.
+    txnDemoLock.synchronized {
+      val dbName = new File(dir).getName
+      val db = new File(
+        new File(sys.props("java.io.tmpdir")),
+        s"graft_txdb_${ProcessHandle.current.pid}_$dbName")
+      val have = versions(db).size
+      if (have < 2) {
+        val o = graft.Tables.orders(spark, dir).select(
+          col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"),
+          graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
+            .as("cents"))
+        val ln = graft.Tables.lineitem(spark, dir)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).as("n_lines"))
+          .join(o.select(col("o_orderkey"), col("yr")), Seq("o_orderkey"))
+        if (have < 1) dbAppend(db, Seq(
+          "ord" -> o.filter(col("yr") <= 1995),
+          "lin" -> ln.filter(col("yr") <= 1995).drop("yr")))
+        dbAppend(db, Seq(
+          "ord" -> o.filter(col("yr") > 1995),
+          "lin" -> ln.filter(col("yr") > 1995).drop("yr")))
+      }
+      db
     }
-    db
-  }
+
+  private val txnDemoLock = new Object
 
   /** txlog_txn_commit (S45) — cross-table ATOMIC commit audit: both demo
     * tables read at version 0 (first transaction) and at latest, full-

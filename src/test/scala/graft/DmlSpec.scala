@@ -58,6 +58,25 @@ class DmlSpec extends SparkSpec {
     assert(spark.table(s"$db.t_dml_flat").count() == 20)
   }
 
+  test("DELETE keeps rows whose condition evaluates to NULL " +
+      "(three-valued logic: only TRUE deletes)") {
+    spark.sql(s"DROP TABLE IF EXISTS $db.t_dml_null")
+    spark.sql(
+      s"""CREATE TABLE $db.t_dml_null USING parquet
+         |LOCATION '${freshLoc("null")}' AS
+         |SELECT n_nationkey AS k,
+         |  CASE WHEN n_nationkey < 10 THEN CAST(NULL AS BIGINT)
+         |    ELSE CAST(n_nationkey AS BIGINT) END AS v
+         |FROM $db.nation""".stripMargin)
+    // `v > 14` is NULL for the 10 NULL-v rows — SQL DELETE must keep them
+    Dml.exec(spark, s"DELETE FROM $db.t_dml_null WHERE v > 14")
+    val t = spark.table(s"$db.t_dml_null")
+    assert(t.filter("v IS NULL").count() == 10,
+      "NULL-condition rows were deleted (NOT(cond) three-valued bug)")
+    assert(t.filter("v > 14").isEmpty)
+    assert(t.count() == 15) // 10 NULL + k in 10..14
+  }
+
   test("UPDATE assigning a partition column is REJECTED, and the table " +
       "is untouched") {
     spark.sql(s"DROP TABLE IF EXISTS $db.t_dml_reject")

@@ -588,11 +588,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges("q16_supp_variety").size <= 4,
       "q16_supp_variety grew extra exchanges")
     // cdc_debezium_envelope: encode→parse→normalize is map-side; the only
-    // hash exchange is the user-keyed apply aggregate
-    val dbz = exchanges("cdc_debezium_envelope").filter(
-      _.toString.contains("hashpartitioning"))
-    assert(dbz.size == 1,
-      s"cdc_debezium_envelope grew hash exchanges: ${dbz.size}")
+    // hash exchange is the user-keyed apply aggregate. sparkPlan has NO
+    // exchanges (EnsureRequirements inserts them at executedPlan time and
+    // this query has no explicit repartition), so pin the executed tree.
+    val dbzPlan = SparkEntry.queries("cdc_debezium_envelope")(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    val dbzHashX = "Exchange hashpartitioning".r.findAllIn(dbzPlan).length
+    assert(dbzHashX <= 1,
+      s"cdc_debezium_envelope grew hash exchanges: $dbzHashX\n$dbzPlan")
+    // the envelope must encode once and decode once: an inner registry
+    // join used to infer isnotnull(schema_id) and push a
+    // from_json-recomputing Filter below the decode projection (a second
+    // full JSON pass per row). One from_json site in the plan = one pass.
+    val dbzParses = "from_json".r.findAllIn(dbzPlan).length
+    assert(dbzParses == 1,
+      s"cdc_debezium_envelope decodes the envelope $dbzParses times " +
+        s"(the registry-join null filter is back?):\n$dbzPlan")
   }
 
   test("no query plans a partition-less (single-task) WindowExec") {
