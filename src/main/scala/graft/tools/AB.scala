@@ -553,6 +553,48 @@ object AB {
       .limit(30)
   }
 
+  /** kcore r11 candidate: explode-based degrees (ONE scan of the pinned
+    * edge frame per round instead of the union's two) + the LAST round's
+    * degree frame left unpinned (its only consumer is the lazy final
+    * census union, so the checkpoint job buys nothing).
+    */
+  def kcoreV4(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 2 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    val edges0 = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct().localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("x"), col("y"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges0).localCheckpoint()
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = edges0
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      edges = edges
+        .join(broadcast(keep), col("x") === keep("n"), "left_semi")
+        .join(broadcast(keep), col("y") === keep("n"), "left_semi")
+        .select(col("x"), col("y"))
+      val d = degrees(edges)
+      deg = if (r < 3) d.localCheckpoint() else d
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** Scratch map: point entries at candidate implementations while
     * iterating (e.g. a rewritten operator vs the registered one). */
   def variants: Map[String, (SparkSession, String) => DataFrame] =
@@ -568,6 +610,7 @@ object AB {
       "backlog_v3" -> (backlogV3 _),
       "basket_v3" -> (basketV3 _),
       "kcore_v3" -> (kcoreV3 _),
+      "kcore_v4" -> (kcoreV4 _),
       "triangles_v2" -> (trianglesV2 _))
 
   def main(args: Array[String]): Unit = {

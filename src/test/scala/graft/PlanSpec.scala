@@ -604,6 +604,11 @@ class PlanSpec extends SparkSpec {
     assert(dbzParses == 1,
       s"cdc_debezium_envelope decodes the envelope $dbzParses times " +
         s"(the registry-join null filter is back?):\n$dbzPlan")
+    // cdc_ddl_evolution (r11): the LWW election is a mergeable argmax
+    // AGGREGATE (map-side combinable), never a window stack that
+    // shuffles the whole resolved log into per-key sorts
+    assert(windows("cdc_ddl_evolution").isEmpty,
+      "cdc_ddl_evolution regained a WindowExec (argmax aggregate gone)")
   }
 
   test("no query plans a partition-less (single-task) WindowExec") {
