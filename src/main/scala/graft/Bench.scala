@@ -204,7 +204,10 @@ object Bench {
           // r11: the envelope topic lands once (the capture agent's write);
           // the timed path is the consumer decode. The txn demo db builds
           // once per JVM; the timed path reads committed versions.
-          "cdc_debezium_envelope", "txlog_txn_commit")
+          "cdc_debezium_envelope", "txlog_txn_commit",
+          // the streamed feed drains + lands once per JVM; the timed
+          // path reads the landing
+          "txlog_changefeed_stream", "txlog_view_from_feed")
         .filter(best.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val passWallJson = passWalls.mkString("[", ",", "]")

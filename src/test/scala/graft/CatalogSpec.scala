@@ -114,4 +114,25 @@ class CatalogSpec extends SparkSpec {
     assert(meta.stats.exists(_.colStats.contains("c_custkey")),
       "column stats not visible from a new session")
   }
+
+  test("sql_alter_table: ALTER ADD COLUMNS is run-once idempotent, " +
+      "pre-ALTER files read NULL, the schema holds the column exactly once") {
+    val first = sources.Catalog.sqlAlterTable(spark, sfTiny).collect()
+    // re-running the query function must neither re-ALTER (which would
+    // throw on a duplicate column) nor change the census
+    val second = sources.Catalog.sqlAlterTable(spark, sfTiny).collect()
+    assert(first.toSeq == second.toSeq,
+      "sql_alter_table is not idempotent across calls")
+    val db = sources.Catalog.dbName(sfTiny)
+    val fields = spark.table(s"$db.t_alter_orders").schema.fieldNames.toSeq
+    assert(fields.count(_ == "ship_latency_days") == 1,
+      s"evolved column appears ${fields.count(_ == "ship_latency_days")}x")
+    // epoch split: pre-ALTER rows must serve NULL for the evolved column
+    val nulls = spark.table(s"$db.t_alter_orders")
+      .filter("ship_latency_days IS NULL").count()
+    val pre = spark.table(s"$db.orders")
+      .filter("o_orderdate < TIMESTAMP '1997-01-01 00:00:00'").count()
+    assert(nulls == pre,
+      s"pre-ALTER rows should all read NULL ($nulls != $pre)")
+  }
 }

@@ -665,4 +665,33 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("S47 streaming change feed over the commit log equals the batch " +
+      "feed, and a checkpointed restart re-lands nothing") {
+    import graft.sources.TxLog
+    import java.io.File
+    val t = TxLog.demoTable(spark, sfTiny)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cfstream_spec").toFile
+    val out = new File(base, "feed")
+    val ckpt = new File(base, "ckpt")
+    TxLog.runChangeFeedStream(spark, t, out, ckpt)
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("_version"), col("_change_type"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val streamed = census(spark.read.parquet(out.getAbsolutePath))
+    val batch = census(
+      TxLog.changeFeed(spark, t, -1L, TxLog.versions(t).last))
+    assert(streamed == batch,
+      "streamed feed diverged from the batch bag-difference")
+    val nBefore = spark.read.parquet(out.getAbsolutePath).count()
+    // restart with the SAME checkpoint: the file source's resume state
+    // must re-process nothing (exactly-once at commit granularity)
+    TxLog.runChangeFeedStream(spark, t, out, ckpt)
+    assert(spark.read.parquet(out.getAbsolutePath).count() == nBefore,
+      "a checkpointed restart re-landed feed rows")
+  }
 }

@@ -342,4 +342,41 @@ class TxLogSpec extends SparkSpec {
     // idempotent: a second vacuum finds nothing
     assert(TxLog.vacuum(t, 2L).isEmpty)
   }
+
+  test("TxSql: VERSION AS OF statements read exact versions, DESCRIBE " +
+      "HISTORY serves metadata, unsupported shapes are rejected") {
+    import graft.sources.TxSql
+    val t = freshTable("txsql")
+    TxLog.append(rows(10), t)          // v0
+    TxLog.append(rows(5, 100), t)      // v1
+    TxLog.deleteWhere(spark, t, col("id") >= 100)  // v2
+    TxSql.register("ts_demo", t)
+    // one statement, two travel specs
+    val got = TxSql.sql(spark,
+      """SELECT 'v1' AS v, COUNT(*) AS n FROM ts_demo VERSION AS OF 1
+        |UNION ALL
+        |SELECT 'v2', COUNT(*) FROM ts_demo VERSION AS OF 2
+        |ORDER BY v""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("v1", 15L), ("v2", 10L)))
+    // DESCRIBE HISTORY: version/op/rows/delta from metadata alone
+    val hist = TxSql.sql(spark, "DESCRIBE HISTORY ts_demo")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(hist == Seq((0L, "append", 10L, 10L), (1L, "append", 15L, 5L),
+      (2L, "delete", 10L, -5L)))
+    // rejections carry the reason
+    val e1 = intercept[Exception] {
+      TxSql.sql(spark, "SELECT * FROM ts_demo TIMESTAMP AS OF '2024-01-01'")
+    }
+    assert(e1.getMessage.contains("TIMESTAMP AS OF"))
+    val e2 = intercept[Exception] {
+      TxSql.sql(spark, "SELECT * FROM nope VERSION AS OF 1")
+    }
+    assert(e2.getMessage.contains("not a registered"))
+    val e3 = intercept[Exception] {
+      TxSql.sql(spark, "SELECT 1")
+    }
+    assert(e3.getMessage.contains("no VERSION AS OF"))
+  }
 }
