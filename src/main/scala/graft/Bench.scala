@@ -207,7 +207,9 @@ object Bench {
           "cdc_debezium_envelope", "txlog_txn_commit",
           // the streamed feed drains + lands once per JVM; the timed
           // path reads the landing
-          "txlog_changefeed_stream", "txlog_view_from_feed")
+          "txlog_changefeed_stream", "txlog_view_from_feed",
+          // the zorder demo table builds + OPTIMIZEs once per JVM
+          "txlog_optimize_zorder")
         .filter(best.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val passWallJson = passWalls.mkString("[", ",", "]")

@@ -33,8 +33,10 @@ import graft.functions.Det
   */
 object Layout {
 
-  /** Spread the low 16 bits of `c` to even bit positions (Morton). */
-  private def spread(c: Column): Column = {
+  /** Spread the low 16 bits of `c` to even bit positions (Morton).
+    * private[sources]: TxLog's OPTIMIZE ZORDER reuses the same spread.
+    */
+  private[sources] def spread(c: Column): Column = {
     val m1 = lit(0x00FF00FFL)
     val m2 = lit(0x0F0F0F0FL)
     val m3 = lit(0x33333333L)

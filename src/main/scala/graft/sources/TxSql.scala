@@ -54,13 +54,32 @@ object TxSql {
 
   private val describeRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val optimizeZRe =
+    ("""(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ZORDER\s+BY\s*""" +
+      """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)""" +
+      """\s*\)\s*;?\s*$""").r
+  private val optimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
 
-  /** Execute one statement: DESCRIBE HISTORY or a SELECT with
-    * VERSION AS OF over registered TxLog tables.
+  /** Execute one statement: DESCRIBE HISTORY, OPTIMIZE [ZORDER BY], or a
+    * SELECT with VERSION AS OF over registered TxLog tables.
     */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case describeRe(name) => describeHistory(spark, tableOf(name))
+    case optimizeZRe(name, c1, c2) =>
+      optSummary(spark, name,
+        TxLog.optimizeZorder(spark, tableOf(name), Seq(c1, c2),
+          targetFiles = 8), s"zorder($c1, $c2)")
+    case optimizeRe(name) =>
+      optSummary(spark, name,
+        TxLog.compact(spark, tableOf(name), targetFiles = 8), "compact")
     case _ => selectAsOf(spark, text)
+  }
+
+  private def optSummary(spark: SparkSession, name: String, v: Long,
+      op: String): DataFrame = {
+    import spark.implicits._
+    Seq((name, op, v)).toDF("table", "operation", "committed_version")
   }
 
   private def tableOf(name: String): File =
@@ -156,9 +175,56 @@ object TxSql {
       |SELECT * FROM v1 UNION ALL SELECT * FROM v3
       |ORDER BY version, o_orderpriority""".stripMargin
 
+  private val zorderDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Z-order demo: orders census appended RANGE-BY-KEY (8 files — the
+    * year is scattered across every file, worst case for a year
+    * predicate), then `OPTIMIZE … ZORDER BY (yr, cents)` through the
+    * statement surface. Built once per (JVM, corpus).
+    */
+  private[graft] def zorderDemo(spark: SparkSession, dir: String): File =
+    zorderDone.getOrElseUpdate(dir, {
+      val t = new File(sys.props("java.io.tmpdir"),
+        s"graft_txzo_${ProcessHandle.current.pid}_${new File(dir).getName}")
+      val o = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
+          .as("cents"))
+      TxLog.append(o.repartitionByRange(8, col("o_orderkey")), t)
+      register("zorders", t)
+      sql(spark, "OPTIMIZE zorders ZORDER BY (yr, cents)")
+      t
+    })
+
+  /** txlog_optimize_zorder (S49 cont.) — the maintenance statement end
+    * to end: after `OPTIMIZE … ZORDER BY (yr, cents)` rewrites the
+    * key-ranged layout, the per-year census must be IDENTICAL to the raw
+    * recompute (the optimize is data-preserving) — and TxLogSpec pins
+    * the actual payoff: a year predicate touches a strict subset of the
+    * clustered files where it touched every key-ranged file before.
+    */
+  def txlogOptimizeZorder(spark: SparkSession, dir: String): DataFrame = {
+    val t = zorderDemo(spark, dir)
+    TxLog.snapshot(spark, t)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("yr"))
+  }
+
+  val txlogOptimizeZorderSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_time_travel" -> (sqlTimeTravel _))
+    "sql_time_travel" -> (sqlTimeTravel _),
+    "txlog_optimize_zorder" -> (txlogOptimizeZorder _))
 
   def oracle: Map[String, String] = Map(
-    "sql_time_travel" -> sqlTimeTravelSql)
+    "sql_time_travel" -> sqlTimeTravelSql,
+    "txlog_optimize_zorder" -> txlogOptimizeZorderSql)
 }

@@ -379,4 +379,28 @@ class TxLogSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("no VERSION AS OF"))
   }
+
+  test("OPTIMIZE ZORDER clusters files (a year predicate touches a strict " +
+      "subset), preserves data, and the change feed skips it unread") {
+    import graft.sources.TxSql
+    val t = TxSql.zorderDemo(spark, sfTiny)   // key-ranged v0, zorder v1
+    def filesTouched(v: Long): Long =
+      TxLog.snapshot(spark, t, Some(v)).filter(col("yr") === 1997)
+        .select(input_file_name()).distinct().count()
+    val before = filesTouched(0L)
+    val after = filesTouched(1L)
+    assert(before == 8, s"key-ranged layout should scatter 1997 over all " +
+      s"8 files, touched $before")
+    assert(after < before,
+      s"zorder should shrink the 1997 file set ($after >= $before)")
+    // data-preserving: both versions serve identical censuses
+    def census(v: Long) = TxLog.snapshot(spark, t, Some(v))
+      .groupBy(col("yr")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(census(0L) == census(1L))
+    // the feed never reads a data-preserving commit: only v0 contributes
+    val feedVs = TxLog.changeFeed(spark, t, -1L, 1L)
+      .select(col("_version")).distinct().collect().map(_.getLong(0)).toSet
+    assert(feedVs == Set(0L), s"zorder commit leaked into the feed: $feedVs")
+  }
 }
