@@ -209,7 +209,9 @@ object Bench {
           // path reads the landing
           "txlog_changefeed_stream", "txlog_view_from_feed",
           // the zorder demo table builds + OPTIMIZEs once per JVM
-          "txlog_optimize_zorder")
+          "txlog_optimize_zorder",
+          // the envelope stream drains + lands its state once per JVM
+          "cdc_debezium_stream")
         .filter(best.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val passWallJson = passWalls.mkString("[", ",", "]")

@@ -1868,15 +1868,24 @@ object Cdc {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft_dbz_$safe/envelopes_" +
+        s"graft_dbz_$safe/envelopes_p4_" +
           Tables.srcStamp(new java.io.File(dir, "events.parquet")))
       Tables.publishOnce(out) { tmp =>
-        debeziumDocs(spark, dir)
+        // 4 segment files — the topic-partition shape: the streaming
+        // consumer (maxFilesPerTrigger=1) then drains in genuinely
+        // multiple micro-batches, which is what its fold-across-batches
+        // contract is tested against (LWW is order-independent by
+        // (ts_ms, lsn), so segment order never matters)
+        debeziumDocs(spark, dir).repartition(4)
           .write.mode("overwrite").text(tmp.getAbsolutePath)
       }
     })
 
-  def cdcDebeziumEnvelope(spark: SparkSession, dir: String): DataFrame = {
+  /** Decode a frame of raw envelope docs (`value` string column) into the
+    * normalized change columns — shared by the batch query and the
+    * streaming consumer (same schema, same registry, same coalesce).
+    */
+  private[graft] def debeziumDecode(df: DataFrame): DataFrame = {
     // DECODE: one schema parses both epochs (absent fields → null)
     val imgT = StructType(Seq(
       StructField("user_id", LongType), StructField("value", DoubleType),
@@ -1892,12 +1901,12 @@ object Cdc {
         StructField("ts_ms", LongType))))))
     // schema-registry decode dictionary: schema_id → cents scale of the
     // epoch's integer money encoding (broadcast, the S14 idiom)
+    val spark = df.sparkSession
     import spark.implicits._
     val registry = Seq((1L, 1L), (2L, 100L))
       .toDF("schema_id", "cents_scale")
-    val parsed = spark.read.text(debeziumLanding(spark, dir))
-      .withColumn("m", from_json(col("value"), envT))
-    parsed.select(
+    df.withColumn("m", from_json(col("value"), envT))
+      .select(
         col("m.schema.id").as("schema_id"),
         col("m.payload.op").as("op"),
         col("m.payload.ts_ms").as("ts_ms"),
@@ -1917,6 +1926,15 @@ object Cdc {
         coalesce(col("img.value"),
           col("img.amount_cents").cast("double") / col("cents_scale"))
           .as("value"))
+  }
+
+  /** MERGEABLE per-key partials of the envelope apply: the LWW argmax
+    * plus the epoch/op censuses — max and sums both re-aggregate, so
+    * folding partials across micro-batches is exact (the streaming
+    * consumer's state update IS this aggregate over state ∪ batch).
+    */
+  private[graft] def debeziumPartials(decoded: DataFrame): DataFrame =
+    decoded
       .groupBy(col("user_id"))
       .agg(
         max(struct(col("ts_ms"), col("lsn"), (col("op") === "d").as("is_del"),
@@ -1925,6 +1943,20 @@ object Cdc {
         sum(when(col("schema_id") === 2L, 1L).otherwise(0L)).as("n_v2_events"),
         sum(when(col("op") === "c", 1L).otherwise(0L)).as("n_creates"),
         sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_deletes"))
+
+  /** Fold two partial frames (same schema) into one — max/sum re-merge. */
+  private[graft] def debeziumMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("user_id"))
+      .agg(max(col("last")).as("last"),
+        sum(col("n_v1_events")).as("n_v1_events"),
+        sum(col("n_v2_events")).as("n_v2_events"),
+        sum(col("n_creates")).as("n_creates"),
+        sum(col("n_deletes")).as("n_deletes"))
+
+  /** Served view off the partials: live keys only, presentation order. */
+  private def debeziumFinalize(partials: DataFrame): DataFrame =
+    partials
       .filter(!col("last.is_del"))
       .select(col("user_id"), col("last.ts_ms").as("last_ts_ms"),
         col("last.lsn").as("last_event_id"),
@@ -1932,7 +1964,67 @@ object Cdc {
         col("n_v1_events"), col("n_v2_events"),
         col("n_creates"), col("n_deletes"))
       .orderBy(col("user_id"))
+
+  def cdcDebeziumEnvelope(spark: SparkSession, dir: String): DataFrame =
+    debeziumFinalize(debeziumPartials(debeziumDecode(
+      spark.read.text(debeziumLanding(spark, dir)))))
+
+  /** cdc_debezium_stream (S46 cont., round-11) — the envelope topic
+    * consumed as a LIVE STREAM: readStream.text tails the landing
+    * exactly like a Kafka topic (one file ≈ one partition segment;
+    * maxFilesPerTrigger=1 forces a genuinely multi-batch drain), each
+    * micro-batch decodes through the SAME from_json/registry path as the
+    * batch query, and the keyed state folds via the MERGEABLE partials
+    * (state ∪ batch → re-aggregate: max re-maxes, sums re-sum) — the
+    * foreachBatch stateful-apply shape ST6 established, here carrying
+    * the per-key censuses too. One drain per JVM (warm_state-disclosed);
+    * the oracle is the batch query's SQL — the hash-match proves the
+    * stream boundary loses nothing regardless of how the wire is split
+    * into batches.
+    *
+    * Scale: per micro-batch cost is |batch| + |touched keys| (the
+    * partial fold), state is keyspace-sized, and the landing checkpoint
+    * makes restarts resume — changelog-rate maintenance of the served
+    * LWW view.
+    */
+  def cdcDebeziumStream(spark: SparkSession, dir: String): DataFrame = {
+    val state = dbzStreamState.getOrElseUpdate(dir, {
+      val landing = debeziumLanding(spark, dir)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dbzs_${ProcessHandle.current.pid}_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      val ckpt = new java.io.File(base, "ckpt")
+      val outDir = new java.io.File(base, "state")
+      var st: Option[DataFrame] = None
+      val q = spark.readStream
+        .option("maxFilesPerTrigger", "1")
+        .text(landing)
+        .writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val partial = debeziumPartials(debeziumDecode(batch))
+            // pin each folded state so lineage never nests across batches
+            // (the G3 checkpoint discipline)
+            st = Some(st.fold(partial)(s => debeziumMerge(s, partial))
+              .localCheckpoint())
+            ()
+        }
+        .start()
+      q.awaitTermination()
+      // land the final state so later calls (and other sessions) read a
+      // plain frame instead of holding the checkpoint lineage
+      st.getOrElse(sys.error("cdc_debezium_stream: empty landing"))
+        .write.mode("overwrite").parquet(outDir.getAbsolutePath)
+      outDir.getAbsolutePath
+    })
+    debeziumFinalize(spark.read.parquet(state))
   }
+
+  private val dbzStreamState =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   val cdcDebeziumEnvelopeSql: String =
     """WITH log AS (
@@ -1967,6 +2059,7 @@ object Cdc {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_debezium_envelope" -> (cdcDebeziumEnvelope _),
+    "cdc_debezium_stream" -> (cdcDebeziumStream _),
     "json_extract" -> (jsonExtract _),
     "cdc_apply" -> (cdcApply _),
     "cdc_dual_wire_merge" -> (cdcDualWireMerge _),
@@ -1995,6 +2088,8 @@ object Cdc {
 
   def oracle: Map[String, String] = Map(
     "cdc_debezium_envelope" -> cdcDebeziumEnvelopeSql,
+    // the streamed apply must equal the batch apply — same oracle
+    "cdc_debezium_stream" -> cdcDebeziumEnvelopeSql,
     "json_extract" -> jsonExtractSql,
     "cdc_apply" -> cdcApplySql,
     "cdc_dual_wire_merge" -> cdcDualWireMergeSql,

@@ -666,6 +666,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S46 streamed Debezium-envelope apply equals the batch apply " +
+      "across a genuinely multi-batch drain") {
+    import graft.operators.Cdc
+    val landing = new java.io.File(Cdc.debeziumLanding(spark, sfTiny))
+    val segments = landing.listFiles().count(_.getName.endsWith(".txt"))
+    assert(segments >= 4,
+      s"landing should be topic-partition shaped, got $segments segments")
+    // maxFilesPerTrigger=1 in the consumer → >= 4 micro-batches; the
+    // folded state must equal the single-shot batch apply exactly
+    val streamed = Cdc.cdcDebeziumStream(spark, sfTiny).collect().toSeq
+    val batch = Cdc.cdcDebeziumEnvelope(spark, sfTiny).collect().toSeq
+    assert(streamed == batch,
+      "streamed envelope apply diverged from the batch apply")
+  }
+
   test("S47 streaming change feed over the commit log equals the batch " +
       "feed, and a checkpointed restart re-lands nothing") {
     import graft.sources.TxLog
