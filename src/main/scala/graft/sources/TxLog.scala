@@ -80,12 +80,15 @@ object TxLog {
   private[graft] case class Add(path: String, rows: Long)
 
   /** One committed action file, parsed. */
-  private[graft] case class Commit(adds: Seq[Add], removes: Seq[String], op: String)
+  private[graft] case class Commit(adds: Seq[Add], removes: Seq[String],
+    op: String, metaDdl: Option[String] = None)
 
   private val addRe =
     """\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)\}\}""".r
   private val removeRe = """\{"remove":\s*\{"path":\s*"([^"]+)"\}\}""".r
   private val opRe = """\{"commit":\s*\{"op":\s*"([^"]+)"[^}]*\}\}""".r
+  private val metaRe =
+    """\{"metaData":\s*\{"schemaDdl":\s*"([^"]+)"\}\}""".r
 
   private[graft] def readCommit(table: File, v: Long): Commit = {
     val lines = Files.readAllLines(versionFile(table, v).toPath)
@@ -93,14 +96,27 @@ object TxLog {
     var adds = Vector.empty[Add]
     var removes = Vector.empty[String]
     var op = "unknown"
+    var meta = Option.empty[String]
     lines.asScala.foreach {
       case addRe(p, r) => adds :+= Add(p, r.toLong)
       case removeRe(p) => removes :+= p
       case opRe(o) => op = o
+      case metaRe(d) => meta = Some(d)
       case _ => ()
     }
-    Commit(adds, removes, op)
+    Commit(adds, removes, op, meta)
   }
+
+  /** The table's declared schema AS OF `v` (DDL string): the newest
+    * metaData action at or below `v`, or None when the table has never
+    * been ALTERed (readers then use the footers, the pre-evolution
+    * behavior). |versions| bytes-sized driver reads, the log-resolution
+    * cost class.
+    */
+  private[graft] def schemaDdlAsOf(table: File, v: Long): Option[String] =
+    versions(table).filter(_ <= v).reverse.iterator
+      .map(readCommit(table, _).metaDdl)
+      .collectFirst { case Some(d) => d }
 
   // ---- checkpoints (round-10, r9 verdict task 3) ---------------------------
   // Every `checkpointEvery` commits the committer materializes the FULL
@@ -214,11 +230,12 @@ object TxLog {
     * version.
     */
   def commit(table: File, adds: Seq[(String, Long)], removes: Seq[String],
-      op: String): Long = {
+      op: String, metaDdl: Option[String] = None): Long = {
     logDir(table).mkdirs()
     val body = (adds.map { case (p, r) =>
         s"""{"add": {"path": ${q(p)}, "rows": $r}}""" } ++
-      removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") :+
+      removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") ++
+      metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}}}""") :+
       s"""{"commit": {"op": ${q(op)}}}""").mkString("", "\n", "\n")
     var committed = -1L
     while (committed < 0) {
@@ -268,8 +285,42 @@ object TxLog {
       sys.error(s"TxLog: no commits in $table"))
     val files = liveFiles(table, v)
     require(files.nonEmpty, s"TxLog: version $v has no live files")
-    spark.read.parquet(
+    // an ALTERed table reads under its declared AS-OF schema: files
+    // written before the evolution lack the added columns and the
+    // parquet reader null-fills them (S13's mergeSchema semantics with
+    // the LOG, not the footers, owning the superset); pre-alter versions
+    // still time-travel to their own schema
+    val reader = schemaDdlAsOf(table, v) match {
+      case Some(ddl) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case None => spark.read
+    }
+    reader.parquet(
       files.map(a => new File(table, a.path).getAbsolutePath): _*)
+  }
+
+  /** ALTER TABLE … ADD COLUMNS on the log format (S50): ONE metadata-only
+    * commit carrying the evolved schema DDL — zero data files touched,
+    * the lakehouse schema-evolution contract. Duplicate column names are
+    * rejected; the change feed sees no add/remove actions so the commit
+    * contributes nothing to it, and DESCRIBE HISTORY shows op=alter with
+    * rows_delta 0.
+    */
+  def alterAddColumns(spark: SparkSession, table: File,
+      addDdl: String): Long = {
+    val v = versions(table).lastOption.getOrElse(
+      sys.error(s"TxLog: ALTER on empty table $table"))
+    val cur = schemaDdlAsOf(table, v) match {
+      case Some(d) => org.apache.spark.sql.types.StructType.fromDDL(d)
+      case None => snapshot(spark, table, Some(v)).schema
+    }
+    val added = org.apache.spark.sql.types.StructType.fromDDL(addDdl)
+    val dup = added.fieldNames.filter(cur.fieldNames.contains)
+    require(dup.isEmpty,
+      s"TxLog ALTER: column(s) already exist: ${dup.mkString(", ")}")
+    val evolved = org.apache.spark.sql.types.StructType(
+      cur.fields ++ added.fields)
+    commit(table, Seq.empty, Seq.empty, "alter", Some(evolved.toDDL))
   }
 
   /** Copy-on-write DELETE: rewrite only the live files that contain rows

@@ -60,6 +60,9 @@ object TxSql {
       """\s*\)\s*;?\s*$""").r
   private val optimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val alterRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
+      """COLUMNS\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
 
   /** Execute one statement: DESCRIBE HISTORY, OPTIMIZE [ZORDER BY], or a
     * SELECT with VERSION AS OF over registered TxLog tables.
@@ -73,6 +76,10 @@ object TxSql {
     case optimizeRe(name) =>
       optSummary(spark, name,
         TxLog.compact(spark, tableOf(name), targetFiles = 8), "compact")
+    case alterRe(name, ddl) =>
+      optSummary(spark, name,
+        TxLog.alterAddColumns(spark, tableOf(name), ddl),
+        s"alter add ($ddl)")
     case _ => selectAsOf(spark, text)
   }
 
@@ -220,11 +227,69 @@ object TxSql {
       |    AS total_cents
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val evoDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Schema-evolution demo on the LOG format: append the v1-schema slice,
+    * `ALTER TABLE … ADD COLUMNS` through the statement surface (one
+    * metadata-only commit), then append the evolved-schema slice. Built
+    * once per (JVM, corpus).
+    */
+  private[graft] def evoDemo(spark: SparkSession, dir: String): File =
+    evoDone.getOrElseUpdate(dir, {
+      val t = new File(sys.props("java.io.tmpdir"),
+        s"graft_txevo_${ProcessHandle.current.pid}_${new File(dir).getName}")
+      val o = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
+          .as("cents"))
+      TxLog.append(o.filter(col("yr") <= 1996).drop("yr"), t)   // v0
+      register("evorders", t)
+      sql(spark, "ALTER TABLE evorders ADD COLUMNS (flag BIGINT)") // v1
+      TxLog.append(o.filter(col("yr") > 1996).drop("yr")
+        .withColumn("flag", col("o_orderkey") % 7), t)            // v2
+      t
+    })
+
+  /** txlog_schema_evolution (S50) — ALTER ADD COLUMNS on the commit-log
+    * format end to end: pre-alter files null-fill the evolved column,
+    * post-alter files carry values, and the census splits the column's
+    * aggregates by epoch so the hash-match proves the LOG's declared
+    * schema (not the footers) owns the read. TxLogSpec additionally pins
+    * that time travel to v0 serves the OLD schema.
+    */
+  def txlogSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val t = evoDemo(spark, dir)
+    TxLog.snapshot(spark, t)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("flag")).as("n_with_flag"),
+        sum(coalesce(col("flag"), lit(0L))).as("total_flag"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val txlogSchemaEvolutionSql: String =
+    """WITH t AS (SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN year(o_orderdate) > 1996
+      |      THEN o_orderkey % 7 END AS flag
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  COUNT(flag) AS n_with_flag,
+      |  CAST(SUM(COALESCE(flag, 0)) AS BIGINT) AS total_flag,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM t GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_time_travel" -> (sqlTimeTravel _),
-    "txlog_optimize_zorder" -> (txlogOptimizeZorder _))
+    "txlog_optimize_zorder" -> (txlogOptimizeZorder _),
+    "txlog_schema_evolution" -> (txlogSchemaEvolution _))
 
   def oracle: Map[String, String] = Map(
     "sql_time_travel" -> sqlTimeTravelSql,
-    "txlog_optimize_zorder" -> txlogOptimizeZorderSql)
+    "txlog_optimize_zorder" -> txlogOptimizeZorderSql,
+    "txlog_schema_evolution" -> txlogSchemaEvolutionSql)
 }

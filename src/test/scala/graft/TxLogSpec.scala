@@ -403,4 +403,30 @@ class TxLogSpec extends SparkSpec {
       .select(col("_version")).distinct().collect().map(_.getLong(0)).toSet
     assert(feedVs == Set(0L), s"zorder commit leaked into the feed: $feedVs")
   }
+
+  test("ALTER ADD COLUMNS on the log format: pre-alter files null-fill, " +
+      "time travel serves the OLD schema, duplicates rejected") {
+    import graft.sources.TxSql
+    val t = TxSql.evoDemo(spark, sfTiny)   // v0 append, v1 alter, v2 append
+    val latest = TxLog.snapshot(spark, t)
+    assert(latest.schema.fieldNames.contains("flag"))
+    // epoch split: every pre-alter row reads NULL, every post-alter row
+    // carries a value
+    assert(latest.filter(col("flag").isNull).count() ==
+      TxLog.snapshot(spark, t, Some(0L)).count())
+    assert(latest.filter(col("flag").isNotNull && col("flag") >= 7).isEmpty)
+    // time travel BELOW the alter serves the pre-evolution schema
+    val v0 = TxLog.snapshot(spark, t, Some(0L))
+    assert(!v0.schema.fieldNames.contains("flag"),
+      "v0 should not expose the evolved column")
+    // the alter commit is metadata-only: history shows rows_delta 0
+    val hist = TxSql.sql(spark, "DESCRIBE HISTORY evorders").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(hist.exists { case (v, op, d) => op == "alter" && d == 0L })
+    // duplicate column rejected
+    val e = intercept[Exception] {
+      TxLog.alterAddColumns(spark, t, "flag BIGINT")
+    }
+    assert(e.getMessage.contains("already exist"))
+  }
 }
