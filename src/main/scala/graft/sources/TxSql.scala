@@ -63,6 +63,9 @@ object TxSql {
   private val alterRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
       """COLUMNS\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val vacuumRe =
+    ("""(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+""" +
+      """VERSION\s+(\d+)\s*;?\s*$""").r
 
   /** Execute one statement: DESCRIBE HISTORY, OPTIMIZE [ZORDER BY], or a
     * SELECT with VERSION AS OF over registered TxLog tables.
@@ -80,7 +83,20 @@ object TxSql {
       optSummary(spark, name,
         TxLog.alterAddColumns(spark, tableOf(name), ddl),
         s"alter add ($ddl)")
+    case vacuumRe(name, v) =>
+      // VACUUM t RETAIN VERSION n: delete data files unreferenced by any
+      // version >= n (the retention horizon); returns the deleted paths
+      // so the caller sees exactly what a re-run would no-op on
+      vacuumSummary(spark, name,
+        TxLog.vacuum(tableOf(name), v.toLong))
     case _ => selectAsOf(spark, text)
+  }
+
+  private def vacuumSummary(spark: SparkSession, name: String,
+      deleted: Seq[String]): DataFrame = {
+    import spark.implicits._
+    Seq((name, "vacuum", deleted.size.toLong))
+      .toDF("table", "operation", "n_files_deleted")
   }
 
   private def optSummary(spark: SparkSession, name: String, v: Long,

@@ -429,4 +429,21 @@ class TxLogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already exist"))
   }
+
+  test("VACUUM statement deletes past the horizon and re-runs as a no-op") {
+    import graft.sources.TxSql
+    val t = freshTable("vacsql")
+    TxLog.append(rows(10), t)                       // v0
+    TxLog.append(rows(5, 100), t)                   // v1
+    TxLog.compact(spark, t, targetFiles = 1)        // v2 (replaces v0/v1 files)
+    TxSql.register("vac_demo", t)
+    val first = TxSql.sql(spark, "VACUUM vac_demo RETAIN VERSION 2")
+      .collect()(0).getLong(2)
+    assert(first > 0, "vacuum should delete the pre-compact fragments")
+    assert(TxLog.snapshot(spark, t).count() == 15)  // latest still serves
+    intercept[Exception] { TxLog.snapshot(spark, t, Some(0L)).count() }
+    val again = TxSql.sql(spark, "VACUUM vac_demo RETAIN VERSION 2")
+      .collect()(0).getLong(2)
+    assert(again == 0, "a vacuum re-run must find nothing")
+  }
 }
