@@ -261,4 +261,48 @@ class CdcPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Debezium-envelope partial fold over ANY random batch split equals " +
+      "the single-shot partials (the streaming consumer's contract)") {
+    import graft.operators.Cdc
+    import spark.implicits._
+    def docsOf(evs: Seq[ChangeEvent]): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      // the envelope encode is exercised by the oracle row; here the
+      // property under test is the FOLD algebra, so a synthetic doc
+      // column built from the same fields suffices
+      evs.toDF().select(to_json(struct(
+        struct(lit(1L).as("id")).as("schema"),
+        struct(
+          struct(col("user_id"), col("value")).as("after"),
+          struct(lit("app").as("db"), lit("t").as("tbl"),
+            col("event_id").as("lsn")).as("source"),
+          when(col("event_type") === "error", "d").otherwise("u").as("op"),
+          unix_millis(col("ts")).as("ts_ms")).as("payload")))
+        .as("value"))
+    }
+    def partialMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        (r.getStruct(1).toString, r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    for (seed <- 1L to 6L) {
+      val log = sample(genLog, seed)
+      val oneShot = partialMap(
+        Cdc.debeziumPartials(Cdc.debeziumDecode(docsOf(log))))
+      // random contiguous split into 1..5 batches, folded pairwise
+      val nCuts = sample(Gen.choose(0, 4), seed * 31)
+      val cuts = sample(
+        Gen.listOfN(nCuts, Gen.choose(1, math.max(log.size - 1, 1))),
+        seed * 131).distinct.sorted
+      val bounds = (0 +: cuts :+ log.size).distinct.sorted
+      val batches = bounds.sliding(2).map {
+        case Seq(a, b) => log.slice(a, b)
+      }.filter(_.nonEmpty).toSeq
+      val folded = batches
+        .map(b => Cdc.debeziumPartials(Cdc.debeziumDecode(docsOf(b))))
+        .reduce(Cdc.debeziumMerge)
+      assert(partialMap(folded) == oneShot,
+        s"seed=$seed: fold over ${batches.size} batches diverged")
+    }
+  }
 }
