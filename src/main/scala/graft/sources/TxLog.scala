@@ -532,6 +532,9 @@ object TxLog {
     val st = snap.agg(
       min(col(c1).cast("long")), max(col(c1).cast("long")),
       min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
+    require(!st.anyNull, s"TxLog OPTIMIZE ZORDER: $c1/$c2 must be " +
+      "non-null numeric columns (an all-null dimension has no min/max " +
+      "rank domain)")
     def rank(c: String, lo: Long, hi: Long) = {
       val span = math.max(hi - lo + 1, 1L)
       // floor + cast: Column `/` is double division; the rank must be an

@@ -167,6 +167,11 @@ object TxSql {
     */
   def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val t = TxLog.demoTable(spark, dir)
+    // register+bind under the demo lock: a concurrent call for a
+    // DIFFERENT corpus re-registers the same name, and binding must see
+    // this call's table (names are a per-statement namespace, not a
+    // cross-corpus one)
+    demoLock.synchronized {
     register("ord_log", t)
     sql(spark,
       """SELECT 'v1_two_appends' AS version, o_orderpriority,
@@ -179,6 +184,7 @@ object TxSql {
         |FROM ord_log VERSION AS OF 3
         |GROUP BY o_orderpriority
         |ORDER BY version, o_orderpriority""".stripMargin)
+    }
   }
 
   val sqlTimeTravelSql: String =
@@ -200,26 +206,36 @@ object TxSql {
 
   private val zorderDone =
     scala.collection.concurrent.TrieMap.empty[String, File]
+  private val demoLock = new Object
 
   /** Z-order demo: orders census appended RANGE-BY-KEY (8 files — the
     * year is scattered across every file, worst case for a year
     * predicate), then `OPTIMIZE … ZORDER BY (yr, cents)` through the
-    * statement surface. Built once per (JVM, corpus).
+    * statement surface. Built once per (JVM, corpus); the lock + the
+    * per-step version guards make a crash-interrupted build resume by
+    * running ONLY the missing step (the txnDemoDb discipline — a naive
+    * re-run would double-append).
     */
   private[graft] def zorderDemo(spark: SparkSession, dir: String): File =
-    zorderDone.getOrElseUpdate(dir, {
-      val t = new File(sys.props("java.io.tmpdir"),
-        s"graft_txzo_${ProcessHandle.current.pid}_${new File(dir).getName}")
-      val o = graft.Tables.orders(spark, dir).select(
-        col("o_orderkey"), col("o_orderpriority"),
-        year(col("o_orderdate")).cast("long").as("yr"),
-        graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
-          .as("cents"))
-      TxLog.append(o.repartitionByRange(8, col("o_orderkey")), t)
-      register("zorders", t)
-      sql(spark, "OPTIMIZE zorders ZORDER BY (yr, cents)")
-      t
-    })
+    demoLock.synchronized {
+      zorderDone.getOrElseUpdate(dir, {
+        val t = new File(sys.props("java.io.tmpdir"),
+          s"graft_txzo_${ProcessHandle.current.pid}_${new File(dir).getName}")
+        val have = TxLog.versions(t).size
+        if (have < 1) {
+          val o = graft.Tables.orders(spark, dir).select(
+            col("o_orderkey"), col("o_orderpriority"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
+              .as("cents"))
+          TxLog.append(o.repartitionByRange(8, col("o_orderkey")), t)
+        }
+        register("zorders", t)
+        if (TxLog.versions(t).size < 2)
+          sql(spark, "OPTIMIZE zorders ZORDER BY (yr, cents)")
+        t
+      })
+    }
 
   /** txlog_optimize_zorder (S49 cont.) — the maintenance statement end
     * to end: after `OPTIMIZE … ZORDER BY (yr, cents)` rewrites the
@@ -252,21 +268,28 @@ object TxSql {
     * once per (JVM, corpus).
     */
   private[graft] def evoDemo(spark: SparkSession, dir: String): File =
-    evoDone.getOrElseUpdate(dir, {
-      val t = new File(sys.props("java.io.tmpdir"),
-        s"graft_txevo_${ProcessHandle.current.pid}_${new File(dir).getName}")
-      val o = graft.Tables.orders(spark, dir).select(
-        col("o_orderkey"), col("o_orderpriority"),
-        year(col("o_orderdate")).cast("long").as("yr"),
-        graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
-          .as("cents"))
-      TxLog.append(o.filter(col("yr") <= 1996).drop("yr"), t)   // v0
-      register("evorders", t)
-      sql(spark, "ALTER TABLE evorders ADD COLUMNS (flag BIGINT)") // v1
-      TxLog.append(o.filter(col("yr") > 1996).drop("yr")
-        .withColumn("flag", col("o_orderkey") % 7), t)            // v2
-      t
-    })
+    demoLock.synchronized {
+      evoDone.getOrElseUpdate(dir, {
+        val t = new File(sys.props("java.io.tmpdir"),
+          s"graft_txevo_${ProcessHandle.current.pid}_${new File(dir).getName}")
+        val o = graft.Tables.orders(spark, dir).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          graft.functions.Det.scaledLong(col("o_totalprice"), 100L)
+            .as("cents"))
+        // per-step guards: a crash-interrupted build resumes by running
+        // only the missing commits, never double-appending
+        if (TxLog.versions(t).size < 1)
+          TxLog.append(o.filter(col("yr") <= 1996).drop("yr"), t)  // v0
+        register("evorders", t)
+        if (TxLog.versions(t).size < 2)
+          sql(spark, "ALTER TABLE evorders ADD COLUMNS (flag BIGINT)") // v1
+        if (TxLog.versions(t).size < 3)
+          TxLog.append(o.filter(col("yr") > 1996).drop("yr")
+            .withColumn("flag", col("o_orderkey") % 7), t)           // v2
+        t
+      })
+    }
 
   /** txlog_schema_evolution (S50) — ALTER ADD COLUMNS on the commit-log
     * format end to end: pre-alter files null-fill the evolved column,
