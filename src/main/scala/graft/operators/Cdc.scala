@@ -1988,43 +1988,56 @@ object Cdc {
     * LWW view.
     */
   def cdcDebeziumStream(spark: SparkSession, dir: String): DataFrame = {
-    val state = dbzStreamState.getOrElseUpdate(dir, {
-      val landing = debeziumLanding(spark, dir)
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_dbzs_${ProcessHandle.current.pid}_" +
-          dir.replaceAll("[^A-Za-z0-9._-]", "_"))
-      val ckpt = new java.io.File(base, "ckpt")
-      val outDir = new java.io.File(base, "state")
-      var st: Option[DataFrame] = None
-      val q = spark.readStream
-        .option("maxFilesPerTrigger", "1")
-        .text(landing)
-        .writeStream
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              _: Long) =>
-            val partial = debeziumPartials(debeziumDecode(batch))
-            // pin each folded state so lineage never nests across batches
-            // (the G3 checkpoint discipline)
-            st = Some(st.fold(partial)(s => debeziumMerge(s, partial))
-              .localCheckpoint())
-            ()
-        }
-        .start()
-      q.awaitTermination()
-      // land the final state so later calls (and other sessions) read a
-      // plain frame instead of holding the checkpoint lineage
-      st.getOrElse(sys.error("cdc_debezium_stream: empty landing"))
-        .write.mode("overwrite").parquet(outDir.getAbsolutePath)
-      outDir.getAbsolutePath
-    })
+    // lock, not bare getOrElseUpdate: TrieMap's thunk can evaluate twice
+    // under a race, and two drains sharing one checkpoint dir corrupt
+    // each other (r11 code-review finding)
+    val state = dbzStreamLock.synchronized {
+      dbzStreamState.getOrElseUpdate(dir, {
+        val landing = debeziumLanding(spark, dir)
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_dbzs_${ProcessHandle.current.pid}_" +
+            dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+        // FRESH checkpoint per drain attempt: the fold state lives in a
+        // local var, so resuming a half-failed drain from a reused
+        // checkpoint would skip the batches the failed attempt already
+        // committed and fold a state MISSING their rows (r11 code-review
+        // finding). A retry must be a full re-drain; the memo map only
+        // caches a drain that completed.
+        val ckpt = new java.io.File(base,
+          s"ckpt_${System.nanoTime()}")
+        val outDir = new java.io.File(base, "state")
+        var st: Option[DataFrame] = None
+        val q = spark.readStream
+          .option("maxFilesPerTrigger", "1")
+          .text(landing)
+          .writeStream
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              val partial = debeziumPartials(debeziumDecode(batch))
+              // pin each folded state so lineage never nests across
+              // batches (the G3 checkpoint discipline)
+              st = Some(st.fold(partial)(s => debeziumMerge(s, partial))
+                .localCheckpoint())
+              ()
+          }
+          .start()
+        q.awaitTermination()
+        // land the final state so later calls (and other sessions) read a
+        // plain frame instead of holding the checkpoint lineage
+        st.getOrElse(sys.error("cdc_debezium_stream: empty landing"))
+          .write.mode("overwrite").parquet(outDir.getAbsolutePath)
+        outDir.getAbsolutePath
+      })
+    }
     debeziumFinalize(spark.read.parquet(state))
   }
 
   private val dbzStreamState =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val dbzStreamLock = new Object
 
   val cdcDebeziumEnvelopeSql: String =
     """WITH log AS (

@@ -158,6 +158,10 @@ object Catalog {
     val db = register(spark, dir)
     val key = (System.identityHashCode(spark.sharedState),
       new java.io.File(dir).getCanonicalPath)
+    // lock around the check-then-build: two threads racing a cold JVM
+    // would interleave DROP/CTAS/INSERT on the shared catalog (r11
+    // code-review finding — the demo-builder race class)
+    buildLock.synchronized {
     if (!ctasDone.contains(key)) {
       val loc = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")),
@@ -183,6 +187,7 @@ object Catalog {
            |FROM $db.orders
            |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin)
       ctasDone.add(key)
+    }
     }
     spark.sql(
       s"""SELECT half, o_orderpriority, COUNT(*) AS n_orders,
@@ -340,6 +345,9 @@ object Catalog {
     val db = register(spark, dir)
     val key = (System.identityHashCode(spark.sharedState),
       new java.io.File(dir).getCanonicalPath)
+    // same lock discipline as sqlCtas: the build is non-idempotent DDL
+    // (a doubled ALTER throws, a doubled INSERT corrupts the census)
+    buildLock.synchronized {
     if (!alterDone.contains(key)) {
       val loc = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")),
@@ -372,6 +380,7 @@ object Catalog {
           .stripMargin)
       alterDone.add(key)
     }
+    }
     spark.sql(
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
          |  COUNT(ship_latency_days) AS n_with_latency,
@@ -387,6 +396,8 @@ object Catalog {
 
   private val alterDone =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  private val buildLock = new Object
 
   val sqlAlterTableSql: String =
     """WITH t AS (SELECT o_orderpriority,

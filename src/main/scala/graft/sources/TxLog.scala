@@ -110,13 +110,43 @@ object TxLog {
   /** The table's declared schema AS OF `v` (DDL string): the newest
     * metaData action at or below `v`, or None when the table has never
     * been ALTERed (readers then use the footers, the pre-evolution
-    * behavior). |versions| bytes-sized driver reads, the log-resolution
-    * cost class.
+    * behavior). Memoized per (table, version) with the recurrence
+    * schema(v) = meta(v) orElse schema(v−1): without the memo EVERY
+    * snapshot() of a never-ALTERed table would rescan the whole log —
+    * exactly the O(all commits) driver cost the checkpoints bound
+    * resolve() away from (r11 code-review finding). Commit files are
+    * immutable once published, so a cached answer can never go stale.
     */
-  private[graft] def schemaDdlAsOf(table: File, v: Long): Option[String] =
-    versions(table).filter(_ <= v).reverse.iterator
-      .map(readCommit(table, _).metaDdl)
-      .collectFirst { case Some(d) => d }
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Option[String]]
+
+  private[graft] def schemaDdlAsOf(table: File, v: Long): Option[String] = {
+    val key = table.getCanonicalPath
+    schemaMemo.get((key, v)) match {
+      case Some(cached) => cached
+      case None =>
+        // walk down only as far as the first memoized version, then fill
+        // the memo back up — amortized O(1) per NEW version
+        val vs = versions(table).filter(_ <= v)
+        var i = vs.size - 1
+        var found: Option[String] = None
+        while (i >= 0 && found.isEmpty &&
+            !schemaMemo.contains((key, vs(i)))) {
+          i -= 1
+        }
+        if (i >= 0) found = schemaMemo.getOrElse((key, vs(i)),
+          readCommit(table, vs(i)).metaDdl)
+        var j = math.max(i, 0)
+        var acc = found
+        while (j < vs.size) {
+          val m = readCommit(table, vs(j)).metaDdl
+          acc = m.orElse(acc)
+          schemaMemo.put((key, vs(j)), acc)
+          j += 1
+        }
+        acc
+    }
+  }
 
   // ---- checkpoints (round-10, r9 verdict task 3) ---------------------------
   // Every `checkpointEvery` commits the committer materializes the FULL
@@ -229,14 +259,37 @@ object TxLog {
     * retries — the optimistic-concurrency loop. Returns the committed
     * version.
     */
-  def commit(table: File, adds: Seq[(String, Long)], removes: Seq[String],
-      op: String, metaDdl: Option[String] = None): Long = {
-    logDir(table).mkdirs()
-    val body = (adds.map { case (p, r) =>
+  private def commitBody(adds: Seq[(String, Long)], removes: Seq[String],
+      op: String, metaDdl: Option[String]): String =
+    (adds.map { case (p, r) =>
         s"""{"add": {"path": ${q(p)}, "rows": $r}}""" } ++
       removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") ++
       metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}}}""") :+
       s"""{"commit": {"op": ${q(op)}}}""").mkString("", "\n", "\n")
+
+  /** Compare-and-commit: publish into slot `base + 1` ONLY. Returns the
+    * committed version, or -1 when another commit won the slot — the
+    * caller's work was derived from a now-stale snapshot and must be
+    * RE-DERIVED, not blindly re-slotted (the blind retry loop is only
+    * safe for self-contained appends; a snapshot-rewrite that retries
+    * into a later slot would resurrect concurrently-deleted rows and
+    * double concurrently-appended ones — r11 code-review finding).
+    */
+  private[graft] def commitIfBase(table: File, base: Long,
+      adds: Seq[(String, Long)], removes: Seq[String],
+      op: String, metaDdl: Option[String] = None): Long = {
+    logDir(table).mkdirs()
+    val v = base + 1
+    if (publishSlot(versionFile(table, v),
+        commitBody(adds, removes, op, metaDdl))) {
+      maybeCheckpoint(table, v); v
+    } else -1L
+  }
+
+  def commit(table: File, adds: Seq[(String, Long)], removes: Seq[String],
+      op: String, metaDdl: Option[String] = None): Long = {
+    logDir(table).mkdirs()
+    val body = commitBody(adds, removes, op, metaDdl)
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
@@ -308,19 +361,29 @@ object TxLog {
     */
   def alterAddColumns(spark: SparkSession, table: File,
       addDdl: String): Long = {
-    val v = versions(table).lastOption.getOrElse(
-      sys.error(s"TxLog: ALTER on empty table $table"))
-    val cur = schemaDdlAsOf(table, v) match {
-      case Some(d) => org.apache.spark.sql.types.StructType.fromDDL(d)
-      case None => snapshot(spark, table, Some(v)).schema
+    // compare-and-commit: the dup check and the evolved schema derive
+    // from the base version's schema, so a racing commit (another ALTER
+    // adding the same column) must force a RE-VALIDATION, not a blind
+    // later-slot publish (two concurrent identical ALTERs would otherwise
+    // both pass the check and commit a duplicate field)
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).lastOption.getOrElse(
+        sys.error(s"TxLog: ALTER on empty table $table"))
+      val cur = schemaDdlAsOf(table, v) match {
+        case Some(d) => org.apache.spark.sql.types.StructType.fromDDL(d)
+        case None => snapshot(spark, table, Some(v)).schema
+      }
+      val added = org.apache.spark.sql.types.StructType.fromDDL(addDdl)
+      val dup = added.fieldNames.filter(cur.fieldNames.contains)
+      require(dup.isEmpty,
+        s"TxLog ALTER: column(s) already exist: ${dup.mkString(", ")}")
+      val evolved = org.apache.spark.sql.types.StructType(
+        cur.fields ++ added.fields)
+      committed = commitIfBase(table, v, Seq.empty, Seq.empty, "alter",
+        Some(evolved.toDDL))
     }
-    val added = org.apache.spark.sql.types.StructType.fromDDL(addDdl)
-    val dup = added.fieldNames.filter(cur.fieldNames.contains)
-    require(dup.isEmpty,
-      s"TxLog ALTER: column(s) already exist: ${dup.mkString(", ")}")
-    val evolved = org.apache.spark.sql.types.StructType(
-      cur.fields ++ added.fields)
-    commit(table, Seq.empty, Seq.empty, "alter", Some(evolved.toDDL))
+    committed
   }
 
   /** Copy-on-write DELETE: rewrite only the live files that contain rows
@@ -526,28 +589,38 @@ object TxLog {
       targetFiles: Int): Long = {
     require(zCols.size == 2,
       s"TxLog OPTIMIZE ZORDER: exactly two columns supported, got $zCols")
-    val v = versions(table).last
-    val snap = snapshot(spark, table, Some(v))
-    val Seq(c1, c2) = zCols
-    val st = snap.agg(
-      min(col(c1).cast("long")), max(col(c1).cast("long")),
-      min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
-    require(!st.anyNull, s"TxLog OPTIMIZE ZORDER: $c1/$c2 must be " +
-      "non-null numeric columns (an all-null dimension has no min/max " +
-      "rank domain)")
-    def rank(c: String, lo: Long, hi: Long) = {
-      val span = math.max(hi - lo + 1, 1L)
-      // floor + cast: Column `/` is double division; the rank must be an
-      // integral bit pattern for the spread
-      floor((col(c).cast("long") - lit(lo)) * lit(4096L) / lit(span))
-        .cast("long")
+    // compare-and-commit loop: the rewrite is derived from a SNAPSHOT, so
+    // a commit landing between the read and our publish invalidates the
+    // work (a later-slot publish would resurrect its deletes / double its
+    // appends); on a lost race the whole rewrite re-derives from the new
+    // latest version
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).last
+      val snap = snapshot(spark, table, Some(v))
+      val Seq(c1, c2) = zCols
+      val st = snap.agg(
+        min(col(c1).cast("long")), max(col(c1).cast("long")),
+        min(col(c2).cast("long")), max(col(c2).cast("long"))).head()
+      require(!st.anyNull, s"TxLog OPTIMIZE ZORDER: $c1/$c2 must be " +
+        "non-null numeric columns (an all-null dimension has no min/max " +
+        "rank domain)")
+      def rank(c: String, lo: Long, hi: Long) = {
+        val span = math.max(hi - lo + 1, 1L)
+        // floor + cast: Column `/` is double division; the rank must be
+        // an integral bit pattern for the spread
+        floor((col(c).cast("long") - lit(lo)) * lit(4096L) / lit(span))
+          .cast("long")
+      }
+      val z = Layout.spread(rank(c1, st.getLong(0), st.getLong(1)))
+        .bitwiseOR(shiftleft(
+          Layout.spread(rank(c2, st.getLong(2), st.getLong(3))), 1))
+      val sorted = snap.repartitionByRange(targetFiles, z)
+      val files = writeFiles(sorted, table, "zorder")
+      committed = commitIfBase(table, v, files,
+        liveFiles(table, v).map(_.path), "zorder")
     }
-    val z = Layout.spread(rank(c1, st.getLong(0), st.getLong(1)))
-      .bitwiseOR(shiftleft(
-        Layout.spread(rank(c2, st.getLong(2), st.getLong(3))), 1))
-    val sorted = snap.repartitionByRange(targetFiles, z)
-    val files = writeFiles(sorted, table, "zorder")
-    commit(table, files, liveFiles(table, v).map(_.path), "zorder")
+    committed
   }
 
   // ---- multi-table atomic commit (S45, round-10; r9 verdict task 4) ------
@@ -864,9 +937,15 @@ object TxLog {
 
   /** Drain the commit-log stream (Trigger.AvailableNow) and land each new
     * commit's row-level deltas under `out` — the streaming twin of
-    * [[changeFeed]]. `checkpoint` carries the file-source resume state: a
-    * restart with the same checkpoint re-lands NOTHING (exactly-once at
-    * the commit granularity; the landing is append-only).
+    * [[changeFeed]]. `checkpoint` carries the file-source resume state,
+    * and each micro-batch lands in its OWN batch-id-keyed directory with
+    * overwrite semantics: foreachBatch alone is at-least-once (a crash
+    * between the data write and the offset commit replays the batch), so
+    * the replay must overwrite its previous partial landing rather than
+    * append a duplicate (r11 code-review finding) — batch-id-keyed
+    * overwrite IS the canonical idempotent-foreachBatch discipline. A
+    * restart with the same checkpoint therefore re-lands nothing new and
+    * re-lands a torn batch identically: exactly-once at the landing.
     */
   def runChangeFeedStream(spark: SparkSession, table: File,
       out: File, checkpoint: File): Unit = {
@@ -874,7 +953,8 @@ object TxLog {
     val q = actionStream(spark, table).writeStream
       .option("checkpointLocation", checkpoint.getAbsolutePath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row],
+          batchId: Long) =>
         // metadata-rate collect: one row per log ACTION in the new
         // commits (the file-count-bounded driver-read class, as batch
         // log resolution)
@@ -891,7 +971,8 @@ object TxLog {
         }
         if (entries.nonEmpty)
           feedOfEntries(spark, table, entries)
-            .write.mode("append").parquet(out.getAbsolutePath)
+            .write.mode("overwrite")
+            .parquet(new File(out, s"batch=$batchId").getAbsolutePath)
         ()
       }
       .start()

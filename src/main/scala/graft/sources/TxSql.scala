@@ -128,17 +128,48 @@ object TxSql {
     require(travels.nonEmpty,
       "TxSql: statement has no VERSION AS OF clause — use spark.sql")
     // bind each (table, version) to a snapshot-backed temp view, then
-    // substitute exactly the parser-confirmed spans
-    var bound = text
+    // substitute the parser-confirmed spans — OUTSIDE string literals
+    // only (a blind text-wide replaceAll would also rewrite a quoted
+    // literal that happens to contain the travel syntax, silently
+    // corrupting output — r11 code-review finding). The statement is
+    // split on single-quoted segments; substitution touches only the
+    // code segments, so literals pass through byte-identical.
+    val segments = splitOnLiterals(text)
     travels.foreach { case (name, v) =>
       val view = s"${name.replace('.', '_')}_asof_$v"
       TxLog.snapshot(spark, tableOf(name), Some(v))
         .createOrReplaceTempView(view)
-      bound = bound.replaceAll(
-        "(?i)" + java.util.regex.Pattern.quote(name) +
-          "\\s+VERSION\\s+AS\\s+OF\\s+" + v, view)
+      val re = "(?i)\\b" + java.util.regex.Pattern.quote(name) +
+        "\\s+VERSION\\s+AS\\s+OF\\s+" + v + "\\b"
+      for (i <- segments.indices if !segments(i).startsWith("'"))
+        segments(i) = segments(i).replaceAll(re, view)
     }
-    spark.sql(bound)
+    spark.sql(segments.mkString)
+  }
+
+  /** Split a statement into alternating code / 'quoted-literal' segments
+    * (literals keep their quotes; '' escapes stay inside one literal).
+    */
+  private def splitOnLiterals(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inLit = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'') {
+        if (!inLit) {
+          out += cur.toString; cur.clear(); inLit = true; cur += c
+        } else if (i + 1 < text.length && text.charAt(i + 1) == '\'') {
+          cur += c; cur += c; i += 1 // escaped quote stays in-literal
+        } else {
+          cur += c; out += cur.toString; cur.clear(); inLit = false
+        }
+      } else cur += c
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
   }
 
   /** Delta's DESCRIBE HISTORY shape for any registered table: version,
