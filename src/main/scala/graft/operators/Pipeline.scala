@@ -1389,7 +1389,14 @@ object Pipeline {
     * (lazy seeds: +0.7 s, four consumer jobs replayed the semi-join;
     * lazy last-round frontier: the census swallowed the whole round-4
     * subtree). The same examination DID find a foldable job in
-    * graph_kcore (last-round degree pin) — taken there.
+    * graph_kcore (last-round degree pin) — taken there. A 6th shape was
+    * A/B'd r11: TWO levels fused per pin (freshP and freshC computed in
+    * one DAG, tagged into one union frame, ONE checkpoint per two
+    * levels) — LOST 2.39 vs 2.24 min-of-7 under equal load: the fused
+    * frame's union branch replays freshP's distinct exchange (broadcast
+    * materialization doesn't serve the non-broadcast consumer), costing
+    * more than the one saved pin job. The per-level pin stands as the
+    * measured floor.
     */
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -595,6 +595,72 @@ object AB {
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** gsp r11 candidate: TWO BFS levels fused per checkpoint — the fused
+    * round computes fresh_P (level k) and fresh_C (level k+1) in one DAG,
+    * tags them into ONE union frame, and pins that single frame (one
+    * checkpoint job per two levels instead of two); the halves split back
+    * out as map-side filters on the pinned frame.
+    */
+  def gspV6(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .localCheckpoint()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cp.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontierC = dC.select(col("id"))
+    for (k <- Seq(1, 3)) {
+      // level k: C → P
+      val candP = cp
+        .join(broadcast(frontierC.withColumnRenamed("id", "c")), Seq("c"))
+        .select(col("p").as("id")).distinct()
+      val freshP = candP
+        .join(broadcast(dP.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+      // level k+1: P → C, probing freshP (broadcast materializes it
+      // inside this same job)
+      val candC = cp
+        .join(broadcast(freshP.select(col("id").as("p"))), Seq("p"))
+        .select(col("c").as("id")).distinct()
+      val freshC = candC
+        .join(broadcast(dC.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit((k + 1).toLong).as("dist"))
+      // ONE pin for both halves
+      val both = freshP.select(lit("p").as("side"), col("id"), col("dist"))
+        .unionByName(
+          freshC.select(lit("c").as("side"), col("id"), col("dist")))
+        .localCheckpoint()
+      dP = dP.unionByName(
+        both.filter(col("side") === "p").select(col("id"), col("dist")))
+      dC = dC.unionByName(
+        both.filter(col("side") === "c").select(col("id"), col("dist")))
+      frontierC =
+        both.filter(col("side") === "c").select(col("id"))
+    }
+    val custs = cp.select(col("c").as("id")).distinct()
+      .join(dC, Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = cp.select(col("p").as("id")).distinct()
+      .join(dP, Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
   /** Scratch map: point entries at candidate implementations while
     * iterating (e.g. a rewritten operator vs the registered one). */
   def variants: Map[String, (SparkSession, String) => DataFrame] =
@@ -611,6 +677,7 @@ object AB {
       "basket_v3" -> (basketV3 _),
       "kcore_v3" -> (kcoreV3 _),
       "kcore_v4" -> (kcoreV4 _),
+      "gsp_v6" -> (gspV6 _),
       "triangles_v2" -> (trianglesV2 _))
 
   def main(args: Array[String]): Unit = {
