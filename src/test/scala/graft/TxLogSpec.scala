@@ -430,6 +430,27 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("already exist"))
   }
 
+  test("ALTER racing concurrent appends re-derives on a lost slot and " +
+      "never duplicates the column") {
+    val t = freshTable("alterrace")
+    TxLog.append(rows(10), t)
+    // 1 ALTER + 3 appends race: the alter's compare-and-commit must
+    // re-validate against whatever version actually precedes its slot
+    val threads = (0 until 4).map { i =>
+      new Thread(() =>
+        if (i == 0) { TxLog.alterAddColumns(spark, t, "extra BIGINT"); () }
+        else { TxLog.append(rows(5, 100L * (i + 1)), t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(TxLog.versions(t) == (0L to 4L),
+      "race should land 5 sequential versions")
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.schema.fieldNames.count(_ == "extra") == 1)
+    assert(snap.count() == 25) // 10 + 3x5, every append survived
+    assert(snap.filter(col("extra").isNull).count() == 25,
+      "all pre-evolution files null-fill")
+  }
+
   test("VACUUM statement deletes past the horizon and re-runs as a no-op") {
     import graft.sources.TxSql
     val t = freshTable("vacsql")
