@@ -323,8 +323,23 @@ object TxLog {
     }
   }
 
-  /** Append `df` as one atomic commit; returns the version. */
+  /** Append `df` as one atomic commit; returns the version. On an
+    * ALTERed table the write is schema-ENFORCED (the other half of S50's
+    * evolution contract, the Delta discipline): columns unknown to the
+    * declared schema are rejected with the remedy named — a silently
+    * accepted misspelled column would otherwise null-fill forever on
+    * read. Missing declared columns stay legal (readers null-fill).
+    */
   def append(df: DataFrame, table: File): Long = {
+    versions(table).lastOption.flatMap(schemaDdlAsOf(table, _)).foreach {
+      ddl =>
+        val declared = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          .fieldNames.toSet
+        val unknown = df.schema.fieldNames.filterNot(declared)
+        require(unknown.isEmpty,
+          s"TxLog append: column(s) not in the table's declared schema: " +
+            s"${unknown.mkString(", ")} — ALTER TABLE ADD COLUMNS first")
+    }
     val files = writeFiles(df, table, "append")
     commit(table, files, Seq.empty, "append")
   }

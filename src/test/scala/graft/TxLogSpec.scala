@@ -428,7 +428,25 @@ class TxLogSpec extends SparkSpec {
       TxLog.alterAddColumns(spark, t, "flag BIGINT")
     }
     assert(e.getMessage.contains("already exist"))
+    // schema ENFORCEMENT on a fresh table (never the shared demo — its
+    // census backs an oracle row): a write carrying a column the
+    // declared schema does not know is rejected with the remedy named
+    // (a misspelled column would otherwise silently null-fill forever)
+    val t2 = freshTable("enforce")
+    TxLog.append(rows(5), t2)
+    TxLog.alterAddColumns(spark, t2, "extra BIGINT")
+    val e2 = incept(t2)
+    assert(e2.getMessage.contains("extraa") &&
+      e2.getMessage.contains("ALTER TABLE"))
+    // missing declared columns stay legal (readers null-fill)
+    TxLog.append(rows(2, 50), t2)
+    assert(TxLog.snapshot(spark, t2).count() == 7)
   }
+
+  private def incept(t2: java.io.File) =
+    intercept[Exception] {
+      TxLog.append(rows(1, 99).withColumn("extraa", col("id")), t2)
+    }
 
   test("ALTER racing concurrent appends re-derives on a lost slot and " +
       "never duplicates the column") {
