@@ -1982,10 +1982,15 @@ object Cdc {
     * stream boundary loses nothing regardless of how the wire is split
     * into batches.
     *
-    * Scale: per micro-batch cost is |batch| + |touched keys| (the
-    * partial fold), state is keyspace-sized, and the landing checkpoint
-    * makes restarts resume — changelog-rate maintenance of the served
-    * LWW view.
+    * Scale, honestly: THIS fold re-aggregates state ∪ batch per
+    * micro-batch — state-sized work per batch, fine for the keyspaces a
+    * single served view holds but NOT the 100-TB shape. The algebra is
+    * what scales (the partials are mergeable), and the engine ships both
+    * deployed forms: ST6's foreachBatch MERGE (file-pruned copy-on-write,
+    * |touched files| per batch) and ST13/ST14's transformWithState (a
+    * real per-key incremental state store). This row exists to prove the
+    * WIRE decode + fold algebra against the batch oracle under any batch
+    * split.
     */
   def cdcDebeziumStream(spark: SparkSession, dir: String): DataFrame = {
     // lock, not bare getOrElseUpdate: TrieMap's thunk can evaluate twice
