@@ -38,6 +38,7 @@ object SparkEntry {
       (sources.Dml.queries, sources.Dml.oracle),
       (sources.TxLog.queries, sources.TxLog.oracle),
       (sources.TxSql.queries, sources.TxSql.oracle),
+      (sources.TxFeatures.queries, sources.TxFeatures.oracle),
       (sources.Layout.queries, sources.Layout.oracle),
       (sources.ChangeLog.queries, sources.ChangeLog.oracle))
 

@@ -111,6 +111,13 @@ object Olap {
     * 1.64 s, census-then-reshard 1.93 s (a SECOND census-sized exchange
     * — rejected), this one-exchange form 1.16 s.
     *
+    * r12 anomaly closure (r11 verdict task 1): both r11 bench runs read
+    * 1.47–1.66 s on this UNCHANGED code where r10's artifact said 0.90 —
+    * re-measured r12 in a quiet window (1-min load 0.08 at launch):
+    * 0.749 s min-of-7, shuffled order. The r11 readings were ambient-load
+    * artifacts (pass_load 3.3–3.8 during those runs), not a plan
+    * regression; no code change needed.
+    *
     * Scale: census size is bounded by the price domain per flag, not row
     * count; the shard width is static so the shard count grows with the
     * VALUE DOMAIN only; weights sum in i64 (quantities integral).

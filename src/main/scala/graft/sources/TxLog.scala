@@ -77,18 +77,42 @@ object TxLog {
       case c => c.toString
     } + "\""
 
-  private[graft] case class Add(path: String, rows: Long)
+  /** One live data file: path, row count, and (round-12) optional
+    * per-column min/max stats recorded at write time — the log-carried
+    * data-skipping input (Delta's `stats` / Iceberg's manifest metrics):
+    * a reader prunes files against simple predicates from the LOG alone,
+    * zero footer reads for pruned files.
+    */
+  private[graft] case class Add(path: String, rows: Long,
+    stats: Map[String, (Long, Long)] = Map.empty)
 
-  /** One committed action file, parsed. */
+  /** One committed action file, parsed. `metaMapping` (round-12) is the
+    * column-mapping half of a metaData action: the FULL logical→physical
+    * name map, present once the table has ever been RENAMEd/DROPped
+    * (Delta column-mapping mode); absent = identity (legacy logs parse
+    * unchanged). `ts` is the commit's deterministic wall-time surrogate
+    * for TIMESTAMP AS OF binding, when the writer stamped one.
+    */
   private[graft] case class Commit(adds: Seq[Add], removes: Seq[String],
-    op: String, metaDdl: Option[String] = None)
+    op: String, metaDdl: Option[String] = None,
+    metaMapping: Option[String] = None, ts: Option[Long] = None)
 
   private val addRe =
-    """\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)\}\}""".r
+    ("""\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)""" +
+      """(?:,\s*"stats":\s*\{([^}]*)\})?\}\}""").r
+  private val statRe = """"((?:[^"\\]|\\.)+)":\s*\[(-?\d+),\s*(-?\d+)\]""".r
   private val removeRe = """\{"remove":\s*\{"path":\s*"([^"]+)"\}\}""".r
   private val opRe = """\{"commit":\s*\{"op":\s*"([^"]+)"[^}]*\}\}""".r
+  private val tsRe =
+    """\{"commit":\s*\{"op":\s*"[^"]+",\s*"ts":\s*(\d+)\}\}""".r
   private val metaRe =
-    """\{"metaData":\s*\{"schemaDdl":\s*"([^"]+)"\}\}""".r
+    ("""\{"metaData":\s*\{"schemaDdl":\s*"([^"]+)"""" +
+      """(?:,\s*"mapping":\s*"([^"]*)")?\}\}""").r
+
+  private def parseStats(s: String): Map[String, (Long, Long)] =
+    if (s == null || s.isEmpty) Map.empty
+    else statRe.findAllMatchIn(s).map(m =>
+      m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
 
   private[graft] def readCommit(table: File, v: Long): Commit = {
     val lines = Files.readAllLines(versionFile(table, v).toPath)
@@ -96,15 +120,23 @@ object TxLog {
     var adds = Vector.empty[Add]
     var removes = Vector.empty[String]
     var op = "unknown"
+    var ts = Option.empty[Long]
     var meta = Option.empty[String]
-    lines.asScala.foreach {
-      case addRe(p, r) => adds :+= Add(p, r.toLong)
-      case removeRe(p) => removes :+= p
-      case opRe(o) => op = o
-      case metaRe(d) => meta = Some(d)
-      case _ => ()
+    var mapping = Option.empty[String]
+    lines.asScala.foreach { line =>
+      line match {
+        case addRe(p, r, s) => adds :+= Add(p, r.toLong, parseStats(s))
+        case removeRe(p) => removes :+= p
+        case opRe(o) => op = o
+        case metaRe(d, m) => meta = Some(d); mapping = Option(m)
+        case _ => ()
+      }
+      line match {
+        case tsRe(t) => ts = Some(t.toLong)
+        case _ => ()
+      }
     }
-    Commit(adds, removes, op, meta)
+    Commit(adds, removes, op, meta, mapping, ts)
   }
 
   /** The table's declared schema AS OF `v` (DDL string): the newest
@@ -118,9 +150,16 @@ object TxLog {
     * immutable once published, so a cached answer can never go stale.
     */
   private val schemaMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), Option[String]]
+    .empty[(String, Long), Option[(String, Option[String])]]
 
-  private[graft] def schemaDdlAsOf(table: File, v: Long): Option[String] = {
+  /** The table's declared (logical DDL, column mapping) AS OF `v`: the
+    * newest metaData action at or below `v`. The mapping half is the
+    * FULL logical→physical map once the table entered column-mapping
+    * mode (any RENAME/DROP), None before — both halves always travel in
+    * one metaData action, so they memoize together.
+    */
+  private[graft] def metaAsOf(table: File, v: Long)
+      : Option[(String, Option[String])] = {
     val key = table.getCanonicalPath
     schemaMemo.get((key, v)) match {
       case Some(cached) => cached
@@ -129,24 +168,52 @@ object TxLog {
         // the memo back up — amortized O(1) per NEW version
         val vs = versions(table).filter(_ <= v)
         var i = vs.size - 1
-        var found: Option[String] = None
+        var found: Option[(String, Option[String])] = None
         while (i >= 0 && found.isEmpty &&
             !schemaMemo.contains((key, vs(i)))) {
           i -= 1
         }
-        if (i >= 0) found = schemaMemo.getOrElse((key, vs(i)),
-          readCommit(table, vs(i)).metaDdl)
+        if (i >= 0) found = schemaMemo.getOrElse((key, vs(i)), {
+          val c = readCommit(table, vs(i))
+          c.metaDdl.map(d => (d, c.metaMapping))
+        })
         var j = math.max(i, 0)
         var acc = found
         while (j < vs.size) {
-          val m = readCommit(table, vs(j)).metaDdl
-          acc = m.orElse(acc)
+          val c = readCommit(table, vs(j))
+          acc = c.metaDdl.map(d => (d, c.metaMapping)).orElse(acc)
           schemaMemo.put((key, vs(j)), acc)
           j += 1
         }
         acc
     }
   }
+
+  private[graft] def schemaDdlAsOf(table: File, v: Long): Option[String] =
+    metaAsOf(table, v).map(_._1)
+
+  /** logical→physical column map as of `v` (identity when the table has
+    * never been RENAMEd/DROPped). Wire form: `log1=phys1;log2=phys2`.
+    */
+  private[graft] def mappingAsOf(table: File, v: Long)
+      : Map[String, String] =
+    metaAsOf(table, v).flatMap(_._2).map(parseMapping).getOrElse(Map.empty)
+
+  private def parseMapping(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split(";").iterator.map { e =>
+      val Array(l, p) = e.split("=", 2); (l, p)
+    }.toMap
+
+  private def encodeMapping(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (l, p) => s"$l=$p" }.mkString(";")
+
+  /** True once any metaData action carried a mapping — the table is in
+    * column-mapping mode and newly ADDed columns need FRESH physical ids
+    * (re-adding a dropped name must not resurrect old data).
+    */
+  private def mappingMode(table: File, v: Long): Boolean =
+    metaAsOf(table, v).exists(_._2.isDefined)
 
   // ---- checkpoints (round-10, r9 verdict task 3) ---------------------------
   // Every `checkpointEvery` commits the committer materializes the FULL
@@ -174,7 +241,7 @@ object TxLog {
   private def readCheckpoint(table: File, v: Long): Seq[Add] = {
     import scala.jdk.CollectionConverters._
     Files.readAllLines(checkpointFile(table, v).toPath).asScala.toSeq.collect {
-      case addRe(p, r) => Add(p, r.toLong)
+      case addRe(p, r, s) => Add(p, r.toLong, parseStats(s))
     }
   }
 
@@ -187,8 +254,7 @@ object TxLog {
       // commit the batch a second time (r10 advice). Swallow non-fatal
       // failures; the next eligible commit simply re-attempts.
       try {
-        val body = resolve(table, v)._1.map(a =>
-          s"""{"add": {"path": ${q(a.path)}, "rows": ${a.rows}}}""")
+        val body = resolve(table, v)._1.map(renderAdd)
           .mkString("", "\n", "\n")
         val tmp = new File(logDir(table),
           s".ckpt-${ProcessHandle.current.pid}-${System.nanoTime()}-" +
@@ -259,13 +325,29 @@ object TxLog {
     * retries — the optimistic-concurrency loop. Returns the committed
     * version.
     */
-  private def commitBody(adds: Seq[(String, Long)], removes: Seq[String],
-      op: String, metaDdl: Option[String]): String =
-    (adds.map { case (p, r) =>
-        s"""{"add": {"path": ${q(p)}, "rows": $r}}""" } ++
+  /** One add-action wire line; stats ride the line when present (and so
+    * survive checkpoint round-trips — the checkpoint body uses this too).
+    */
+  private def renderAdd(a: Add): String = {
+    val stats =
+      if (a.stats.isEmpty) ""
+      else a.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s"${q(c)}: [$lo, $hi]"
+      }.mkString(""", "stats": {""", ", ", "}")
+    s"""{"add": {"path": ${q(a.path)}, "rows": ${a.rows}$stats}}"""
+  }
+
+  private def commitBody(adds: Seq[Add], removes: Seq[String],
+      op: String, metaDdl: Option[String],
+      mapping: Option[String] = None, ts: Option[Long] = None): String =
+    (adds.map(renderAdd) ++
       removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") ++
-      metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}}}""") :+
-      s"""{"commit": {"op": ${q(op)}}}""").mkString("", "\n", "\n")
+      metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}""" +
+        mapping.map(m => s""", "mapping": ${q(m)}""").getOrElse("") +
+        "}}") :+
+      (s"""{"commit": {"op": ${q(op)}""" +
+        ts.map(t => s""", "ts": $t""").getOrElse("") + "}}"))
+      .mkString("", "\n", "\n")
 
   /** Compare-and-commit: publish into slot `base + 1` ONLY. Returns the
     * committed version, or -1 when another commit won the slot — the
@@ -276,20 +358,30 @@ object TxLog {
     * double concurrently-appended ones — r11 code-review finding).
     */
   private[graft] def commitIfBase(table: File, base: Long,
-      adds: Seq[(String, Long)], removes: Seq[String],
-      op: String, metaDdl: Option[String] = None): Long = {
+      adds: Seq[Add], removes: Seq[String],
+      op: String, metaDdl: Option[String] = None,
+      mapping: Option[String] = None, ts: Option[Long] = None): Long = {
     logDir(table).mkdirs()
     val v = base + 1
     if (publishSlot(versionFile(table, v),
-        commitBody(adds, removes, op, metaDdl))) {
+        commitBody(adds, removes, op, metaDdl, mapping, ts))) {
       maybeCheckpoint(table, v); v
     } else -1L
   }
 
+  /** Tuple-signature public commit (no stats/mapping/ts) — the original
+    * S40 surface; internal writers use [[commitAdds]].
+    */
   def commit(table: File, adds: Seq[(String, Long)], removes: Seq[String],
-      op: String, metaDdl: Option[String] = None): Long = {
+      op: String, metaDdl: Option[String] = None): Long =
+    commitAdds(table, adds.map { case (p, r) => Add(p, r) }, removes, op,
+      metaDdl)
+
+  private[graft] def commitAdds(table: File, adds: Seq[Add],
+      removes: Seq[String], op: String, metaDdl: Option[String] = None,
+      mapping: Option[String] = None, ts: Option[Long] = None): Long = {
     logDir(table).mkdirs()
-    val body = commitBody(adds, removes, op, metaDdl)
+    val body = commitBody(adds, removes, op, metaDdl, mapping, ts)
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
@@ -302,26 +394,77 @@ object TxLog {
   }
 
   /** Write `df` as a fresh immutable file group under the table dir;
-    * returns (relative path, row count) per data file.
+    * returns one [[Add]] (relative path, row count, per-column min/max
+    * stats for integral columns) per data file. Counts AND stats come
+    * from ONE file-count-bounded job over the fresh group — the same
+    * single pass the row bookkeeping already paid; stats are the
+    * data-skipping input [[snapshotPruned]] prunes against with zero
+    * footer reads. Integral columns only: min/max compare exactly in
+    * i64, no float-rounding or collation hazards in the prune.
     */
   private def writeFiles(df: DataFrame, table: File,
-      tag: String): Seq[(String, Long)] = {
+      tag: String): Seq[Add] = {
     val sub = s"d_${tag}_${System.nanoTime()}"
     val dir = new File(table, sub)
     df.write.parquet(dir.getAbsolutePath)
     val spark = df.sparkSession
-    // per-file row counts in ONE footer-driven job (file-count-bounded)
-    val counts = spark.read.parquet(dir.getAbsolutePath)
-      .groupBy(input_file_name().as("f")).count()
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val statCols = df.schema.fields.collect {
+      case f if f.dataType == LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
+    }.toSeq
+    val aggs = count(lit(1)).as("_n") +: statCols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"_lo_$c"),
+      max(col(c)).cast("long").as(s"_hi_$c")))
+    val perFile = spark.read.parquet(dir.getAbsolutePath)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val stats = statCols.flatMap { c =>
+          val lo = r.getAs[Any](s"_lo_$c"); val hi = r.getAs[Any](s"_hi_$c")
+          if (lo == null || hi == null) None // all-null column: no range
+          else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+        }.toMap
+        (r.getString(0), (r.getAs[Long]("_n"), stats))
+      }.toMap
     val fs = dir.listFiles().filter(_.getName.endsWith(".parquet"))
     fs.toSeq.sortBy(_.getName).map { f =>
-      val n = counts.collectFirst {
-        case (u, c) if u.endsWith(f.getName) => c
-      }.getOrElse(0L)
-      (s"$sub/${f.getName}", n)
+      val (n, stats) = perFile.collectFirst {
+        case (u, v) if u.endsWith(f.getName) => v
+      }.getOrElse((0L, Map.empty[String, (Long, Long)]))
+      Add(s"$sub/${f.getName}", n, stats)
     }
   }
+
+  /** logical→physical column rename before a write on a mapped table
+    * (identity — returns `df` untouched — for the unmapped/legacy case).
+    */
+  private def toPhysical(df: DataFrame,
+      mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(c).as(mapping.getOrElse(c, c))): _*)
+
+  /** Read `paths` under the table's declared AS-OF schema: the reader
+    * binds the PHYSICAL names (mapping-aware — pre-rename files keep
+    * serving because the physical name never changed; files predating an
+    * added column null-fill), then projects back to LOGICAL names in
+    * declared order. Unmapped, never-ALTERed tables read raw (footers
+    * own the schema — the pre-evolution behavior).
+    */
+  private[graft] def readAs(spark: SparkSession, table: File, v: Long,
+      paths: Seq[String]): DataFrame =
+    metaAsOf(table, v) match {
+      case Some((ddl, mapStr)) =>
+        val logical = StructType.fromDDL(ddl)
+        val m = mapStr.map(parseMapping).getOrElse(Map.empty)
+        val phys = StructType(logical.fields.map(f =>
+          f.copy(name = m.getOrElse(f.name, f.name))))
+        val raw = spark.read.schema(phys).parquet(paths: _*)
+        if (m.isEmpty) raw
+        else raw.select(logical.fields.toSeq.map(f =>
+          col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
+      case None => spark.read.parquet(paths: _*)
+    }
 
   /** Append `df` as one atomic commit; returns the version. On an
     * ALTERed table the write is schema-ENFORCED (the other half of S50's
@@ -330,8 +473,9 @@ object TxLog {
     * accepted misspelled column would otherwise null-fill forever on
     * read. Missing declared columns stay legal (readers null-fill).
     */
-  def append(df: DataFrame, table: File): Long = {
-    versions(table).lastOption.flatMap(schemaDdlAsOf(table, _)).foreach {
+  def append(df: DataFrame, table: File, ts: Option[Long] = None): Long = {
+    val base = versions(table).lastOption
+    base.flatMap(schemaDdlAsOf(table, _)).foreach {
       ddl =>
         val declared = org.apache.spark.sql.types.StructType.fromDDL(ddl)
           .fieldNames.toSet
@@ -340,8 +484,10 @@ object TxLog {
           s"TxLog append: column(s) not in the table's declared schema: " +
             s"${unknown.mkString(", ")} — ALTER TABLE ADD COLUMNS first")
     }
-    val files = writeFiles(df, table, "append")
-    commit(table, files, Seq.empty, "append")
+    // mapped tables store PHYSICAL names; the caller always writes logical
+    val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
+    val files = writeFiles(toPhysical(df, mapping), table, "append")
+    commitAdds(table, files, Seq.empty, "append", ts = ts)
   }
 
   /** Snapshot read at `version` (default: latest). Immutable-file reads:
@@ -357,14 +503,10 @@ object TxLog {
     // written before the evolution lack the added columns and the
     // parquet reader null-fills them (S13's mergeSchema semantics with
     // the LOG, not the footers, owning the superset); pre-alter versions
-    // still time-travel to their own schema
-    val reader = schemaDdlAsOf(table, v) match {
-      case Some(ddl) =>
-        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      case None => spark.read
-    }
-    reader.parquet(
-      files.map(a => new File(table, a.path).getAbsolutePath): _*)
+    // still time-travel to their own schema; RENAMEd/DROPped tables
+    // additionally bind physical names and project to logical (readAs)
+    readAs(spark, table, v,
+      files.map(a => new File(table, a.path).getAbsolutePath))
   }
 
   /** ALTER TABLE … ADD COLUMNS on the log format (S50): ONE metadata-only
@@ -395,10 +537,151 @@ object TxLog {
         s"TxLog ALTER: column(s) already exist: ${dup.mkString(", ")}")
       val evolved = org.apache.spark.sql.types.StructType(
         cur.fields ++ added.fields)
+      // column-mapping mode (any prior RENAME/DROP): a NEW column gets a
+      // FRESH physical id `<name>_c<version>` so re-adding a dropped name
+      // cannot resurrect the old physical column still sitting in
+      // pre-drop files (the Delta field-id discipline). Unmapped tables
+      // keep identity names — the legacy wire stays byte-stable.
+      val mapping =
+        if (!mappingMode(table, v)) None
+        else {
+          val m = mappingAsOf(table, v) ++
+            added.fieldNames.map(n => n -> s"${n}_c${v + 1}")
+          Some(encodeMapping(
+            evolved.fieldNames.map(n => n -> m.getOrElse(n, n)).toMap))
+        }
       committed = commitIfBase(table, v, Seq.empty, Seq.empty, "alter",
-        Some(evolved.toDDL))
+        Some(evolved.toDDL), mapping)
     }
     committed
+  }
+
+  /** ALTER TABLE … RENAME COLUMN on the log format (round-12, r11
+    * verdict task 2): ONE metadata-only commit carrying the renamed
+    * logical schema plus the column mapping that keeps the PHYSICAL name
+    * unchanged — every pre-rename data file keeps serving with zero
+    * rewrites (Delta column-mapping `name` mode). Time travel below the
+    * commit serves the old name; writes after it are schema-enforced
+    * under the new one.
+    */
+  def alterRenameColumn(spark: SparkSession, table: File,
+      from: String, to: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).lastOption.getOrElse(
+        sys.error(s"TxLog: ALTER on empty table $table"))
+      val cur = schemaDdlAsOf(table, v) match {
+        case Some(d) => org.apache.spark.sql.types.StructType.fromDDL(d)
+        case None => snapshot(spark, table, Some(v)).schema
+      }
+      require(cur.fieldNames.contains(from),
+        s"TxLog RENAME: no such column: $from")
+      require(!cur.fieldNames.contains(to),
+        s"TxLog RENAME: column already exists: $to")
+      val old = mappingAsOf(table, v)
+      val evolved = org.apache.spark.sql.types.StructType(cur.fields.map(
+        f => if (f.name == from) f.copy(name = to) else f))
+      // full map: the renamed column keeps `from`'s physical id; every
+      // other column keeps its current physical id (identity if unmapped)
+      val m = evolved.fieldNames.map { n =>
+        if (n == to) n -> old.getOrElse(from, from)
+        else n -> old.getOrElse(n, n)
+      }.toMap
+      committed = commitIfBase(table, v, Seq.empty, Seq.empty, "alter",
+        Some(evolved.toDDL), Some(encodeMapping(m)))
+    }
+    committed
+  }
+
+  /** ALTER TABLE … DROP COLUMN on the log format (round-12): ONE
+    * metadata-only commit removing the column from the declared schema
+    * and its entry from the mapping — data files are untouched (the
+    * physical column stays in old files but is never projected again),
+    * and a later ADD of the same name binds a fresh physical id, so the
+    * dropped data cannot resurrect. Pre-drop versions still serve it.
+    */
+  def alterDropColumn(spark: SparkSession, table: File,
+      name: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).lastOption.getOrElse(
+        sys.error(s"TxLog: ALTER on empty table $table"))
+      val cur = schemaDdlAsOf(table, v) match {
+        case Some(d) => org.apache.spark.sql.types.StructType.fromDDL(d)
+        case None => snapshot(spark, table, Some(v)).schema
+      }
+      require(cur.fieldNames.contains(name),
+        s"TxLog DROP: no such column: $name")
+      require(cur.fields.length > 1,
+        s"TxLog DROP: cannot drop the only column of the table")
+      val old = mappingAsOf(table, v)
+      val evolved = org.apache.spark.sql.types.StructType(
+        cur.fields.filterNot(_.name == name))
+      val m = evolved.fieldNames.map(n => n -> old.getOrElse(n, n)).toMap
+      committed = commitIfBase(table, v, Seq.empty, Seq.empty, "alter",
+        Some(evolved.toDDL), Some(encodeMapping(m)))
+    }
+    committed
+  }
+
+  /** TIMESTAMP AS OF binding (round-12, r11 verdict task 3): the
+    * greatest committed version whose stamped commit timestamp is <=
+    * `tsMillis` — Delta's timestamp-travel contract (a time between two
+    * commits binds to the EARLIER one; a time before the first stamped
+    * commit is rejected). Timestamps are writer-provided deterministic
+    * surrogates carried in the commit action (`{"commit": {"op": …,
+    * "ts": …}}`), not filesystem mtimes — mtimes change on copy/restore
+    * and would break rerun-determinism; unstamped commits don't
+    * participate (a table with none rejects with the remedy named).
+    * Cost: the same bytes-per-commit driver log scan as any resolution.
+    */
+  def versionAt(table: File, tsMillis: Long): Long = {
+    val stamped = versions(table).flatMap(v =>
+      readCommit(table, v).ts.map(t => (v, t)))
+    require(stamped.nonEmpty,
+      "TxLog: TIMESTAMP AS OF binding failed — this table's commits " +
+        "carry no timestamps; use VERSION AS OF")
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"TxLog: TIMESTAMP AS OF $tsMillis predates the first stamped " +
+        s"commit (${stamped.head._2})")
+    at.last._1
+  }
+
+  /** Snapshot with log-carried DATA SKIPPING (round-12, r11 verdict task
+    * 4): live files whose recorded [min, max] for `column` cannot
+    * intersect [lo, hi] are pruned from the scan set BEFORE the read —
+    * the prune input is the log's add-action stats alone, so pruned
+    * files cost ZERO reads (no data, no footer — Delta/Iceberg's
+    * planner-side skip, the first-line lever for non-partition
+    * predicates at 100 TB). Files lacking stats for the column are
+    * conservatively kept. Returns (frame, files read, files total); the
+    * caller still applies the row-level filter — stats prune FILES, not
+    * rows. On a mapped table the stats live under the physical name; the
+    * logical `column` is translated before the lookup.
+    */
+  def snapshotPruned(spark: SparkSession, table: File, column: String,
+      lo: Long, hi: Long, version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val v = version.orElse(versions(table).lastOption).getOrElse(
+      sys.error(s"TxLog: no commits in $table"))
+    val files = liveFiles(table, v)
+    val phys = mappingAsOf(table, v).getOrElse(column, column)
+    val kept = files.filter(a => a.stats.get(phys) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+    val frame =
+      if (kept.isEmpty) {
+        val schema = schemaDdlAsOf(table, v) match {
+          case Some(ddl) => StructType.fromDDL(ddl)
+          case None => snapshot(spark, table, Some(v)).schema
+        }
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else readAs(spark, table, v,
+        kept.map(a => new File(table, a.path).getAbsolutePath))
+    (frame, kept.size, files.size)
   }
 
   /** Copy-on-write DELETE: rewrite only the live files that contain rows
@@ -418,11 +701,16 @@ object TxLog {
       val s = u.stripPrefix("file:").replaceAll("^/+", "/")
       new File(s).getCanonicalFile.toURI.toString.stripPrefix(tableUri)
     }
-    val survivors = spark.read.parquet(affectedAbs: _*).filter(!pred)
+    // the affected files re-read under the declared schema (readAs):
+    // `pred` is in LOGICAL names, which a raw footer read of a mapped
+    // table would not resolve; the rewrite lands back in physical names
+    val v = versions(table).last
+    val survivors = readAs(spark, table, v, affectedAbs).filter(!pred)
     val files =
-      if (survivors.isEmpty) Seq.empty
-      else writeFiles(survivors, table, "delete")
-    commit(table, files, affectedRel, "delete")
+      if (survivors.isEmpty) Seq.empty[Add]
+      else writeFiles(toPhysical(survivors, mappingAsOf(table, v)),
+        table, "delete")
+    commitAdds(table, files, affectedRel, "delete")
   }
 
   /** Table-relative forms of absolute `input_file_name` URIs. */
@@ -458,11 +746,12 @@ object TxLog {
       .join(srcKeys, keys, "left_semi")
       .select(col("_gf")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+    val v = versions(table).last
     val affected =
       if (affectedAbs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[
           org.apache.spark.sql.Row], snap.schema)
-      else spark.read.parquet(affectedAbs: _*)
+      else readAs(spark, table, v, affectedAbs) // logical names (mapped ok)
     // matched keys live ONLY in affected files, so the match census needs
     // no second snapshot scan
     val keptTarget = affected.join(srcKeys, keys, "left_anti")
@@ -472,7 +761,9 @@ object TxLog {
     val rewritten = keptTarget
       .unionByName(updates.select(snap.columns.map(col): _*))
       .unionByName(inserts.select(snap.columns.map(col): _*))
-    commit(table, writeFiles(rewritten, table, "merge"),
+    commitAdds(table,
+      writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
+        table, "merge"),
       relativize(table, affectedAbs), "merge")
   }
 
@@ -577,8 +868,9 @@ object TxLog {
     val v = versions(table).last
     val live = liveFiles(table, v)
     val all = snapshot(spark, table, Some(v)).coalesce(targetFiles)
-    val files = writeFiles(all, table, "compact")
-    commit(table, files, live.map(_.path), "compact")
+    val files = writeFiles(toPhysical(all, mappingAsOf(table, v)),
+      table, "compact")
+    commitAdds(table, files, live.map(_.path), "compact")
   }
 
   /** Commits whose add/remove sets carry identical row bags — skipped
@@ -631,7 +923,8 @@ object TxLog {
         .bitwiseOR(shiftleft(
           Layout.spread(rank(c2, st.getLong(2), st.getLong(3))), 1))
       val sorted = snap.repartitionByRange(targetFiles, z)
-      val files = writeFiles(sorted, table, "zorder")
+      val files = writeFiles(toPhysical(sorted, mappingAsOf(table, v)),
+        table, "zorder")
       committed = commitIfBase(table, v, files,
         liveFiles(table, v).map(_.path), "zorder")
     }
@@ -658,9 +951,9 @@ object TxLog {
   def dbAppend(db: File, batches: Seq[(String, DataFrame)]): Long = {
     val adds = batches.flatMap { case (t, df) =>
       writeFiles(df, new File(db, t), "append")
-        .map { case (p, r) => (s"$t/$p", r) }
+        .map(a => a.copy(path = s"$t/${a.path}"))
     }
-    commit(db, adds, Seq.empty, "txn-append")
+    commitAdds(db, adds, Seq.empty, "txn-append")
   }
 
   /** Snapshot of ONE table of the database at `version` (default latest):
@@ -707,8 +1000,7 @@ object TxLog {
     if (lastTxnBatch(table, app).exists(_ >= batchId)) return false
     val files = writeFiles(df, table, s"txn$batchId")
     logDir(table).mkdirs()
-    val body = (files.map { case (p, r) =>
-        s"""{"add": {"path": ${q(p)}, "rows": $r}}""" } :+
+    val body = (files.map(renderAdd) :+
       s"""{"txn": {"app": ${q(app)}, "batch": $batchId}}""" :+
       s"""{"commit": {"op": "stream-append"}}""")
       .mkString("", "\n", "\n")
@@ -737,11 +1029,11 @@ object TxLog {
     * (plus its now-empty per-commit subdirectory and writer markers).
     */
   private def discardFileGroup(table: File,
-      files: Seq[(String, Long)]): Unit = {
-    files.foreach { case (p, _) =>
-      Files.deleteIfExists(new File(table, p).toPath); ()
+      files: Seq[Add]): Unit = {
+    files.foreach { a =>
+      Files.deleteIfExists(new File(table, a.path).toPath); ()
     }
-    files.headOption.foreach { case (p, _) =>
+    files.headOption.map(_.path).foreach { p =>
       val dir = new File(table, p).getParentFile
       val rest = Option(dir.listFiles()).getOrElse(Array.empty)
       // only writer markers (_SUCCESS, .crc) may remain in the group dir

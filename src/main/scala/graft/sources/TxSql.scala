@@ -25,10 +25,13 @@ import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
   *     / row delta from log METADATA alone, zero data-file reads.
   *
   * The rewrite is PARSE-GUIDED text substitution: the statement is first
-  * parsed, every `RelationTimeTravel` is collected (unsupported shapes —
-  * TIMESTAMP AS OF, expressions — are rejected with the reason), and only
-  * the exact `<name> VERSION AS OF <int>` spans the parser confirmed are
-  * substituted. Dataset-of-LogicalPlan construction is private[sql], so
+  * parsed, every `RelationTimeTravel` is collected (round-12: both
+  * `VERSION AS OF <int>` and `TIMESTAMP AS OF '<literal>'` — the latter
+  * binds to the greatest stamped commit <= t via TxLog.versionAt;
+  * non-literal expressions are rejected with the reason), and only the
+  * exact spans the parser confirmed are substituted. `table_changes(
+  * 't', v1, v2)` — Delta's CDF table-valued function — rewrites to a
+  * changeFeed-backed view the same segment-aware way. Dataset-of-LogicalPlan construction is private[sql], so
   * executing the TRANSFORMED TREE directly is not available to a library;
   * re-parsing the bound text through spark.sql keeps every downstream
   * step (analysis, optimization) on the public path. Same module
@@ -63,6 +66,13 @@ object TxSql {
   private val alterRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
       """COLUMNS\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val renameColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val dropColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val vacuumRe =
     ("""(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+""" +
       """VERSION\s+(\d+)\s*;?\s*$""").r
@@ -83,6 +93,14 @@ object TxSql {
       optSummary(spark, name,
         TxLog.alterAddColumns(spark, tableOf(name), ddl),
         s"alter add ($ddl)")
+    case renameColRe(name, from, to) =>
+      optSummary(spark, name,
+        TxLog.alterRenameColumn(spark, tableOf(name), from, to),
+        s"alter rename $from to $to")
+    case dropColRe(name, colName) =>
+      optSummary(spark, name,
+        TxLog.alterDropColumn(spark, tableOf(name), colName),
+        s"alter drop $colName")
     case vacuumRe(name, v) =>
       // VACUUM t RETAIN VERSION n: delete data files unreferenced by any
       // version >= n (the retention horizon); returns the deleted paths
@@ -111,40 +129,128 @@ object TxSql {
         s"(known: ${registered.keys.toSeq.sorted.mkString(", ")})"))
 
   private def selectAsOf(spark: SparkSession, text: String): DataFrame = {
-    val plan = spark.sessionState.sqlParser.parsePlan(text)
+    // pass 1 (round-12): table_changes('t', v1, v2) spans → views backed
+    // by TxLog.changeFeed — the Delta table-valued function BI users
+    // type; rewritten segment-aware BEFORE the parse (the TVF name would
+    // not survive analysis)
+    val (text2, nTvf) = rewriteTableChanges(spark, text)
+    val plan = spark.sessionState.sqlParser.parsePlan(text2)
     // every travel spec in the statement, validated from the parse tree
     val travels = plan.collect {
       case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, v) =>
-        require(ts.isEmpty,
-          "TxSql: TIMESTAMP AS OF is not supported (TxLog versions are " +
-            "integers; use VERSION AS OF)")
-        val name = parts.mkString(".")
-        val version = v.getOrElse(sys.error(
-          s"TxSql: $name travel spec carries no version"))
-        require(version.forall(_.isDigit),
-          s"TxSql: VERSION AS OF must be an integer literal, got $version")
-        (name, version.toLong)
+        (parts.mkString("."), ts, v)
     }.distinct
-    require(travels.nonEmpty,
-      "TxSql: statement has no VERSION AS OF clause — use spark.sql")
-    // bind each (table, version) to a snapshot-backed temp view, then
+    require(travels.nonEmpty || nTvf > 0,
+      "TxSql: statement has no VERSION AS OF / TIMESTAMP AS OF clause " +
+        "and no table_changes() — use spark.sql")
+    // bind each travel spec to a snapshot-backed temp view, then
     // substitute the parser-confirmed spans — OUTSIDE string literals
     // only (a blind text-wide replaceAll would also rewrite a quoted
     // literal that happens to contain the travel syntax, silently
     // corrupting output — r11 code-review finding). The statement is
     // split on single-quoted segments; substitution touches only the
     // code segments, so literals pass through byte-identical.
-    val segments = splitOnLiterals(text)
-    travels.foreach { case (name, v) =>
-      val view = s"${name.replace('.', '_')}_asof_$v"
-      TxLog.snapshot(spark, tableOf(name), Some(v))
-        .createOrReplaceTempView(view)
-      val re = "(?i)\\b" + java.util.regex.Pattern.quote(name) +
-        "\\s+VERSION\\s+AS\\s+OF\\s+" + v + "\\b"
-      for (i <- segments.indices if !segments(i).startsWith("'"))
-        segments(i) = segments(i).replaceAll(re, view)
+    val segments = splitOnLiterals(text2)
+    travels.foreach {
+      case (name, None, Some(version)) =>
+        require(version.forall(_.isDigit),
+          s"TxSql: VERSION AS OF must be an integer literal, got $version")
+        val v = version.toLong
+        val view = s"${name.replace('.', '_')}_asof_$v"
+        TxLog.snapshot(spark, tableOf(name), Some(v))
+          .createOrReplaceTempView(view)
+        val re = "(?i)\\b" + java.util.regex.Pattern.quote(name) +
+          "\\s+VERSION\\s+AS\\s+OF\\s+" + v + "\\b"
+        for (i <- segments.indices if !segments(i).startsWith("'"))
+          segments(i) = segments(i).replaceAll(re, view)
+      case (name, Some(tsExpr), None) =>
+        // TIMESTAMP AS OF (round-12, r11 verdict task 3): the literal
+        // binds to the greatest stamped version <= t (TxLog.versionAt);
+        // the travel span INCLUDES its quoted literal, so substitution
+        // pairs a code segment ending `<name> TIMESTAMP AS OF` with the
+        // literal segment that follows — never a text-wide rewrite
+        val lit = tsExpr match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v,
+              org.apache.spark.sql.types.StringType) => v.toString
+          case other => sys.error("TxSql: TIMESTAMP AS OF must be a " +
+            s"string literal ('yyyy-MM-dd[ HH:mm:ss]'), got $other")
+        }
+        val bound = TxLog.versionAt(tableOf(name), parseTsMillis(lit))
+        val view = s"${name.replace('.', '_')}_tsasof_$bound"
+        TxLog.snapshot(spark, tableOf(name), Some(bound))
+          .createOrReplaceTempView(view)
+        val tail = ("(?is)\\b" + java.util.regex.Pattern.quote(name) +
+          "\\s+TIMESTAMP\\s+AS\\s+OF\\s*$").r
+        var replaced = false
+        for (i <- segments.indices.dropRight(1)
+            if !segments(i).startsWith("'") &&
+              segments(i + 1) == s"'$lit'") {
+          tail.findFirstMatchIn(segments(i)).foreach { m =>
+            segments(i) = segments(i).substring(0, m.start) + view
+            segments(i + 1) = ""
+            replaced = true
+          }
+        }
+        require(replaced,
+          s"TxSql: could not locate the TIMESTAMP AS OF span for $name")
+      case (name, _, _) =>
+        sys.error(s"TxSql: $name travel spec carries no usable version")
     }
     spark.sql(segments.mkString)
+  }
+
+  /** Deterministic UTC parse of a travel timestamp literal — the same
+    * function stamps demo commits, so binding is timezone-independent.
+    */
+  private[graft] def parseTsMillis(s: String): Long = {
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+    val t = s.trim
+    val ldt =
+      if (t.length <= 10) LocalDate.parse(t).atStartOfDay()
+      else LocalDateTime.parse(t.replace(' ', 'T'))
+    ldt.toInstant(ZoneOffset.UTC).toEpochMilli
+  }
+
+  /** Rewrite every `table_changes('name', from, to)` span (Delta's CDF
+    * table-valued function, versions INCLUSIVE on both ends) to a temp
+    * view backed by TxLog.changeFeed. Segment-aware: the span's table
+    * name is itself a quoted literal, so the matcher pairs a code
+    * segment ending `table_changes(` with the literal and the `, v1,
+    * v2)` argument tail that follow — unrelated string literals pass
+    * through untouched. Returns (rewritten text, spans rewritten).
+    */
+  private def rewriteTableChanges(spark: SparkSession,
+      text: String): (String, Int) = {
+    val segments = splitOnLiterals(text)
+    var n = 0
+    val head = """(?is)(.*)\btable_changes\s*\(\s*""".r
+    val tailArgs = """(?s)^\s*,\s*(\d+)\s*,\s*(\d+)\s*\)(.*)""".r
+    for (i <- segments.indices.dropRight(2)
+        if !segments(i).startsWith("'") && segments(i + 1).startsWith("'")) {
+      (segments(i), segments(i + 1), segments(i + 2)) match {
+        case (head(pre), litSeg, tailArgs(d1, d2, rest)) =>
+          val name = litSeg.substring(1, litSeg.length - 1)
+          val from = d1.toLong; val to = d2.toLong
+          require(to >= from,
+            s"TxSql: table_changes range is empty: [$from, $to]")
+          val t = tableOf(name)
+          val latest = TxLog.versions(t).lastOption.getOrElse(
+            sys.error(s"TxSql: table_changes on empty table $name"))
+          require(to <= latest, s"TxSql: table_changes end version $to " +
+            s"is beyond the latest commit ($latest)")
+          val view = s"${name}_changes_${from}_$to"
+          // Delta semantics: both ends inclusive; changeFeed's from is
+          // exclusive, so start one below
+          TxLog.changeFeed(spark, t, from - 1, to)
+            .createOrReplaceTempView(view)
+          segments(i) = pre + view
+          segments(i + 1) = ""
+          segments(i + 2) = rest
+          n += 1
+        case _ => ()
+      }
+    }
+    (segments.mkString, n)
   }
 
   /** Split a statement into alternating code / 'quoted-literal' segments
@@ -237,7 +343,7 @@ object TxSql {
 
   private val zorderDone =
     scala.collection.concurrent.TrieMap.empty[String, File]
-  private val demoLock = new Object
+  private[sources] val demoLock = new Object
 
   /** Z-order demo: orders census appended RANGE-BY-KEY (8 files — the
     * year is scattered across every file, worst case for a year

@@ -626,6 +626,65 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("CBO consumes S30's ANALYZE stats: join reorder flips the plan " +
+      "when stats are present, stays put when they are absent") {
+    // the r11 verdict's What's-missing #5: catalog_stats proves ANALYZE
+    // lands numbers in the catalog; this pins the optimizer READING them
+    // — the same 3-table star query plans (orders ⋈ customer) ⋈ nation
+    // as written without CBO, and (customer ⋈ nation) ⋈ orders once the
+    // cost-based reorder sees the row counts (dims-first is the cheaper
+    // intermediate). Temp views carry no catalog stats, so CBO-on over
+    // them must NOT reorder — isolating stats presence as the cause.
+    val db = graft.sources.Catalog.register(spark, sfTiny)
+    for (t <- Seq("nation", "customer", "orders")) {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      if (spark.sessionState.catalog.getTableMetadata(ident)
+          .stats.forall(_.rowCount.isEmpty))
+        spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS")
+    }
+    def q(o: String, c: String, n: String) =
+      s"""SELECT count(*) AS cnt FROM $o o
+         |JOIN $c c ON o.o_custkey = c.c_custkey
+         |JOIN $n nn ON c.c_nationkey = nn.n_nationkey
+         |WHERE nn.n_name = 'FRANCE'""".stripMargin
+    def leafTables(sql: String, cbo: Boolean): Seq[String] = {
+      val keys = Seq("spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled")
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        keys.foreach(k => spark.conf.set(k, cbo))
+        spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+          .map(_.toString.split("\n").head)
+          .map { s =>
+            // identify leaves by a distinctive COLUMN (temp-view leaves
+            // print columns, not names — and c_nationkey contains "nation")
+            Seq("o_orderkey" -> "orders", "c_custkey" -> "customer",
+              "n_regionkey" -> "nation")
+              .collectFirst { case (c, t) if s.contains(c) => t }
+              .getOrElse(s)
+          }
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val cat = q(s"$db.orders", s"$db.customer", s"$db.nation")
+    val off = leafTables(cat, cbo = false)
+    val on = leafTables(cat, cbo = true)
+    assert(off == Seq("orders", "customer", "nation"),
+      s"without CBO the written order should hold, got $off")
+    assert(on == Seq("customer", "nation", "orders"),
+      s"with CBO + stats the dims should join first, got $on")
+    // stat-less temp views: CBO on, but nothing to consume — no reorder
+    for (t <- Seq("nation", "customer", "orders"))
+      spark.read.parquet(s"$sfTiny/$t.parquet")
+        .createOrReplaceTempView(s"cbo_raw_$t")
+    val raw = leafTables(
+      q("cbo_raw_orders", "cbo_raw_customer", "cbo_raw_nation"), cbo = true)
+    assert(raw == Seq("orders", "customer", "nation"),
+      s"CBO without stats must keep the written order, got $raw")
+  }
+
   test("every plan reaches WholeStageCodegen") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       // execute first: under AQE the codegen stages only appear once the

@@ -469,6 +469,190 @@ class TxLogSpec extends SparkSpec {
       "all pre-evolution files null-fill")
   }
 
+  test("column mapping: RENAME/DROP are metadata-only, pre-alter versions " +
+      "serve the OLD schema, re-ADD binds a fresh physical id and never " +
+      "resurrects dropped data") {
+    import graft.sources.TxFeatures
+    val t = TxFeatures.mapDemo(spark, sfTiny)
+    // v0/v1/v2/v3 alters were metadata-only commits (zero data actions)
+    for (v <- Seq(1L, 2L, 3L)) {
+      val c = TxLog.readCommit(t, v)
+      assert(c.op == "alter" && c.adds.isEmpty && c.removes.isEmpty,
+        s"alter commit $v touched data files")
+    }
+    // time travel below the rename serves the OLD schema with old data
+    val v0 = TxLog.snapshot(spark, t, Some(0L))
+    assert(v0.schema.fieldNames.toSeq == Seq(
+      "o_orderkey", "o_orderpriority", "yr", "cents"))
+    assert(v0.filter(col("yr").isNull).isEmpty, "v0 lost its yr data")
+    // post-rename (v1): amount_cents serves the SAME data from the SAME
+    // physical files — rename rewrote nothing
+    val v1 = TxLog.snapshot(spark, t, Some(1L))
+    assert(v1.schema.fieldNames.contains("amount_cents") &&
+      !v1.schema.fieldNames.contains("cents"))
+    assert(v1.agg(sum(col("amount_cents"))).head().getLong(0) ==
+      v0.agg(sum(col("cents"))).head().getLong(0))
+    assert(v1.inputFiles.toSet == v0.inputFiles.toSet,
+      "a metadata-only rename changed the file set")
+    // post-drop (v2): yr gone
+    assert(!TxLog.snapshot(spark, t, Some(2L))
+      .schema.fieldNames.contains("yr"))
+    // post-re-add + append (v4): old rows' yr must be NULL even though
+    // the pre-drop files still physically CONTAIN a yr column
+    val latest = TxLog.snapshot(spark, t)
+    val oldRows = v0.count()
+    assert(latest.filter(col("yr").isNull).count() == oldRows,
+      "dropped column data resurrected under the re-added name")
+    assert(latest.filter(col("yr").isNotNull).count() ==
+      latest.count() - oldRows)
+    // the post-alter append wrote PHYSICAL names: raw footer of the v4
+    // file shows `cents` (rename kept the physical id) and the fresh
+    // `yr_c3` id — never the logical `amount_cents`/`yr`
+    val v4adds = TxLog.readCommit(t, 4L).adds
+    assert(v4adds.nonEmpty, "v4 should be the evolved-schema append")
+    val rawNew = spark.read.parquet(
+      new java.io.File(t, v4adds.head.path).getAbsolutePath)
+    assert(rawNew.schema.fieldNames.contains("cents") &&
+      rawNew.schema.fieldNames.contains("yr_c3") &&
+      !rawNew.schema.fieldNames.contains("amount_cents"),
+      s"physical write names wrong: ${rawNew.schema.fieldNames.toSeq}")
+    // rejections: unknown column, duplicate target, last-column drop
+    assert(intercept[Exception] {
+      TxLog.alterRenameColumn(spark, t, "nope", "x")
+    }.getMessage.contains("no such column"))
+    assert(intercept[Exception] {
+      TxLog.alterRenameColumn(spark, t, "yr", "amount_cents")
+    }.getMessage.contains("already exists"))
+    assert(intercept[Exception] {
+      TxLog.alterDropColumn(spark, t, "nope")
+    }.getMessage.contains("no such column"))
+  }
+
+  test("column mapping survives REWRITES: compact and merge on a mapped " +
+      "table land physical names and keep serving logical reads") {
+    import spark.implicits._
+    val t = freshTable("maprewrite")
+    TxLog.append(rows(10).coalesce(1), t)                  // id, payload
+    TxLog.alterRenameColumn(spark, t, "payload", "body")   // v1: cm mode
+    TxLog.append(Seq((100L, "n100")).toDF("id", "body"), t) // v2 physical
+    TxLog.compact(spark, t, targetFiles = 1)               // v3 rewrite
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 11 &&
+      snap.schema.fieldNames.toSeq == Seq("id", "body"))
+    assert(snap.filter(col("id") === 3).head().getString(1) == "v3")
+    // the compacted file carries the PHYSICAL name
+    val rawC = spark.read.parquet(snap.inputFiles.head)
+    assert(rawC.schema.fieldNames.contains("payload"),
+      s"compaction lost the physical mapping: ${rawC.schema.fieldNames.toSeq}")
+    // merge updates through the logical name
+    TxLog.merge(spark, t, Seq((3L, "POST")).toDF("id", "body"), Seq("id"))
+    val after = TxLog.snapshot(spark, t)
+    assert(after.filter(col("id") === 3).head().getString(1) == "POST")
+    assert(after.count() == 11)
+    // copy-on-write delete through the logical predicate
+    TxLog.deleteWhere(spark, t, col("body") === "n100")
+    assert(TxLog.snapshot(spark, t).count() == 10)
+  }
+
+  test("TIMESTAMP AS OF binds greatest-stamp-<=-t: exact hit, " +
+      "between-commits, before-first rejects, unstamped rejects") {
+    import graft.sources.{TxSql => TS}
+    val t = freshTable("tstravel")
+    def ts(s: String) = Some(TS.parseTsMillis(s))
+    TxLog.append(rows(5), t, ts("2024-01-01"))          // v0
+    TxLog.append(rows(5, 100), t, ts("2024-02-01"))     // v1
+    TxLog.append(rows(5, 200), t, ts("2024-03-01"))     // v2
+    // exact stamp → that version; between stamps → the EARLIER one
+    assert(TxLog.versionAt(t, TS.parseTsMillis("2024-02-01")) == 1L)
+    assert(TxLog.versionAt(t, TS.parseTsMillis("2024-02-15")) == 1L)
+    assert(TxLog.versionAt(t, TS.parseTsMillis("2030-01-01")) == 2L)
+    assert(intercept[Exception] {
+      TxLog.versionAt(t, TS.parseTsMillis("2023-12-31"))
+    }.getMessage.contains("predates"))
+    // the statement surface end to end
+    TS.register("tst", t)
+    val got = TS.sql(spark,
+      "SELECT COUNT(*) AS n FROM tst TIMESTAMP AS OF '2024-02-15'")
+      .head().getLong(0)
+    assert(got == 10L)
+    // a literal that IS a travel spec inside a string must pass through
+    val lit = TS.sql(spark,
+      """SELECT 'tst TIMESTAMP AS OF ''2024-02-15''' AS s, COUNT(*) AS n
+        |FROM tst VERSION AS OF 0""".stripMargin).head()
+    assert(lit.getString(0) == "tst TIMESTAMP AS OF '2024-02-15'" &&
+      lit.getLong(1) == 5L)
+    // unstamped tables reject with the remedy named
+    val t2 = freshTable("nostamp")
+    TxLog.append(rows(3), t2)
+    TS.register("tst2", t2)
+    assert(intercept[Exception] {
+      TS.sql(spark, "SELECT * FROM tst2 TIMESTAMP AS OF '2024-01-01'")
+    }.getMessage.contains("VERSION AS OF"))
+  }
+
+  test("data skipping prunes from LOG stats alone: strict file subset, " +
+      "pruned files never enter the scan, no-stats columns keep all") {
+    import graft.sources.TxFeatures
+    val t = TxFeatures.skipDemo(spark, sfTiny)
+    val all = TxLog.snapshot(spark, t)
+    val total = all.inputFiles.length
+    val (pruned, nRead, nTotal) =
+      TxLog.snapshotPruned(spark, t, "yr", 1996L, 1997L)
+    assert(nTotal == total && nRead < nTotal,
+      s"prune did not shrink: $nRead of $nTotal")
+    // the scan's actual file set IS the kept set — pruned files never
+    // appear (zero reads of any kind for them)
+    assert(pruned.inputFiles.length == nRead)
+    assert(pruned.inputFiles.toSet.subsetOf(all.inputFiles.toSet))
+    // row-exactness: pruned scan + row filter == full scan + row filter
+    val want = all.filter(col("yr").between(1996, 1997)).count()
+    assert(pruned.filter(col("yr").between(1996, 1997)).count() == want)
+    assert(pruned.count() >= want) // files may hold out-of-range rows
+    // a column with no recorded stats keeps every file (conservative)
+    val (_, keptStr, _) =
+      TxLog.snapshotPruned(spark, t, "o_orderpriority", 0L, 1L)
+    assert(keptStr == total)
+    // an impossible range keeps nothing and serves an EMPTY typed frame
+    val (empty, zero, _) = TxLog.snapshotPruned(spark, t, "yr", 3000L, 3001L)
+    assert(zero == 0 && empty.isEmpty &&
+      empty.schema.fieldNames.contains("yr"))
+  }
+
+  test("per-file stats survive a checkpoint round-trip: pruning still " +
+      "works when resolution reads the .ckpt, not the commits") {
+    val t = freshTable("ckptstats")
+    (0 until 12).foreach(i => TxLog.append(rows(3, 10L * i).coalesce(1), t))
+    assert(TxLog.checkpoints(t).nonEmpty, "no checkpoint landed")
+    val (_, base, _) = TxLog.resolve(t, 11L)
+    assert(base == 10L, "resolution should use the checkpoint")
+    // prune on id: only the files whose [min,max] overlap [50,59]
+    val (df, nRead, nTotal) = TxLog.snapshotPruned(spark, t, "id", 50L, 59L)
+    assert(nTotal == 12 && nRead == 1, s"expected 1 of 12, got $nRead")
+    assert(df.count() == 3)
+  }
+
+  test("table_changes statement rejects unknown tables, empty ranges, " +
+      "and beyond-latest versions") {
+    import graft.sources.TxSql
+    val t = freshTable("tcrej")
+    TxLog.append(rows(3), t)
+    TxSql.register("tct", t)
+    assert(intercept[Exception] {
+      TxSql.sql(spark, "SELECT * FROM table_changes('ghost', 0, 1)")
+    }.getMessage.contains("not a registered"))
+    assert(intercept[Exception] {
+      TxSql.sql(spark, "SELECT * FROM table_changes('tct', 2, 1)")
+    }.getMessage.contains("range is empty"))
+    assert(intercept[Exception] {
+      TxSql.sql(spark, "SELECT * FROM table_changes('tct', 0, 99)")
+    }.getMessage.contains("beyond the latest"))
+    // the happy path through the statement
+    val n = TxSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM table_changes('tct', 0, 0)")
+      .head().getLong(0)
+    assert(n == 3L)
+  }
+
   test("VACUUM statement deletes past the horizon and re-runs as a no-op") {
     import graft.sources.TxSql
     val t = freshTable("vacsql")
