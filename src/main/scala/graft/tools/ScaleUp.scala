@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   *     linearly, the honest 10× of a sharded corpus.
   *   - `nation`/`region` stay fixed (the TPC-H dims are constants at
   *     every SF; customer.c_nationkey survives replication unchanged).
-  *   - document TEXT is word-ROTATED per replica (words[i:] ++ words[:i])
-  *     so MinHash shingles differ almost everywhere: without it every
-  *     doc acquires `factor−1` exact twins and LSH bucket occupancy goes
-  *     quadratic BY CONSTRUCTION — a data artifact, not an engine
-  *     property. Rotation keeps length/token stats identical.
+  *   - document TEXT gets a per-WORD replica suffix (`w` → `w·r<i>`),
+  *     driving cross-replica shingle Jaccard to ~0 so the near-dup RATE
+  *     stays constant as the corpus grows — the profile of a real 10×
+  *     corpus. The first attempt (word ROTATION) was measured and
+  *     rejected: rotation preserves every shingle except the wrap
+  *     boundary, so all `factor` replicas stayed genuine near-dups of
+  *     each other and LSH candidate pairs grew quadratically BY
+  *     CONSTRUCTION — doc_near_dedup read 12.0× at 10× data purely from
+  *     the fabricated dup structure (the engine's cost is candidate-
+  *     bounded, and the candidates were genuinely quadratic).
   *   - embedding vectors get a deterministic per-replica micro-jitter
   *     (±3e-3 by (replica, dim)) — preserves the cluster structure the
   *     IVF index trains on while keeping replicas from being bit-equal
@@ -80,20 +85,17 @@ object ScaleUp {
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     write(replicate(read("events"), Seq("event_id", "user_id")), "events")
 
-    // documents: keys offset + per-replica word rotation (see scaladoc)
-    val d = read("documents")
-      .withColumn("_r", explode(sequence(lit(0L), lit(factor - 1L))))
+    // documents: keys offset + per-WORD replica suffix (see scaladoc) —
+    // replica 0 keeps the original text so the base corpus is a subset
     val maxDoc = read("documents").agg(max(col("doc_id"))).head().getLong(0) + 1
-    val rotated = d
+    val suffixed = read("documents")
+      .withColumn("_r", explode(sequence(lit(0L), lit(factor - 1L))))
       .withColumn("doc_id", col("doc_id") + col("_r") * lit(maxDoc))
-      .withColumn("_w", split(col("text"), " "))
-      .withColumn("_k", (col("_r") % greatest(size(col("_w")), lit(1)))
-        .cast("int"))
-      .withColumn("text", concat_ws(" ", concat(
-        slice(col("_w"), col("_k") + 1, greatest(size(col("_w")), lit(1))),
-        slice(col("_w"), lit(1), col("_k")))))
-      .drop("_r", "_w", "_k")
-    write(rotated, "documents")
+      .withColumn("text", when(col("_r") === 0, col("text")).otherwise(
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(w, lit("·r"), col("_r"))))))
+      .drop("_r")
+    write(suffixed, "documents")
 
     // embeddings: keys offset + deterministic micro-jitter per (replica, dim)
     val maxVec = read("embeddings").agg(max(col("vec_id"))).head().getLong(0) + 1
