@@ -1395,8 +1395,15 @@ object Pipeline {
     * levels) — LOST 2.39 vs 2.24 min-of-7 under equal load: the fused
     * frame's union branch replays freshP's distinct exchange (broadcast
     * materialization doesn't serve the non-broadcast consumer), costing
-    * more than the one saved pin job. The per-level pin stands as the
-    * measured floor.
+    * more than the one saved pin job. A 7th (r12, the r11 verdict's
+    * refinement): the same 2-level fusion with the intermediate frontier
+    * CACHED (persist) so both its consumers read one materialization
+    * (tools/AB.gspV7) — interleaved min-of-7 twice: 1.585 vs 1.681 (v7
+    * wins), then 2.063 vs 1.922 (v7 loses) — inside round-to-round
+    * noise, with the cached variant drifting upward across rounds
+    * (accumulating persists it cannot unpersist pre-execution). No
+    * reliable win; the per-level pin stands as the measured floor and
+    * this line of attack is closed.
     */
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -1503,6 +1510,17 @@ object Pipeline {
     * convergence probes per round.
     */
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    // r12 floor closure (r11 verdict task 8): quiet re-measure on
+    // unchanged code reads 1.267 s min-of-7 (load ~2.2) — under the
+    // 1.3 s target; the r11 artifact's 1.67 was ambient load. The
+    // verdict's remaining fusion idea — one broadcast shared by the
+    // keep-filter AND the next round's degree aggregate — is already
+    // structurally present (the peeled frame's ONLY consumer is the next
+    // degree checkpoint, same job) in the keep-both-sides ReusedExchange
+    // below; deriving round-(r+1) degrees from round-r's kept DEGREE
+    // frame without the edge scan is semantically unavailable (a kept
+    // node's new degree counts kept NEIGHBORS — adjacency, which the
+    // degree frame does not carry). Floor documented; stop here.
     // e0 via the basket idiom (basket_rules): ONE order-keyed exchange,
     // pairs expand map-side from the sorted item array, one pair-distinct
     // exchange — the relational p⋈p self-join paid three wide exchanges

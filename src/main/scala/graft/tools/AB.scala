@@ -661,6 +661,72 @@ object AB {
       .orderBy(col("kind"), col("dist"))
   }
 
+  /** gsp_v7 (r12, r11 verdict task 8): TWO levels fused per pin with the
+    * intermediate frontier CACHED (persist) instead of checkpointed or
+    * broadcast-materialized — the refinement of r11's losing gsp v6,
+    * whose fused union branch replayed freshP's distinct exchange
+    * because a broadcast materialization serves only broadcast
+    * consumers. Here freshP.cache() lets BOTH its consumers (the next
+    * level's broadcast build and the dP union) read one materialization.
+    */
+  def gspV7(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .localCheckpoint()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cp.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (k <- Seq(1, 3)) {
+      // level k: frontier is customer-side; fresh parts — CACHED
+      val candP = cp
+        .join(broadcast(frontier.withColumnRenamed("id", "c")), Seq("c"))
+        .select(col("p").as("id")).distinct()
+      val freshP = candP
+        .join(broadcast(dP.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+        .persist()
+      cached += freshP
+      // level k+1: fresh customers off the cached parts frontier — pinned
+      val candC = cp
+        .join(broadcast(freshP.select(col("id").as("p"))), Seq("p"))
+        .select(col("c").as("id")).distinct()
+      val freshC = candC
+        .join(broadcast(dC.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong + 1).as("dist"))
+        .localCheckpoint()
+      dP = dP.unionByName(freshP)
+      dC = dC.unionByName(freshC)
+      frontier = freshC.select(col("id"))
+    }
+    val custs = cp.select(col("c").as("id")).distinct()
+      .join(dC, Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = cp.select(col("p").as("id")).distinct()
+      .join(dP, Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    // NOTE: the cached frontiers deliberately leak for the A/B probe's
+    // lifetime — unpersisting before execution would void the cache the
+    // variant exists to measure; they are node-sized frames.
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
   /** Scratch map: point entries at candidate implementations while
     * iterating (e.g. a rewritten operator vs the registered one). */
   def variants: Map[String, (SparkSession, String) => DataFrame] =
@@ -678,6 +744,7 @@ object AB {
       "kcore_v3" -> (kcoreV3 _),
       "kcore_v4" -> (kcoreV4 _),
       "gsp_v6" -> (gspV6 _),
+      "gsp_v7" -> (gspV7 _),
       "triangles_v2" -> (trianglesV2 _))
 
   def main(args: Array[String]): Unit = {
