@@ -266,16 +266,160 @@ object TxFeatures {
       |FROM t WHERE yr BETWEEN 1996 AND 1997
       |GROUP BY yr ORDER BY yr""".stripMargin
 
+  // ---- S55: merge-on-read DELETE via deletion vectors ----------------------
+
+  private val dvDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Deletion-vector demo: one range-partitioned append (4 files), then
+    * TWO successive DV deletes — zero data files ever rewritten; the
+    * tombstones accumulate across commits. Built once per (JVM, corpus).
+    */
+  private[graft] def dvDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      dvDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "dv")
+        val o = ordersCensus(spark, dir)
+        if (TxLog.versions(t).size < 1)
+          TxLog.append(
+            o.repartitionByRange(4, col("yr"), col("o_orderkey")), t) // v0
+        if (TxLog.versions(t).size < 2)
+          TxLog.deleteWhereDV(spark, t,                                // v1
+            col("yr") === 1997 && col("o_orderpriority") === "3-MEDIUM")
+        if (TxLog.versions(t).size < 3)
+          TxLog.deleteWhereDV(spark, t,                                // v2
+            col("yr") === 1996 && col("o_orderpriority") === "5-LOW")
+        t
+      })
+    }
+
+  /** txlog_dv_delete (S55) — merge-on-read DELETE end to end: censuses
+    * at v0 (pre-delete), v1 (first tombstone set applied), and latest
+    * (both applied), all served from the SAME four immutable data files
+    * — the hash-match proves the tombstones subtract exactly the
+    * declared slices at each version and time travel composes with the
+    * DV state AS OF each version (TxLogSpec additionally pins that no
+    * commit after v0 adds or removes a single data file).
+    */
+  def txlogDvDelete(spark: SparkSession, dir: String): DataFrame = {
+    val t = dvDemo(spark, dir)
+    def census(v: Option[Long], tag: String): DataFrame =
+      TxLog.snapshot(spark, t, v)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+        .select(lit(tag).as("state"), col("o_orderpriority"),
+          col("n_orders"), col("total_cents"))
+    census(Some(0L), "v0_all")
+      .unionByName(census(Some(1L), "v1_one_dv"))
+      .unionByName(census(None, "v2_two_dvs"))
+      .orderBy(col("state"), col("o_orderpriority"))
+  }
+
+  val txlogDvDeleteSql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority, year(o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |v0 AS (
+      |  SELECT 'v0_all' AS state, o_orderpriority,
+      |    COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM t GROUP BY o_orderpriority),
+      |v1 AS (
+      |  SELECT 'v1_one_dv', o_orderpriority,
+      |    COUNT(*), CAST(SUM(cents) AS BIGINT)
+      |  FROM t WHERE NOT (yr = 1997 AND o_orderpriority = '3-MEDIUM')
+      |  GROUP BY o_orderpriority),
+      |v2 AS (
+      |  SELECT 'v2_two_dvs', o_orderpriority,
+      |    COUNT(*), CAST(SUM(cents) AS BIGINT)
+      |  FROM t WHERE NOT (yr = 1997 AND o_orderpriority = '3-MEDIUM')
+      |    AND NOT (yr = 1996 AND o_orderpriority = '5-LOW')
+      |  GROUP BY o_orderpriority)
+      |SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |ORDER BY state, o_orderpriority""".stripMargin
+
+  // ---- S56: RESTORE TABLE ---------------------------------------------------
+
+  private val restoreDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Restore demo: two appends carve the census by year, a copy-on-write
+    * delete drops a slice, then `RESTORE TABLE … TO VERSION AS OF 1`
+    * through the statement surface brings the pre-delete state back as a
+    * NEW commit (history keeps the full timeline).
+    */
+  private[graft] def restoreDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      restoreDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "restore")
+        val o = ordersCensus(spark, dir)
+        if (TxLog.versions(t).size < 1)
+          TxLog.append(o.filter(col("yr") <= 1995), t)                // v0
+        if (TxLog.versions(t).size < 2)
+          TxLog.append(o.filter(col("yr") > 1995), t)                 // v1
+        if (TxLog.versions(t).size < 3)
+          TxLog.deleteWhere(spark, t,                                 // v2
+            col("yr") === 1997 && col("o_orderpriority") === "3-MEDIUM")
+        TxSql.register("rsorders", t)
+        if (TxLog.versions(t).size < 4)
+          TxSql.sql(spark, "RESTORE TABLE rsorders TO VERSION AS OF 1") // v3
+        t
+      })
+    }
+
+  /** txlog_restore (S56) — RESTORE end to end as the DESCRIBE-HISTORY
+    * timeline: per version, op and metadata row count. v3's count must
+    * EQUAL v1's (the restore re-referenced the pre-delete files exactly,
+    * resurrecting the deleted slice) while v2 keeps its deleted count —
+    * the oracle recomputes every version's expected count from raw
+    * orders, so the hash-match proves the restore's file re-referencing
+    * to the row, from log metadata alone.
+    */
+  def txlogRestore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = restoreDemo(spark, dir)
+    val vs = TxLog.versions(t)
+    val counts = vs.map(v => TxLog.liveState(t, v).rowCount)
+    vs.zipWithIndex.map { case (v, i) =>
+      val prev = if (i == 0) 0L else counts(i - 1)
+      (v, TxLog.readCommit(t, v).op, counts(i), counts(i) - prev)
+    }.toDF("version", "op", "n_rows", "rows_delta")
+      .orderBy(col("version"))
+  }
+
+  val txlogRestoreSql: String =
+    """WITH t AS (
+      |  SELECT year(o_orderdate) AS yr, o_orderpriority AS p FROM orders),
+      |c AS (SELECT
+      |  (SELECT count(*) FROM t WHERE yr <= 1995) AS v0,
+      |  (SELECT count(*) FROM t) AS v1,
+      |  (SELECT count(*) FROM t) -
+      |    (SELECT count(*) FROM t WHERE yr = 1997 AND p = '3-MEDIUM') AS v2)
+      |SELECT CAST(version AS BIGINT) AS version, op,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(rows_delta AS BIGINT) AS rows_delta
+      |FROM (
+      |  SELECT 0 AS version, 'append' AS op, v0 AS n_rows, v0 AS rows_delta
+      |    FROM c
+      |  UNION ALL SELECT 1, 'append', v1, v1 - v0 FROM c
+      |  UNION ALL SELECT 2, 'delete', v2, v2 - v1 FROM c
+      |  UNION ALL SELECT 3, 'restore', v1, v1 - v2 FROM c)
+      |ORDER BY version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
     "sql_table_changes" -> (sqlTableChanges _),
-    "txlog_data_skipping" -> (txlogDataSkipping _))
+    "txlog_data_skipping" -> (txlogDataSkipping _),
+    "txlog_dv_delete" -> (txlogDvDelete _),
+    "txlog_restore" -> (txlogRestore _))
 
   def oracle: Map[String, String] = Map(
     "txlog_column_mapping" -> txlogColumnMappingSql,
     "sql_timestamp_travel" -> sqlTimestampTravelSql,
     // the statement surface must equal the batch feed row-for-row
     "sql_table_changes" -> TxLog.txlogChangefeedSql,
-    "txlog_data_skipping" -> txlogDataSkippingSql)
+    "txlog_data_skipping" -> txlogDataSkippingSql,
+    "txlog_dv_delete" -> txlogDvDeleteSql,
+    "txlog_restore" -> txlogRestoreSql)
 }

@@ -93,14 +93,27 @@ object TxLog {
     * unchanged). `ts` is the commit's deterministic wall-time surrogate
     * for TIMESTAMP AS OF binding, when the writer stamped one.
     */
+  /** One DELETION-VECTOR attachment (round-12, merge-on-read DELETE):
+    * `path` is the live data file the vector applies to, `dvPath` the
+    * sidecar parquet group holding (f, i) row-position tombstones, and
+    * `rows` how many of THIS file's rows the sidecar tombstones — the
+    * count history/stats subtract without reading data (the Delta DV
+    * model: tombstones in sidecar files, bookkeeping in the log).
+    */
+  private[graft] case class Dv(path: String, dvPath: String, rows: Long)
+
   private[graft] case class Commit(adds: Seq[Add], removes: Seq[String],
     op: String, metaDdl: Option[String] = None,
-    metaMapping: Option[String] = None, ts: Option[Long] = None)
+    metaMapping: Option[String] = None, ts: Option[Long] = None,
+    dvs: Seq[Dv] = Seq.empty)
 
   private val addRe =
     ("""\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)""" +
       """(?:,\s*"stats":\s*\{([^}]*)\})?\}\}""").r
   private val statRe = """"((?:[^"\\]|\\.)+)":\s*\[(-?\d+),\s*(-?\d+)\]""".r
+  private val dvRe =
+    ("""\{"dv":\s*\{"path":\s*"([^"]+)",\s*"dvPath":\s*"([^"]+)",""" +
+      """\s*"rows":\s*(\d+)\}\}""").r
   private val removeRe = """\{"remove":\s*\{"path":\s*"([^"]+)"\}\}""".r
   private val opRe = """\{"commit":\s*\{"op":\s*"([^"]+)"[^}]*\}\}""".r
   private val tsRe =
@@ -119,6 +132,7 @@ object TxLog {
     import scala.jdk.CollectionConverters._
     var adds = Vector.empty[Add]
     var removes = Vector.empty[String]
+    var dvs = Vector.empty[Dv]
     var op = "unknown"
     var ts = Option.empty[Long]
     var meta = Option.empty[String]
@@ -127,6 +141,7 @@ object TxLog {
       line match {
         case addRe(p, r, s) => adds :+= Add(p, r.toLong, parseStats(s))
         case removeRe(p) => removes :+= p
+        case dvRe(p, dp, r) => dvs :+= Dv(p, dp, r.toLong)
         case opRe(o) => op = o
         case metaRe(d, m) => meta = Some(d); mapping = Option(m)
         case _ => ()
@@ -136,7 +151,7 @@ object TxLog {
         case _ => ()
       }
     }
-    Commit(adds, removes, op, meta, mapping, ts)
+    Commit(adds, removes, op, meta, mapping, ts, dvs)
   }
 
   /** The table's declared schema AS OF `v` (DDL string): the newest
@@ -238,11 +253,12 @@ object TxLog {
       .map(_.stripSuffix(".ckpt").toLong).sorted
   }
 
-  private def readCheckpoint(table: File, v: Long): Seq[Add] = {
+  private def readCheckpoint(table: File, v: Long): (Seq[Add], Seq[Dv]) = {
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(checkpointFile(table, v).toPath).asScala.toSeq.collect {
-      case addRe(p, r, s) => Add(p, r.toLong, parseStats(s))
-    }
+    val lines = Files.readAllLines(checkpointFile(table, v).toPath)
+      .asScala.toSeq
+    (lines.collect { case addRe(p, r, s) => Add(p, r.toLong, parseStats(s)) },
+      lines.collect { case dvRe(p, dp, r) => Dv(p, dp, r.toLong) })
   }
 
   private def maybeCheckpoint(table: File, v: Long): Unit =
@@ -254,7 +270,9 @@ object TxLog {
       // commit the batch a second time (r10 advice). Swallow non-fatal
       // failures; the next eligible commit simply re-attempts.
       try {
-        val body = resolve(table, v)._1.map(renderAdd)
+        val st = liveState(table, v)
+        val body = (st.live.map(renderAdd) ++
+          st.dvs.values.flatten.map(renderDv))
           .mkString("", "\n", "\n")
         val tmp = new File(logDir(table),
           s".ckpt-${ProcessHandle.current.pid}-${System.nanoTime()}-" +
@@ -266,29 +284,49 @@ object TxLog {
       } catch { case scala.util.control.NonFatal(_) => () }
     }
 
-  /** Live file set as of `v` plus resolution cost: (live set, base
-    * checkpoint version or -1, commits replayed past it). The cost pair
-    * backs the TxLogSpec pin that a long log resolves from <=1 checkpoint
-    * + <=checkpointEvery action files.
+  /** Live table state as of a version: the live file set, the deletion-
+    * vector attachments per live file (a remove OR re-add of a data file
+    * drops its DVs — a rewritten file's rows have new positions), and
+    * the resolution cost pair (base checkpoint or -1, commits replayed).
     */
-  private[graft] def resolve(table: File, v: Long): (Seq[Add], Long, Int) = {
+  private[graft] case class LiveState(live: Seq[Add],
+      dvs: Map[String, Seq[Dv]], base: Long, replayed: Int) {
+    /** Logical row count: add bookkeeping minus live DV tombstones. */
+    def rowCount: Long =
+      live.map(_.rows).sum - dvs.values.flatten.map(_.rows).sum
+  }
+
+  private[graft] def liveState(table: File, v: Long): LiveState = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Add]
+    val dv = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Dv]]
     val base = checkpoints(table).filter(_ <= v).lastOption
-    base.foreach(cv => readCheckpoint(table, cv).foreach(a =>
-      live(a.path) = a))
+    base.foreach { cv =>
+      val (adds, dvs) = readCheckpoint(table, cv)
+      adds.foreach(a => live(a.path) = a)
+      dvs.foreach(d => dv(d.path) = dv.getOrElse(d.path, Vector.empty) :+ d)
+    }
     val tail = versions(table).filter(ver =>
       ver <= v && base.forall(ver > _))
     tail.foreach { ver =>
       val c = readCommit(table, ver)
-      c.removes.foreach(live.remove)
-      c.adds.foreach(a => live(a.path) = a)
+      c.removes.foreach { p => live.remove(p); dv.remove(p) }
+      c.adds.foreach { a => live(a.path) = a; dv.remove(a.path) }
+      c.dvs.foreach(d => dv(d.path) = dv.getOrElse(d.path, Vector.empty) :+ d)
     }
-    (live.values.toSeq, base.getOrElse(-1L), tail.size)
+    LiveState(live.values.toSeq,
+      dv.view.filterKeys(live.contains).mapValues(_.toSeq).toMap,
+      base.getOrElse(-1L), tail.size)
+  }
+
+  /** Back-compat tuple view of [[liveState]] (live set, base, replayed). */
+  private[graft] def resolve(table: File, v: Long): (Seq[Add], Long, Int) = {
+    val st = liveState(table, v)
+    (st.live, st.base, st.replayed)
   }
 
   /** The live file set as of version `v` (inclusive). */
   private def liveFiles(table: File, v: Long): Seq[Add] =
-    resolve(table, v)._1
+    liveState(table, v).live
 
   /** Atomically occupy commit slot `target` with `body`, iff free.
     * The publish primitive is hard-link CREATE-IF-ABSENT, not rename:
@@ -337,11 +375,17 @@ object TxLog {
     s"""{"add": {"path": ${q(a.path)}, "rows": ${a.rows}$stats}}"""
   }
 
+  private def renderDv(d: Dv): String =
+    s"""{"dv": {"path": ${q(d.path)}, "dvPath": ${q(d.dvPath)}, """ +
+      s""""rows": ${d.rows}}}"""
+
   private def commitBody(adds: Seq[Add], removes: Seq[String],
       op: String, metaDdl: Option[String],
-      mapping: Option[String] = None, ts: Option[Long] = None): String =
+      mapping: Option[String] = None, ts: Option[Long] = None,
+      dvs: Seq[Dv] = Seq.empty): String =
     (adds.map(renderAdd) ++
       removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") ++
+      dvs.map(renderDv) ++
       metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}""" +
         mapping.map(m => s""", "mapping": ${q(m)}""").getOrElse("") +
         "}}") :+
@@ -360,11 +404,12 @@ object TxLog {
   private[graft] def commitIfBase(table: File, base: Long,
       adds: Seq[Add], removes: Seq[String],
       op: String, metaDdl: Option[String] = None,
-      mapping: Option[String] = None, ts: Option[Long] = None): Long = {
+      mapping: Option[String] = None, ts: Option[Long] = None,
+      dvs: Seq[Dv] = Seq.empty): Long = {
     logDir(table).mkdirs()
     val v = base + 1
     if (publishSlot(versionFile(table, v),
-        commitBody(adds, removes, op, metaDdl, mapping, ts))) {
+        commitBody(adds, removes, op, metaDdl, mapping, ts, dvs))) {
       maybeCheckpoint(table, v); v
     } else -1L
   }
@@ -379,9 +424,10 @@ object TxLog {
 
   private[graft] def commitAdds(table: File, adds: Seq[Add],
       removes: Seq[String], op: String, metaDdl: Option[String] = None,
-      mapping: Option[String] = None, ts: Option[Long] = None): Long = {
+      mapping: Option[String] = None, ts: Option[Long] = None,
+      dvs: Seq[Dv] = Seq.empty): Long = {
     logDir(table).mkdirs()
-    val body = commitBody(adds, removes, op, metaDdl, mapping, ts)
+    val body = commitBody(adds, removes, op, metaDdl, mapping, ts, dvs)
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
@@ -490,6 +536,66 @@ object TxLog {
     commitAdds(table, files, Seq.empty, "append", ts = ts)
   }
 
+  /** [[readAs]] plus POSITION columns: `_gf_rel` (table-relative data
+    * file path) and `_gi` (row index within the file) off the parquet
+    * scan's `_metadata` struct — the deletion-vector join key. Positions
+    * are RAW-file row indexes, so they are stable under other DVs and
+    * under the declared-schema projection.
+    */
+  private def readAsPos(spark: SparkSession, table: File, v: Long,
+      paths: Seq[String]): DataFrame = {
+    val prefix = table.getCanonicalPath + "/"
+    val rel = expr("substring(regexp_replace(_metadata.file_path, " +
+      s"'^file:/+', '/'), ${prefix.length + 1})").as("_gf_rel")
+    val idx = col("_metadata.row_index").as("_gi")
+    metaAsOf(table, v) match {
+      case Some((ddl, mapStr)) =>
+        val logical = StructType.fromDDL(ddl)
+        val m = mapStr.map(parseMapping).getOrElse(Map.empty)
+        val phys = StructType(logical.fields.map(f =>
+          f.copy(name = m.getOrElse(f.name, f.name))))
+        spark.read.schema(phys).parquet(paths: _*)
+          .select(logical.fields.toSeq.map(f =>
+            col(m.getOrElse(f.name, f.name)).as(f.name)) :+ rel :+ idx: _*)
+      case None =>
+        val raw = spark.read.parquet(paths: _*)
+        raw.select(raw.columns.toSeq.map(col) :+ rel :+ idx: _*)
+    }
+  }
+
+  /** Read a live-file subset under the AS-OF schema with the files' live
+    * DELETION VECTORS applied (merge-on-read): tombstoned (file, row)
+    * positions anti-join out of the scan. `keepPos` retains the
+    * `_gf_rel`/`_gi` position columns for writers that need them.
+    *
+    * Scale: the tombstone side is delete-count-bounded (DV sidecars, the
+    * Delta model) and broadcasts; the data side stays an ordinary pruned
+    * scan — a DV delete costs the READER one broadcast anti-join instead
+    * of costing the WRITER a file rewrite, the merge-on-read trade.
+    */
+  private[graft] def assemble(spark: SparkSession, table: File, v: Long,
+      files: Seq[Add], dvs: Map[String, Seq[Dv]],
+      keepPos: Boolean = false): DataFrame = {
+    val paths = files.map(a => new File(table, a.path).getAbsolutePath)
+    val attached = dvs.filter { case (p, _) => files.exists(_.path == p) }
+    if (attached.isEmpty && !keepPos) readAs(spark, table, v, paths)
+    else {
+      val data = readAsPos(spark, table, v, paths)
+      val out =
+        if (attached.isEmpty) data
+        else {
+          val dvPaths = attached.values.flatten.map(_.dvPath).toSeq.distinct
+            .map(dp => new File(table, dp).getAbsolutePath)
+          val tomb = spark.read.parquet(dvPaths: _*)
+            .select(col("f").as("_tf"), col("i").as("_ti"))
+          data.join(broadcast(tomb),
+            data("_gf_rel") === col("_tf") && data("_gi") === col("_ti"),
+            "left_anti")
+        }
+      if (keepPos) out else out.drop("_gf_rel", "_gi")
+    }
+  }
+
   /** Snapshot read at `version` (default: latest). Immutable-file reads:
     * a concurrent commit cannot change the resolved set.
     */
@@ -497,16 +603,16 @@ object TxLog {
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(versions(table).lastOption).getOrElse(
       sys.error(s"TxLog: no commits in $table"))
-    val files = liveFiles(table, v)
-    require(files.nonEmpty, s"TxLog: version $v has no live files")
+    val st = liveState(table, v)
+    require(st.live.nonEmpty, s"TxLog: version $v has no live files")
     // an ALTERed table reads under its declared AS-OF schema: files
     // written before the evolution lack the added columns and the
     // parquet reader null-fills them (S13's mergeSchema semantics with
     // the LOG, not the footers, owning the superset); pre-alter versions
     // still time-travel to their own schema; RENAMEd/DROPped tables
-    // additionally bind physical names and project to logical (readAs)
-    readAs(spark, table, v,
-      files.map(a => new File(table, a.path).getAbsolutePath))
+    // additionally bind physical names and project to logical (readAs);
+    // live deletion vectors apply as a broadcast anti-join (assemble)
+    assemble(spark, table, v, st.live, st.dvs)
   }
 
   /** ALTER TABLE … ADD COLUMNS on the log format (S50): ONE metadata-only
@@ -679,33 +785,44 @@ object TxLog {
         }
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else readAs(spark, table, v,
-        kept.map(a => new File(table, a.path).getAbsolutePath))
+      } else assemble(spark, table, v, kept, liveState(table, v).dvs)
     (frame, kept.size, files.size)
   }
+
+  /** Table-relative paths of the live files containing rows matching
+    * `pred` at version `v` — the copy-on-write probe shared by delete
+    * and merge. DV-applied (a row already tombstoned cannot make its
+    * file "affected") and mapping-safe: the file identity comes from the
+    * scan's own `_gf_rel` metadata column, never `input_file_name`
+    * (which cannot bind once the DV anti-join makes the plan
+    * multi-source). File-count-bounded driver read.
+    */
+  private def affectedFiles(spark: SparkSession, table: File, v: Long,
+      st: LiveState, pred: org.apache.spark.sql.Column): Seq[String] =
+    assemble(spark, table, v, st.live, st.dvs, keepPos = true)
+      .filter(pred)
+      .select(col("_gf_rel")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
 
   /** Copy-on-write DELETE: rewrite only the live files that contain rows
     * matching `pred`; untouched files survive by reference. One atomic
     * commit of (new files, removed files). Returns the version, or -1
-    * if nothing matched (no commit — idempotent re-run).
+    * if nothing matched (no commit — idempotent re-run). On a file with
+    * live deletion vectors the rewrite MATERIALIZES them (the survivors
+    * re-read is DV-applied, and removing the file drops its DVs).
     */
   def deleteWhere(spark: SparkSession, table: File,
       pred: org.apache.spark.sql.Column): Long = {
-    val snap = snapshot(spark, table)
-    val affectedAbs = snap.filter(pred)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (affectedAbs.isEmpty) return -1L
-    val tableUri = table.getCanonicalFile.toURI.toString
-    val affectedRel = affectedAbs.map { u =>
-      val s = u.stripPrefix("file:").replaceAll("^/+", "/")
-      new File(s).getCanonicalFile.toURI.toString.stripPrefix(tableUri)
-    }
-    // the affected files re-read under the declared schema (readAs):
-    // `pred` is in LOGICAL names, which a raw footer read of a mapped
-    // table would not resolve; the rewrite lands back in physical names
     val v = versions(table).last
-    val survivors = readAs(spark, table, v, affectedAbs).filter(!pred)
+    val st = liveState(table, v)
+    val affectedRel = affectedFiles(spark, table, v, st, pred)
+    if (affectedRel.isEmpty) return -1L
+    // the affected files re-read under the declared schema with their
+    // DVs applied (assemble): `pred` is in LOGICAL names, and a raw
+    // footer read would resurrect tombstoned rows into the rewrite
+    val affected = st.live.filter(a => affectedRel.contains(a.path))
+    val survivors = assemble(spark, table, v, affected, st.dvs)
+      .filter(!pred)
     val files =
       if (survivors.isEmpty) Seq.empty[Add]
       else writeFiles(toPhysical(survivors, mappingAsOf(table, v)),
@@ -713,13 +830,114 @@ object TxLog {
     commitAdds(table, files, affectedRel, "delete")
   }
 
-  /** Table-relative forms of absolute `input_file_name` URIs. */
-  private def relativize(table: File, abs: Seq[String]): Seq[String] = {
-    val tableUri = table.getCanonicalFile.toURI.toString
-    abs.map { u =>
-      val s = u.stripPrefix("file:").replaceAll("^/+", "/")
-      new File(s).getCanonicalFile.toURI.toString.stripPrefix(tableUri)
+  /** MERGE-ON-READ DELETE via deletion vectors (round-12): instead of
+    * rewriting every file that contains a match (copy-on-write,
+    * [[deleteWhere]]), tombstone the matching (file, row-position) pairs
+    * in a delete-count-bounded parquet SIDECAR and attach it to the
+    * affected files with metadata-only `dv` log actions — ZERO data
+    * files rewritten, the Delta deletion-vector / Iceberg v2
+    * positional-delete model. Readers apply live DVs as a broadcast
+    * anti-join (assemble); history/stats subtract the tombstone counts
+    * without reading data; a later rewrite of the file (CoW delete,
+    * merge, compaction) MATERIALIZES the DV and drops it.
+    *
+    * The trade vs CoW: writer cost falls from |affected files| rewritten
+    * to |deleted rows| sidecar bytes (the right shape for small deletes
+    * on huge files — GDPR row erasure on 1 GB files); reader cost gains
+    * the anti-join. Compact to restore read-optimal layout.
+    *
+    * Tombstones are computed over the CURRENT state (existing DVs
+    * applied), so re-deleting an already-tombstoned row is a no-op and
+    * the per-file counts never double-subtract. Compare-and-commit: the
+    * positions derive from a snapshot; a racing commit re-derives.
+    * Returns the version, or -1 when nothing matched.
+    */
+  def deleteWhereDV(spark: SparkSession, table: File,
+      pred: org.apache.spark.sql.Column): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).last
+      val st = liveState(table, v)
+      val matches =
+        assemble(spark, table, v, st.live, st.dvs, keepPos = true)
+          .filter(pred)
+          .select(col("_gf_rel").as("f"), col("_gi").as("i"))
+      // file-count-bounded driver read: one row per affected file
+      val perFile = matches.groupBy(col("f")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      if (perFile.isEmpty) return -1L
+      val sub = s"dv_${System.nanoTime()}"
+      matches.coalesce(1).write
+        .parquet(new File(table, sub).getAbsolutePath)
+      val dvs = perFile.map { case (f, n) => Dv(f, sub, n) }
+      committed = commitIfBase(table, v, Seq.empty, Seq.empty,
+        "dv-delete", None, None, None, dvs.toSeq)
+      if (committed < 0) {
+        // lost the slot: the sidecar references a stale snapshot's
+        // positions — discard it before re-deriving (vacuum never walks
+        // uncommitted dv groups, so it would leak forever)
+        val dir = new File(table, sub)
+        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+        dir.delete()
+        ()
+      }
     }
+    committed
+  }
+
+  /** RESTORE TABLE … TO VERSION AS OF v (round-12): one commit that
+    * makes the historical version's file set live again — adds for files
+    * the target version had that the latest lost, removes for files the
+    * latest gained, DV re-attachments for restored files; data files are
+    * immutable so nothing is copied (Delta RESTORE). The restore itself
+    * is a new commit, so history keeps the full timeline and the change
+    * feed derives the restore's row-level delta from its add/remove sets
+    * like any other commit. Rejected when the target's files are already
+    * vacuumed (the retention contract) or when a file live in BOTH
+    * versions carries a DIFFERENT deletion-vector state (feed semantics
+    * would silently miss the tombstone delta — compact first to
+    * materialize DVs, then restore).
+    */
+  def restore(spark: SparkSession, table: File, toVersion: Long): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val latest = versions(table).last
+      require(toVersion >= 0 && toVersion <= latest,
+        s"TxLog RESTORE: version $toVersion outside [0, $latest]")
+      if (toVersion == latest) return latest // no-op
+      val want = liveState(table, toVersion)
+      val have = liveState(table, latest)
+      val missing = want.live.filterNot(a =>
+        new File(table, a.path).exists())
+      require(missing.isEmpty,
+        s"TxLog RESTORE: version $toVersion's data files are past the " +
+          s"vacuum horizon: ${missing.map(_.path).mkString(", ")}")
+      val havePaths = have.live.map(_.path).toSet
+      val wantPaths = want.live.map(_.path).toSet
+      val coLive = havePaths.intersect(wantPaths)
+      val dvDiff = coLive.filter(p =>
+        want.dvs.getOrElse(p, Seq.empty) != have.dvs.getOrElse(p, Seq.empty))
+      require(dvDiff.isEmpty,
+        "TxLog RESTORE: deletion-vector state differs for live file(s) " +
+          s"${dvDiff.mkString(", ")} — compact first to materialize DVs, " +
+          "then restore")
+      val adds = want.live.filterNot(a => havePaths(a.path))
+      val removes = have.live.map(_.path).filterNot(wantPaths)
+      val dvs = adds.flatMap(a => want.dvs.getOrElse(a.path, Seq.empty))
+      // the restored version's declared schema must come back too; a
+      // footer-owned target (no metaData yet) under a later-declared
+      // latest re-declares what the target's footers say
+      val meta = metaAsOf(table, toVersion)
+      val needMeta = meta != metaAsOf(table, latest)
+      val ddlOut =
+        if (!needMeta) None
+        else meta.map(_._1).orElse(Some(
+          assemble(spark, table, toVersion, want.live, want.dvs)
+            .schema.toDDL))
+      committed = commitIfBase(table, latest, adds, removes, "restore",
+        ddlOut, if (needMeta) meta.flatMap(_._2) else None, None, dvs)
+    }
+    committed
   }
 
   /** Transactional MERGE (upsert) — the Delta `WHEN MATCHED THEN UPDATE
@@ -738,20 +956,24 @@ object TxLog {
     */
   def merge(spark: SparkSession, table: File, source: DataFrame,
       keys: Seq[String]): Long = {
-    val snap = snapshot(spark, table)
-    val srcKeys = source.select(keys.map(col): _*).distinct()
-    // input_file_name() must bind to the SNAPSHOT scan alone — stamped
-    // before the semi-join (Spark rejects it over a multi-source plan)
-    val affectedAbs = snap.withColumn("_gf", input_file_name())
-      .join(srcKeys, keys, "left_semi")
-      .select(col("_gf")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
     val v = versions(table).last
+    val st = liveState(table, v)
+    val snap = assemble(spark, table, v, st.live, st.dvs)
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // the affected probe rides the scan's _gf_rel metadata column (the
+    // DV-safe twin of the old input_file_name stamp): a semi-join of the
+    // source keys narrows it, file-count-bounded driver read
+    val affectedRel =
+      assemble(spark, table, v, st.live, st.dvs, keepPos = true)
+        .join(srcKeys, keys, "left_semi")
+        .select(col("_gf_rel")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
     val affected =
-      if (affectedAbs.isEmpty)
+      if (affectedRel.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[
           org.apache.spark.sql.Row], snap.schema)
-      else readAs(spark, table, v, affectedAbs) // logical names (mapped ok)
+      else assemble(spark, table, v,
+        st.live.filter(a => affectedRel.contains(a.path)), st.dvs)
     // matched keys live ONLY in affected files, so the match census needs
     // no second snapshot scan
     val keptTarget = affected.join(srcKeys, keys, "left_anti")
@@ -764,7 +986,7 @@ object TxLog {
     commitAdds(table,
       writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
         table, "merge"),
-      relativize(table, affectedAbs), "merge")
+      affectedRel, "merge")
   }
 
   /** Row-level CHANGE DATA FEED between two versions, derived purely
@@ -797,38 +1019,100 @@ object TxLog {
   def changeFeed(spark: SparkSession, table: File, fromVersion: Long,
       toVersion: Long): DataFrame = {
     val vs = versions(table).filter(v => v > fromVersion && v <= toVersion)
-    // (relative path, version, sign): +1 per add, -1 per remove; compacts
-    // are data-preserving and contribute nothing — skipped unread
-    val entries = vs.flatMap { v =>
-      val c = readCommit(table, v)
-      if (dataPreservingOps(c.op)) Seq.empty
-      else c.adds.map(a => (a.path, v, 1)) ++ c.removes.map(p => (p, v, -1))
-    }
-    require(entries.nonEmpty,
-      s"TxLog: no data-changing commits in ($fromVersion, $toVersion]")
-    feedOfEntries(spark, table, entries)
+    feedForVersions(spark, table, vs).getOrElse(
+      throw new IllegalArgumentException(
+        s"TxLog: no data-changing commits in ($fromVersion, $toVersion]"))
   }
 
-  /** Row-level deltas for explicit (relative path, version, sign) action
-    * entries — the bag-difference core shared by the batch [[changeFeed]]
-    * and the streaming consumer's per-microbatch conversion.
+  /** The row-level change feed of an explicit version set — the shared
+    * core of the batch [[changeFeed]] and the streaming consumer (the
+    * stream discovers VERSIONS exactly-once; the conversion reads the
+    * log, so streamed ≡ batch by construction). None when no commit in
+    * the set changes data. Three signal classes fold into ONE netting
+    * aggregate (see [[feedOfEntries]]):
+    *
+    *   - file-level (path, version, +1/−1) from add/remove actions;
+    *   - DV tombstones (round-12): a dv action's (file, row) positions
+    *     read back as row values with sign −1 — a merge-on-read delete's
+    *     rows surface as `delete` rows without the file ever rewriting;
+    *   - DV removal CORRECTIONS: when a commit REMOVES a file that had
+    *     live DVs (CoW delete / merge materializing them), the removed
+    *     file's raw rows include already-tombstoned ones — the remove's
+    *     −1 would double-delete them, so the prior tombstones re-enter
+    *     at +1 and net to zero (they were deleted at the DV's version,
+    *     not now).
+    */
+  private[graft] def feedForVersions(spark: SparkSession, table: File,
+      vs: Seq[Long]): Option[DataFrame] = {
+    val commits = vs.sorted.map(v => (v, readCommit(table, v)))
+      .filterNot { case (_, c) => dataPreservingOps(c.op) }
+    val entries = commits.flatMap { case (v, c) =>
+      c.adds.map(a => (a.path, v, 1)) ++ c.removes.map(p => (p, v, -1))
+    }
+    val rowLevel = commits.flatMap { case (v, c) =>
+      val dvDeletes =
+        if (c.dvs.isEmpty) Seq.empty else Seq((v, c.dvs, -1))
+      val corrections = {
+        val prior =
+          if (c.removes.isEmpty) Map.empty[String, Seq[Dv]]
+          else liveState(table, v - 1).dvs
+        val affected = c.removes.flatMap(p => prior.getOrElse(p, Seq.empty))
+        if (affected.isEmpty) Seq.empty else Seq((v, affected, 1))
+      }
+      dvDeletes ++ corrections
+    }
+    if (entries.isEmpty && rowLevel.isEmpty) None
+    else Some(feedOfEntries(spark, table, entries, rowLevel))
+  }
+
+  /** Bag-difference core: rows×(version, sign) from file entries, plus
+    * row-level DV adjustment frames, all through ONE netting aggregate —
+    * (version, row) net > 0 → inserts, < 0 → deletes, 0 → cancelled.
     */
   private def feedOfEntries(spark: SparkSession, table: File,
-      entries: Seq[(String, Long, Int)]): DataFrame = {
+      entries: Seq[(String, Long, Int)],
+      rowLevel: Seq[(Long, Seq[Dv], Int)] = Seq.empty): DataFrame = {
     import spark.implicits._
-    val canonical = entries.map(_._1).distinct
-      .map(p => new File(table, p).getCanonicalFile.toURI.toString)
-    val lookup = entries.map { case (p, v, s) =>
-      (new File(table, p).getCanonicalFile.toURI.toString, v, s)
-    }.toDF("_path", "_version", "_sign")
-    val data = spark.read.parquet(canonical: _*)
-      // input_file_name yields file:///abs; the lookup holds file:/abs —
-      // normalize both to a bare absolute path before the equi-join
-      .withColumn("_path", regexp_replace(input_file_name(), "^file:/+", "/"))
-    val cols = data.columns.filterNot(_ == "_path").toSeq
-    val net = data
-      .join(broadcast(lookup.withColumn("_path",
-        regexp_replace(col("_path"), "^file:/+", "/"))), Seq("_path"))
+    val fileFrame: Option[DataFrame] = if (entries.isEmpty) None else {
+      val canonical = entries.map(_._1).distinct
+        .map(p => new File(table, p).getCanonicalFile.toURI.toString)
+      val lookup = entries.map { case (p, v, s) =>
+        (new File(table, p).getCanonicalFile.toURI.toString, v, s)
+      }.toDF("_path", "_version", "_sign")
+      val data = spark.read.parquet(canonical: _*)
+        // input_file_name yields file:///abs; the lookup holds file:/abs —
+        // normalize both to a bare absolute path before the equi-join
+        .withColumn("_path",
+          regexp_replace(input_file_name(), "^file:/+", "/"))
+      Some(data
+        .join(broadcast(lookup.withColumn("_path",
+          regexp_replace(col("_path"), "^file:/+", "/"))), Seq("_path"))
+        .drop("_path"))
+    }
+    // each DV adjustment: read the tombstoned files RAW with positions,
+    // semi-join the sidecar's (f, i) pairs — delete-count-bounded
+    val dvFrames = rowLevel.map { case (v, dvs, sign) =>
+      val dataPaths = dvs.map(_.path).distinct
+        .map(p => new File(table, p).getAbsolutePath)
+      val prefix = table.getCanonicalPath + "/"
+      val raw = spark.read.parquet(dataPaths: _*)
+      val data = raw.select(raw.columns.toSeq.map(col) :+
+        expr("substring(regexp_replace(_metadata.file_path, '^file:/+', " +
+          s"'/'), ${prefix.length + 1})").as("_gf_rel") :+
+        col("_metadata.row_index").as("_gi"): _*)
+      val tomb = spark.read.parquet(dvs.map(_.dvPath).distinct
+          .map(dp => new File(table, dp).getAbsolutePath): _*)
+        .select(col("f").as("_tf"), col("i").as("_ti"))
+      data.join(broadcast(tomb),
+          data("_gf_rel") === col("_tf") && data("_gi") === col("_ti"),
+          "left_semi")
+        .drop("_gf_rel", "_gi")
+        .withColumn("_version", lit(v))
+        .withColumn("_sign", lit(sign))
+    }
+    val all = (fileFrame.toSeq ++ dvFrames).reduce(_ unionByName _)
+    val cols = all.columns.filterNot(Set("_version", "_sign")).toSeq
+    val net = all
       .groupBy(col("_version") +: cols.map(col): _*)
       .agg(sum(col("_sign")).as("_net"))
       .filter(col("_net") =!= 0)
@@ -851,13 +1135,28 @@ object TxLog {
     */
   def vacuum(table: File, retainFromVersion: Long): Seq[String] = {
     val vs = versions(table)
-    val retained = vs.filter(_ >= retainFromVersion)
-      .flatMap(v => liveFiles(table, v).map(_.path)).toSet
+    val retainedStates = vs.filter(_ >= retainFromVersion)
+      .map(v => liveState(table, v))
+    val retained = retainedStates.flatMap(_.live.map(_.path)).toSet
+    val retainedDv = retainedStates
+      .flatMap(_.dvs.values.flatten.map(_.dvPath)).toSet
     // every file ever added, in log order
     val everAdded = vs.flatMap(v => readCommit(table, v).adds.map(_.path))
     // report only files ACTUALLY deleted this call — a re-run is a no-op
-    everAdded.filterNot(retained)
+    val deletedData = everAdded.filterNot(retained)
       .filter(p => Files.deleteIfExists(new File(table, p).toPath))
+    // DV sidecars past the horizon reclaim too (whole parquet groups)
+    val everDv = vs.flatMap(v => readCommit(table, v).dvs.map(_.dvPath))
+      .distinct
+    val deletedDv = everDv.filterNot(retainedDv).filter { dp =>
+      val dir = new File(table, dp)
+      if (!dir.exists()) false
+      else {
+        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+        dir.delete()
+      }
+    }
+    deletedData ++ deletedDv
   }
 
   /** ACID compaction (S23, with the commit this time): bin ALL live
@@ -1262,24 +1561,18 @@ object TxLog {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row],
           batchId: Long) =>
-        // metadata-rate collect: one row per log ACTION in the new
-        // commits (the file-count-bounded driver-read class, as batch
-        // log resolution)
-        val acts = batch.collect()
-        val compacts = acts.collect {
-          case r if !r.isNullAt(4) && dataPreservingOps(r.getString(4)) =>
-            r.getLong(0)
-        }.toSet
-        val entries = acts.toSeq.collect {
-          case r if !r.isNullAt(1) && !compacts(r.getLong(0)) =>
-            (r.getString(1), r.getLong(0), 1)
-          case r if !r.isNullAt(3) && !compacts(r.getLong(0)) =>
-            (r.getString(3), r.getLong(0), -1)
-        }
-        if (entries.nonEmpty)
-          feedOfEntries(spark, table, entries)
-            .write.mode("overwrite")
-            .parquet(new File(out, s"batch=$batchId").getAbsolutePath)
+        // metadata-rate collect: the batch's NEW commit versions (one
+        // row per log action; commit files appear atomically via the
+        // hard-link publish, so a discovered version is always complete).
+        // Conversion routes through feedForVersions — the SAME code path
+        // as the batch feed, so streamed ≡ batch for every action class
+        // (adds/removes, DV tombstones, DV removal corrections) by
+        // construction rather than by a parallel reimplementation.
+        val vsNew = batch.select(col("_version")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        feedForVersions(spark, table, vsNew).foreach(
+          _.write.mode("overwrite")
+            .parquet(new File(out, s"batch=$batchId").getAbsolutePath))
         ()
       }
       .start()
@@ -1441,7 +1734,8 @@ object TxLog {
     import spark.implicits._
     val t = demoTable(spark, dir)
     val vs = versions(t)
-    val counts = vs.map(v => liveFiles(t, v).map(_.rows).sum)
+    // logical counts: add bookkeeping minus live DV tombstones (r12)
+    val counts = vs.map(v => liveState(t, v).rowCount)
     vs.zipWithIndex.map { case (v, i) =>
       val prev = if (i == 0) 0L else counts(i - 1)
       (v, readCommit(t, v).op, counts(i), counts(i) - prev)

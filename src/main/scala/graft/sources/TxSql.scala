@@ -76,6 +76,9 @@ object TxSql {
   private val vacuumRe =
     ("""(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+""" +
       """VERSION\s+(\d+)\s*;?\s*$""").r
+  private val restoreRe =
+    ("""(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+""" +
+      """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
 
   /** Execute one statement: DESCRIBE HISTORY, OPTIMIZE [ZORDER BY], or a
     * SELECT with VERSION AS OF over registered TxLog tables.
@@ -101,6 +104,11 @@ object TxSql {
       optSummary(spark, name,
         TxLog.alterDropColumn(spark, tableOf(name), colName),
         s"alter drop $colName")
+    case restoreRe(name, v) =>
+      // RESTORE TABLE t TO VERSION AS OF v: one commit re-referencing the
+      // historical version's immutable files (Delta RESTORE)
+      optSummary(spark, name,
+        TxLog.restore(spark, tableOf(name), v.toLong), s"restore to $v")
     case vacuumRe(name, v) =>
       // VACUUM t RETAIN VERSION n: delete data files unreferenced by any
       // version >= n (the retention horizon); returns the deleted paths
@@ -285,8 +293,8 @@ object TxSql {
   private def describeHistory(spark: SparkSession, table: File): DataFrame = {
     import spark.implicits._
     val vs = TxLog.versions(table)
-    val counts = vs.map(v =>
-      TxLog.resolve(table, v)._1.map(_.rows).sum)
+    // logical counts: add bookkeeping minus live DV tombstones (r12)
+    val counts = vs.map(v => TxLog.liveState(table, v).rowCount)
     vs.zipWithIndex.map { case (v, i) =>
       val prev = if (i == 0) 0L else counts(i - 1)
       (v, TxLog.readCommit(table, v).op, counts(i), counts(i) - prev)

@@ -653,6 +653,176 @@ class TxLogSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("deletion vectors: DV deletes rewrite ZERO data files, accumulate " +
+      "across commits, time-travel correctly, and no-op on re-run") {
+    val t = freshTable("dv")
+    TxLog.append(rows(10).coalesce(1), t)                      // v0, file A
+    TxLog.append(rows(10, 100).coalesce(1), t)                 // v1, file B
+    val preFiles = TxLog.snapshot(spark, t).inputFiles.toSet
+    val v2 = TxLog.deleteWhereDV(spark, t, col("id") < 3)      // 3 tombstones
+    assert(v2 == 2L)
+    // metadata-only at the data plane: the commit has NO add/remove
+    val c2 = TxLog.readCommit(t, 2L)
+    assert(c2.adds.isEmpty && c2.removes.isEmpty && c2.dvs.nonEmpty)
+    assert(c2.dvs.map(_.rows).sum == 3)
+    // the snapshot reads the SAME physical files, minus tombstoned rows
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 17)
+    assert(snap.filter(col("id") < 3).isEmpty)
+    // inputFiles also lists the sidecar scan (the anti-join's broadcast
+    // side); the DATA files must be untouched
+    assert(snap.inputFiles.filterNot(_.contains("/dv_")).toSet == preFiles,
+      "a DV delete touched data files")
+    // time travel BELOW the DV still serves the rows
+    assert(TxLog.snapshot(spark, t, Some(1L)).count() == 20)
+    // accumulation: a second DV on the OTHER file composes
+    assert(TxLog.deleteWhereDV(spark, t, col("id") === 105) == 3L)
+    assert(TxLog.snapshot(spark, t).count() == 16)
+    assert(TxLog.snapshot(spark, t, Some(2L)).count() == 17)
+    // re-deleting already-tombstoned rows is a no-op (no double-count)
+    assert(TxLog.deleteWhereDV(spark, t, col("id") < 3) == -1L)
+    assert(TxLog.versions(t).last == 3L)
+    // history row counts subtract tombstones at every version
+    assert(TxLog.liveState(t, 3L).rowCount == 16)
+    assert(TxLog.liveState(t, 1L).rowCount == 20)
+  }
+
+  test("deletion vectors MATERIALIZE on rewrite: CoW delete and compaction " +
+      "on DV-attached files never resurrect tombstoned rows") {
+    import spark.implicits._
+    val t = freshTable("dvmat")
+    TxLog.append(rows(10).coalesce(1), t)                      // v0
+    TxLog.deleteWhereDV(spark, t, col("id") < 2)               // v1: DV {0,1}
+    // CoW delete on the SAME file: must apply the DV when rewriting
+    TxLog.deleteWhere(spark, t, col("id") === 5)               // v2 rewrite
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 7, s"resurrected tombstones: ${snap.count()}")
+    assert(snap.filter(col("id") < 2).isEmpty)
+    // the rewrite dropped the DV attachment (file replaced)
+    assert(TxLog.liveState(t, 2L).dvs.isEmpty)
+    // merge on a DV-attached file likewise
+    val t2 = freshTable("dvmerge")
+    TxLog.append(rows(10).coalesce(1), t2)
+    TxLog.deleteWhereDV(spark, t2, col("id") === 0)
+    TxLog.merge(spark, t2, Seq((3L, "POST")).toDF("id", "payload"),
+      Seq("id"))
+    val snap2 = TxLog.snapshot(spark, t2)
+    assert(snap2.count() == 9 && snap2.filter(col("id") === 0).isEmpty)
+    assert(snap2.filter(col("id") === 3).head().getString(1) == "POST")
+    // compaction materializes: post-compact RAW file rows == logical rows
+    val t3 = freshTable("dvcompact")
+    TxLog.append(rows(10).coalesce(1), t3)
+    TxLog.deleteWhereDV(spark, t3, col("id") < 4)
+    TxLog.compact(spark, t3, targetFiles = 1)
+    val post = TxLog.snapshot(spark, t3)
+    assert(post.count() == 6)
+    assert(spark.read.parquet(post.inputFiles: _*).count() == 6,
+      "compaction kept tombstoned rows in the physical rewrite")
+    assert(TxLog.liveState(t3, TxLog.versions(t3).last).dvs.isEmpty)
+  }
+
+  test("change feed with deletion vectors: DV commits surface exact " +
+      "tombstoned rows as deletes; a later CoW rewrite never double-deletes") {
+    val t = freshTable("dvfeed")
+    TxLog.append(rows(6).coalesce(1), t)                       // v0
+    TxLog.deleteWhereDV(spark, t, col("id") < 2)               // v1: DV {0,1}
+    TxLog.deleteWhere(spark, t, col("id") === 4)               // v2: CoW rewrite
+    TxLog.compact(spark, t, 1)                                 // v3: preserving
+    val cf = TxLog.changeFeed(spark, t, -1L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3))).toSet
+    val inserts0 = (0L until 6L).map(i => (0L, "insert", i, s"v$i")).toSet
+    val dvDeletes1 = Set((1L, "delete", 0L, "v0"), (1L, "delete", 1L, "v1"))
+    val cowDeletes2 = Set((2L, "delete", 4L, "v4")) // NOT ids 0/1 again
+    assert(cf == inserts0 ++ dvDeletes1 ++ cowDeletes2,
+      s"feed mismatch: $cf")
+    // replaying the feed reproduces the final snapshot
+    val replayed = cf.toSeq.groupBy(r => (r._3, r._4))
+      .collect { case (row, evs)
+        if evs.count(_._2 == "insert") > evs.count(_._2 == "delete") => row }
+      .toSet
+    val snap = TxLog.snapshot(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed == snap)
+    // the STREAMED feed converts through the same path: drain and compare
+    val base = java.nio.file.Files.createTempDirectory("graft_dvcf").toFile
+    TxLog.runChangeFeedStream(spark, t,
+      new java.io.File(base, "feed"), new java.io.File(base, "ckpt"))
+    val streamed = spark.read
+      .parquet(new java.io.File(base, "feed").getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3))).toSet
+    assert(streamed == cf, "streamed feed diverged from batch feed")
+  }
+
+  test("RESTORE re-references a historical version exactly, is rejected " +
+      "across a DV divergence and past the vacuum horizon") {
+    import graft.sources.TxSql
+    val t = freshTable("restore")
+    TxLog.append(rows(10).coalesce(1), t)            // v0
+    TxLog.append(rows(5, 100).coalesce(1), t)        // v1
+    TxLog.deleteWhere(spark, t, col("id") >= 100)    // v2 drops the append
+    val v3 = TxLog.restore(spark, t, 1L)
+    assert(v3 == 3L)
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 15, "restore did not resurrect the deleted rows")
+    // file re-referencing, not copying: v3's files are exactly v1's
+    assert(snap.inputFiles.toSet ==
+      TxLog.snapshot(spark, t, Some(1L)).inputFiles.toSet)
+    // restore-to-latest is a no-op (no new commit)
+    assert(TxLog.restore(spark, t, 3L) == 3L)
+    assert(TxLog.versions(t).last == 3L)
+    // the restore's feed delta is exactly the resurrected slice
+    val cf = TxLog.changeFeed(spark, t, 2L, 3L)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(cf == (100L until 105L).map(i => ("insert", i)).toSet)
+    // DV divergence on a co-live file rejects with the remedy named
+    TxLog.deleteWhereDV(spark, t, col("id") === 0)   // v4
+    val e = intercept[Exception] { TxLog.restore(spark, t, 3L) }
+    assert(e.getMessage.contains("compact first"))
+    // vacuumed target rejects
+    val t2 = freshTable("restorevac")
+    TxLog.append(rows(4).coalesce(1), t2)            // v0
+    TxLog.compact(spark, t2, 1)                      // v1 replaces v0's file
+    TxLog.vacuum(t2, retainFromVersion = 1L)
+    val e2 = intercept[Exception] { TxLog.restore(spark, t2, 0L) }
+    assert(e2.getMessage.contains("vacuum horizon"))
+    // statement surface
+    TxSql.register("rst", t2)
+    val row = TxSql.sql(spark, "RESTORE TABLE rst TO VERSION AS OF 1")
+      .head()
+    assert(row.getString(1) == "restore to 1")
+  }
+
+  test("vacuum reclaims DV sidecars past the horizon") {
+    val t = freshTable("dvvac")
+    TxLog.append(rows(8).coalesce(1), t)             // v0
+    TxLog.deleteWhereDV(spark, t, col("id") < 3)     // v1: sidecar
+    TxLog.compact(spark, t, 1)                       // v2 materializes
+    val dvDirs = TxLog.readCommit(t, 1L).dvs.map(_.dvPath).distinct
+    assert(dvDirs.forall(dp => new java.io.File(t, dp).exists()))
+    val deleted = TxLog.vacuum(t, retainFromVersion = 2L)
+    assert(dvDirs.forall(deleted.contains),
+      s"sidecars not reclaimed: $deleted")
+    assert(dvDirs.forall(dp => !new java.io.File(t, dp).exists()))
+    assert(TxLog.snapshot(spark, t).count() == 5)
+    // idempotent
+    assert(TxLog.vacuum(t, 2L).isEmpty)
+  }
+
+  test("DV attachments survive a checkpoint round-trip") {
+    val t = freshTable("dvckpt")
+    TxLog.append(rows(100).coalesce(1), t)           // v0
+    TxLog.deleteWhereDV(spark, t, col("id") < 10)    // v1
+    (0 until 10).foreach(i => TxLog.append(rows(2, 1000L * (i + 1)), t))
+    // a checkpoint landed at v10; resolution uses it
+    val st = TxLog.liveState(t, TxLog.versions(t).last)
+    assert(st.base >= 10L, s"no checkpoint base: ${st.base}")
+    assert(st.dvs.nonEmpty, "DV attachment lost through the checkpoint")
+    assert(TxLog.snapshot(spark, t).count() == 90 + 20)
+    assert(st.rowCount == 110)
+  }
+
   test("VACUUM statement deletes past the horizon and re-runs as a no-op") {
     import graft.sources.TxSql
     val t = freshTable("vacsql")
