@@ -406,13 +406,157 @@ object TxFeatures {
       |  UNION ALL SELECT 3, 'restore', v1, v1 - v2 FROM c)
       |ORDER BY version""".stripMargin
 
+  // ---- S57: shallow clone ---------------------------------------------------
+
+  private val cloneDone =
+    scala.collection.concurrent.TrieMap.empty[String, (File, File)]
+
+  /** Clone demo: a source table (yr<=1996 census), a zero-copy shallow
+    * clone, then the two DIVERGE — the clone appends the yr>1996 slice
+    * and compacts (localizing the external references); the source gets
+    * a copy-on-write delete of its 1995 low-priority slice. Neither
+    * table's history can leak into the other's reads.
+    */
+  private[graft] def cloneDemo(spark: SparkSession, dir: String)
+      : (File, File) =
+    TxSql.demoLock.synchronized {
+      cloneDone.getOrElseUpdate(dir, {
+        val src = demoDir(dir, "clsrc")
+        val tgt = demoDir(dir, "cltgt")
+        val o = ordersCensus(spark, dir)
+        if (TxLog.versions(src).size < 1)
+          TxLog.append(o.filter(col("yr") <= 1996), src)        // src v0
+        if (TxLog.versions(tgt).size < 1)
+          TxLog.cloneShallow(spark, src, tgt)                   // tgt v0
+        if (TxLog.versions(tgt).size < 2)
+          TxLog.append(o.filter(col("yr") > 1996), tgt)         // tgt v1
+        if (TxLog.versions(tgt).size < 3)
+          TxLog.compact(spark, tgt, targetFiles = 4)            // tgt v2
+        if (TxLog.versions(src).size < 2)
+          TxLog.deleteWhere(spark, src,                         // src v1
+            col("yr") === 1995 && col("o_orderpriority") === "5-LOW")
+        (src, tgt)
+      })
+    }
+
+  /** txlog_clone (S57) — shallow clone end to end: after the fork, the
+    * clone's census covers ALL years (inherited files + its own append,
+    * localized by compaction) while the source's census reflects ONLY
+    * its own later delete — the hash-match proves the zero-copy fork is
+    * complete (nothing lost at clone time) and fully isolated (neither
+    * side's divergence leaks into the other).
+    */
+  def txlogClone(spark: SparkSession, dir: String): DataFrame = {
+    val (src, tgt) = cloneDemo(spark, dir)
+    def census(t: File, tag: String): DataFrame =
+      TxLog.snapshot(spark, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+        .select(lit(tag).as("side"), col("o_orderpriority"),
+          col("n_orders"), col("total_cents"))
+    census(tgt, "clone_full")
+      .unionByName(census(src, "source_after_delete"))
+      .orderBy(col("side"), col("o_orderpriority"))
+  }
+
+  val txlogCloneSql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority, year(o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |cl AS (
+      |  SELECT 'clone_full' AS side, o_orderpriority,
+      |    COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents
+      |  FROM t GROUP BY o_orderpriority),
+      |sr AS (
+      |  SELECT 'source_after_delete', o_orderpriority,
+      |    COUNT(*), CAST(SUM(cents) AS BIGINT)
+      |  FROM t WHERE yr <= 1996
+      |    AND NOT (yr = 1995 AND o_orderpriority = '5-LOW')
+      |  GROUP BY o_orderpriority)
+      |SELECT * FROM cl UNION ALL SELECT * FROM sr
+      |ORDER BY side, o_orderpriority""".stripMargin
+
+  // ---- S58: partitioned table + dynamic partition overwrite ---------------
+
+  private val partDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Partitioned demo: orders census CREATEd PARTITIONED BY yr (v0, one
+    * file per year via the single writer task), the 1996 partition
+    * atomically re-stated with doubled cents (v1, dynamic partition
+    * overwrite — only that partition's file drops), and a DV delete of
+    * the 1995 low-priority slice (v2 — proving position tombstones bind
+    * under partition-directory layouts).
+    */
+  private[graft] def partitionedDemo(spark: SparkSession, dir: String)
+      : File =
+    TxSql.demoLock.synchronized {
+      partDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "part")
+        val o = ordersCensus(spark, dir)
+        if (TxLog.versions(t).isEmpty)
+          TxLog.createPartitioned(o.repartition(1), t, Seq("yr"))
+        if (TxLog.versions(t).size < 2)
+          TxLog.overwritePartitions(spark, t,
+            o.filter(col("yr") === 1996)
+              .withColumn("cents", col("cents") * 2).repartition(1))
+        if (TxLog.versions(t).size < 3)
+          TxLog.deleteWhereDV(spark, t,
+            col("yr") === 1995 && col("o_orderpriority") === "5-LOW")
+        t
+      })
+    }
+
+  /** txlog_partitioned (S58) — the partitioned lifecycle end to end: a
+    * partition-PRUNED census of the 1995+1996 slice after the overwrite
+    * and the DV delete. `files_read`/`files_pruned` ride the payload:
+    * the oracle derives both from DISTINCT yr (one file per partition by
+    * construction), so a prune that reads too much or too little
+    * hash-mismatches — the skip is verified, not asserted.
+    */
+  def txlogPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val t = partitionedDemo(spark, dir)
+    val (snap, kept, pruned) = TxLog.snapshotPartitionPruned(spark, t,
+      pv => pv.get("yr").exists(Set("1995", "1996")))
+    snap.groupBy(col("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .withColumn("files_read", lit(kept.toLong))
+      .withColumn("files_pruned", lit(pruned.toLong))
+      .orderBy(col("yr"), col("o_orderpriority"))
+  }
+
+  val txlogPartitionedSql: String =
+    """WITH t AS (
+      |  SELECT o_orderpriority, year(o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) *
+      |      (CASE WHEN year(o_orderdate) = 1996 THEN 2 ELSE 1 END) AS cents
+      |  FROM orders),
+      |f AS (
+      |  SELECT
+      |    CAST(COUNT(DISTINCT CASE WHEN yr IN (1995, 1996) THEN yr END)
+      |      AS BIGINT) AS files_read,
+      |    CAST(COUNT(DISTINCT CASE WHEN yr NOT IN (1995, 1996) THEN yr END)
+      |      AS BIGINT) AS files_pruned
+      |  FROM t)
+      |SELECT yr, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  f.files_read, f.files_pruned
+      |FROM t, f
+      |WHERE yr IN (1995, 1996)
+      |  AND NOT (yr = 1995 AND o_orderpriority = '5-LOW')
+      |GROUP BY yr, o_orderpriority, f.files_read, f.files_pruned
+      |ORDER BY yr, o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
     "sql_table_changes" -> (sqlTableChanges _),
     "txlog_data_skipping" -> (txlogDataSkipping _),
     "txlog_dv_delete" -> (txlogDvDelete _),
-    "txlog_restore" -> (txlogRestore _))
+    "txlog_restore" -> (txlogRestore _),
+    "txlog_clone" -> (txlogClone _),
+    "txlog_partitioned" -> (txlogPartitioned _))
 
   def oracle: Map[String, String] = Map(
     "txlog_column_mapping" -> txlogColumnMappingSql,
@@ -421,5 +565,7 @@ object TxFeatures {
     "sql_table_changes" -> TxLog.txlogChangefeedSql,
     "txlog_data_skipping" -> txlogDataSkippingSql,
     "txlog_dv_delete" -> txlogDvDeleteSql,
-    "txlog_restore" -> txlogRestoreSql)
+    "txlog_restore" -> txlogRestoreSql,
+    "txlog_clone" -> txlogCloneSql,
+    "txlog_partitioned" -> txlogPartitionedSql)
 }

@@ -105,7 +105,7 @@ object TxLog {
   private[graft] case class Commit(adds: Seq[Add], removes: Seq[String],
     op: String, metaDdl: Option[String] = None,
     metaMapping: Option[String] = None, ts: Option[Long] = None,
-    dvs: Seq[Dv] = Seq.empty)
+    dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None)
 
   private val addRe =
     ("""\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)""" +
@@ -121,6 +121,7 @@ object TxLog {
   private val metaRe =
     ("""\{"metaData":\s*\{"schemaDdl":\s*"([^"]+)"""" +
       """(?:,\s*"mapping":\s*"([^"]*)")?\}\}""").r
+  private val partRe = """\{"partition":\s*\{"cols":\s*"([^"]+)"\}\}""".r
 
   private def parseStats(s: String): Map[String, (Long, Long)] =
     if (s == null || s.isEmpty) Map.empty
@@ -137,6 +138,7 @@ object TxLog {
     var ts = Option.empty[Long]
     var meta = Option.empty[String]
     var mapping = Option.empty[String]
+    var partCols = Option.empty[String]
     lines.asScala.foreach { line =>
       line match {
         case addRe(p, r, s) => adds :+= Add(p, r.toLong, parseStats(s))
@@ -144,6 +146,7 @@ object TxLog {
         case dvRe(p, dp, r) => dvs :+= Dv(p, dp, r.toLong)
         case opRe(o) => op = o
         case metaRe(d, m) => meta = Some(d); mapping = Option(m)
+        case partRe(c) => partCols = Some(c)
         case _ => ()
       }
       line match {
@@ -151,7 +154,7 @@ object TxLog {
         case _ => ()
       }
     }
-    Commit(adds, removes, op, meta, mapping, ts, dvs)
+    Commit(adds, removes, op, meta, mapping, ts, dvs, partCols)
   }
 
   /** The table's declared schema AS OF `v` (DDL string): the newest
@@ -382,10 +385,11 @@ object TxLog {
   private def commitBody(adds: Seq[Add], removes: Seq[String],
       op: String, metaDdl: Option[String],
       mapping: Option[String] = None, ts: Option[Long] = None,
-      dvs: Seq[Dv] = Seq.empty): String =
+      dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None): String =
     (adds.map(renderAdd) ++
       removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") ++
       dvs.map(renderDv) ++
+      partCols.map(c => s"""{"partition": {"cols": ${q(c)}}}""") ++
       metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}""" +
         mapping.map(m => s""", "mapping": ${q(m)}""").getOrElse("") +
         "}}") :+
@@ -425,9 +429,10 @@ object TxLog {
   private[graft] def commitAdds(table: File, adds: Seq[Add],
       removes: Seq[String], op: String, metaDdl: Option[String] = None,
       mapping: Option[String] = None, ts: Option[Long] = None,
-      dvs: Seq[Dv] = Seq.empty): Long = {
+      dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None): Long = {
     logDir(table).mkdirs()
-    val body = commitBody(adds, removes, op, metaDdl, mapping, ts, dvs)
+    val body =
+      commitBody(adds, removes, op, metaDdl, mapping, ts, dvs, partCols)
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
@@ -449,10 +454,24 @@ object TxLog {
     * i64, no float-rounding or collation hazards in the prune.
     */
   private def writeFiles(df: DataFrame, table: File,
-      tag: String): Seq[Add] = {
+      tag: String, partCols: Seq[String] = Seq.empty): Seq[Add] = {
     val sub = s"d_${tag}_${System.nanoTime()}"
     val dir = new File(table, sub)
-    df.write.parquet(dir.getAbsolutePath)
+    if (partCols.isEmpty) df.write.parquet(dir.getAbsolutePath)
+    else {
+      // Hive-style partition dirs carry a `_p_` DUPLICATE of each
+      // partition column (cast to string — the directory value domain),
+      // so the data files keep the column itself: reads stay
+      // self-contained single scans with no basePath/dir-inference
+      // reconstruction — which a clone's external `../` references and
+      // mixed-layout live sets (pre-partitioning files, compacted
+      // groups) would break. The duplicate costs bytes-per-value on
+      // disk, not a second column in the LOGICAL schema.
+      val dup = partCols.foldLeft(df)((d, c) =>
+        d.withColumn(s"_p_$c", col(c).cast("string")))
+      dup.write.partitionBy(partCols.map(c => s"_p_$c"): _*)
+        .parquet(dir.getAbsolutePath)
+    }
     val spark = df.sparkSession
     val statCols = df.schema.fields.collect {
       case f if f.dataType == LongType ||
@@ -472,12 +491,17 @@ object TxLog {
         }.toMap
         (r.getString(0), (r.getAs[Long]("_n"), stats))
       }.toMap
-    val fs = dir.listFiles().filter(_.getName.endsWith(".parquet"))
-    fs.toSeq.sortBy(_.getName).map { f =>
+    def walk(d: File): Seq[File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case f if f.isDirectory => walk(f)
+        case f if f.getName.endsWith(".parquet") => Seq(f)
+        case _ => Seq.empty
+      }
+    walk(dir).sortBy(_.getName).map { f =>
       val (n, stats) = perFile.collectFirst {
         case (u, v) if u.endsWith(f.getName) => v
       }.getOrElse((0L, Map.empty[String, (Long, Long)]))
-      Add(s"$sub/${f.getName}", n, stats)
+      Add(s"$sub/${dir.toPath.relativize(f.toPath)}", n, stats)
     }
   }
 
@@ -532,21 +556,185 @@ object TxLog {
     }
     // mapped tables store PHYSICAL names; the caller always writes logical
     val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
-    val files = writeFiles(toPhysical(df, mapping), table, "append")
+    val files = writeFiles(toPhysical(df, mapping), table, "append",
+      partitionColsOf(table))
     commitAdds(table, files, Seq.empty, "append", ts = ts)
   }
 
-  /** [[readAs]] plus POSITION columns: `_gf_rel` (table-relative data
-    * file path) and `_gi` (row index within the file) off the parquet
-    * scan's `_metadata` struct — the deletion-vector join key. Positions
-    * are RAW-file row indexes, so they are stable under other DVs and
-    * under the declared-schema projection.
+  // ---- partitioned tables (S58) -------------------------------------------
+
+  private val partColsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  /** The table's declared partition columns (empty = unpartitioned).
+    * Declared once, by the table-creating commit ([[createPartitioned]]),
+    * and immutable for the table's lifetime — so the first declaration
+    * found walking the log is THE answer and memoizes forever (Delta's
+    * partitionColumns contract: repartitioning an existing table is a
+    * rewrite into a new table, not a metadata flip — flipping would
+    * orphan every already-committed file's layout).
+    */
+  private[graft] def partitionColsOf(table: File): Seq[String] = {
+    val key = table.getCanonicalPath
+    partColsMemo.get(key) match {
+      case Some(c) => c
+      case None =>
+        val found = versions(table).iterator
+          .map(v => readCommit(table, v).partCols)
+          .collectFirst { case Some(c) => c.split(",").toSeq }
+          .getOrElse(Seq.empty)
+        // only memoize a POSITIVE find: an empty answer on a still-empty
+        // table would wrongly pin "unpartitioned" before the creating
+        // commit lands
+        if (found.nonEmpty) partColsMemo.put(key, found)
+        found
+    }
+  }
+
+  /** Create `table` PARTITIONED BY `partCols` with `df` as its first
+    * commit. Every later write path (append / delete / merge / compact /
+    * overwrite) preserves the layout automatically; the partition VALUES
+    * travel in the file paths (Hive-style `_p_<col>=<value>` segments),
+    * so partition pruning needs the log alone — zero data or footer
+    * reads for pruned files, same as S54's stats skipping but exact on
+    * ANY value domain (strings included) and declared rather than
+    * observed.
+    */
+  def createPartitioned(df: DataFrame, table: File,
+      partCols: Seq[String], ts: Option[Long] = None): Long = {
+    require(partCols.nonEmpty, "TxLog PARTITIONED BY: no columns given")
+    require(versions(table).isEmpty,
+      s"TxLog PARTITIONED BY: $table already has a log — partitioning " +
+        "is declared at creation and immutable (rewrite into a new table)")
+    val missing = partCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"TxLog PARTITIONED BY: column(s) not in the data: " +
+        missing.mkString(", "))
+    val files = writeFiles(df, table, "append", partCols)
+    commitAdds(table, files, Seq.empty, "create-partitioned", ts = ts,
+      partCols = Some(partCols.mkString(",")))
+  }
+
+  /** Hive-style partition values carried by a file path: every
+    * `_p_<col>=<value>` segment, URL-unescaped (Spark escapes special
+    * characters when writing partition directories). Clone-inherited
+    * `../` prefixes pass through unharmed — the parse keys on segment
+    * SHAPE, not position.
+    */
+  private[graft] def partValsOf(path: String): Map[String, String] =
+    path.split('/').toSeq.collect {
+      case seg if seg.startsWith("_p_") && seg.contains('=') =>
+        val Array(k, v) = seg.split("=", 2)
+        k.stripPrefix("_p_") ->
+          java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+
+  /** DYNAMIC PARTITION OVERWRITE (Delta `replaceWhere` / Spark's
+    * INSERT OVERWRITE … PARTITION semantics): atomically replace exactly
+    * the partitions present in `df` — live files of those partitions
+    * drop, `df` lands partitioned, every other partition's files survive
+    * by reference, one commit. The CDC full-partition-reload primitive:
+    * re-snapshotting one day of a 100-TB table costs that day, not the
+    * table.
+    *
+    * Compare-and-commit: the remove set derives from a snapshot, so a
+    * lost race re-derives rather than re-slotting blindly (a racing
+    * append into the same partition must not survive the overwrite).
+    */
+  def overwritePartitions(spark: SparkSession, table: File,
+      df: DataFrame): Long = {
+    val partCols = partitionColsOf(table)
+    require(partCols.nonEmpty,
+      s"TxLog OVERWRITE PARTITIONS: $table is not partitioned")
+    // partition-count-bounded driver read: the distinct combos in df
+    val combos = df.select(partCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect()
+      .map(r => partCols.indices.map(i => partCols(i) -> r.getString(i))
+        .toMap).toSet
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).last
+      requireLocalized(table, v, "OVERWRITE PARTITIONS")
+      val st = liveState(table, v)
+      val removed = st.live.filter { a =>
+        val pv = partValsOf(a.path)
+        combos.exists(c => c.forall { case (k, vv) => pv.get(k).contains(vv) })
+      }.map(_.path)
+      val files = writeFiles(toPhysical(df, mappingAsOf(table, v)),
+        table, "overwrite", partCols)
+      committed = commitIfBase(table, v, files, removed, "overwrite")
+      if (committed < 0) discardFileGroup(table, files)
+    }
+    committed
+  }
+
+  /** Partition-pruned snapshot (S58): keep only live files whose
+    * path-carried partition values satisfy `keep` — decided DRIVER-SIDE
+    * from the log alone, before a single task launches; pruned files are
+    * never opened (no data, no footer). Returns the pruned frame plus
+    * (filesRead, filesPruned) so callers can assert the skip.
+    */
+  def snapshotPartitionPruned(spark: SparkSession, table: File,
+      keep: Map[String, String] => Boolean)
+      : (DataFrame, Int, Int) = {
+    val v = versions(table).last
+    val st = liveState(table, v)
+    val kept = st.live.filter(a => keep(partValsOf(a.path)))
+    val frame =
+      if (kept.isEmpty) {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          snapshot(spark, table, Some(v)).schema)
+        empty
+      } else assemble(spark, table, v, kept, st.dvs)
+    (frame, kept.size, st.live.size - kept.size)
+  }
+
+  /** The file-identity key off the scan's `_metadata.file_path`: the
+    * path SUFFIX starting at the per-commit `d_*` group segment, e.g.
+    * `d_append_<nanos>/_p_yr=1995/part-<uuid>….parquet`. That suffix is
+    * globally unique (nanos-stamped group + partition dirs + part name)
+    * and INVARIANT under every prefix a file can acquire: for a
+    * localized table it IS the table-relative `Add.path`; after a
+    * SHALLOW CLONE the same physical file serves under `../<src>/` and
+    * the suffix is unchanged — so DV tombstones written by the source
+    * keep binding through the clone. A plain basename would NOT do:
+    * `partitionBy` writes the SAME part filename into every partition
+    * directory of one task (measured — the anti-join then tombstoned
+    * every partition), and a table-dir-prefix strip mis-keys clones.
+    * The only segments ever starting with `d_` are our group dirs
+    * (partition segments start `_p_`, part files `part-`), so the last
+    * `/d_` occurrence is unambiguous. Sidecar `f` values are `_gf_rel`
+    * captured at DV-creation time, i.e. already this key; writers
+    * translate key → `Add.path` through the live set ([[byBase]]).
+    */
+  private val fileKeyExpr =
+    expr("concat('d_', substring_index(_metadata.file_path, '/d_', -1))")
+
+  /** The [[fileKeyExpr]] key of a table-relative `Add.path` — identity
+    * for localized paths, the group-rooted suffix for clone-inherited
+    * (`../`) and db-log (table-name-prefixed) paths.
+    */
+  private def fileKeyOf(path: String): String = {
+    val i = path.lastIndexOf("/d_")
+    if (i < 0) path else path.substring(i + 1)
+  }
+
+  /** key → table-relative `Add.path` over a live set — the writer-side
+    * inverse of [[fileKeyExpr]]. Total and injective on any live set.
+    */
+  private def byBase(live: Seq[Add]): Map[String, String] =
+    live.map(a => fileKeyOf(a.path) -> a.path).toMap
+
+  /** [[readAs]] plus POSITION columns: `_gf_rel` (the file-identity key,
+    * see [[fileKeyExpr]]) and `_gi` (row index within the file) off the
+    * parquet scan's `_metadata` struct — the deletion-vector join key.
+    * Positions are RAW-file row indexes, so they are stable under other
+    * DVs and under the declared-schema projection.
     */
   private def readAsPos(spark: SparkSession, table: File, v: Long,
       paths: Seq[String]): DataFrame = {
-    val prefix = table.getCanonicalPath + "/"
-    val rel = expr("substring(regexp_replace(_metadata.file_path, " +
-      s"'^file:/+', '/'), ${prefix.length + 1})").as("_gf_rel")
+    val rel = fileKeyExpr.as("_gf_rel")
     val idx = col("_metadata.row_index").as("_gi")
     metaAsOf(table, v) match {
       case Some((ddl, mapStr)) =>
@@ -672,6 +860,11 @@ object TxLog {
     */
   def alterRenameColumn(spark: SparkSession, table: File,
       from: String, to: String): Long = {
+    // partition columns are un-renameable: their NAME is baked into
+    // every committed file path's `_p_<col>=` segment (the prune key)
+    require(!partitionColsOf(table).contains(from),
+      s"TxLog RENAME: $from is a partition column — the layout is " +
+        "declared at creation and immutable (rewrite into a new table)")
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.getOrElse(
@@ -708,6 +901,9 @@ object TxLog {
     */
   def alterDropColumn(spark: SparkSession, table: File,
       name: String): Long = {
+    require(!partitionColsOf(table).contains(name),
+      s"TxLog DROP: $name is a partition column — the layout is " +
+        "declared at creation and immutable (rewrite into a new table)")
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.getOrElse(
@@ -798,11 +994,13 @@ object TxLog {
     * multi-source). File-count-bounded driver read.
     */
   private def affectedFiles(spark: SparkSession, table: File, v: Long,
-      st: LiveState, pred: org.apache.spark.sql.Column): Seq[String] =
+      st: LiveState, pred: org.apache.spark.sql.Column): Seq[String] = {
+    val toPath = byBase(st.live)
     assemble(spark, table, v, st.live, st.dvs, keepPos = true)
       .filter(pred)
       .select(col("_gf_rel")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(r => toPath(r.getString(0))).toSeq.sorted
+  }
 
   /** Copy-on-write DELETE: rewrite only the live files that contain rows
     * matching `pred`; untouched files survive by reference. One atomic
@@ -814,6 +1012,7 @@ object TxLog {
   def deleteWhere(spark: SparkSession, table: File,
       pred: org.apache.spark.sql.Column): Long = {
     val v = versions(table).last
+    requireLocalized(table, v, "DELETE")
     val st = liveState(table, v)
     val affectedRel = affectedFiles(spark, table, v, st, pred)
     if (affectedRel.isEmpty) return -1L
@@ -826,7 +1025,7 @@ object TxLog {
     val files =
       if (survivors.isEmpty) Seq.empty[Add]
       else writeFiles(toPhysical(survivors, mappingAsOf(table, v)),
-        table, "delete")
+        table, "delete", partitionColsOf(table))
     commitAdds(table, files, affectedRel, "delete")
   }
 
@@ -857,6 +1056,7 @@ object TxLog {
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).last
+      requireLocalized(table, v, "DV DELETE")
       val st = liveState(table, v)
       val matches =
         assemble(spark, table, v, st.live, st.dvs, keepPos = true)
@@ -869,7 +1069,10 @@ object TxLog {
       val sub = s"dv_${System.nanoTime()}"
       matches.coalesce(1).write
         .parquet(new File(table, sub).getAbsolutePath)
-      val dvs = perFile.map { case (f, n) => Dv(f, sub, n) }
+      // sidecar `f` stays the basename join key; the ATTACHMENT names the
+      // table-relative Add.path so log bookkeeping stays path-addressed
+      val toPath = byBase(st.live)
+      val dvs = perFile.map { case (f, n) => Dv(toPath(f), sub, n) }
       committed = commitIfBase(table, v, Seq.empty, Seq.empty,
         "dv-delete", None, None, None, dvs.toSeq)
       if (committed < 0) {
@@ -884,6 +1087,53 @@ object TxLog {
     }
     committed
   }
+
+  /** SHALLOW CLONE (round-12): create a NEW table whose first commit
+    * references the source's live data files (and DV sidecars) by
+    * RELATIVE `../` paths — zero bytes copied, the Delta `CREATE TABLE …
+    * SHALLOW CLONE` model. The clone gets the source's declared schema/
+    * mapping and evolves independently from there: appends land in the
+    * clone's own directory; COMPACT localizes (rewrites every row into
+    * clone-owned files and drops the external references). Until
+    * localized, the file-identity-dependent writers (CoW delete, merge,
+    * DV delete) REJECT with the remedy named — their affected-file probe
+    * keys on table-relative scan paths, which external files don't have
+    * (the same sharp edge Delta documents for DML on shallow clones).
+    * The clone's VACUUM never deletes an external (`../`) reference —
+    * the source owns those files.
+    */
+  def cloneShallow(spark: SparkSession, source: File, target: File): Long = {
+    require(versions(target).isEmpty,
+      s"TxLog CLONE: target $target already has a log")
+    val v = versions(source).lastOption.getOrElse(
+      sys.error(s"TxLog CLONE: source $source has no commits"))
+    val st = liveState(source, v)
+    target.mkdirs()
+    val tp = target.getCanonicalFile.toPath
+    def rel(p: String): String =
+      tp.relativize(new File(source, p).getCanonicalFile.toPath).toString
+    val adds = st.live.map(a => a.copy(path = rel(a.path)))
+    val dvs = st.dvs.values.flatten.toSeq.map(d =>
+      d.copy(path = rel(d.path), dvPath = rel(d.dvPath)))
+    val meta = metaAsOf(source, v)
+    // the clone inherits the source's partition declaration too — its
+    // own appends/compactions must keep landing under `_p_` dirs
+    val pc = partitionColsOf(source) match {
+      case Seq() => None; case cs => Some(cs.mkString(","))
+    }
+    commitAdds(target, adds, Seq.empty, "clone",
+      meta.map(_._1), meta.flatMap(_._2), None, dvs, pc)
+  }
+
+  /** True when any live file of the latest version is an external
+    * (clone-inherited) reference. */
+  private def hasExternalRefs(table: File, v: Long): Boolean =
+    liveState(table, v).live.exists(_.path.startsWith(".."))
+
+  private def requireLocalized(table: File, v: Long, op: String): Unit =
+    require(!hasExternalRefs(table, v),
+      s"TxLog $op: the table still references cloned (external) files — " +
+        "run compact to localize the shallow clone first")
 
   /** RESTORE TABLE … TO VERSION AS OF v (round-12): one commit that
     * makes the historical version's file set live again — adds for files
@@ -957,17 +1207,19 @@ object TxLog {
   def merge(spark: SparkSession, table: File, source: DataFrame,
       keys: Seq[String]): Long = {
     val v = versions(table).last
+    requireLocalized(table, v, "MERGE")
     val st = liveState(table, v)
     val snap = assemble(spark, table, v, st.live, st.dvs)
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // the affected probe rides the scan's _gf_rel metadata column (the
     // DV-safe twin of the old input_file_name stamp): a semi-join of the
     // source keys narrows it, file-count-bounded driver read
+    val toPath = byBase(st.live)
     val affectedRel =
       assemble(spark, table, v, st.live, st.dvs, keepPos = true)
         .join(srcKeys, keys, "left_semi")
         .select(col("_gf_rel")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
+        .collect().map(r => toPath(r.getString(0))).toSeq.sorted
     val affected =
       if (affectedRel.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[
@@ -985,7 +1237,7 @@ object TxLog {
       .unionByName(inserts.select(snap.columns.map(col): _*))
     commitAdds(table,
       writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
-        table, "merge"),
+        table, "merge", partitionColsOf(table)),
       affectedRel, "merge")
   }
 
@@ -1094,11 +1346,9 @@ object TxLog {
     val dvFrames = rowLevel.map { case (v, dvs, sign) =>
       val dataPaths = dvs.map(_.path).distinct
         .map(p => new File(table, p).getAbsolutePath)
-      val prefix = table.getCanonicalPath + "/"
       val raw = spark.read.parquet(dataPaths: _*)
       val data = raw.select(raw.columns.toSeq.map(col) :+
-        expr("substring(regexp_replace(_metadata.file_path, '^file:/+', " +
-          s"'/'), ${prefix.length + 1})").as("_gf_rel") :+
+        fileKeyExpr.as("_gf_rel") :+
         col("_metadata.row_index").as("_gi"): _*)
       val tomb = spark.read.parquet(dvs.map(_.dvPath).distinct
           .map(dp => new File(table, dp).getAbsolutePath): _*)
@@ -1143,12 +1393,16 @@ object TxLog {
     // every file ever added, in log order
     val everAdded = vs.flatMap(v => readCommit(table, v).adds.map(_.path))
     // report only files ACTUALLY deleted this call — a re-run is a no-op
+    // external (`../`, clone-inherited) references belong to the SOURCE
+    // table — the clone's vacuum must never reach across and delete them
     val deletedData = everAdded.filterNot(retained)
+      .filterNot(_.startsWith(".."))
       .filter(p => Files.deleteIfExists(new File(table, p).toPath))
     // DV sidecars past the horizon reclaim too (whole parquet groups)
     val everDv = vs.flatMap(v => readCommit(table, v).dvs.map(_.dvPath))
       .distinct
-    val deletedDv = everDv.filterNot(retainedDv).filter { dp =>
+    val deletedDv = everDv.filterNot(retainedDv)
+      .filterNot(_.startsWith("..")).filter { dp =>
       val dir = new File(table, dp)
       if (!dir.exists()) false
       else {
@@ -1166,9 +1420,17 @@ object TxLog {
   def compact(spark: SparkSession, table: File, targetFiles: Int): Long = {
     val v = versions(table).last
     val live = liveFiles(table, v)
-    val all = snapshot(spark, table, Some(v)).coalesce(targetFiles)
+    val partCols = partitionColsOf(table)
+    // a partitioned table compacts WITHIN its layout: one shuffle keyed
+    // on the partition columns bins each partition's files, and the
+    // rewrite lands back under `_p_` dirs so pruning keeps working
+    val all =
+      if (partCols.isEmpty) snapshot(spark, table, Some(v))
+        .coalesce(targetFiles)
+      else snapshot(spark, table, Some(v))
+        .repartition(targetFiles, partCols.map(col): _*)
     val files = writeFiles(toPhysical(all, mappingAsOf(table, v)),
-      table, "compact")
+      table, "compact", partCols)
     commitAdds(table, files, live.map(_.path), "compact")
   }
 
@@ -1223,7 +1485,7 @@ object TxLog {
           Layout.spread(rank(c2, st.getLong(2), st.getLong(3))), 1))
       val sorted = snap.repartitionByRange(targetFiles, z)
       val files = writeFiles(toPhysical(sorted, mappingAsOf(table, v)),
-        table, "zorder")
+        table, "zorder", partitionColsOf(table))
       committed = commitIfBase(table, v, files,
         liveFiles(table, v).map(_.path), "zorder")
     }
@@ -1324,26 +1586,22 @@ object TxLog {
     committed
   }
 
-  /** Physically delete a freshly written, never-committed file group
-    * (plus its now-empty per-commit subdirectory and writer markers).
+  /** Physically delete a freshly written, never-committed file group:
+    * the whole per-commit `d_*` subtree (data files, partition
+    * subdirectories, writer markers). Safe because the group is
+    * referenced by NO log action — only the loser of a commit race calls
+    * this, on the group it just wrote itself.
     */
   private def discardFileGroup(table: File,
-      files: Seq[Add]): Unit = {
-    files.foreach { a =>
-      Files.deleteIfExists(new File(table, a.path).toPath); ()
-    }
-    files.headOption.map(_.path).foreach { p =>
-      val dir = new File(table, p).getParentFile
-      val rest = Option(dir.listFiles()).getOrElse(Array.empty)
-      // only writer markers (_SUCCESS, .crc) may remain in the group dir
-      if (rest.forall(f =>
-          f.getName.startsWith("_") || f.getName.startsWith("."))) {
-        rest.foreach(_.delete())
-        dir.delete()
-        ()
+      files: Seq[Add]): Unit =
+    files.map(_.path.split('/').head).distinct
+      .filter(_.startsWith("d_")).foreach { sub =>
+        def rm(f: File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new File(table, sub))
       }
-    }
-  }
 
   /** Streaming writer: every micro-batch lands as one exactly-once
     * TxLog commit. The TxLog twin of Streams.cdcUpsertJdbcQuery.

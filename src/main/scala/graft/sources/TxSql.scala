@@ -79,6 +79,10 @@ object TxSql {
   private val restoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+""" +
       """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val cloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+""" +
+      """CLONE\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
 
   /** Execute one statement: DESCRIBE HISTORY, OPTIMIZE [ZORDER BY], or a
     * SELECT with VERSION AS OF over registered TxLog tables.
@@ -109,6 +113,16 @@ object TxSql {
       // historical version's immutable files (Delta RESTORE)
       optSummary(spark, name,
         TxLog.restore(spark, tableOf(name), v.toLong), s"restore to $v")
+    case cloneRe(name, srcName, loc) =>
+      // CREATE TABLE c SHALLOW CLONE s [LOCATION '<dir>']: zero-copy fork
+      // (S57). Without LOCATION the clone lands as a sibling directory of
+      // the source — relative `../` references resolve either way.
+      val src = tableOf(srcName)
+      val tgt = Option(loc).map(new File(_)).getOrElse(
+        new File(src.getParentFile, s"${src.getName}_clone_$name"))
+      val v = TxLog.cloneShallow(spark, src, tgt)
+      register(name, tgt)
+      optSummary(spark, name, v, s"shallow clone of $srcName")
     case vacuumRe(name, v) =>
       // VACUUM t RETAIN VERSION n: delete data files unreferenced by any
       // version >= n (the retention horizon); returns the deleted paths

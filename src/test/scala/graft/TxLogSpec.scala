@@ -823,6 +823,132 @@ class TxLogSpec extends SparkSpec {
     assert(st.rowCount == 110)
   }
 
+  test("shallow clone: zero-copy fork, isolated divergence, DML rejected " +
+      "until compact localizes, vacuum never crosses into the source") {
+    import spark.implicits._
+    val src = freshTable("clonesrc")
+    val tgt = freshTable("clonetgt")
+    TxLog.append(rows(10).coalesce(1), src)
+    TxLog.deleteWhereDV(spark, src, col("id") === 9) // DV travels with clone
+    val v = TxLog.cloneShallow(spark, src, tgt)
+    assert(v == 0L)
+    // zero-copy: the clone commit wrote NO data files of its own
+    val ownDirs = Option(tgt.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != "_graft_log")
+    assert(ownDirs.isEmpty, s"clone copied data: ${ownDirs.toSeq}")
+    // the clone serves the source's state INCLUDING the DV
+    assert(TxLog.snapshot(spark, tgt).count() == 9)
+    // divergence is isolated both ways
+    TxLog.append(rows(5, 100).coalesce(1), tgt)
+    TxLog.append(rows(3, 500).coalesce(1), src)
+    assert(TxLog.snapshot(spark, tgt).count() == 14)
+    assert(TxLog.snapshot(spark, src).count() == 12)
+    // file-identity DML rejects with the remedy while refs are external
+    val e = intercept[Exception] {
+      TxLog.deleteWhere(spark, tgt, col("id") === 1)
+    }
+    assert(e.getMessage.contains("compact to localize"))
+    assert(intercept[Exception] {
+      TxLog.deleteWhereDV(spark, tgt, col("id") === 1)
+    }.getMessage.contains("compact to localize"))
+    assert(intercept[Exception] {
+      TxLog.merge(spark, tgt, Seq((1L, "X")).toDF("id", "payload"),
+        Seq("id"))
+    }.getMessage.contains("compact to localize"))
+    // compact LOCALIZES: all live files now clone-owned, DML unblocked
+    TxLog.compact(spark, tgt, targetFiles = 1)
+    assert(TxLog.liveState(tgt, TxLog.versions(tgt).last)
+      .live.forall(!_.path.startsWith("..")))
+    assert(TxLog.deleteWhere(spark, tgt, col("id") === 1) > 0)
+    assert(TxLog.snapshot(spark, tgt).count() == 13)
+    // the clone's vacuum reclaims only its OWN dead files — the source's
+    // files (externally referenced by pre-compact clone versions) survive
+    val deleted = TxLog.vacuum(tgt, TxLog.versions(tgt).last)
+    assert(deleted.forall(!_.startsWith("..")),
+      s"clone vacuum crossed into the source: $deleted")
+    assert(TxLog.snapshot(spark, src).count() == 12, "source corrupted")
+    // cloning onto an existing log rejects
+    assert(intercept[Exception] {
+      TxLog.cloneShallow(spark, src, tgt)
+    }.getMessage.contains("already has a log"))
+  }
+
+  test("partitioned table: layout-carried paths, driver-side pruning, " +
+      "dynamic partition overwrite, layout-preserving rewrites, DV " +
+      "binding, and the immutability rejections") {
+    import spark.implicits._
+    val t = freshTable("part")
+    val df = (0L until 40L).map(i => (i, i % 4, s"p${i % 2}"))
+      .toDF("id", "yr", "pri")
+    TxLog.createPartitioned(df.repartition(1), t, Seq("yr"))
+    // every committed path carries the Hive-style _p_ segment, and the
+    // partition column is ALSO in the data (self-contained reads)
+    val live0 = TxLog.liveState(t, 0L).live
+    assert(live0.size == 4)
+    assert(live0.forall(_.path.contains("_p_yr=")))
+    assert(TxLog.snapshot(spark, t).columns.toSeq ==
+      Seq("id", "yr", "pri"))
+    assert(TxLog.snapshot(spark, t).count() == 40)
+    // plain append preserves the declared layout automatically
+    TxLog.append(Seq((100L, 1L, "p0"), (101L, 2L, "p1"))
+      .toDF("id", "yr", "pri").repartition(1), t)
+    assert(TxLog.liveState(t, 1L).live.size == 6)
+    // driver-side pruning: exact file accounting, zero reads for pruned
+    val (pruned, kept, dropped) = TxLog.snapshotPartitionPruned(spark, t,
+      pv => pv.get("yr").contains("1"))
+    assert((kept, dropped) == (2, 4))
+    assert(pruned.count() == 11) // 10 original yr=1 rows + 1 appended
+    // dynamic partition overwrite: ONLY yr=1 files drop, the rest
+    // survive by file identity
+    val before = TxLog.liveState(t, 1L).live.map(_.path).toSet
+    TxLog.overwritePartitions(spark, t,
+      Seq((500L, 1L, "pX")).toDF("id", "yr", "pri"))
+    val after = TxLog.liveState(t, 2L).live.map(_.path).toSet
+    assert((before -- after).forall(_.contains("_p_yr=1")))
+    assert((before -- after).size == 2)
+    assert(TxLog.snapshot(spark, t).filter(col("yr") === 1).count() == 1)
+    assert(TxLog.snapshot(spark, t).count() == 32)
+    // the change feed derives the overwrite like any commit
+    val feed = TxLog.changeFeed(spark, t, 1L, 2L)
+    assert(feed.filter(col("_change_type") === "delete").count() == 11)
+    assert(feed.filter(col("_change_type") === "insert").count() == 1)
+    // DV tombstones bind under partition layouts (the same-basename-
+    // across-partition-dirs hazard the suffix key exists for)
+    TxLog.deleteWhereDV(spark, t, col("yr") === 0 && col("pri") === "p0")
+    assert(TxLog.snapshot(spark, t).count() == 22)
+    assert(TxLog.snapshot(spark, t).filter(col("yr") === 2).count() == 11,
+      "DV leaked into sibling partitions")
+    // compact preserves the layout and the pruning keeps working
+    TxLog.compact(spark, t, targetFiles = 2)
+    val liveC = TxLog.liveState(t, TxLog.versions(t).last).live
+    assert(liveC.forall(_.path.contains("_p_yr=")))
+    val (pc, keptC, _) = TxLog.snapshotPartitionPruned(spark, t,
+      pv => pv.get("yr").contains("2"))
+    assert(pc.count() == 11 && keptC < liveC.size)
+    assert(TxLog.snapshot(spark, t).count() == 22)
+    // a shallow clone inherits the partition declaration
+    val c = freshTable("partclone")
+    TxLog.cloneShallow(spark, t, c)
+    assert(TxLog.partitionColsOf(c) == Seq("yr"))
+    // immutability: partition columns cannot be renamed or dropped, a
+    // second declaration on an existing log rejects, overwrite on an
+    // unpartitioned table rejects
+    assert(intercept[Exception] {
+      TxLog.alterRenameColumn(spark, t, "yr", "year")
+    }.getMessage.contains("partition column"))
+    assert(intercept[Exception] {
+      TxLog.alterDropColumn(spark, t, "yr")
+    }.getMessage.contains("partition column"))
+    assert(intercept[Exception] {
+      TxLog.createPartitioned(df, t, Seq("pri"))
+    }.getMessage.contains("already has a log"))
+    val u = freshTable("unpart")
+    TxLog.append(rows(3), u)
+    assert(intercept[Exception] {
+      TxLog.overwritePartitions(spark, u, rows(1))
+    }.getMessage.contains("not partitioned"))
+  }
+
   test("VACUUM statement deletes past the horizon and re-runs as a no-op") {
     import graft.sources.TxSql
     val t = freshTable("vacsql")
@@ -838,5 +964,23 @@ class TxLogSpec extends SparkSpec {
     val again = TxSql.sql(spark, "VACUUM vac_demo RETAIN VERSION 2")
       .collect()(0).getLong(2)
     assert(again == 0, "a vacuum re-run must find nothing")
+  }
+
+  test("CREATE TABLE … SHALLOW CLONE statement forks zero-copy and " +
+      "registers the clone for further statements") {
+    import graft.sources.TxSql
+    val t = freshTable("clsql")
+    TxLog.append(rows(12).coalesce(1), t)
+    TxSql.register("clsql_src", t)
+    TxSql.sql(spark, "CREATE TABLE clsql_fork SHALLOW CLONE clsql_src")
+    // the registered clone serves the source's state through statements
+    assert(TxSql.sql(spark, "DESCRIBE HISTORY clsql_fork").count() == 1)
+    val snap = TxSql.sql(spark, "SELECT count(*) AS n FROM clsql_fork " +
+      "VERSION AS OF 0")
+    assert(snap.collect()(0).getLong(0) == 12)
+    // zero-copy: no data directories of its own yet
+    val fork = new java.io.File(t.getParentFile, s"${t.getName}_clone_clsql_fork")
+    assert(Option(fork.listFiles()).getOrElse(Array.empty)
+      .forall(f => !f.isDirectory || f.getName == "_graft_log"))
   }
 }
