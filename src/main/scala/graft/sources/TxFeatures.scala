@@ -20,12 +20,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - S54 `txlog_data_skipping` — log-carried per-file column stats
   *     prune the snapshot's file set against a range predicate with
   *     ZERO reads (data or footer) of pruned files.
+  *   - S55 `txlog_dv_delete` / S56 `txlog_restore` — deletion-vector
+  *     merge-on-read DELETE and RESTORE TO VERSION AS OF.
+  *   - S57 `txlog_clone` — zero-copy SHALLOW CLONE fork.
+  *   - S58 `txlog_partitioned` — PARTITIONED BY layout, partition
+  *     pruning from the log alone, dynamic partition overwrite.
+  *   - S59 `txlog_constraints` — CHECK constraints gating every
+  *     incoming write path.
   *
-  * Scale: all four are metadata-plane features — binding, pruning, and
-  * evolution cost bytes-per-commit driver reads; the data plane stays
-  * ordinary pruned parquet scans of immutable files. Data skipping is
-  * the explicit 100-TB lever: at 1000 executors the planner-side file
-  * cut happens before a single task launches.
+  * Scale: all are metadata-plane features — binding, pruning, forking,
+  * and evolution cost bytes-per-commit driver reads; the data plane
+  * stays ordinary pruned parquet scans of immutable files. Data
+  * skipping and partition pruning are the explicit 100-TB levers: at
+  * 1000 executors the planner-side file cut happens before a single
+  * task launches; constraint gates cost one aggregate over the incoming
+  * batch, never the table.
   */
 object TxFeatures {
   import org.apache.spark.sql.functions._
@@ -548,6 +557,72 @@ object TxFeatures {
       |GROUP BY yr, o_orderpriority, f.files_read, f.files_pruned
       |ORDER BY yr, o_orderpriority""".stripMargin
 
+  // ---- S59: CHECK constraints ----------------------------------------------
+
+  private val consDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Constraints demo: census table seeded with yr<=1995 (v0), two CHECK
+    * constraints added through the statement surface (v1, v2), a valid
+    * append of the 1996–1997 slice (v3), then a VIOLATING append (the
+    * 1998 slice with negated cents) that must REJECT leaving no commit —
+    * the table ends at exactly 4 versions holding exactly yr<=1997.
+    */
+  private[graft] def constraintsDemo(spark: SparkSession, dir: String)
+      : File =
+    TxSql.demoLock.synchronized {
+      consDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "cons")
+        val o = ordersCensus(spark, dir)
+        if (TxLog.versions(t).isEmpty)
+          TxLog.append(o.filter(col("yr") <= 1995), t)
+        TxSql.register("cons_demo", t)
+        if (TxLog.versions(t).size < 2)
+          TxSql.sql(spark, "ALTER TABLE cons_demo ADD CONSTRAINT " +
+            "cents_positive CHECK (cents > 0)")
+        if (TxLog.versions(t).size < 3)
+          TxSql.sql(spark, "ALTER TABLE cons_demo ADD CONSTRAINT " +
+            "priority_set CHECK (o_orderpriority IS NOT NULL)")
+        if (TxLog.versions(t).size < 4)
+          TxLog.append(o.filter(col("yr").between(1996, 1997)), t)
+        // the gate must hold: a violating batch rejects atomically
+        val rejected = scala.util.Try(
+          TxLog.append(o.filter(col("yr") > 1997)
+            .withColumn("cents", -col("cents")), t)).isFailure
+        require(rejected && TxLog.versions(t).size == 4,
+          "constraint gate failed to reject the violating append")
+        t
+      })
+    }
+
+  /** txlog_constraints (S59) — the constraint lifecycle end to end: the
+    * post-rejection census (exactly yr<=1997 — the violating 1998 batch
+    * left NO commit) with the version and active-constraint counts
+    * riding the payload.
+    */
+  def txlogConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val t = constraintsDemo(spark, dir)
+    val nv = TxLog.versions(t).size.toLong
+    val nc = TxLog.constraintsAsOf(t, TxLog.versions(t).last).size.toLong
+    TxLog.snapshot(spark, t)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .withColumn("n_versions", lit(nv))
+      .withColumn("n_constraints", lit(nc))
+      .orderBy(col("yr"))
+  }
+
+  val txlogConstraintsSql: String =
+    """SELECT year(o_orderdate) AS yr, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents,
+      |  CAST(4 AS BIGINT) AS n_versions,
+      |  CAST(2 AS BIGINT) AS n_constraints
+      |FROM orders
+      |WHERE year(o_orderdate) <= 1997
+      |GROUP BY yr
+      |ORDER BY yr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
@@ -556,7 +631,8 @@ object TxFeatures {
     "txlog_dv_delete" -> (txlogDvDelete _),
     "txlog_restore" -> (txlogRestore _),
     "txlog_clone" -> (txlogClone _),
-    "txlog_partitioned" -> (txlogPartitioned _))
+    "txlog_partitioned" -> (txlogPartitioned _),
+    "txlog_constraints" -> (txlogConstraints _))
 
   def oracle: Map[String, String] = Map(
     "txlog_column_mapping" -> txlogColumnMappingSql,
@@ -567,5 +643,6 @@ object TxFeatures {
     "txlog_dv_delete" -> txlogDvDeleteSql,
     "txlog_restore" -> txlogRestoreSql,
     "txlog_clone" -> txlogCloneSql,
-    "txlog_partitioned" -> txlogPartitionedSql)
+    "txlog_partitioned" -> txlogPartitionedSql,
+    "txlog_constraints" -> txlogConstraintsSql)
 }

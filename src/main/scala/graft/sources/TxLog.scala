@@ -102,10 +102,17 @@ object TxLog {
     */
   private[graft] case class Dv(path: String, dvPath: String, rows: Long)
 
+  /** One CHECK-constraint delta: `expr = Some(text)` declares constraint
+    * `name`, `expr = None` drops it (S59 — the Delta table-constraints
+    * model: constraints live in the LOG and gate every incoming write).
+    */
+  private[graft] case class Constraint(name: String, expr: Option[String])
+
   private[graft] case class Commit(adds: Seq[Add], removes: Seq[String],
     op: String, metaDdl: Option[String] = None,
     metaMapping: Option[String] = None, ts: Option[Long] = None,
-    dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None)
+    dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None,
+    constraints: Seq[Constraint] = Seq.empty)
 
   private val addRe =
     ("""\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)""" +
@@ -122,6 +129,11 @@ object TxLog {
     ("""\{"metaData":\s*\{"schemaDdl":\s*"([^"]+)"""" +
       """(?:,\s*"mapping":\s*"([^"]*)")?\}\}""").r
   private val partRe = """\{"partition":\s*\{"cols":\s*"([^"]+)"\}\}""".r
+  private val constraintAddRe =
+    ("""\{"constraint":\s*\{"name":\s*"([^"]+)",\s*""" +
+      """"expr":\s*"((?:[^"\\]|\\.)+)"\}\}""").r
+  private val constraintDropRe =
+    """\{"constraint":\s*\{"name":\s*"([^"]+)",\s*"drop":\s*true\}\}""".r
 
   private def parseStats(s: String): Map[String, (Long, Long)] =
     if (s == null || s.isEmpty) Map.empty
@@ -139,6 +151,7 @@ object TxLog {
     var meta = Option.empty[String]
     var mapping = Option.empty[String]
     var partCols = Option.empty[String]
+    var constraints = Vector.empty[Constraint]
     lines.asScala.foreach { line =>
       line match {
         case addRe(p, r, s) => adds :+= Add(p, r.toLong, parseStats(s))
@@ -147,6 +160,9 @@ object TxLog {
         case opRe(o) => op = o
         case metaRe(d, m) => meta = Some(d); mapping = Option(m)
         case partRe(c) => partCols = Some(c)
+        case constraintAddRe(n, e) =>
+          constraints :+= Constraint(n, Some(unq(e)))
+        case constraintDropRe(n) => constraints :+= Constraint(n, None)
         case _ => ()
       }
       line match {
@@ -154,8 +170,17 @@ object TxLog {
         case _ => ()
       }
     }
-    Commit(adds, removes, op, meta, mapping, ts, dvs, partCols)
+    Commit(adds, removes, op, meta, mapping, ts, dvs, partCols, constraints)
   }
+
+  /** Inverse of [[q]]'s escaping for constraint expression round-trips:
+    * every backslash-escaped character unescapes in one left-to-right
+    * pass (sequential replaces would mis-handle a literal backslash
+    * followed by a quote).
+    */
+  private def unq(s: String): String =
+    """\\(.)""".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
 
   /** The table's declared schema AS OF `v` (DDL string): the newest
     * metaData action at or below `v`, or None when the table has never
@@ -382,14 +407,23 @@ object TxLog {
     s"""{"dv": {"path": ${q(d.path)}, "dvPath": ${q(d.dvPath)}, """ +
       s""""rows": ${d.rows}}}"""
 
+  private def renderConstraint(c: Constraint): String = c.expr match {
+    case Some(e) =>
+      s"""{"constraint": {"name": ${q(c.name)}, "expr": ${q(e)}}}"""
+    case None =>
+      s"""{"constraint": {"name": ${q(c.name)}, "drop": true}}"""
+  }
+
   private def commitBody(adds: Seq[Add], removes: Seq[String],
       op: String, metaDdl: Option[String],
       mapping: Option[String] = None, ts: Option[Long] = None,
-      dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None): String =
+      dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None,
+      constraints: Seq[Constraint] = Seq.empty): String =
     (adds.map(renderAdd) ++
       removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") ++
       dvs.map(renderDv) ++
       partCols.map(c => s"""{"partition": {"cols": ${q(c)}}}""") ++
+      constraints.map(renderConstraint) ++
       metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}""" +
         mapping.map(m => s""", "mapping": ${q(m)}""").getOrElse("") +
         "}}") :+
@@ -409,11 +443,13 @@ object TxLog {
       adds: Seq[Add], removes: Seq[String],
       op: String, metaDdl: Option[String] = None,
       mapping: Option[String] = None, ts: Option[Long] = None,
-      dvs: Seq[Dv] = Seq.empty): Long = {
+      dvs: Seq[Dv] = Seq.empty,
+      constraints: Seq[Constraint] = Seq.empty): Long = {
     logDir(table).mkdirs()
     val v = base + 1
     if (publishSlot(versionFile(table, v),
-        commitBody(adds, removes, op, metaDdl, mapping, ts, dvs))) {
+        commitBody(adds, removes, op, metaDdl, mapping, ts, dvs,
+          constraints = constraints))) {
       maybeCheckpoint(table, v); v
     } else -1L
   }
@@ -429,10 +465,11 @@ object TxLog {
   private[graft] def commitAdds(table: File, adds: Seq[Add],
       removes: Seq[String], op: String, metaDdl: Option[String] = None,
       mapping: Option[String] = None, ts: Option[Long] = None,
-      dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None): Long = {
+      dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None,
+      constraints: Seq[Constraint] = Seq.empty): Long = {
     logDir(table).mkdirs()
-    val body =
-      commitBody(adds, removes, op, metaDdl, mapping, ts, dvs, partCols)
+    val body = commitBody(adds, removes, op, metaDdl, mapping, ts, dvs,
+      partCols, constraints)
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
@@ -554,6 +591,7 @@ object TxLog {
           s"TxLog append: column(s) not in the table's declared schema: " +
             s"${unknown.mkString(", ")} — ALTER TABLE ADD COLUMNS first")
     }
+    enforceConstraints(spark = df.sparkSession, table, df, "append")
     // mapped tables store PHYSICAL names; the caller always writes logical
     val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
     val files = writeFiles(toPhysical(df, mapping), table, "append",
@@ -646,6 +684,7 @@ object TxLog {
     val partCols = partitionColsOf(table)
     require(partCols.nonEmpty,
       s"TxLog OVERWRITE PARTITIONS: $table is not partitioned")
+    enforceConstraints(spark, table, df, "OVERWRITE PARTITIONS")
     // partition-count-bounded driver read: the distinct combos in df
     val combos = df.select(partCols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
@@ -688,6 +727,98 @@ object TxLog {
         empty
       } else assemble(spark, table, v, kept, st.dvs)
     (frame, kept.size, st.live.size - kept.size)
+  }
+
+  // ---- CHECK constraints (S59) --------------------------------------------
+
+  /** Active CHECK constraints AS OF `v` (name → expression text): the
+    * log's constraint add/drop deltas folded in commit order. Commit
+    * files are immutable, so the fold memoizes per (table, version) with
+    * the recurrence active(v) = active(v−1) ++ deltas(v).
+    */
+  private val constraintMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Map[String, String]]
+
+  private[graft] def constraintsAsOf(table: File, v: Long)
+      : Map[String, String] = {
+    if (v < 0) return Map.empty
+    val key = table.getCanonicalPath
+    constraintMemo.getOrElseUpdate((key, v), {
+      val base = constraintsAsOf(table, v - 1)
+      readCommit(table, v).constraints.foldLeft(base) {
+        case (acc, Constraint(n, Some(e))) => acc + (n -> e)
+        case (acc, Constraint(n, None)) => acc - n
+      }
+    })
+  }
+
+  /** ALTER TABLE … ADD CONSTRAINT name CHECK (exprText): one metadata
+    * commit, AFTER one validation pass proving every EXISTING row
+    * satisfies the predicate (the Delta discipline — a constraint the
+    * current data violates must not land, or reads and writes would
+    * disagree about what the table guarantees). SQL CHECK semantics:
+    * a NULL predicate result satisfies the constraint; only FALSE
+    * violates. NOT NULL enforcement is the one-liner special case
+    * (`col IS NOT NULL`).
+    *
+    * Scale: validation is one aggregate over the snapshot (a write-time
+    * cost paid once per declaration); every later write pays one
+    * batch-proportional filter-count over the INCOMING rows only.
+    */
+  def alterAddConstraint(spark: SparkSession, table: File,
+      name: String, exprText: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).lastOption.getOrElse(
+        sys.error(s"TxLog: ADD CONSTRAINT on empty table $table"))
+      require(!constraintsAsOf(table, v).contains(name),
+        s"TxLog ADD CONSTRAINT: $name already exists — DROP it first")
+      val violations = snapshot(spark, table, Some(v))
+        .filter(!coalesce(expr(exprText), lit(true))).count()
+      require(violations == 0,
+        s"TxLog ADD CONSTRAINT $name: $violations existing row(s) " +
+          s"violate CHECK ($exprText) — fix the data first")
+      committed = commitIfBase(table, v, Seq.empty, Seq.empty,
+        "add-constraint",
+        constraints = Seq(Constraint(name, Some(exprText))))
+    }
+    committed
+  }
+
+  /** ALTER TABLE … DROP CONSTRAINT name: metadata-only commit. */
+  def alterDropConstraint(table: File, name: String): Long = {
+    val v = versions(table).lastOption.getOrElse(
+      sys.error(s"TxLog: DROP CONSTRAINT on empty table $table"))
+    require(constraintsAsOf(table, v).contains(name),
+      s"TxLog DROP CONSTRAINT: no such constraint: $name")
+    commitAdds(table, Seq.empty, Seq.empty, "drop-constraint",
+      constraints = Seq(Constraint(name, None)))
+  }
+
+  /** Gate an INCOMING write batch on the table's active constraints: one
+    * filter-count job over `df` (all constraints folded into a single
+    * conjunction — one pass however many are declared); the first
+    * violated constraint rejects with its count. Rewrite paths
+    * (delete/compact/zorder survivors) skip this — their rows already
+    * passed it on the way in.
+    */
+  private def enforceConstraints(spark: SparkSession, table: File,
+      df: DataFrame, op: String): Unit = {
+    val cs = versions(table).lastOption
+      .map(constraintsAsOf(table, _)).getOrElse(Map.empty)
+    if (cs.isEmpty) return
+    val counts = df.agg(
+      count(lit(1)).as("_n"),
+      cs.toSeq.sortBy(_._1).map { case (n, e) =>
+        coalesce(sum(when(!coalesce(expr(e), lit(true)), 1L)
+          .otherwise(0L)), lit(0L)).as(s"_c_$n")
+      }: _*).head()
+    cs.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      val bad = counts.getAs[Long](s"_c_$n")
+      require(bad == 0,
+        s"TxLog $op: $bad row(s) violate CONSTRAINT $n CHECK ($e) — " +
+          "nothing committed")
+    }
   }
 
   /** The file-identity key off the scan's `_metadata.file_path`: the
@@ -1011,22 +1142,33 @@ object TxLog {
     */
   def deleteWhere(spark: SparkSession, table: File,
       pred: org.apache.spark.sql.Column): Long = {
-    val v = versions(table).last
-    requireLocalized(table, v, "DELETE")
-    val st = liveState(table, v)
-    val affectedRel = affectedFiles(spark, table, v, st, pred)
-    if (affectedRel.isEmpty) return -1L
-    // the affected files re-read under the declared schema with their
-    // DVs applied (assemble): `pred` is in LOGICAL names, and a raw
-    // footer read would resurrect tombstoned rows into the rewrite
-    val affected = st.live.filter(a => affectedRel.contains(a.path))
-    val survivors = assemble(spark, table, v, affected, st.dvs)
-      .filter(!pred)
-    val files =
-      if (survivors.isEmpty) Seq.empty[Add]
-      else writeFiles(toPhysical(survivors, mappingAsOf(table, v)),
-        table, "delete", partitionColsOf(table))
-    commitAdds(table, files, affectedRel, "delete")
+    // compare-and-commit: the rewrite derives from a SNAPSHOT, so a
+    // commit landing in between invalidates it — a blind retry into the
+    // next slot would re-add survivor copies of rows a racing delete
+    // also rewrote (duplicates) or re-remove files a racer already
+    // removed; on a lost race the whole derivation re-runs (the same
+    // discipline as deleteWhereDV / zorder / overwritePartitions)
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).last
+      requireLocalized(table, v, "DELETE")
+      val st = liveState(table, v)
+      val affectedRel = affectedFiles(spark, table, v, st, pred)
+      if (affectedRel.isEmpty) return -1L
+      // the affected files re-read under the declared schema with their
+      // DVs applied (assemble): `pred` is in LOGICAL names, and a raw
+      // footer read would resurrect tombstoned rows into the rewrite
+      val affected = st.live.filter(a => affectedRel.contains(a.path))
+      val survivors = assemble(spark, table, v, affected, st.dvs)
+        .filter(!pred)
+      val files =
+        if (survivors.isEmpty) Seq.empty[Add]
+        else writeFiles(toPhysical(survivors, mappingAsOf(table, v)),
+          table, "delete", partitionColsOf(table))
+      committed = commitIfBase(table, v, files, affectedRel, "delete")
+      if (committed < 0) discardFileGroup(table, files)
+    }
+    committed
   }
 
   /** MERGE-ON-READ DELETE via deletion vectors (round-12): instead of
@@ -1116,13 +1258,15 @@ object TxLog {
     val dvs = st.dvs.values.flatten.toSeq.map(d =>
       d.copy(path = rel(d.path), dvPath = rel(d.dvPath)))
     val meta = metaAsOf(source, v)
-    // the clone inherits the source's partition declaration too — its
-    // own appends/compactions must keep landing under `_p_` dirs
+    // the clone inherits the source's partition declaration and active
+    // CHECK constraints too — its own later writes stay gated the same
     val pc = partitionColsOf(source) match {
       case Seq() => None; case cs => Some(cs.mkString(","))
     }
+    val cons = constraintsAsOf(source, v).toSeq.sortBy(_._1)
+      .map { case (n, e) => Constraint(n, Some(e)) }
     commitAdds(target, adds, Seq.empty, "clone",
-      meta.map(_._1), meta.flatMap(_._2), None, dvs, pc)
+      meta.map(_._1), meta.flatMap(_._2), None, dvs, pc, cons)
   }
 
   /** True when any live file of the latest version is an external
@@ -1206,39 +1350,48 @@ object TxLog {
     */
   def merge(spark: SparkSession, table: File, source: DataFrame,
       keys: Seq[String]): Long = {
-    val v = versions(table).last
-    requireLocalized(table, v, "MERGE")
-    val st = liveState(table, v)
-    val snap = assemble(spark, table, v, st.live, st.dvs)
-    val srcKeys = source.select(keys.map(col): _*).distinct()
-    // the affected probe rides the scan's _gf_rel metadata column (the
-    // DV-safe twin of the old input_file_name stamp): a semi-join of the
-    // source keys narrows it, file-count-bounded driver read
-    val toPath = byBase(st.live)
-    val affectedRel =
-      assemble(spark, table, v, st.live, st.dvs, keepPos = true)
-        .join(srcKeys, keys, "left_semi")
-        .select(col("_gf_rel")).distinct()
-        .collect().map(r => toPath(r.getString(0))).toSeq.sorted
-    val affected =
-      if (affectedRel.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[
-          org.apache.spark.sql.Row], snap.schema)
-      else assemble(spark, table, v,
-        st.live.filter(a => affectedRel.contains(a.path)), st.dvs)
-    // matched keys live ONLY in affected files, so the match census needs
-    // no second snapshot scan
-    val keptTarget = affected.join(srcKeys, keys, "left_anti")
-    val affectedKeys = affected.select(keys.map(col): _*).distinct()
-    val updates = source.join(affectedKeys, keys, "left_semi")
-    val inserts = source.join(affectedKeys, keys, "left_anti")
-    val rewritten = keptTarget
-      .unionByName(updates.select(snap.columns.map(col): _*))
-      .unionByName(inserts.select(snap.columns.map(col): _*))
-    commitAdds(table,
-      writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
-        table, "merge", partitionColsOf(table)),
-      affectedRel, "merge")
+    // compare-and-commit like deleteWhere: a racing commit between the
+    // snapshot read and the publish re-derives the whole merge
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).last
+      requireLocalized(table, v, "MERGE")
+      // only the INCOMING side needs the gate: kept target rows passed
+      // it on their own way in
+      enforceConstraints(spark, table, source, "MERGE")
+      val st = liveState(table, v)
+      val snap = assemble(spark, table, v, st.live, st.dvs)
+      val srcKeys = source.select(keys.map(col): _*).distinct()
+      // the affected probe rides the scan's _gf_rel metadata column (the
+      // DV-safe twin of the old input_file_name stamp): a semi-join of
+      // the source keys narrows it, file-count-bounded driver read
+      val toPath = byBase(st.live)
+      val affectedRel =
+        assemble(spark, table, v, st.live, st.dvs, keepPos = true)
+          .join(srcKeys, keys, "left_semi")
+          .select(col("_gf_rel")).distinct()
+          .collect().map(r => toPath(r.getString(0))).toSeq.sorted
+      val affected =
+        if (affectedRel.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[
+            org.apache.spark.sql.Row], snap.schema)
+        else assemble(spark, table, v,
+          st.live.filter(a => affectedRel.contains(a.path)), st.dvs)
+      // matched keys live ONLY in affected files, so the match census
+      // needs no second snapshot scan
+      val keptTarget = affected.join(srcKeys, keys, "left_anti")
+      val affectedKeys = affected.select(keys.map(col): _*).distinct()
+      val updates = source.join(affectedKeys, keys, "left_semi")
+      val inserts = source.join(affectedKeys, keys, "left_anti")
+      val rewritten = keptTarget
+        .unionByName(updates.select(snap.columns.map(col): _*))
+        .unionByName(inserts.select(snap.columns.map(col): _*))
+      val files = writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
+        table, "merge", partitionColsOf(table))
+      committed = commitIfBase(table, v, files, affectedRel, "merge")
+      if (committed < 0) discardFileGroup(table, files)
+    }
+    committed
   }
 
   /** Row-level CHANGE DATA FEED between two versions, derived purely
@@ -1418,20 +1571,27 @@ object TxLog {
     * Pre-compaction versions still time-travel from the original files.
     */
   def compact(spark: SparkSession, table: File, targetFiles: Int): Long = {
-    val v = versions(table).last
-    val live = liveFiles(table, v)
-    val partCols = partitionColsOf(table)
-    // a partitioned table compacts WITHIN its layout: one shuffle keyed
-    // on the partition columns bins each partition's files, and the
-    // rewrite lands back under `_p_` dirs so pruning keeps working
-    val all =
-      if (partCols.isEmpty) snapshot(spark, table, Some(v))
-        .coalesce(targetFiles)
-      else snapshot(spark, table, Some(v))
-        .repartition(targetFiles, partCols.map(col): _*)
-    val files = writeFiles(toPhysical(all, mappingAsOf(table, v)),
-      table, "compact", partCols)
-    commitAdds(table, files, live.map(_.path), "compact")
+    // compare-and-commit: a delete/merge landing mid-compaction would
+    // otherwise be silently undone by the compacted re-add of its rows
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).last
+      val live = liveFiles(table, v)
+      val partCols = partitionColsOf(table)
+      // a partitioned table compacts WITHIN its layout: one shuffle keyed
+      // on the partition columns bins each partition's files, and the
+      // rewrite lands back under `_p_` dirs so pruning keeps working
+      val all =
+        if (partCols.isEmpty) snapshot(spark, table, Some(v))
+          .coalesce(targetFiles)
+        else snapshot(spark, table, Some(v))
+          .repartition(targetFiles, partCols.map(col): _*)
+      val files = writeFiles(toPhysical(all, mappingAsOf(table, v)),
+        table, "compact", partCols)
+      committed = commitIfBase(table, v, files, live.map(_.path), "compact")
+      if (committed < 0) discardFileGroup(table, files)
+    }
+    committed
   }
 
   /** Commits whose add/remove sets carry identical row bags — skipped
@@ -1559,6 +1719,7 @@ object TxLog {
   def exactlyOnceAppend(table: File, app: String, batchId: Long,
       df: DataFrame): Boolean = {
     if (lastTxnBatch(table, app).exists(_ >= batchId)) return false
+    enforceConstraints(df.sparkSession, table, df, "stream-append")
     val files = writeFiles(df, table, s"txn$batchId")
     logDir(table).mkdirs()
     val body = (files.map(renderAdd) :+

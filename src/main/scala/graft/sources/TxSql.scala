@@ -79,6 +79,13 @@ object TxSql {
   private val restoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+""" +
       """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val addConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
+      """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*""" +
+      """\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val dropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+""" +
+      """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val cloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+""" +
       """CLONE\s+([A-Za-z_][A-Za-z0-9_]*)""" +
@@ -113,6 +120,16 @@ object TxSql {
       // historical version's immutable files (Delta RESTORE)
       optSummary(spark, name,
         TxLog.restore(spark, tableOf(name), v.toLong), s"restore to $v")
+    case addConstraintRe(name, cname, check) =>
+      // ALTER TABLE t ADD CONSTRAINT c CHECK (expr): metadata commit
+      // after a one-pass proof the existing data satisfies it (S59)
+      optSummary(spark, name,
+        TxLog.alterAddConstraint(spark, tableOf(name), cname, check),
+        s"add constraint $cname check ($check)")
+    case dropConstraintRe(name, cname) =>
+      optSummary(spark, name,
+        TxLog.alterDropConstraint(tableOf(name), cname),
+        s"drop constraint $cname")
     case cloneRe(name, srcName, loc) =>
       // CREATE TABLE c SHALLOW CLONE s [LOCATION '<dir>']: zero-copy fork
       // (S57). Without LOCATION the clone lands as a sibling directory of

@@ -966,6 +966,98 @@ class TxLogSpec extends SparkSpec {
     assert(again == 0, "a vacuum re-run must find nothing")
   }
 
+  test("snapshot-rewrite writers are compare-and-commit: two racing " +
+      "deletes on the SAME file never duplicate its survivors") {
+    val t = freshTable("delrace")
+    TxLog.append(rows(10).coalesce(1), t)       // one file: ids 0-9
+    TxLog.append(rows(10, 100).coalesce(1), t)  // second file: 100-109
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val fs = Seq(0L, 1L).map { id =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          gate.await()
+          // both target the SAME file — the loser must re-derive from
+          // the winner's commit, not blind-publish its stale rewrite
+          // (which would re-add the winner's deleted row AND double the
+          // shared survivors)
+          TxLog.deleteWhere(spark, t, col("id") === id)
+        }
+      })
+    }
+    gate.countDown()
+    val versions = fs.map(_.get()).sorted
+    pool.shutdown()
+    assert(versions == Seq(2L, 3L), s"got $versions")
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 18, "a stale rewrite duplicated survivors")
+    assert(snap.select(col("id")).distinct().count() == 18)
+    assert(snap.filter(col("id") < 2).isEmpty)
+  }
+
+  test("CHECK constraints: declaration validates existing data, every " +
+      "incoming write path is gated, NULL satisfies, drop re-opens, " +
+      "clones inherit") {
+    import spark.implicits._
+    val t = freshTable("cons")
+    TxLog.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, null, 5L))
+      .toDF("id", "tag", "amt"), t)
+    // a constraint the CURRENT data violates must not land
+    assert(intercept[Exception] {
+      TxLog.alterAddConstraint(spark, t, "amt_big", "amt >= 10")
+    }.getMessage.contains("violate"))
+    assert(TxLog.versions(t).size == 1, "failed declaration committed")
+    // NULL predicate results SATISFY (SQL CHECK semantics): tag null row
+    // passes a constraint on tag's content
+    TxLog.alterAddConstraint(spark, t, "tag_short", "length(tag) <= 3")
+    TxLog.alterAddConstraint(spark, t, "amt_pos", "amt > 0")
+    // append gate: reject names the constraint and commits nothing
+    val e = intercept[Exception] {
+      TxLog.append(Seq((4L, "c", -1L)).toDF("id", "tag", "amt"), t)
+    }
+    assert(e.getMessage.contains("amt_pos"))
+    assert(TxLog.versions(t).size == 3)
+    // merge gate: violating source rejects, valid source lands
+    assert(intercept[Exception] {
+      TxLog.merge(spark, t, Seq((1L, "a", 0L)).toDF("id", "tag", "amt"),
+        Seq("id"))
+    }.getMessage.contains("amt_pos"))
+    TxLog.merge(spark, t, Seq((1L, "a", 99L)).toDF("id", "tag", "amt"),
+      Seq("id"))
+    assert(TxLog.snapshot(spark, t).filter(col("id") === 1)
+      .head().getLong(2) == 99L)
+    // streaming sink gate: the violating batch rejects BEFORE the txn
+    // marker, so a later valid retry of the same batch id still lands
+    assert(intercept[Exception] {
+      TxLog.exactlyOnceAppend(t, "app", 0L,
+        Seq((9L, "z", -5L)).toDF("id", "tag", "amt"))
+    }.getMessage.contains("amt_pos"))
+    assert(TxLog.exactlyOnceAppend(t, "app", 0L,
+      Seq((9L, "z", 5L)).toDF("id", "tag", "amt")))
+    // drop re-opens the gate
+    TxLog.alterDropConstraint(t, "amt_pos")
+    TxLog.append(Seq((10L, "y", -7L)).toDF("id", "tag", "amt"), t)
+    // ...but the other constraint still holds
+    assert(intercept[Exception] {
+      TxLog.append(Seq((11L, "toolong", 1L)).toDF("id", "tag", "amt"), t)
+    }.getMessage.contains("tag_short"))
+    // a shallow clone inherits the ACTIVE set (amt_pos dropped)
+    val c = freshTable("consclone")
+    TxLog.cloneShallow(spark, t, c)
+    assert(TxLog.constraintsAsOf(c, 0L).keySet == Set("tag_short"))
+    assert(intercept[Exception] {
+      TxLog.append(Seq((12L, "nope", 1L)).toDF("id", "tag", "amt"), c)
+    }.getMessage.contains("tag_short"))
+    // duplicate declaration and unknown drop reject
+    assert(intercept[Exception] {
+      TxLog.alterAddConstraint(spark, t, "tag_short", "1=1")
+    }.getMessage.contains("already exists"))
+    assert(intercept[Exception] {
+      TxLog.alterDropConstraint(t, "ghost")
+    }.getMessage.contains("no such constraint"))
+  }
+
   test("CREATE TABLE … SHALLOW CLONE statement forks zero-copy and " +
       "registers the clone for further statements") {
     import graft.sources.TxSql
