@@ -535,10 +535,15 @@ object TxLog {
         case _ => Seq.empty
       }
     walk(dir).sortBy(_.getName).map { f =>
+      // match on the GROUP-relative path, never the basename alone: a
+      // partitioned write puts the SAME part filename into every
+      // partition directory of a task, and a basename match would hand
+      // every such Add one arbitrary sibling's count and stats
+      val rel = dir.toPath.relativize(f.toPath).toString
       val (n, stats) = perFile.collectFirst {
-        case (u, v) if u.endsWith(f.getName) => v
+        case (u, v) if u.endsWith(s"/$rel") => v
       }.getOrElse((0L, Map.empty[String, (Long, Long)]))
-      Add(s"$sub/${dir.toPath.relativize(f.toPath)}", n, stats)
+      Add(s"$sub/$rel", n, stats)
     }
   }
 
@@ -654,18 +659,25 @@ object TxLog {
   }
 
   /** Hive-style partition values carried by a file path: every
-    * `_p_<col>=<value>` segment, URL-unescaped (Spark escapes special
-    * characters when writing partition directories). Clone-inherited
-    * `../` prefixes pass through unharmed — the parse keys on segment
-    * SHAPE, not position.
+    * `_p_<col>=<value>` segment. Clone-inherited `../` prefixes pass
+    * through unharmed — the parse keys on segment SHAPE, not position.
+    * Unescaping is Hive's `%XX` convention ONLY (what Spark's writer
+    * emits) — URLDecoder would additionally turn a literal `+` into a
+    * space and corrupt the value. A null value writes as Hive's default
+    * partition name and reads back as null.
     */
   private[graft] def partValsOf(path: String): Map[String, String] =
     path.split('/').toSeq.collect {
       case seg if seg.startsWith("_p_") && seg.contains('=') =>
         val Array(k, v) = seg.split("=", 2)
         k.stripPrefix("_p_") ->
-          java.net.URLDecoder.decode(v, "UTF-8")
+          (if (v == "__HIVE_DEFAULT_PARTITION__") null else unpct(v))
     }.toMap
+
+  private def unpct(s: String): String =
+    """%([0-9A-Fa-f]{2})""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
 
   /** DYNAMIC PARTITION OVERWRITE (Delta `replaceWhere` / Spark's
     * INSERT OVERWRITE … PARTITION semantics): atomically replace exactly
@@ -685,7 +697,9 @@ object TxLog {
     require(partCols.nonEmpty,
       s"TxLog OVERWRITE PARTITIONS: $table is not partitioned")
     enforceConstraints(spark, table, df, "OVERWRITE PARTITIONS")
-    // partition-count-bounded driver read: the distinct combos in df
+    // partition-count-bounded driver read: the distinct combos in df.
+    // A null partition value matches partValsOf's null (the Hive default
+    // partition) — a null-keyed reload must still drop the old files.
     val combos = df.select(partCols.map(c => col(c).cast("string")): _*)
       .distinct().collect()
       .map(r => partCols.indices.map(i => partCols(i) -> r.getString(i))
@@ -697,7 +711,8 @@ object TxLog {
       val st = liveState(table, v)
       val removed = st.live.filter { a =>
         val pv = partValsOf(a.path)
-        combos.exists(c => c.forall { case (k, vv) => pv.get(k).contains(vv) })
+        combos.exists(c => c.forall { case (k, vv) =>
+          pv.get(k).exists(got => got == vv) })
       }.map(_.path)
       val files = writeFiles(toPhysical(df, mappingAsOf(table, v)),
         table, "overwrite", partCols)
@@ -717,8 +732,16 @@ object TxLog {
       keep: Map[String, String] => Boolean)
       : (DataFrame, Int, Int) = {
     val v = versions(table).last
+    val partCols = partitionColsOf(table)
     val st = liveState(table, v)
-    val kept = st.live.filter(a => keep(partValsOf(a.path)))
+    // conservative on any file that does not carry the full layout
+    // (none should exist — every write path preserves it — but a prune
+    // must never silently DROP rows, same discipline as stats skipping
+    // on stat-less columns): such a file is always kept
+    val kept = st.live.filter { a =>
+      val pv = partValsOf(a.path)
+      partCols.exists(c => !pv.contains(c)) || keep(pv)
+    }
     val frame =
       if (kept.isEmpty) {
         val empty = spark.createDataFrame(
@@ -1720,7 +1743,11 @@ object TxLog {
       df: DataFrame): Boolean = {
     if (lastTxnBatch(table, app).exists(_ >= batchId)) return false
     enforceConstraints(df.sparkSession, table, df, "stream-append")
-    val files = writeFiles(df, table, s"txn$batchId")
+    // the streaming sink preserves a declared partition layout too — a
+    // layoutless batch would dodge partition pruning and, worse, dodge
+    // a later overwritePartitions of its partition
+    val files = writeFiles(df, table, s"txn$batchId",
+      partitionColsOf(table))
     logDir(table).mkdirs()
     val body = (files.map(renderAdd) :+
       s"""{"txn": {"app": ${q(app)}, "batch": $batchId}}""" :+

@@ -886,6 +886,17 @@ class TxLogSpec extends SparkSpec {
     val live0 = TxLog.liveState(t, 0L).live
     assert(live0.size == 4)
     assert(live0.forall(_.path.contains("_p_yr=")))
+    // per-file bookkeeping binds to the RIGHT file despite every
+    // partition dir holding the same part filename: each year has
+    // exactly 10 rows, and id stats must span that year's ids only
+    assert(live0.forall(_.rows == 10), live0.map(a => a.path -> a.rows))
+    live0.foreach { a =>
+      val yr = a.path.split('/').collectFirst {
+        case s if s.startsWith("_p_yr=") => s.stripPrefix("_p_yr=").toLong
+      }.get
+      val (lo, hi) = a.stats("id")
+      assert(lo == yr && hi == 36 + yr, s"${a.path}: stats ($lo,$hi)")
+    }
     assert(TxLog.snapshot(spark, t).columns.toSeq ==
       Seq("id", "yr", "pri"))
     assert(TxLog.snapshot(spark, t).count() == 40)
