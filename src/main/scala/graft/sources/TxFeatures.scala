@@ -623,6 +623,63 @@ object TxFeatures {
       |GROUP BY yr
       |ORDER BY yr""".stripMargin
 
+  // ---- S60: CDC apply into the table format --------------------------------
+
+  private val cdcaDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** CDC-apply demo: the events changelog splits at its exact median
+    * timestamp; the first half's LWW state SEEDS a TxLog table (v0, the
+    * initial snapshot load), the second half collapses to a per-user
+    * changes batch (`_op` = delete when the user's final event is an
+    * error) and lands through ONE atomic [[TxLog.applyChanges]] commit
+    * (v1). Because the split is strict on time, every second-half event
+    * supersedes the seeded state — so incremental apply ≡ the full LWW
+    * recompute, and the oracle is literally `cdc_apply`'s SQL.
+    */
+  private[graft] def cdcApplyDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      cdcaDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "cdca")
+        val e = graft.Tables.events(spark, dir)
+        val pivot = e.agg(
+          expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0)
+        def lwwOf(half: DataFrame): DataFrame = {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          half.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("user_id"),
+              graft.functions.Det.fmtTs(col("ts")).as("last_ts"),
+              col("event_id").as("last_event_id"),
+              col("value").as("last_value"),
+              when(col("event_type") === "error", "delete")
+                .otherwise("upsert").as("_op"))
+        }
+        if (TxLog.versions(t).isEmpty)
+          TxLog.append(
+            lwwOf(e.filter(expr(s"unix_micros(ts) <= $pivot")))
+              .filter(col("_op") === "upsert").drop("_op"), t)
+        if (TxLog.versions(t).size < 2)
+          TxLog.applyChanges(spark, t,
+            lwwOf(e.filter(expr(s"unix_micros(ts) > $pivot"))),
+            Seq("user_id"))
+        t
+      })
+    }
+
+  /** txlog_cdc_apply (S60) — incremental transactional CDC apply ≡ full
+    * recompute: the post-apply snapshot hash-matches `cdc_apply`'s own
+    * oracle (the whole-changelog LWW collapse), proving the seeded
+    * state + one atomic upsert/delete batch commit lose nothing.
+    */
+  def txlogCdcApply(spark: SparkSession, dir: String): DataFrame =
+    TxLog.snapshot(spark, cdcApplyDemo(spark, dir))
+      .select(col("user_id"), col("last_ts"), col("last_event_id"),
+        col("last_value"))
+      .orderBy(col("user_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
@@ -632,7 +689,8 @@ object TxFeatures {
     "txlog_restore" -> (txlogRestore _),
     "txlog_clone" -> (txlogClone _),
     "txlog_partitioned" -> (txlogPartitioned _),
-    "txlog_constraints" -> (txlogConstraints _))
+    "txlog_constraints" -> (txlogConstraints _),
+    "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
     "txlog_column_mapping" -> txlogColumnMappingSql,
@@ -644,5 +702,6 @@ object TxFeatures {
     "txlog_restore" -> txlogRestoreSql,
     "txlog_clone" -> txlogCloneSql,
     "txlog_partitioned" -> txlogPartitionedSql,
-    "txlog_constraints" -> txlogConstraintsSql)
+    "txlog_constraints" -> txlogConstraintsSql,
+    "txlog_cdc_apply" -> graft.operators.Cdc.cdcApplySql)
 }

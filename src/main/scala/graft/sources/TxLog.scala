@@ -418,12 +418,15 @@ object TxLog {
       op: String, metaDdl: Option[String],
       mapping: Option[String] = None, ts: Option[Long] = None,
       dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None,
-      constraints: Seq[Constraint] = Seq.empty): String =
+      constraints: Seq[Constraint] = Seq.empty,
+      txn: Option[(String, Long)] = None): String =
     (adds.map(renderAdd) ++
       removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") ++
       dvs.map(renderDv) ++
       partCols.map(c => s"""{"partition": {"cols": ${q(c)}}}""") ++
       constraints.map(renderConstraint) ++
+      txn.map { case (a, b) =>
+        s"""{"txn": {"app": ${q(a)}, "batch": $b}}""" } ++
       metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}""" +
         mapping.map(m => s""", "mapping": ${q(m)}""").getOrElse("") +
         "}}") :+
@@ -444,12 +447,13 @@ object TxLog {
       op: String, metaDdl: Option[String] = None,
       mapping: Option[String] = None, ts: Option[Long] = None,
       dvs: Seq[Dv] = Seq.empty,
-      constraints: Seq[Constraint] = Seq.empty): Long = {
+      constraints: Seq[Constraint] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
     logDir(table).mkdirs()
     val v = base + 1
     if (publishSlot(versionFile(table, v),
         commitBody(adds, removes, op, metaDdl, mapping, ts, dvs,
-          constraints = constraints))) {
+          constraints = constraints, txn = txn))) {
       maybeCheckpoint(table, v); v
     } else -1L
   }
@@ -1416,6 +1420,85 @@ object TxLog {
     }
     committed
   }
+
+  /** CDC APPLY (S60): land one collapsed changelog batch — ≤1 row per
+    * key, an `_op` column of `upsert` | `delete`, the table's columns
+    * otherwise — as ONE atomic file-pruned commit. Upserts REPLACE the
+    * target rows sharing their keys (or insert when unmatched), deletes
+    * drop them (a delete for an absent key no-ops), and only live files
+    * CONTAINING a batch key are rewritten — the merge/deleteWhere
+    * machinery fused into the shape a MongoDB-oplog → warehouse
+    * replicator actually ships: per-batch cost is |affected files| +
+    * |batch|, never |table|.
+    *
+    * `txnApp`/`txnBatch` stamp the commit with the exactly-once txn
+    * marker ([[lastTxnBatch]]): a replayed batch id is detected in the
+    * log and skipped (returns -1) — the streaming foreachBatch contract.
+    * Compare-and-commit like every snapshot-derived writer.
+    */
+  def applyChanges(spark: SparkSession, table: File, changes: DataFrame,
+      keys: Seq[String], txnApp: Option[String] = None,
+      txnBatch: Long = -1L): Long = {
+    require(changes.columns.contains("_op"),
+      "TxLog CDC APPLY: changes must carry an _op column (upsert|delete)")
+    var committed = -1L
+    while (committed < 0) {
+      if (txnApp.exists(a => lastTxnBatch(table, a).exists(_ >= txnBatch)))
+        return -1L
+      val v = versions(table).last
+      requireLocalized(table, v, "CDC APPLY")
+      val upserts = changes.filter(col("_op") === "upsert").drop("_op")
+      // the constraint gate sees only the rows that will LAND
+      enforceConstraints(spark, table, upserts, "CDC APPLY")
+      val st = liveState(table, v)
+      val snap = assemble(spark, table, v, st.live, st.dvs)
+      val srcKeys = changes.select(keys.map(col): _*).distinct()
+      val toPath = byBase(st.live)
+      val affectedRel =
+        assemble(spark, table, v, st.live, st.dvs, keepPos = true)
+          .join(srcKeys, keys, "left_semi")
+          .select(col("_gf_rel")).distinct()
+          .collect().map(r => toPath(r.getString(0))).toSeq.sorted
+      val affected =
+        if (affectedRel.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[
+            org.apache.spark.sql.Row], snap.schema)
+        else assemble(spark, table, v,
+          st.live.filter(a => affectedRel.contains(a.path)), st.dvs)
+      // survivors of the affected files + every upsert; deletes simply
+      // never re-enter — one rewrite covers replace, insert, AND delete
+      val rewritten = affected.join(srcKeys, keys, "left_anti")
+        .unionByName(upserts.select(snap.columns.map(col): _*))
+      val files = writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
+        table, "cdc", partitionColsOf(table))
+      committed = commitIfBase(table, v, files, affectedRel, "cdc-apply",
+        txn = txnApp.map(a => (a, txnBatch)))
+      if (committed < 0) discardFileGroup(table, files)
+    }
+    committed
+  }
+
+  /** Streaming CDC APPLY: every micro-batch of the events changelog
+    * collapses to its per-key final state and lands through
+    * [[applyChanges]] with the exactly-once txn marker — the end-to-end
+    * MongoDB-change-stream → transactional-warehouse sink. In-order-
+    * per-key transport (the CDC resume-token contract) makes any prefix
+    * split converge to the batch apply.
+    */
+  def cdcApplyStreamQuery(changes: DataFrame, table: File,
+      keys: Seq[String], app: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          applyChanges(batch.sparkSession, table, batch.toDF(), keys,
+            Some(app), id)
+          ()
+      }
+      .start()
 
   /** Row-level CHANGE DATA FEED between two versions, derived purely
     * from the log's add/remove file sets (the Delta CDF shape, computed

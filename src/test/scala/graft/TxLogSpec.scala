@@ -228,6 +228,64 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).count() == 7)
   }
 
+  test("CDC apply: one atomic upsert/delete commit, file-pruned, " +
+      "unmatched deletes no-op, exactly-once under streaming replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val t = freshTable("cdcapply")
+    TxLog.append(rows(5).coalesce(1), t)        // ids 0-4
+    TxLog.append(rows(5, 100).coalesce(1), t)   // ids 100-104
+    val batch = Seq(
+      (1L, "UPDATED", "upsert"),   // replace in file A
+      (2L, null, "delete"),        // drop from file A
+      (999L, "NEW", "upsert"),     // unmatched upsert = insert
+      (888L, null, "delete"))      // unmatched delete = no-op
+      .toDF("id", "payload", "_op")
+    val v = TxLog.applyChanges(spark, t, batch, Seq("id"))
+    assert(v == 2L)
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 10) // 10 - 1 delete + 1 insert
+    assert(snap.filter(col("id") === 1).head().getString(1) == "UPDATED")
+    assert(snap.filter(col("id") === 2).isEmpty)
+    assert(snap.filter(col("id") === 999).count() == 1)
+    // file-pruned: file B (ids 100-104, no batch keys) survived by
+    // reference — its path is live in BOTH versions
+    val liveBefore = TxLog.liveState(t, 1L).live.map(_.path).toSet
+    val liveAfter = TxLog.liveState(t, 2L).live.map(_.path).toSet
+    assert(liveBefore.intersect(liveAfter).nonEmpty,
+      "untouched file was rewritten")
+    // one ATOMIC commit: the apply is a single version with adds+removes
+    val c = TxLog.readCommit(t, 2L)
+    assert(c.op == "cdc-apply" && c.adds.nonEmpty && c.removes.nonEmpty)
+    // streaming form: exactly-once via the txn marker
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_txspec_cdcackpt").toFile.getAbsolutePath
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = TxLog.cdcApplyStreamQuery(
+      input.toDF().toDF("id", "payload", "_op"), t, Seq("id"),
+      app = "cdcspec", checkpointDir = ckpt)
+    try {
+      input.addData((3L, "S1", "upsert"), (100L, null, "delete"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(TxLog.snapshot(spark, t).count() == 9)
+    assert(TxLog.snapshot(spark, t).filter(col("id") === 3)
+      .head().getString(1) == "S1")
+    val vBefore = TxLog.versions(t).last
+    // a replayed batch id refuses atomically (returns -1, no version)
+    assert(TxLog.applyChanges(spark, t,
+      Seq((3L, "S1", "upsert")).toDF("id", "payload", "_op"), Seq("id"),
+      Some("cdcspec"), 0L) == -1L)
+    assert(TxLog.versions(t).last == vBefore, "replay minted a version")
+    // the change feed derives the apply's EXACT row-level delta (the
+    // bag difference nets out rewritten-but-unchanged survivors): the
+    // update surfaces as its delete+insert pair, the delete and the
+    // insert as themselves
+    val feed = TxLog.changeFeed(spark, t, 1L, 2L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 2)
+    assert(feed.filter(col("_change_type") === "delete").count() == 2)
+  }
+
   test("demo-table history replays to the registered query's state") {
     // the registered queries' table: 3 appends + file-pruned delete +
     // compact; the delete commit must have left the pre-1997 append
