@@ -174,13 +174,17 @@ object TxLog {
   }
 
   /** Inverse of [[q]]'s escaping for constraint expression round-trips:
-    * every backslash-escaped character unescapes in one left-to-right
-    * pass (sequential replaces would mis-handle a literal backslash
-    * followed by a quote).
+    * one left-to-right pass handling BOTH escape forms q emits —
+    * `\uXXXX` control characters (a newline in a multi-line CHECK
+    * expression) and `\"`/`\\` (sequential replaces would mis-handle a
+    * literal backslash followed by a quote, and a bare backslash-dot
+    * rule would decode an escaped newline to the literal text "u000a").
     */
   private def unq(s: String): String =
-    """\\(.)""".r.replaceAllIn(s,
-      m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
+    """\\u([0-9a-fA-F]{4})|\\(.)""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (m.group(1) != null) Integer.parseInt(m.group(1), 16).toChar.toString
+        else m.group(2)))
 
   /** The table's declared schema AS OF `v` (DDL string): the newest
     * metaData action at or below `v`, or None when the table has never
@@ -448,12 +452,13 @@ object TxLog {
       mapping: Option[String] = None, ts: Option[Long] = None,
       dvs: Seq[Dv] = Seq.empty,
       constraints: Seq[Constraint] = Seq.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      partCols: Option[String] = None): Long = {
     logDir(table).mkdirs()
     val v = base + 1
     if (publishSlot(versionFile(table, v),
         commitBody(adds, removes, op, metaDdl, mapping, ts, dvs,
-          constraints = constraints, txn = txn))) {
+          partCols = partCols, constraints = constraints, txn = txn))) {
       maybeCheckpoint(table, v); v
     } else -1L
   }
@@ -538,13 +543,21 @@ object TxLog {
         case f if f.getName.endsWith(".parquet") => Seq(f)
         case _ => Seq.empty
       }
+    // input_file_name() yields URI strings (space → %20, a Hive-escaped
+    // value's % → %25) — decode to raw filesystem paths before matching
+    // against the walked names
+    val perFileRaw = perFile.map { case (u, v) =>
+      (try new java.net.URI(u).getPath catch {
+        case _: java.net.URISyntaxException => u
+      }) -> v
+    }
     walk(dir).sortBy(_.getName).map { f =>
       // match on the GROUP-relative path, never the basename alone: a
       // partitioned write puts the SAME part filename into every
       // partition directory of a task, and a basename match would hand
       // every such Add one arbitrary sibling's count and stats
       val rel = dir.toPath.relativize(f.toPath).toString
-      val (n, stats) = perFile.collectFirst {
+      val (n, stats) = perFileRaw.collectFirst {
         case (u, v) if u.endsWith(s"/$rel") => v
       }.getOrElse((0L, Map.empty[String, (Long, Long)]))
       Add(s"$sub/$rel", n, stats)
@@ -590,22 +603,34 @@ object TxLog {
     * read. Missing declared columns stay legal (readers null-fill).
     */
   def append(df: DataFrame, table: File, ts: Option[Long] = None): Long = {
-    val base = versions(table).lastOption
-    base.flatMap(schemaDdlAsOf(table, _)).foreach {
-      ddl =>
-        val declared = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-          .fieldNames.toSet
-        val unknown = df.schema.fieldNames.filterNot(declared)
-        require(unknown.isEmpty,
-          s"TxLog append: column(s) not in the table's declared schema: " +
-            s"${unknown.mkString(", ")} — ALTER TABLE ADD COLUMNS first")
+    // compare-and-commit, NOT blind retry: the written files depend on
+    // the base version's metadata — a concurrent RENAME would leave the
+    // blind-retried group under stale physical names, and a concurrent
+    // ADD CONSTRAINT would land violating rows AFTER the constraint
+    // commit (log and gate disagreeing about what the table guarantees).
+    // A lost slot re-derives schema check, gate, mapping, and files.
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption
+      base.flatMap(schemaDdlAsOf(table, _)).foreach {
+        ddl =>
+          val declared = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+            .fieldNames.toSet
+          val unknown = df.schema.fieldNames.filterNot(declared)
+          require(unknown.isEmpty,
+            s"TxLog append: column(s) not in the table's declared schema: " +
+              s"${unknown.mkString(", ")} — ALTER TABLE ADD COLUMNS first")
+      }
+      enforceConstraints(spark = df.sparkSession, table, df, "append")
+      // mapped tables store PHYSICAL names; the caller writes logical
+      val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
+      val files = writeFiles(toPhysical(df, mapping), table, "append",
+        partitionColsOf(table))
+      committed = commitIfBase(table, base.getOrElse(-1L), files,
+        Seq.empty, "append", ts = ts)
+      if (committed < 0) discardFileGroup(table, files)
     }
-    enforceConstraints(spark = df.sparkSession, table, df, "append")
-    // mapped tables store PHYSICAL names; the caller always writes logical
-    val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
-    val files = writeFiles(toPhysical(df, mapping), table, "append",
-      partitionColsOf(table))
-    commitAdds(table, files, Seq.empty, "append", ts = ts)
+    committed
   }
 
   // ---- partitioned tables (S58) -------------------------------------------
@@ -658,8 +683,18 @@ object TxLog {
       s"TxLog PARTITIONED BY: column(s) not in the data: " +
         missing.mkString(", "))
     val files = writeFiles(df, table, "append", partCols)
-    commitAdds(table, files, Seq.empty, "create-partitioned", ts = ts,
+    // slot 0 only: losing the create race to another creator must NOT
+    // blind-retry into v1 (which would stack a second, ignored
+    // partition declaration onto someone else's table)
+    val v = commitIfBase(table, -1L, files, Seq.empty,
+      "create-partitioned", ts = ts,
       partCols = Some(partCols.mkString(",")))
+    if (v < 0) {
+      discardFileGroup(table, files)
+      sys.error(s"TxLog PARTITIONED BY: $table already has a log — " +
+        "a concurrent creator won the slot")
+    }
+    v
   }
 
   /** Hive-style partition values carried by a file path: every
@@ -711,8 +746,8 @@ object TxLog {
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).last
-      requireLocalized(table, v, "OVERWRITE PARTITIONS")
       val st = liveState(table, v)
+      requireLocalized(st, "OVERWRITE PARTITIONS")
       val removed = st.live.filter { a =>
         val pv = partValsOf(a.path)
         combos.exists(c => c.forall { case (k, vv) =>
@@ -737,6 +772,9 @@ object TxLog {
       : (DataFrame, Int, Int) = {
     val v = versions(table).last
     val partCols = partitionColsOf(table)
+    require(partCols.nonEmpty,
+      s"TxLog PARTITION PRUNE: $table is not partitioned — on an " +
+        "undeclared layout every file would conservatively match nothing")
     val st = liveState(table, v)
     // conservative on any file that does not carry the full layout
     // (none should exist — every write path preserves it — but a prune
@@ -770,13 +808,28 @@ object TxLog {
       : Map[String, String] = {
     if (v < 0) return Map.empty
     val key = table.getCanonicalPath
-    constraintMemo.getOrElseUpdate((key, v), {
-      val base = constraintsAsOf(table, v - 1)
-      readCommit(table, v).constraints.foldLeft(base) {
-        case (acc, Constraint(n, Some(e))) => acc + (n -> e)
-        case (acc, Constraint(n, None)) => acc - n
-      }
-    })
+    constraintMemo.get((key, v)) match {
+      case Some(m) => m
+      case None =>
+        // ITERATIVE fold up from the highest memoized version — a
+        // recursive fill would recurse one frame per commit and blow
+        // the stack on the long logs the checkpoint machinery exists for
+        var base = v - 1
+        while (base >= 0 && !constraintMemo.contains((key, base))) base -= 1
+        var acc =
+          if (base < 0) Map.empty[String, String]
+          else constraintMemo((key, base))
+        var i = base + 1
+        while (i <= v) {
+          acc = readCommit(table, i).constraints.foldLeft(acc) {
+            case (a, Constraint(n, Some(e))) => a + (n -> e)
+            case (a, Constraint(n, None)) => a - n
+          }
+          constraintMemo.put((key, i), acc)
+          i += 1
+        }
+        acc
+    }
   }
 
   /** ALTER TABLE … ADD CONSTRAINT name CHECK (exprText): one metadata
@@ -878,11 +931,23 @@ object TxLog {
     if (i < 0) path else path.substring(i + 1)
   }
 
-  /** key → table-relative `Add.path` over a live set — the writer-side
-    * inverse of [[fileKeyExpr]]. Total and injective on any live set.
+  /** The SCAN-side key of a live file: [[fileKeyOf]] over the file's
+    * URI-ENCODED path, because `_metadata.file_path` is a URI string —
+    * a partition value with a space (or a Hive-escaped char, whose `%`
+    * re-encodes as `%25`) differs between the raw filesystem name the
+    * log records and the encoded form the scan reports. For plain paths
+    * the two coincide, which is also why historical DV sidecar `f`
+    * values keep binding.
     */
-  private def byBase(live: Seq[Add]): Map[String, String] =
-    live.map(a => fileKeyOf(a.path) -> a.path).toMap
+  private def scanKeyOf(table: File, a: Add): String =
+    fileKeyOf(new File(table, a.path).toURI.getRawPath)
+
+  /** scan key → table-relative `Add.path` over a live set — the writer-
+    * side inverse of [[fileKeyExpr]]. Total and injective on any live
+    * set.
+    */
+  private def byBase(table: File, live: Seq[Add]): Map[String, String] =
+    live.map(a => scanKeyOf(table, a) -> a.path).toMap
 
   /** [[readAs]] plus POSITION columns: `_gf_rel` (the file-identity key,
     * see [[fileKeyExpr]]) and `_gi` (row index within the file) off the
@@ -1016,6 +1081,20 @@ object TxLog {
     * commit serves the old name; writes after it are schema-enforced
     * under the new one.
     */
+  /** Active constraints whose expression references `colName` as a
+    * word — the dependency guard for RENAME/DROP. A word-boundary text
+    * match is conservative (a column name inside a string literal
+    * false-positives), which errs on the safe side: the alternative is
+    * a table whose every write throws unresolved-column forever.
+    */
+  private def constraintsReferencing(table: File, colName: String)
+      : Seq[String] =
+    versions(table).lastOption.map(constraintsAsOf(table, _))
+      .getOrElse(Map.empty)
+      .collect { case (n, e)
+        if ("""\b""" + java.util.regex.Pattern.quote(colName) +
+          """\b""").r.findFirstIn(e).isDefined => n }.toSeq.sorted
+
   def alterRenameColumn(spark: SparkSession, table: File,
       from: String, to: String): Long = {
     // partition columns are un-renameable: their NAME is baked into
@@ -1023,6 +1102,12 @@ object TxLog {
     require(!partitionColsOf(table).contains(from),
       s"TxLog RENAME: $from is a partition column — the layout is " +
         "declared at creation and immutable (rewrite into a new table)")
+    // a CHECK constraint referencing the old name would make every
+    // later write throw unresolved-column — the Delta restriction
+    val refs = constraintsReferencing(table, from)
+    require(refs.isEmpty,
+      s"TxLog RENAME: $from is referenced by CONSTRAINT " +
+        s"${refs.mkString(", ")} — DROP the constraint first")
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.getOrElse(
@@ -1062,6 +1147,10 @@ object TxLog {
     require(!partitionColsOf(table).contains(name),
       s"TxLog DROP: $name is a partition column — the layout is " +
         "declared at creation and immutable (rewrite into a new table)")
+    val refs = constraintsReferencing(table, name)
+    require(refs.isEmpty,
+      s"TxLog DROP: $name is referenced by CONSTRAINT " +
+        s"${refs.mkString(", ")} — DROP the constraint first")
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.getOrElse(
@@ -1125,7 +1214,10 @@ object TxLog {
       : (DataFrame, Int, Int) = {
     val v = version.orElse(versions(table).lastOption).getOrElse(
       sys.error(s"TxLog: no commits in $table"))
-    val files = liveFiles(table, v)
+    // ONE log resolve serves the live set, the DV attachments, and (via
+    // liveFiles' shared path) the prune — not one per consumer
+    val st = liveState(table, v)
+    val files = st.live
     val phys = mappingAsOf(table, v).getOrElse(column, column)
     val kept = files.filter(a => a.stats.get(phys) match {
       case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -1139,7 +1231,7 @@ object TxLog {
         }
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else assemble(spark, table, v, kept, liveState(table, v).dvs)
+      } else assemble(spark, table, v, kept, st.dvs)
     (frame, kept.size, files.size)
   }
 
@@ -1153,7 +1245,7 @@ object TxLog {
     */
   private def affectedFiles(spark: SparkSession, table: File, v: Long,
       st: LiveState, pred: org.apache.spark.sql.Column): Seq[String] = {
-    val toPath = byBase(st.live)
+    val toPath = byBase(table, st.live)
     assemble(spark, table, v, st.live, st.dvs, keepPos = true)
       .filter(pred)
       .select(col("_gf_rel")).distinct()
@@ -1178,8 +1270,8 @@ object TxLog {
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).last
-      requireLocalized(table, v, "DELETE")
       val st = liveState(table, v)
+      requireLocalized(st, "DELETE")
       val affectedRel = affectedFiles(spark, table, v, st, pred)
       if (affectedRel.isEmpty) return -1L
       // the affected files re-read under the declared schema with their
@@ -1225,8 +1317,8 @@ object TxLog {
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).last
-      requireLocalized(table, v, "DV DELETE")
       val st = liveState(table, v)
+      requireLocalized(st, "DV DELETE")
       val matches =
         assemble(spark, table, v, st.live, st.dvs, keepPos = true)
           .filter(pred)
@@ -1240,7 +1332,7 @@ object TxLog {
         .parquet(new File(table, sub).getAbsolutePath)
       // sidecar `f` stays the basename join key; the ATTACHMENT names the
       // table-relative Add.path so log bookkeeping stays path-addressed
-      val toPath = byBase(st.live)
+      val toPath = byBase(table, st.live)
       val dvs = perFile.map { case (f, n) => Dv(toPath(f), sub, n) }
       committed = commitIfBase(table, v, Seq.empty, Seq.empty,
         "dv-delete", None, None, None, dvs.toSeq)
@@ -1296,13 +1388,13 @@ object TxLog {
       meta.map(_._1), meta.flatMap(_._2), None, dvs, pc, cons)
   }
 
-  /** True when any live file of the latest version is an external
-    * (clone-inherited) reference. */
-  private def hasExternalRefs(table: File, v: Long): Boolean =
-    liveState(table, v).live.exists(_.path.startsWith(".."))
-
-  private def requireLocalized(table: File, v: Long, op: String): Unit =
-    require(!hasExternalRefs(table, v),
+  /** Reject file-identity DML while any live file is an external
+    * (clone-inherited `../`) reference. Takes the caller's already-
+    * resolved [[LiveState]] — a (table, v) form would pay a second full
+    * log resolve per writer call and per retry iteration.
+    */
+  private def requireLocalized(st: LiveState, op: String): Unit =
+    require(!st.live.exists(_.path.startsWith("..")),
       s"TxLog $op: the table still references cloned (external) files — " +
         "run compact to localize the shallow clone first")
 
@@ -1382,17 +1474,17 @@ object TxLog {
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).last
-      requireLocalized(table, v, "MERGE")
+      val st = liveState(table, v)
+      requireLocalized(st, "MERGE")
       // only the INCOMING side needs the gate: kept target rows passed
       // it on their own way in
       enforceConstraints(spark, table, source, "MERGE")
-      val st = liveState(table, v)
       val snap = assemble(spark, table, v, st.live, st.dvs)
       val srcKeys = source.select(keys.map(col): _*).distinct()
       // the affected probe rides the scan's _gf_rel metadata column (the
       // DV-safe twin of the old input_file_name stamp): a semi-join of
       // the source keys narrows it, file-count-bounded driver read
-      val toPath = byBase(st.live)
+      val toPath = byBase(table, st.live)
       val affectedRel =
         assemble(spark, table, v, st.live, st.dvs, keepPos = true)
           .join(srcKeys, keys, "left_semi")
@@ -1446,14 +1538,14 @@ object TxLog {
       if (txnApp.exists(a => lastTxnBatch(table, a).exists(_ >= txnBatch)))
         return -1L
       val v = versions(table).last
-      requireLocalized(table, v, "CDC APPLY")
+      val st = liveState(table, v)
+      requireLocalized(st, "CDC APPLY")
       val upserts = changes.filter(col("_op") === "upsert").drop("_op")
       // the constraint gate sees only the rows that will LAND
       enforceConstraints(spark, table, upserts, "CDC APPLY")
-      val st = liveState(table, v)
       val snap = assemble(spark, table, v, st.live, st.dvs)
       val srcKeys = changes.select(keys.map(col): _*).distinct()
-      val toPath = byBase(st.live)
+      val toPath = byBase(table, st.live)
       val affectedRel =
         assemble(spark, table, v, st.live, st.dvs, keepPos = true)
           .join(srcKeys, keys, "left_semi")
@@ -1754,6 +1846,9 @@ object TxLog {
         table, "zorder", partitionColsOf(table))
       committed = commitIfBase(table, v, files,
         liveFiles(table, v).map(_.path), "zorder")
+      // a lost race orphans a FULL table copy no committed add ever
+      // references — vacuum can't reclaim it, so delete it here
+      if (committed < 0) discardFileGroup(table, files)
     }
     committed
   }
@@ -1845,8 +1940,16 @@ object TxLog {
         maybeCheckpoint(table, v)
       } else {
         // another commit landed first — re-check the txn ledger before
-        // retrying (the racer might have been OUR replayed batch)
+        // retrying (the racer might have been OUR replayed batch), and
+        // re-run the constraint gate (the racer might have been an ADD
+        // CONSTRAINT this batch violates — landing after it would put
+        // the log and the guarantee in disagreement)
         if (lastTxnBatch(table, app).exists(_ >= batchId)) done = true
+        else try enforceConstraints(df.sparkSession, table, df,
+          "stream-append")
+        catch { case e: Throwable =>
+          discardFileGroup(table, files); throw e
+        }
       }
     }
     // abandoning the commit (lost to our own replayed batch): the parquet

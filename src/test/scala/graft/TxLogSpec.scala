@@ -1125,6 +1125,47 @@ class TxLogSpec extends SparkSpec {
     assert(intercept[Exception] {
       TxLog.alterDropConstraint(t, "ghost")
     }.getMessage.contains("no such constraint"))
+    // renaming or dropping a constraint-referenced column rejects — it
+    // would leave every later write throwing unresolved-column
+    assert(intercept[Exception] {
+      TxLog.alterRenameColumn(spark, t, "tag", "label")
+    }.getMessage.contains("tag_short"))
+    assert(intercept[Exception] {
+      TxLog.alterDropColumn(spark, t, "tag")
+    }.getMessage.contains("tag_short"))
+    // a multi-line CHECK expression round-trips the log's escaping
+    TxLog.alterAddConstraint(spark, t, "multi", "amt > -100\nAND id >= 0")
+    assert(intercept[Exception] {
+      TxLog.append(Seq((13L, "ok", -200L)).toDF("id", "tag", "amt"), t)
+    }.getMessage.contains("multi"))
+  }
+
+  test("partition values with URI-special characters keep per-file " +
+      "bookkeeping and DV tombstones binding") {
+    import spark.implicits._
+    val t = freshTable("partesc")
+    // a space (URI %20) and a colon (Hive-escaped on disk as %3A,
+    // re-encoded by the scan as %253A) in the same value
+    val df = Seq((1L, "a b:c", "x"), (2L, "a b:c", "y"), (3L, "plain", "z"))
+      .toDF("id", "seg", "payload")
+    TxLog.createPartitioned(df.repartition(1), t, Seq("seg"))
+    val live = TxLog.liveState(t, 0L).live
+    assert(live.size == 2)
+    // per-file bookkeeping bound to the right files despite encoding
+    assert(live.map(_.rows).sorted == Seq(1L, 2L), live)
+    assert(TxLog.snapshot(spark, t).count() == 3)
+    // the DV join key survives the encode/decode round trip
+    TxLog.deleteWhereDV(spark, t, col("id") === 1)
+    assert(TxLog.snapshot(spark, t).count() == 2)
+    assert(TxLog.snapshot(spark, t).filter(col("id") === 2).count() == 1,
+      "tombstone leaked onto a sibling row")
+    // partition pruning parses the escaped value back to the original
+    val (pr, kept, _) = TxLog.snapshotPartitionPruned(spark, t,
+      pv => pv.get("seg").contains("a b:c"))
+    assert(kept == 1 && pr.count() == 1)
+    // copy-on-write delete (file-identity probe) works too
+    assert(TxLog.deleteWhere(spark, t, col("id") === 2) > 0)
+    assert(TxLog.snapshot(spark, t).count() == 1)
   }
 
   test("CREATE TABLE … SHALLOW CLONE statement forks zero-copy and " +
