@@ -1361,7 +1361,12 @@ object TxLog {
     * keys on table-relative scan paths, which external files don't have
     * (the same sharp edge Delta documents for DML on shallow clones).
     * The clone's VACUUM never deletes an external (`../`) reference —
-    * the source owns those files.
+    * the source owns those files. The REVERSE hazard is inherent to the
+    * zero-copy design and declared rather than hidden: the SOURCE's
+    * vacuum walks only its own log and can reclaim files a pre-localize
+    * clone still references (exactly Delta's documented "vacuum on the
+    * source may break shallow clones"); compact the clone to localize
+    * before vacuuming the source past their shared history.
     */
   def cloneShallow(spark: SparkSession, source: File, target: File): Long = {
     require(versions(target).isEmpty,
@@ -1533,6 +1538,24 @@ object TxLog {
       txnBatch: Long = -1L): Long = {
     require(changes.columns.contains("_op"),
       "TxLog CDC APPLY: changes must carry an _op column (upsert|delete)")
+    // validate the batch ONCE, before the commit loop: an unknown _op
+    // would silently act as a delete (its key joins the affected probe
+    // but the row never re-enters), and a duplicate key would land
+    // twice. One aggregate pass over the batch covers both.
+    val audit = changes.agg(
+      coalesce(sum(when(!col("_op").isin("upsert", "delete"), 1L)
+        .otherwise(0L)), lit(0L)).as("_bad_op"),
+      count(lit(1)).as("_n"),
+      count_distinct(struct(keys.map(col): _*)).as("_nk")).head()
+    require(audit.getAs[Long]("_bad_op") == 0,
+      s"TxLog CDC APPLY: ${audit.getAs[Long]("_bad_op")} row(s) carry an " +
+        "_op other than upsert|delete — an unknown op would silently " +
+        "act as a delete")
+    require(audit.getAs[Long]("_n") == audit.getAs[Long]("_nk"),
+      s"TxLog CDC APPLY: ${audit.getAs[Long]("_n") -
+        audit.getAs[Long]("_nk")} duplicate key(s) in the batch — " +
+        "collapse the changelog to its per-key final state first " +
+        "(LWW on the source ordering)")
     var committed = -1L
     while (committed < 0) {
       if (txnApp.exists(a => lastTxnBatch(table, a).exists(_ >= txnBatch)))

@@ -277,6 +277,17 @@ class TxLogSpec extends SparkSpec {
       Seq((3L, "S1", "upsert")).toDF("id", "payload", "_op"), Seq("id"),
       Some("cdcspec"), 0L) == -1L)
     assert(TxLog.versions(t).last == vBefore, "replay minted a version")
+    // malformed batches reject BEFORE any file writes: an unknown _op
+    // would silently act as a delete, a duplicate key would land twice
+    assert(intercept[Exception] {
+      TxLog.applyChanges(spark, t,
+        Seq((7L, "x", "UPSERT")).toDF("id", "payload", "_op"), Seq("id"))
+    }.getMessage.contains("_op other than"))
+    assert(intercept[Exception] {
+      TxLog.applyChanges(spark, t,
+        Seq((7L, "a", "upsert"), (7L, "b", "upsert"))
+          .toDF("id", "payload", "_op"), Seq("id"))
+    }.getMessage.contains("duplicate key"))
     // the change feed derives the apply's EXACT row-level delta (the
     // bag difference nets out rewritten-but-unchanged survivors): the
     // update surfaces as its delete+insert pair, the delete and the
