@@ -761,6 +761,28 @@ object TxLog {
     committed
   }
 
+  /** Full-table INSERT OVERWRITE (the unpartitioned half of the
+    * overwrite statement; [[overwritePartitions]] is the dynamic
+    * partition-scoped half): atomically replace every live file with
+    * `df`. One commit; old versions still time-travel.
+    */
+  def overwriteAll(spark: SparkSession, table: File,
+      df: DataFrame): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).last
+      val st = liveState(table, v)
+      requireLocalized(st, "OVERWRITE")
+      enforceConstraints(spark, table, df, "OVERWRITE")
+      val files = writeFiles(toPhysical(df, mappingAsOf(table, v)),
+        table, "overwrite", partitionColsOf(table))
+      committed = commitIfBase(table, v, files, st.live.map(_.path),
+        "overwrite")
+      if (committed < 0) discardFileGroup(table, files)
+    }
+    committed
+  }
+
   /** Partition-pruned snapshot (S58): keep only live files whose
     * path-carried partition values satisfy `keep` — decided DRIVER-SIDE
     * from the log alone, before a single task launches; pruned files are

@@ -79,6 +79,9 @@ object TxSql {
   private val restoreRe =
     ("""(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+""" +
       """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val insertOverwriteRe =
+    ("""(?is)^\s*INSERT\s+OVERWRITE\s+([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """(SELECT\b.+?)\s*;?\s*$""").r
   private val addConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
       """CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*""" +
@@ -120,6 +123,19 @@ object TxSql {
       // historical version's immutable files (Delta RESTORE)
       optSummary(spark, name,
         TxLog.restore(spark, tableOf(name), v.toLong), s"restore to $v")
+    case insertOverwriteRe(name, select) =>
+      // INSERT OVERWRITE t SELECT …: dynamic partition overwrite on a
+      // partitioned target (only the partitions the SELECT produces are
+      // replaced — Spark's partitionOverwriteMode=dynamic semantics,
+      // S58), full-table replace otherwise. Registered TxLog names in
+      // the SELECT bind to their latest snapshots.
+      val target = tableOf(name)
+      val df = bindRegistered(spark, select)
+      val v =
+        if (TxLog.partitionColsOf(target).nonEmpty)
+          TxLog.overwritePartitions(spark, target, df)
+        else TxLog.overwriteAll(spark, target, df)
+      optSummary(spark, name, v, "insert overwrite")
     case addConstraintRe(name, cname, check) =>
       // ALTER TABLE t ADD CONSTRAINT c CHECK (expr): metadata commit
       // after a one-pass proof the existing data satisfies it (S59)
@@ -166,6 +182,24 @@ object TxSql {
     registered.getOrElse(name.toLowerCase,
       sys.error(s"TxSql: '$name' is not a registered TxLog table " +
         s"(known: ${registered.keys.toSeq.sorted.mkString(", ")})"))
+
+  /** Run a plain SELECT with every REGISTERED TxLog name bound to its
+    * latest snapshot as a same-named temp view (statements with travel
+    * clauses route through [[selectAsOf]] instead). Binding is
+    * metadata-only; the query is an ordinary pruned scan.
+    */
+  private def bindRegistered(spark: SparkSession, select: String)
+      : DataFrame = {
+    if (select.matches("(?is).*\\b(VERSION|TIMESTAMP)\\s+AS\\s+OF\\b.*") ||
+        select.matches("(?is).*\\btable_changes\\s*\\(.*"))
+      return selectAsOf(spark, select)
+    registered.keys.foreach { n =>
+      if (("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+          .findFirstIn(select).isDefined)
+        TxLog.snapshot(spark, registered(n)).createOrReplaceTempView(n)
+    }
+    spark.sql(select)
+  }
 
   private def selectAsOf(spark: SparkSession, text: String): DataFrame = {
     // pass 1 (round-12): table_changes('t', v1, v2) spans → views backed

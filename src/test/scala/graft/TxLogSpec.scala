@@ -1179,6 +1179,36 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, t).count() == 1)
   }
 
+  test("INSERT OVERWRITE statement: dynamic partition semantics on a " +
+      "partitioned target, full replace on an unpartitioned one") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("iow")
+    val df = (0L until 20L).map(i => (i, i % 2, s"v$i"))
+      .toDF("id", "bucket", "payload")
+    TxLog.createPartitioned(df.repartition(1), t, Seq("bucket"))
+    val src = freshTable("iowsrc")
+    TxLog.append(Seq((500L, 1L, "NEW")).toDF("id", "bucket", "payload"),
+      src)
+    TxSql.register("iow_t", t)
+    TxSql.register("iow_src", src)
+    // dynamic: only bucket=1 (present in the SELECT result) is replaced
+    TxSql.sql(spark, "INSERT OVERWRITE iow_t SELECT * FROM iow_src")
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.filter(col("bucket") === 1).count() == 1)
+    assert(snap.filter(col("bucket") === 0).count() == 10,
+      "untouched partition was replaced")
+    // unpartitioned target: full replace
+    val u = freshTable("iowfull")
+    TxLog.append(rows(10), u)
+    TxSql.register("iow_u", u)
+    TxSql.sql(spark,
+      "INSERT OVERWRITE iow_u SELECT id, payload FROM iow_u WHERE id < 3")
+    assert(TxLog.snapshot(spark, u).count() == 3)
+    // old versions still time-travel
+    assert(TxLog.snapshot(spark, u, Some(0L)).count() == 10)
+  }
+
   test("CREATE TABLE … SHALLOW CLONE statement forks zero-copy and " +
       "registers the clone for further statements") {
     import graft.sources.TxSql
