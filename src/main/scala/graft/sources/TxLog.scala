@@ -581,7 +581,20 @@ object TxLog {
     * own the schema — the pre-evolution behavior).
     */
   private[graft] def readAs(spark: SparkSession, table: File, v: Long,
-      paths: Seq[String]): DataFrame =
+      paths: Seq[String]): DataFrame = {
+    val (raw, proj) = rawDeclared(spark, table, v, paths)
+    raw.select(proj: _*)
+  }
+
+  /** The raw physical-schema read of `paths` AS OF `v`, paired with the
+    * physical→logical projection columns — callers that need per-file
+    * metadata (input_file_name, row positions) append their own meta
+    * columns to the projection before selecting. Never-ALTERed tables
+    * read footer-owned with an identity projection.
+    */
+  private def rawDeclared(spark: SparkSession, table: File, v: Long,
+      paths: Seq[String])
+      : (DataFrame, Seq[org.apache.spark.sql.Column]) =
     metaAsOf(table, v) match {
       case Some((ddl, mapStr)) =>
         val logical = StructType.fromDDL(ddl)
@@ -589,10 +602,11 @@ object TxLog {
         val phys = StructType(logical.fields.map(f =>
           f.copy(name = m.getOrElse(f.name, f.name))))
         val raw = spark.read.schema(phys).parquet(paths: _*)
-        if (m.isEmpty) raw
-        else raw.select(logical.fields.toSeq.map(f =>
-          col(m.getOrElse(f.name, f.name)).as(f.name)): _*)
-      case None => spark.read.parquet(paths: _*)
+        (raw, logical.fields.toSeq.map(f =>
+          col(m.getOrElse(f.name, f.name)).as(f.name)))
+      case None =>
+        val raw = spark.read.parquet(paths: _*)
+        (raw, raw.columns.toSeq.map(col))
     }
 
   /** Append `df` as one atomic commit; returns the version. On an
@@ -735,7 +749,6 @@ object TxLog {
     val partCols = partitionColsOf(table)
     require(partCols.nonEmpty,
       s"TxLog OVERWRITE PARTITIONS: $table is not partitioned")
-    enforceConstraints(spark, table, df, "OVERWRITE PARTITIONS")
     // partition-count-bounded driver read: the distinct combos in df.
     // A null partition value matches partValsOf's null (the Hive default
     // partition) — a null-keyed reload must still drop the old files.
@@ -748,6 +761,10 @@ object TxLog {
       val v = versions(table).last
       val st = liveState(table, v)
       requireLocalized(st, "OVERWRITE PARTITIONS")
+      // gate INSIDE the loop (r12 advice), like append/overwriteAll: a
+      // racing ADD CONSTRAINT between a pre-loop gate and the winning
+      // slot would let violating rows commit after the constraint
+      enforceConstraints(spark, table, df, "OVERWRITE PARTITIONS")
       val removed = st.live.filter { a =>
         val pv = partValsOf(a.path)
         combos.exists(c => c.forall { case (k, vv) =>
@@ -1568,6 +1585,8 @@ object TxLog {
       coalesce(sum(when(!col("_op").isin("upsert", "delete"), 1L)
         .otherwise(0L)), lit(0L)).as("_bad_op"),
       count(lit(1)).as("_n"),
+      coalesce(sum(when(col("_op") === "upsert", 1L).otherwise(0L)),
+        lit(0L)).as("_n_upserts"),
       count_distinct(struct(keys.map(col): _*)).as("_nk")).head()
     require(audit.getAs[Long]("_bad_op") == 0,
       s"TxLog CDC APPLY: ${audit.getAs[Long]("_bad_op")} row(s) carry an " +
@@ -1606,8 +1625,17 @@ object TxLog {
       // never re-enter — one rewrite covers replace, insert, AND delete
       val rewritten = affected.join(srcKeys, keys, "left_anti")
         .unionByName(upserts.select(snap.columns.map(col): _*))
-      val files = writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
-        table, "cdc", partitionColsOf(table))
+      // an all-delete batch that empties every affected file would hand
+      // the partitioned writeFiles an empty frame (zero part files → the
+      // stats pass throws 'Unable to infer schema'); commit removes-only
+      // instead, as deleteWhere does for empty survivors (r12 advice).
+      // The probe only runs on upsert-free batches — upserts guarantee
+      // a non-empty rewrite.
+      val files =
+        if (audit.getAs[Long]("_n_upserts") == 0L && rewritten.isEmpty)
+          Seq.empty[Add]
+        else writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
+          table, "cdc", partitionColsOf(table))
       committed = commitIfBase(table, v, files, affectedRel, "cdc-apply",
         txn = txnApp.map(a => (a, txnBatch)))
       if (committed < 0) discardFileGroup(table, files)
@@ -1721,29 +1749,35 @@ object TxLog {
       entries: Seq[(String, Long, Int)],
       rowLevel: Seq[(Long, Seq[Dv], Int)] = Seq.empty): DataFrame = {
     import spark.implicits._
+    // ALL file reads bind the latest DECLARED schema (r12 advice): on a
+    // column-mapped table raw footer reads would emit PHYSICAL names, and
+    // mixed pre-/post-ADD-COLUMNS footers would misalign the unionByName
+    // with the DV adjustment frames — the feed's rows surface under the
+    // latest logical names, the Delta CDF read-schema convention.
+    val declaredV = versions(table).last
     val fileFrame: Option[DataFrame] = if (entries.isEmpty) None else {
       val canonical = entries.map(_._1).distinct
         .map(p => new File(table, p).getCanonicalFile.toURI.toString)
       val lookup = entries.map { case (p, v, s) =>
         (new File(table, p).getCanonicalFile.toURI.toString, v, s)
       }.toDF("_path", "_version", "_sign")
-      val data = spark.read.parquet(canonical: _*)
+      val (raw, proj) = rawDeclared(spark, table, declaredV, canonical)
+      val data = raw.select(proj :+
         // input_file_name yields file:///abs; the lookup holds file:/abs —
         // normalize both to a bare absolute path before the equi-join
-        .withColumn("_path",
-          regexp_replace(input_file_name(), "^file:/+", "/"))
+        regexp_replace(input_file_name(), "^file:/+", "/").as("_path"): _*)
       Some(data
         .join(broadcast(lookup.withColumn("_path",
           regexp_replace(col("_path"), "^file:/+", "/"))), Seq("_path"))
         .drop("_path"))
     }
-    // each DV adjustment: read the tombstoned files RAW with positions,
+    // each DV adjustment: read the tombstoned files with positions,
     // semi-join the sidecar's (f, i) pairs — delete-count-bounded
     val dvFrames = rowLevel.map { case (v, dvs, sign) =>
       val dataPaths = dvs.map(_.path).distinct
         .map(p => new File(table, p).getAbsolutePath)
-      val raw = spark.read.parquet(dataPaths: _*)
-      val data = raw.select(raw.columns.toSeq.map(col) :+
+      val (raw, proj) = rawDeclared(spark, table, declaredV, dataPaths)
+      val data = raw.select(proj :+
         fileKeyExpr.as("_gf_rel") :+
         col("_metadata.row_index").as("_gi"): _*)
       val tomb = spark.read.parquet(dvs.map(_.dvPath).distinct
@@ -1964,45 +1998,40 @@ object TxLog {
     */
   def exactlyOnceAppend(table: File, app: String, batchId: Long,
       df: DataFrame): Boolean = {
-    if (lastTxnBatch(table, app).exists(_ >= batchId)) return false
-    enforceConstraints(df.sparkSession, table, df, "stream-append")
-    // the streaming sink preserves a declared partition layout too — a
-    // layoutless batch would dodge partition pruning and, worse, dodge
-    // a later overwritePartitions of its partition
-    val files = writeFiles(df, table, s"txn$batchId",
-      partitionColsOf(table))
-    logDir(table).mkdirs()
-    val body = (files.map(renderAdd) :+
-      s"""{"txn": {"app": ${q(app)}, "batch": $batchId}}""" :+
-      s"""{"commit": {"op": "stream-append"}}""")
-      .mkString("", "\n", "\n")
-    var committed = false
-    var done = false
-    while (!done) {
-      val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
-      if (publishSlot(versionFile(table, v), body)) {
-        committed = true; done = true
-        maybeCheckpoint(table, v)
-      } else {
-        // another commit landed first — re-check the txn ledger before
-        // retrying (the racer might have been OUR replayed batch), and
-        // re-run the constraint gate (the racer might have been an ADD
-        // CONSTRAINT this batch violates — landing after it would put
-        // the log and the guarantee in disagreement)
-        if (lastTxnBatch(table, app).exists(_ >= batchId)) done = true
-        else try enforceConstraints(df.sparkSession, table, df,
-          "stream-append")
-        catch { case e: Throwable =>
-          discardFileGroup(table, files); throw e
-        }
+    // compare-and-commit like append (r12 advice): the written files
+    // depend on the base version's metadata — a blind-retry would leave
+    // a batch racing a RENAME stored under stale LOGICAL names (readAs
+    // binds PHYSICAL names → the renamed column silently reads NULL
+    // forever), and one racing an ADD CONSTRAINT would land violating
+    // rows after the guarantee. Every iteration re-derives the schema
+    // check, the gate, the mapping, AND the files from the live base.
+    var committed = -1L
+    while (committed < 0) {
+      if (lastTxnBatch(table, app).exists(_ >= batchId)) return false
+      val base = versions(table).lastOption
+      base.flatMap(schemaDdlAsOf(table, _)).foreach { ddl =>
+        val declared = StructType.fromDDL(ddl).fieldNames.toSet
+        val unknown = df.schema.fieldNames.filterNot(declared)
+        require(unknown.isEmpty,
+          "TxLog stream-append: column(s) not in the table's declared " +
+            s"schema: ${unknown.mkString(", ")} — ALTER TABLE ADD " +
+            "COLUMNS first")
       }
+      enforceConstraints(df.sparkSession, table, df, "stream-append")
+      val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
+      // the streaming sink preserves a declared partition layout too — a
+      // layoutless batch would dodge partition pruning and, worse, dodge
+      // a later overwritePartitions of its partition
+      val files = writeFiles(toPhysical(df, mapping), table,
+        s"txn$batchId", partitionColsOf(table))
+      committed = commitIfBase(table, base.getOrElse(-1L), files,
+        Seq.empty, "stream-append", txn = Some((app, batchId)))
+      // losing a slot orphans the group (no log action references it;
+      // vacuum walks logged adds and would never reclaim it) — delete
+      // before re-deriving (r9 advice)
+      if (committed < 0) discardFileGroup(table, files)
     }
-    // abandoning the commit (lost to our own replayed batch): the parquet
-    // group writeFiles just produced is referenced by NO log action, so
-    // vacuum (which walks logged adds) would never reclaim it — delete it
-    // here instead of leaking orphans forever (r9 advice)
-    if (!committed) discardFileGroup(table, files)
-    committed
+    true
   }
 
   /** Physically delete a freshly written, never-committed file group:

@@ -183,22 +183,38 @@ object TxSql {
       sys.error(s"TxSql: '$name' is not a registered TxLog table " +
         s"(known: ${registered.keys.toSeq.sorted.mkString(", ")})"))
 
+  private val bindSeq = new java.util.concurrent.atomic.AtomicLong
+
   /** Run a plain SELECT with every REGISTERED TxLog name bound to its
-    * latest snapshot as a same-named temp view (statements with travel
-    * clauses route through [[selectAsOf]] instead). Binding is
-    * metadata-only; the query is an ordinary pruned scan.
+    * latest snapshot (statements with travel clauses route through
+    * [[selectAsOf]] instead). Binding is metadata-only; the query is an
+    * ordinary pruned scan. Views bind under UNIQUE suffixed names with a
+    * segment-aware rewrite — not createOrReplaceTempView on the bare
+    * name, which outlived the statement and could shadow a same-named
+    * session view with a stale-at-bind snapshot (r12 advice) — and drop
+    * after spark.sql's eager analysis inlines them.
     */
-  private def bindRegistered(spark: SparkSession, select: String)
+  private[graft] def bindRegistered(spark: SparkSession, select: String)
       : DataFrame = {
     if (select.matches("(?is).*\\b(VERSION|TIMESTAMP)\\s+AS\\s+OF\\b.*") ||
         select.matches("(?is).*\\btable_changes\\s*\\(.*"))
       return selectAsOf(spark, select)
-    registered.keys.foreach { n =>
-      if (("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
-          .findFirstIn(select).isDefined)
-        TxLog.snapshot(spark, registered(n)).createOrReplaceTempView(n)
+    val segments = splitOnLiterals(select)
+    val bound = scala.collection.mutable.ArrayBuffer.empty[String]
+    registered.keys.toSeq.sorted.foreach { n =>
+      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+      if (segments.exists(s => !s.startsWith("'") &&
+          re.findFirstIn(s).isDefined)) {
+        val view = s"${n}_bind_${bindSeq.incrementAndGet()}"
+        TxLog.snapshot(spark, registered(n)).createOrReplaceTempView(view)
+        bound += view
+        for (i <- segments.indices if !segments(i).startsWith("'"))
+          segments(i) = re.replaceAllIn(segments(i), view)
+      }
     }
-    spark.sql(select)
+    val out = spark.sql(segments.mkString)
+    bound.foreach(spark.catalog.dropTempView(_))
+    out
   }
 
   private def selectAsOf(spark: SparkSession, text: String): DataFrame = {

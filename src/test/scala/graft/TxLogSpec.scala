@@ -1226,4 +1226,100 @@ class TxLogSpec extends SparkSpec {
     assert(Option(fork.listFiles()).getOrElse(Array.empty)
       .forall(f => !f.isDirectory || f.getName == "_graft_log"))
   }
+
+  test("exactlyOnceAppend on a column-mapped table stores PHYSICAL " +
+      "names: the renamed column reads back values, not nulls") {
+    // r12 advice (high): the streaming sink skipped the toPhysical
+    // translation — on a RENAMEd table streamed files landed under
+    // LOGICAL names while readAs binds PHYSICAL ones, so every streamed
+    // row's renamed column silently read back NULL
+    import spark.implicits._
+    val t = freshTable("eoamap")
+    TxLog.append(rows(5), t)                                        // v0
+    TxLog.alterRenameColumn(spark, t, "payload", "body")            // v1
+    val batch = Seq((100L, "streamed")).toDF("id", "body")
+    assert(TxLog.exactlyOnceAppend(t, "app", 0L, batch))
+    val got = TxLog.snapshot(spark, t).filter(col("id") === 100L)
+      .select(col("body")).collect()
+    assert(got.length == 1 && got(0).getString(0) == "streamed",
+      s"streamed row's renamed column lost its value: ${got.toSeq}")
+    // schema enforcement holds on the stream path too: a column unknown
+    // to the declared schema rejects instead of null-filling forever
+    val bad = Seq((101L, "x", 1L)).toDF("id", "body", "ghost")
+    val rejected = scala.util.Try(
+      TxLog.exactlyOnceAppend(t, "app", 1L, bad)).isFailure
+    assert(rejected, "unknown column passed the stream-append gate")
+    // replay detection still intact after the restructure
+    assert(!TxLog.exactlyOnceAppend(t, "app", 0L, batch))
+  }
+
+  test("CDC apply: an all-delete batch that empties every affected file " +
+      "of a PARTITIONED table commits removes-only") {
+    // r12 advice: the rewritten frame is empty → the partitioned
+    // writeFiles wrote zero part files and the stats pass threw
+    // 'Unable to infer schema' instead of committing
+    import spark.implicits._
+    val t = freshTable("cdcempty")
+    val df = (0L until 6L).map(i => (i, i % 2, s"v$i"))
+      .toDF("id", "bucket", "payload")
+    TxLog.createPartitioned(df.repartition(1), t, Seq("bucket"))
+    // delete every row of bucket 1 (one whole file), nothing else
+    val changes = (0L until 6L).filter(_ % 2 == 1)
+      .map(i => (i, 1L, s"v$i", "delete"))
+      .toDF("id", "bucket", "payload", "_op")
+    val v = TxLog.applyChanges(spark, t, changes, Seq("id"))
+    assert(v == 1L)
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 3 && snap.filter(col("bucket") === 1).isEmpty)
+    // removes-only: the commit added no files
+    assert(TxLog.readCommit(t, v).adds.isEmpty)
+  }
+
+  test("changeFeed on a column-mapped table emits the declared LOGICAL " +
+      "schema, mixed pre-/post-ALTER files aligned") {
+    // r12 advice: the feed read data files raw, surfacing PHYSICAL names
+    // on mapped tables and misaligning mixed-epoch footers
+    import spark.implicits._
+    val t = freshTable("cfmap")
+    TxLog.append(rows(4), t)                                        // v0
+    TxLog.alterRenameColumn(spark, t, "payload", "body")            // v1
+    TxLog.alterAddColumns(spark, t, "flag BIGINT")                  // v2
+    TxLog.append(Seq((50L, "new", 7L)).toDF("id", "body", "flag"), t) // v3
+    val cf = TxLog.changeFeed(spark, t, -1L, 3L)
+    assert(cf.columns.sorted.toSeq ==
+      Seq("_change_type", "_version", "body", "flag", "id"),
+      s"feed schema is not the declared logical one: ${cf.columns.toSeq}")
+    // pre-alter rows surface with their data under the new name,
+    // null-filled flag; the post-alter row carries its flag
+    val v0 = cf.filter(col("_version") === 0L)
+    assert(v0.count() == 4 && v0.filter(col("body").isNull).isEmpty)
+    val v3 = cf.filter(col("_version") === 3L).collect()
+    assert(v3.length == 1 && v3(0).getAs[Long]("flag") == 7L)
+  }
+
+  test("bindRegistered leaves no session temp views behind and never " +
+      "shadows a same-named existing view") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("bindleak")
+    TxLog.append(rows(3), t)
+    TxSql.register("bind_probe", t)
+    // a session view that HAPPENS to share the registered name: the
+    // statement must bind the TxLog snapshot without clobbering it
+    Seq((999L, "session")).toDF("id", "payload")
+      .createOrReplaceTempView("bind_probe")
+    val tgt = freshTable("bindtgt")
+    TxLog.append(rows(1, 500L), tgt)
+    TxSql.register("bind_tgt", tgt)
+    TxSql.sql(spark,
+      "INSERT OVERWRITE bind_tgt SELECT * FROM bind_probe WHERE id < 2")
+    // the INSERT read the TxLog table (2 rows), not the session view
+    assert(TxLog.snapshot(spark, tgt).count() == 2)
+    // the session view survives, un-shadowed, and no _bind_ views leaked
+    val views = spark.catalog.listTables().collect().map(_.name)
+    assert(!views.exists(_.contains("_bind_")),
+      s"bind views leaked: ${views.toSeq}")
+    assert(spark.table("bind_probe").collect()(0).getString(1) == "session")
+    spark.catalog.dropTempView("bind_probe")
+  }
 }
