@@ -39,6 +39,7 @@ object SparkEntry {
       (sources.TxLog.queries, sources.TxLog.oracle),
       (sources.TxSql.queries, sources.TxSql.oracle),
       (sources.TxFeatures.queries, sources.TxFeatures.oracle),
+      (sources.TxDml.queries, sources.TxDml.oracle),
       (sources.Layout.queries, sources.Layout.oracle),
       (sources.ChangeLog.queries, sources.ChangeLog.oracle))
 

@@ -623,6 +623,74 @@ object TxFeatures {
       |GROUP BY yr
       |ORDER BY yr""".stripMargin
 
+  // ---- S63: DEFAULT values on ADD COLUMNS -----------------------------------
+
+  private val dfltDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Column-default demo: v0 appends the pre-alter slice (yr<=1996, no
+    * flag column); v1 `ALTER TABLE … ADD COLUMNS (flag BIGINT DEFAULT
+    * 7)` through the statement surface; v2 appends the 1997 slice
+    * WITHOUT the column (the writer materializes the default); v3
+    * appends the post-1997 slice with EXPLICIT flag values. Three
+    * epochs, three different ways a row gets its flag.
+    */
+  private[graft] def dfltDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      dfltDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "dflt")
+        val o = ordersCensus(spark, dir)
+        if (TxLog.versions(t).size < 1)
+          TxLog.append(o.filter(col("yr") <= 1996), t)            // v0
+        TxSql.register("dflt_orders", t)
+        if (TxLog.versions(t).size < 2)
+          TxSql.sql(spark,
+            "ALTER TABLE dflt_orders ADD COLUMNS (flag BIGINT DEFAULT 7)")
+        if (TxLog.versions(t).size < 3)
+          TxLog.append(o.filter(col("yr") === 1997), t)           // v2
+        if (TxLog.versions(t).size < 4)
+          TxLog.append(o.filter(col("yr") > 1997)
+            .withColumn("flag", col("o_orderkey") % 5), t)        // v3
+        t
+      })
+    }
+
+  /** txlog_add_column_default (S63) — DEFAULT on ADD COLUMNS end to end,
+    * epoch-split: pre-alter files READ-TIME fill to 7 (the column is
+    * physically absent there), the omitting post-alter append
+    * MATERIALIZED 7 at write time, and the explicit append keeps its own
+    * values — one hash pins all three paths plus that no epoch leaks
+    * into another.
+    */
+  def txlogAddColumnDefault(spark: SparkSession, dir: String): DataFrame = {
+    val t = dfltDemo(spark, dir)
+    TxLog.snapshot(spark, t)
+      .withColumn("epoch",
+        when(col("yr") <= 1996, "a_fill")
+          .when(col("yr") === 1997, "b_materialized")
+          .otherwise("c_explicit"))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("flag")).as("n_with_flag"),
+        sum(col("flag")).as("total_flag"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("epoch"))
+  }
+
+  val txlogAddColumnDefaultSql: String =
+    """WITH t AS (SELECT year(o_orderdate) AS yr, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN year(o_orderdate) <= 1997 THEN 7
+      |      ELSE o_orderkey % 5 END AS flag
+      |  FROM orders)
+      |SELECT CASE WHEN yr <= 1996 THEN 'a_fill'
+      |    WHEN yr = 1997 THEN 'b_materialized'
+      |    ELSE 'c_explicit' END AS epoch,
+      |  COUNT(*) AS n_orders, COUNT(flag) AS n_with_flag,
+      |  CAST(SUM(flag) AS BIGINT) AS total_flag,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- S60: CDC apply into the table format --------------------------------
 
   private val cdcaDone =
@@ -690,6 +758,7 @@ object TxFeatures {
     "txlog_clone" -> (txlogClone _),
     "txlog_partitioned" -> (txlogPartitioned _),
     "txlog_constraints" -> (txlogConstraints _),
+    "txlog_add_column_default" -> (txlogAddColumnDefault _),
     "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
@@ -703,5 +772,6 @@ object TxFeatures {
     "txlog_clone" -> txlogCloneSql,
     "txlog_partitioned" -> txlogPartitionedSql,
     "txlog_constraints" -> txlogConstraintsSql,
+    "txlog_add_column_default" -> txlogAddColumnDefaultSql,
     "txlog_cdc_apply" -> graft.operators.Cdc.cdcApplySql)
 }

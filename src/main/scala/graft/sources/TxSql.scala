@@ -107,8 +107,23 @@ object TxSql {
       optSummary(spark, name,
         TxLog.compact(spark, tableOf(name), targetFiles = 8), "compact")
     case alterRe(name, ddl) =>
+      // each column entry may carry `DEFAULT <literal>` (round-13, S63):
+      // split it off before the DDL parse — literals only (a quoted
+      // string or a number). The entry split is literal-aware, so a
+      // comma INSIDE a quoted default never splits.
+      val entryRe =
+        ("""(?is)^\s*(\S+\s+.+?)""" +
+          """(?:\s+DEFAULT\s+('(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?))?\s*$""").r
+      val parsed = splitTopLevel(ddl).map {
+        case entryRe(colDdl, dflt) => (colDdl, Option(dflt))
+        case bad => sys.error(s"TxSql ALTER: cannot parse column: $bad")
+      }
+      val cleanDdl = parsed.map(_._1).mkString(", ")
+      val defaults = parsed.collect { case (colDdl, Some(d)) =>
+        colDdl.trim.split("\\s+").head -> d
+      }.toMap
       optSummary(spark, name,
-        TxLog.alterAddColumns(spark, tableOf(name), ddl),
+        TxLog.alterAddColumns(spark, tableOf(name), cleanDdl, defaults),
         s"alter add ($ddl)")
     case renameColRe(name, from, to) =>
       optSummary(spark, name,
@@ -162,7 +177,19 @@ object TxSql {
       // so the caller sees exactly what a re-run would no-op on
       vacuumSummary(spark, name,
         TxLog.vacuum(tableOf(name), v.toLong))
-    case _ => selectAsOf(spark, text)
+    case _ =>
+      // row-level DML (UPDATE / DELETE FROM / MERGE INTO) parses to
+      // first-class Catalyst nodes — route to the TxDml execution layer
+      // (round-13, S61); everything else is a SELECT with travel clauses
+      val dml = scala.util.Try(
+          spark.sessionState.sqlParser.parsePlan(text)).toOption
+        .flatMap(TxDml.route(spark, _))
+      dml match {
+        case Some(v) =>
+          import spark.implicits._
+          Seq(("", "dml", v)).toDF("table", "operation", "committed_version")
+        case None => selectAsOf(spark, text)
+      }
   }
 
   private def vacuumSummary(spark: SparkSession, name: String,
@@ -178,10 +205,13 @@ object TxSql {
     Seq((name, op, v)).toDF("table", "operation", "committed_version")
   }
 
-  private def tableOf(name: String): File =
+  private[sources] def tableOf(name: String): File =
     registered.getOrElse(name.toLowerCase,
       sys.error(s"TxSql: '$name' is not a registered TxLog table " +
         s"(known: ${registered.keys.toSeq.sorted.mkString(", ")})"))
+
+  private[sources] def lookup(name: String): Option[File] =
+    registered.get(name.toLowerCase)
 
   private val bindSeq = new java.util.concurrent.atomic.AtomicLong
 
@@ -340,6 +370,22 @@ object TxSql {
       }
     }
     (segments.mkString, n)
+  }
+
+  /** Split on TOP-LEVEL commas only — commas inside quoted literals
+    * stay put (the ADD COLUMNS entry splitter).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    splitOnLiterals(s).foreach { seg =>
+      if (seg.startsWith("'")) { out.last.append(seg); () }
+      else {
+        val parts = seg.split(",", -1)
+        out.last.append(parts.head)
+        parts.tail.foreach(p => out += new StringBuilder(p))
+      }
+    }
+    out.toSeq.map(_.toString)
   }
 
   /** Split a statement into alternating code / 'quoted-literal' segments

@@ -1297,6 +1297,178 @@ class TxLogSpec extends SparkSpec {
     assert(v3.length == 1 && v3(0).getAs[Long]("flag") == 7L)
   }
 
+  test("updateWhere is file-pruned copy-on-write: untouched files " +
+      "survive by reference, NULL predicates keep old values, history " +
+      "time-travels") {
+    import spark.implicits._
+    val t = freshTable("upd")
+    // two files with disjoint id ranges: the update hits only file 2
+    TxLog.append((0L until 10L).map(i => (i, i * 10))
+      .toDF("id", "v").coalesce(1), t)                              // v0
+    TxLog.append((100L until 110L).map(i => (i, i * 10))
+      .toDF("id", "v").coalesce(1), t)                              // v1
+    val before = TxLog.readCommit(t, 0L).adds.map(_.path).toSet
+    val v = TxLog.updateWhere(spark, t, col("id") >= 100L,
+      Seq("v" -> (col("v") + 1L)))
+    assert(v == 2L)
+    val c = TxLog.readCommit(t, 2L)
+    // only file 2's group rewrote; file 1 survives by reference
+    assert(c.removes.toSet.intersect(before).isEmpty,
+      "the update rewrote a file with no matching rows")
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.filter(col("id") === 105L).head().getLong(1) == 1051L)
+    assert(snap.filter(col("id") === 5L).head().getLong(1) == 50L)
+    // time travel: pre-update state intact
+    assert(TxLog.snapshot(spark, t, Some(1L))
+      .filter(col("id") === 105L).head().getLong(1) == 1050L)
+    // no-match predicate: -1, no commit
+    assert(TxLog.updateWhere(spark, t, col("id") > 99999L,
+      Seq("v" -> lit(0L))) == -1L)
+    // partition-column assignment rejected
+    val p = freshTable("updpart")
+    TxLog.createPartitioned(
+      Seq((1L, 1L, "a")).toDF("id", "bucket", "s"), p, Seq("bucket"))
+    assert(scala.util.Try(TxLog.updateWhere(spark, p, lit(true),
+      Seq("bucket" -> lit(2L)))).isFailure)
+  }
+
+  test("mergeInto: clause order is precedence, guards bind to the right " +
+      "side, BY-SOURCE clauses reach unmatched rows, inserts filter") {
+    import spark.implicits._
+    import TxLog.MergeSpec
+    val t = freshTable("mrgcond")
+    // target: ids 0..9, value = id*10; ids 0..4 flagged 'old'
+    TxLog.append((0L until 10L).map(i =>
+      (i, i * 10, if (i < 5) "old" else "new")).toDF("id", "v", "tag"), t)
+    // source: ids 3,4,5,6 (matched), 100,101 (not matched)
+    val src = Seq((3L, 1000L), (4L, 2000L), (5L, 3000L), (6L, 4000L),
+      (100L, 5000L), (101L, 6000L)).toDF("id", "sv")
+    val v = TxLog.mergeInto(spark, t, src, MergeSpec(
+      cond = "t.id = s.id", tAlias = "t", sAlias = "s",
+      matched = Seq(
+        (Some("t.tag = 'old'"), None),                 // old matched → DELETE
+        (None, Some(Map("v" -> "s.sv")))),             // rest → UPDATE
+      notMatched = Seq(
+        (Some("s.id % 2 = 0"), Map(                    // only even ids insert
+          "id" -> "s.id", "v" -> "s.sv", "tag" -> "'ins'"))),
+      notMatchedBySource = Seq(
+        (Some("t.id >= 8"), Some(Map("v" -> "0"))))))  // 8,9 floored
+    assert(v == 1L)
+    val got = TxLog.snapshot(spark, t).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, "old"), (1L, 10L, "old"), (2L, 20L, "old"),
+      // 3,4 matched + tag=old → deleted
+      (5L, 3000L, "new"), (6L, 4000L, "new"),          // matched update
+      (7L, 70L, "new"),                                // untouched
+      (8L, 0L, "new"), (9L, 0L, "new"),                // by-source update
+      (100L, 5000L, "ins")),                           // 101 is odd → dropped
+      s"merge state wrong: ${got.toSeq}")
+    // change feed: the merge surfaces exact delete/insert pre/post images
+    val cf = TxLog.changeFeed(spark, t, 0L, 1L)
+    assert(cf.filter(col("_change_type") === "delete" &&
+      col("id") === 3L).count() == 1)
+    assert(cf.filter(col("_change_type") === "insert" &&
+      col("id") === 100L).count() == 1)
+  }
+
+  test("mergeInto enforces the SQL cardinality rule: a target row " +
+      "matching two source rows rejects, nothing committed") {
+    import spark.implicits._
+    import TxLog.MergeSpec
+    val t = freshTable("mrgcard")
+    TxLog.append(Seq((1L, 10L)).toDF("id", "v"), t)
+    val dupSrc = Seq((1L, 100L), (1L, 200L)).toDF("id", "sv")
+    val r = scala.util.Try(TxLog.mergeInto(spark, t, dupSrc, MergeSpec(
+      "t.id = s.id", "t", "s",
+      matched = Seq((None, Some(Map("v" -> "s.sv")))),
+      notMatched = Seq.empty, notMatchedBySource = Seq.empty)))
+    assert(r.isFailure &&
+      r.failed.get.getMessage.contains("cardinality"))
+    assert(TxLog.versions(t) == Seq(0L), "a failed merge left a commit")
+    // but duplicates are FINE when only inserts exist (no ambiguity)
+    val v = TxLog.mergeInto(spark, t, dupSrc, MergeSpec(
+      "t.id = s.id", "t", "s",
+      matched = Seq.empty,
+      notMatched = Seq((None, Map("id" -> "s.id", "v" -> "s.sv"))),
+      notMatchedBySource = Seq.empty))
+    assert(v == -1L, "matched-only duplicate source must be a no-op " +
+      "when every source row matches")
+  }
+
+  test("SQL DML statements route through TxSql on registered tables " +
+      "and compose with VERSION AS OF") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("dmlsql")
+    TxLog.append((0L until 10L).map(i => (i, i)).toDF("id", "v"), t)
+    TxSql.register("dmlsql_t", t)
+    TxSql.sql(spark, "UPDATE dmlsql_t SET v = 99 WHERE id < 3")
+    TxSql.sql(spark, "DELETE FROM dmlsql_t WHERE id >= 8")
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 8)
+    assert(snap.filter(col("v") === 99L).count() == 3)
+    // pre-DML state still serves through the statement surface
+    val v0 = TxSql.sql(spark,
+      "SELECT count(*) AS n FROM dmlsql_t VERSION AS OF 0")
+    assert(v0.head().getLong(0) == 10)
+  }
+
+  test("column DEFAULT: pre-alter files fill at read, omitting writers " +
+      "materialize, explicit NULL stays NULL, drop+re-add forgets") {
+    import spark.implicits._
+    val t = freshTable("dflt")
+    TxLog.append(rows(3), t)                                        // v0
+    TxLog.alterAddColumns(spark, t, "flag BIGINT",
+      Map("flag" -> "7"))                                           // v1
+    // pre-alter rows read the default, not null
+    assert(TxLog.snapshot(spark, t).agg(sum(col("flag"))).head()
+      .getLong(0) == 21L)
+    // an omitting append materializes 7; an explicit NULL stays NULL
+    TxLog.append(Seq((100L, "w")).toDF("id", "payload"), t)         // v2
+    TxLog.append(Seq((200L, "x", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "payload", "flag"), t)                            // v3
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.filter(col("id") === 100L).head()
+      .getAs[Long]("flag") == 7L)
+    assert(snap.filter(col("id") === 200L).head().isNullAt(2),
+      "explicit NULL was overwritten by the default")
+    // the materialized file carries the value PHYSICALLY: raw read of
+    // v2's file shows 7 without any fill machinery
+    val v2file = TxLog.readCommit(t, 2L).adds.head.path
+    assert(spark.read.parquet(new java.io.File(t, v2file).getAbsolutePath)
+      .head().getAs[Long]("flag") == 7L)
+    // time travel to v0 serves the pre-alter schema (no flag at all)
+    assert(!TxLog.snapshot(spark, t, Some(0L)).columns.contains("flag"))
+    // compaction materializes the fill for pre-alter rows
+    TxLog.compact(spark, t, targetFiles = 1)                        // v4
+    val compacted = TxLog.readCommit(t, 4L).adds.head.path
+    val rawc = spark.read.parquet(
+      new java.io.File(t, compacted).getAbsolutePath)
+    assert(rawc.filter(col("id") < 3L && col("flag") === 7L).count() == 3)
+    // DROP then re-ADD: the stale default must not resurrect
+    TxLog.alterDropColumn(spark, t, "flag")                         // v5
+    TxLog.alterAddColumns(spark, t, "flag BIGINT")                  // v6
+    val re = TxLog.snapshot(spark, t)
+    assert(re.filter(col("flag").isNotNull).count() == 0,
+      "a dropped column's default leaked onto the re-added name")
+  }
+
+  test("ALTER ADD COLUMNS statement parses DEFAULT literals, including " +
+      "a quoted string containing a comma") {
+    import graft.sources.TxSql
+    val t = freshTable("dfltsql")
+    TxLog.append(rows(2), t)
+    TxSql.register("dfltsql_t", t)
+    TxSql.sql(spark, "ALTER TABLE dfltsql_t ADD COLUMNS " +
+      "(n BIGINT DEFAULT 5, note STRING DEFAULT 'a, b', bare STRING)")
+    val snap = TxLog.snapshot(spark, t)
+    val r = snap.filter(col("id") === 0L).head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[String]("note") == "a, b")
+    assert(r.isNullAt(snap.columns.indexOf("bare")))
+  }
+
   test("bindRegistered leaves no session temp views behind and never " +
       "shadows a same-named existing view") {
     import graft.sources.TxSql
