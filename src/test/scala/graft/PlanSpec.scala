@@ -695,4 +695,32 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("*("), s"$name has no WholeStageCodegen stage:\n$p")
     }
   }
+
+  test("sql_q5 streams LINEITEM and broadcasts everything else — the " +
+      "fact table is never a broadcast build side") {
+    // r12 verdict task 2: the customer-first TPC-H text let Catalyst
+    // take the c⋈o subtree as the stream side and broadcast
+    // column-pruned lineitem wholesale (a 2x slowdown at sf0.1 and a
+    // non-plan at 100 TB). The fact-first FROM order pins the
+    // stream-lineitem shape; this test fails if the text (or a future
+    // Spark version's reordering) regresses it.
+    // AQE off so the join operators are collectible (the established
+    // PlanSpec idiom); the text-order-driven join shape is identical
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joins = SparkEntry.queries("sql_q5")(spark, sfTiny)
+        .queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => j
+        }
+      assert(joins.nonEmpty, "sql_q5 lost its broadcast joins")
+      joins.foreach { j =>
+        val buildSide = if (j.buildSide.toString.contains("Left")) j.left
+          else j.right
+        assert(!buildSide.toString.contains("lineitem.parquet"),
+          s"sql_q5 broadcasts the lineitem fact table:\n$j")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+  }
 }
