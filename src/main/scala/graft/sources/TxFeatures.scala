@@ -691,6 +691,69 @@ object TxFeatures {
       |  CAST(SUM(cents) AS BIGINT) AS total_cents
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- S65: GENERATED columns on ADD COLUMNS --------------------------------
+
+  private val genDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Generated-column demo: v0 appends the pre-alter slice; v1 `ALTER
+    * TABLE … ADD COLUMNS (band BIGINT GENERATED ALWAYS AS (cents % 10))`
+    * through the statement surface; v2 appends the 1997 slice WITHOUT
+    * the column (the writer computes it); v3 appends the post-1997 slice
+    * WITH explicit (correct) values — the auto gen-constraint validates
+    * them. A wrong-valued append is rejected in TxLogSpec.
+    */
+  private[graft] def genDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      genDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "gen")
+        val o = ordersCensus(spark, dir)
+        if (TxLog.versions(t).size < 1)
+          TxLog.append(o.filter(col("yr") <= 1996), t)            // v0
+        TxSql.register("gen_orders", t)
+        if (TxLog.versions(t).size < 2)
+          TxSql.sql(spark, "ALTER TABLE gen_orders ADD COLUMNS " +
+            "(band BIGINT GENERATED ALWAYS AS (cents % 10))")
+        if (TxLog.versions(t).size < 3)
+          TxLog.append(o.filter(col("yr") === 1997), t)           // v2
+        if (TxLog.versions(t).size < 4)
+          TxLog.append(o.filter(col("yr") > 1997)
+            .withColumn("band", col("cents") % 10), t)            // v3
+        t
+      })
+    }
+
+  /** txlog_generated_column (S65) — GENERATED ALWAYS AS end to end,
+    * epoch-split: pre-alter files COMPUTE the band at read (the fill is
+    * the generation expression over the file's own columns), the
+    * omitting append materialized it at write, the explicit append
+    * passed the auto-validation — the oracle recomputes `cents % 10`
+    * for every row, so one hash pins all three paths.
+    */
+  def txlogGeneratedColumn(spark: SparkSession, dir: String): DataFrame = {
+    val t = genDemo(spark, dir)
+    TxLog.snapshot(spark, t)
+      .withColumn("epoch",
+        when(col("yr") <= 1996, "a_read_computed")
+          .when(col("yr") === 1997, "b_materialized")
+          .otherwise("c_validated"))
+      .groupBy(col("epoch"), col("band"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("epoch"), col("band"))
+  }
+
+  val txlogGeneratedColumnSql: String =
+    """WITH t AS (SELECT year(o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT CASE WHEN yr <= 1996 THEN 'a_read_computed'
+      |    WHEN yr = 1997 THEN 'b_materialized'
+      |    ELSE 'c_validated' END AS epoch,
+      |  cents % 10 AS band,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM t GROUP BY 1, 2 ORDER BY epoch, band""".stripMargin
+
   // ---- S60: CDC apply into the table format --------------------------------
 
   private val cdcaDone =
@@ -759,6 +822,7 @@ object TxFeatures {
     "txlog_partitioned" -> (txlogPartitioned _),
     "txlog_constraints" -> (txlogConstraints _),
     "txlog_add_column_default" -> (txlogAddColumnDefault _),
+    "txlog_generated_column" -> (txlogGeneratedColumn _),
     "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
@@ -773,5 +837,6 @@ object TxFeatures {
     "txlog_partitioned" -> txlogPartitionedSql,
     "txlog_constraints" -> txlogConstraintsSql,
     "txlog_add_column_default" -> txlogAddColumnDefaultSql,
+    "txlog_generated_column" -> txlogGeneratedColumnSql,
     "txlog_cdc_apply" -> graft.operators.Cdc.cdcApplySql)
 }

@@ -695,11 +695,15 @@ object TxLog {
             s"TxLog append: column(s) not in the table's declared schema: " +
               s"${unknown.mkString(", ")} — ALTER TABLE ADD COLUMNS first")
       }
-      enforceConstraints(spark = df.sparkSession, table, df, "append")
+      // defaults/generated columns materialize BEFORE the gate: the
+      // constraint must judge the rows as they will LAND (an omitted
+      // generated column is filled here and passes its own
+      // gen-constraint by construction)
+      val landing = withWriteDefaults(df, table, base)
+      enforceConstraints(spark = df.sparkSession, table, landing, "append")
       // mapped tables store PHYSICAL names; the caller writes logical
       val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
-      val files = writeFiles(
-        toPhysical(withWriteDefaults(df, table, base), mapping),
+      val files = writeFiles(toPhysical(landing, mapping),
         table, "append", partitionColsOf(table))
       committed = commitIfBase(table, base.getOrElse(-1L), files,
         Seq.empty, "append", ts = ts)
@@ -1215,11 +1219,15 @@ object TxLog {
     * rows_delta 0.
     */
   def alterAddColumns(spark: SparkSession, table: File,
-      addDdl: String, defaults: Map[String, String] = Map.empty): Long = {
+      addDdl: String, defaults: Map[String, String] = Map.empty,
+      generated: Map[String, String] = Map.empty): Long = {
     val addedNames = StructType.fromDDL(addDdl).fieldNames.toSet
-    val orphan = defaults.keys.filterNot(addedNames)
-    require(orphan.isEmpty, "TxLog ALTER: DEFAULT for column(s) not in " +
-      s"this ADD COLUMNS list: ${orphan.mkString(", ")}")
+    val orphan = (defaults.keys ++ generated.keys).filterNot(addedNames)
+    require(orphan.isEmpty, "TxLog ALTER: DEFAULT/GENERATED for " +
+      s"column(s) not in this ADD COLUMNS list: ${orphan.mkString(", ")}")
+    val both = defaults.keySet.intersect(generated.keySet)
+    require(both.isEmpty, "TxLog ALTER: column(s) cannot be both DEFAULT " +
+      s"and GENERATED: ${both.mkString(", ")}")
     // compare-and-commit: the dup check and the evolved schema derive
     // from the base version's schema, so a racing commit (another ALTER
     // adding the same column) must force a RE-VALIDATION, not a blind
@@ -1252,10 +1260,21 @@ object TxLog {
           Some(encodeMapping(
             evolved.fieldNames.map(n => n -> m.getOrElse(n, n)).toMap))
         }
+      // a GENERATED column (round-13, S65) is a default whose expression
+      // references other columns — the SAME fill/materialize machinery
+      // serves it — plus an auto CHECK constraint `c <=> (expr)` that
+      // VALIDATES writer-provided values (the Delta generated-column
+      // contract). No existing-data validation pass is needed: pre-alter
+      // files read the fill, which IS the expression, so the constraint
+      // holds by construction. `<=>` is null-safe — never a NULL verdict.
+      val genConstraints = generated.toSeq.sortBy(_._1).map { case (c, e) =>
+        Constraint(s"gen_$c", Some(s"$c <=> ($e)"))
+      }
       committed = commitIfBase(table, v, Seq.empty, Seq.empty, "alter",
         Some(evolved.toDDL), mapping,
-        colDefaults = defaults.toSeq.sortBy(_._1).map { case (c, e) =>
-          ColDefault(c, Some(e)) })
+        colDefaults = (defaults ++ generated).toSeq.sortBy(_._1)
+          .map { case (c, e) => ColDefault(c, Some(e)) },
+        constraints = genConstraints)
     }
     committed
   }
@@ -2455,13 +2474,13 @@ object TxLog {
             s"schema: ${unknown.mkString(", ")} — ALTER TABLE ADD " +
             "COLUMNS first")
       }
-      enforceConstraints(df.sparkSession, table, df, "stream-append")
+      val landing = withWriteDefaults(df, table, base)
+      enforceConstraints(df.sparkSession, table, landing, "stream-append")
       val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
       // the streaming sink preserves a declared partition layout too — a
       // layoutless batch would dodge partition pruning and, worse, dodge
       // a later overwritePartitions of its partition
-      val files = writeFiles(
-        toPhysical(withWriteDefaults(df, table, base), mapping), table,
+      val files = writeFiles(toPhysical(landing, mapping), table,
         s"txn$batchId", partitionColsOf(table))
       committed = commitIfBase(table, base.getOrElse(-1L), files,
         Seq.empty, "stream-append", txn = Some((app, batchId)))

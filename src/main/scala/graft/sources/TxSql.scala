@@ -107,23 +107,30 @@ object TxSql {
       optSummary(spark, name,
         TxLog.compact(spark, tableOf(name), targetFiles = 8), "compact")
     case alterRe(name, ddl) =>
-      // each column entry may carry `DEFAULT <literal>` (round-13, S63):
-      // split it off before the DDL parse — literals only (a quoted
-      // string or a number). The entry split is literal-aware, so a
-      // comma INSIDE a quoted default never splits.
+      // each column entry may carry `DEFAULT <literal>` (round-13, S63)
+      // or `GENERATED ALWAYS AS (<expr>)` (S65): split either off before
+      // the DDL parse. The entry split is literal- and paren-aware, so a
+      // comma inside a quoted default or a generation expression never
+      // splits.
       val entryRe =
         ("""(?is)^\s*(\S+\s+.+?)""" +
-          """(?:\s+DEFAULT\s+('(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?))?\s*$""").r
+          """(?:\s+DEFAULT\s+('(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?)""" +
+          """|\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\))?\s*$""").r
       val parsed = splitTopLevel(ddl).map {
-        case entryRe(colDdl, dflt) => (colDdl, Option(dflt))
+        case entryRe(colDdl, dflt, gen) =>
+          (colDdl, Option(dflt), Option(gen))
         case bad => sys.error(s"TxSql ALTER: cannot parse column: $bad")
       }
       val cleanDdl = parsed.map(_._1).mkString(", ")
-      val defaults = parsed.collect { case (colDdl, Some(d)) =>
+      val defaults = parsed.collect { case (colDdl, Some(d), _) =>
         colDdl.trim.split("\\s+").head -> d
       }.toMap
+      val generated = parsed.collect { case (colDdl, _, Some(g)) =>
+        colDdl.trim.split("\\s+").head -> g
+      }.toMap
       optSummary(spark, name,
-        TxLog.alterAddColumns(spark, tableOf(name), cleanDdl, defaults),
+        TxLog.alterAddColumns(spark, tableOf(name), cleanDdl, defaults,
+          generated),
         s"alter add ($ddl)")
     case renameColRe(name, from, to) =>
       optSummary(spark, name,
@@ -372,17 +379,21 @@ object TxSql {
     (segments.mkString, n)
   }
 
-  /** Split on TOP-LEVEL commas only — commas inside quoted literals
-    * stay put (the ADD COLUMNS entry splitter).
+  /** Split on TOP-LEVEL commas only — commas inside quoted literals or
+    * parentheses stay put (the ADD COLUMNS entry splitter: a GENERATED
+    * expression like `round(x, 2)` or a quoted default `'a, b'` must
+    * never split).
     */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    var depth = 0
     splitOnLiterals(s).foreach { seg =>
       if (seg.startsWith("'")) { out.last.append(seg); () }
-      else {
-        val parts = seg.split(",", -1)
-        out.last.append(parts.head)
-        parts.tail.foreach(p => out += new StringBuilder(p))
+      else seg.foreach {
+        case '(' => depth += 1; out.last.append('(')
+        case ')' => depth -= 1; out.last.append(')')
+        case ',' if depth == 0 => out += new StringBuilder
+        case c => out.last.append(c)
       }
     }
     out.toSeq.map(_.toString)

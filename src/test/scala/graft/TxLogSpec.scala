@@ -1469,6 +1469,43 @@ class TxLogSpec extends SparkSpec {
     assert(r.isNullAt(snap.columns.indexOf("bare")))
   }
 
+  test("GENERATED column: pre-alter files compute at read, omitting " +
+      "writers materialize, wrong explicit values REJECT atomically") {
+    import spark.implicits._
+    val t = freshTable("gen")
+    TxLog.append((1L to 5L).map(i => (i, i * 100)).toDF("id", "v"), t) // v0
+    TxLog.alterAddColumns(spark, t, "dbl BIGINT",
+      generated = Map("dbl" -> "v * 2"))                               // v1
+    // pre-alter rows compute the expression at read
+    assert(TxLog.snapshot(spark, t).agg(sum(col("dbl"))).head()
+      .getLong(0) == (1L to 5L).map(_ * 200).sum)
+    // an omitting append materializes; raw file carries the value
+    TxLog.append(Seq((10L, 1000L)).toDF("id", "v"), t)                 // v2
+    val v2file = TxLog.readCommit(t, 2L).adds.head.path
+    assert(spark.read.parquet(new java.io.File(t, v2file).getAbsolutePath)
+      .head().getAs[Long]("dbl") == 2000L)
+    // correct explicit values pass the auto gen-constraint
+    TxLog.append(Seq((11L, 7L, 14L)).toDF("id", "v", "dbl"), t)        // v3
+    // WRONG explicit values reject, nothing committed
+    val before = TxLog.versions(t).size
+    val rejected = scala.util.Try(
+      TxLog.append(Seq((12L, 7L, 999L)).toDF("id", "v", "dbl"), t))
+      .isFailure
+    assert(rejected && TxLog.versions(t).size == before,
+      "a wrong generated value passed the gate or left a commit")
+    // a column the gen expression references cannot be renamed away
+    assert(scala.util.Try(
+      TxLog.alterRenameColumn(spark, t, "v", "w")).isFailure)
+    // statement surface parses GENERATED ALWAYS AS with inner commas
+    import graft.sources.TxSql
+    TxSql.register("gen_probe", t)
+    TxSql.sql(spark, "ALTER TABLE gen_probe ADD COLUMNS " +
+      "(vr DOUBLE GENERATED ALWAYS AS (round(v / 7.0, 2)))")
+    val got = TxLog.snapshot(spark, t).filter(col("id") === 11L)
+      .select(col("vr")).head().getDouble(0)
+    assert(got == 1.0, s"generated round(7/7.0, 2) read $got")
+  }
+
   test("bindRegistered leaves no session temp views behind and never " +
       "shadows a same-named existing view") {
     import graft.sources.TxSql
