@@ -73,12 +73,22 @@ object TxDml {
         expr(d.condition.sql), Some(alias)))
     case m: MergeIntoTable =>
       val (tName, tAlias) = relName(m.targetTable)
-      val (sName, sAlias) = relName(m.sourceTable)
       val table = TxSql.tableOf(tName)
-      // source: a registered TxLog name binds to its latest snapshot;
-      // anything else resolves through the session (temp view, catalog)
-      val source = TxSql.lookup(sName)
-        .map(TxLog.snapshot(spark, _)).getOrElse(spark.table(sName))
+      // source: a registered TxLog name binds to its latest snapshot, a
+      // session-resolvable name (temp view, catalog table) resolves by
+      // name, and `USING (SELECT …) AS s` analyzes the parsed subquery
+      // through the session (the Bridge.ofRows extension path)
+      val (source, sAlias) = m.sourceTable match {
+        case SubqueryAlias(id, UnresolvedRelation(parts, _, _)) =>
+          (namedSource(spark, parts.mkString(".")), id.name)
+        case UnresolvedRelation(parts, _, _) =>
+          (namedSource(spark, parts.mkString(".")), parts.last)
+        case SubqueryAlias(id, sub) =>
+          (org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, sub),
+            id.name)
+        case other => sys.error("TxDml MERGE: source must be a named " +
+          s"relation or an aliased subquery, got: $other")
+      }
       val declared = TxLog.snapshot(spark, table).schema.fieldNames.toSeq
       def starSets = declared.map(c => c -> s"$sAlias.$c").toMap
       val matched = m.matchedActions.map {
@@ -108,6 +118,13 @@ object TxDml {
         matched, notMatched, bySource)))
     case _ => None
   }
+
+  /** Resolve a MERGE source by name: registered TxLog snapshot first,
+    * session catalog otherwise.
+    */
+  private def namedSource(spark: SparkSession, name: String): DataFrame =
+    TxSql.lookup(name).map(TxLog.snapshot(spark, _))
+      .getOrElse(spark.table(name))
 
   /** Name (+ alias, defaulting to the bare name) of a parsed relation. */
   private def relName(p: LogicalPlan): (String, String) = p match {

@@ -1506,6 +1506,29 @@ class TxLogSpec extends SparkSpec {
     assert(got == 1.0, s"generated round(7/7.0, 2) read $got")
   }
 
+  test("MERGE accepts an inline subquery source: USING (SELECT ...) AS s") {
+    import graft.sources.{TxDml, TxSql}
+    import spark.implicits._
+    val t = freshTable("mrgsub")
+    TxLog.append((0L until 6L).map(i => (i, i)).toDF("id", "v"), t)
+    TxSql.register("mrgsub_t", t)
+    (0L until 10L).map(i => (i, i * 100)).toDF("id", "nv")
+      .createOrReplaceTempView("mrgsub_raw")
+    TxDml.exec(spark,
+      """MERGE INTO mrgsub_t AS t
+        |USING (SELECT id, nv FROM mrgsub_raw WHERE id % 2 = 0) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+        |""".stripMargin)
+    val got = TxLog.snapshot(spark, t).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (1L, 1L), (2L, 200L), (3L, 3L),
+      (4L, 400L), (5L, 5L), (6L, 600L), (8L, 800L)),
+      s"subquery-source merge state wrong: $got")
+    spark.catalog.dropTempView("mrgsub_raw")
+  }
+
   test("bindRegistered leaves no session temp views behind and never " +
       "shadows a same-named existing view") {
     import graft.sources.TxSql
