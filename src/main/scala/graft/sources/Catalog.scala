@@ -76,9 +76,20 @@ object Catalog {
         new java.io.File(sys.props("java.io.tmpdir")), s"graft_cat_${db}_$t")
       d.mkdirs()
       val link = new java.io.File(d, s"$t.parquet").toPath
+      // a DANGLING leftover (corpus moved, /tmp persisted) repairs
+      // rather than silently serving a dead location; the create races
+      // benignly across concurrent JVMs — losing means the winner
+      // already made the identical link (r13 review)
+      if (java.nio.file.Files.exists(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          !java.nio.file.Files.exists(link))
+        java.nio.file.Files.delete(link)
       if (!java.nio.file.Files.exists(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        java.nio.file.Files.createSymbolicLink(link, f.toPath)
+        try java.nio.file.Files.createSymbolicLink(link, f.toPath)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
       d.getCanonicalPath
     }
   }

@@ -116,9 +116,21 @@ object Dml {
     case other => sys.error(s"Dml: unsupported target relation: $other")
   }
 
-  /** Bare column name from an assignment key (`cents`, `t.cents`, …). */
-  private def keyName(e: Expression): String =
-    e.sql.split('.').last.replace("`", "")
+  /** Bare column name from an assignment key: `cents` or alias-qualified
+    * `t.cents` — from the attribute's NAME PARTS, never by splitting
+    * rendered SQL on dots (a backticked dotted name would collapse to
+    * its last segment, r13 review); nested-field assignment rejects.
+    */
+  private def keyName(e: Expression): String = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      a.nameParts match {
+        case Seq(c) => c
+        case Seq(_, c) => c
+        case parts => sys.error("Dml: nested-field assignment is not " +
+          s"supported: ${parts.mkString(".")}")
+      }
+    case other => sys.error(s"Dml: unsupported assignment key: $other")
+  }
 
   /** Data columns then partition columns — the table's schema order,
     * which positional insertInto requires.

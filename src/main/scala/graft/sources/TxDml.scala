@@ -136,9 +136,22 @@ object TxDml {
       s"registered table or view): $other")
   }
 
-  /** Bare column name from an assignment key (`cents`, `t.cents`, …). */
-  private def keyName(e: Expression): String =
-    e.sql.split('.').last.replace("`", "")
+  /** Bare column name from an assignment key: `cents` or alias-qualified
+    * `t.cents`. Resolved from the attribute's NAME PARTS, never by
+    * splitting rendered SQL on dots — a backticked name containing a dot
+    * would silently collapse to its last segment and hit the wrong
+    * column (r13 review). Nested-field assignment (3+ parts) rejects.
+    */
+  private def keyName(e: Expression): String = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      a.nameParts match {
+        case Seq(c) => c
+        case Seq(_, c) => c
+        case parts => sys.error("TxDml: nested-field assignment is not " +
+          s"supported: ${parts.mkString(".")}")
+      }
+    case other => sys.error(s"TxDml: unsupported assignment key: $other")
+  }
 
   // ---- registered queries ---------------------------------------------
 

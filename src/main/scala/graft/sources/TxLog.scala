@@ -113,9 +113,14 @@ object TxLog {
     * ADD COLUMNS metaData action), `expr = None` drops it (emitted by
     * DROP COLUMN so a later re-ADD of the name cannot inherit a stale
     * default). The declaring VERSION is the commit the action rides in —
-    * readers fill the column only for files added BEFORE it.
+    * readers fill the column only for files added BEFORE it — except
+    * when `since` pins an EARLIER declaring version: a RENAME migrates
+    * the default under the new name without moving its epoch (files
+    * written between the original declaration and the rename physically
+    * carry values and must never be re-filled).
     */
-  private[graft] case class ColDefault(col: String, expr: Option[String])
+  private[graft] case class ColDefault(col: String, expr: Option[String],
+    since: Option[Long] = None)
 
   private[graft] case class Commit(adds: Seq[Add], removes: Seq[String],
     op: String, metaDdl: Option[String] = None,
@@ -146,7 +151,7 @@ object TxLog {
     """\{"constraint":\s*\{"name":\s*"([^"]+)",\s*"drop":\s*true\}\}""".r
   private val defaultAddRe =
     ("""\{"default":\s*\{"col":\s*"([^"]+)",\s*""" +
-      """"expr":\s*"((?:[^"\\]|\\.)+)"\}\}""").r
+      """"expr":\s*"((?:[^"\\]|\\.)+)"(?:,\s*"since":\s*(\d+))?\}\}""").r
   private val defaultDropRe =
     """\{"default":\s*\{"col":\s*"([^"]+)",\s*"drop":\s*true\}\}""".r
 
@@ -179,7 +184,9 @@ object TxLog {
         case constraintAddRe(n, e) =>
           constraints :+= Constraint(n, Some(unq(e)))
         case constraintDropRe(n) => constraints :+= Constraint(n, None)
-        case defaultAddRe(c, e) => colDefaults :+= ColDefault(c, Some(unq(e)))
+        case defaultAddRe(c, e, s) =>
+          colDefaults :+= ColDefault(c, Some(unq(e)),
+            Option(s).map(_.toLong))
         case defaultDropRe(c) => colDefaults :+= ColDefault(c, None)
         case _ => ()
       }
@@ -439,7 +446,8 @@ object TxLog {
 
   private def renderDefault(d: ColDefault): String = d.expr match {
     case Some(e) =>
-      s"""{"default": {"col": ${q(d.col)}, "expr": ${q(e)}}}"""
+      s"""{"default": {"col": ${q(d.col)}, "expr": ${q(e)}""" +
+        d.since.map(v => s""", "since": $v""").getOrElse("") + "}}"
     case None =>
       s"""{"default": {"col": ${q(d.col)}, "drop": true}}"""
   }
@@ -529,9 +537,15 @@ object TxLog {
     * footer reads. Integral columns only: min/max compare exactly in
     * i64, no float-rounding or collation hazards in the prune.
     */
+  private val groupSeq = new java.util.concurrent.atomic.AtomicLong
+
   private def writeFiles(df: DataFrame, table: File,
       tag: String, partCols: Seq[String] = Seq.empty): Seq[Add] = {
-    val sub = s"d_${tag}_${System.nanoTime()}"
+    // nanos alone can COLLIDE across threads racing the same commit slot
+    // (observed once in the 4-writer race spec: both landed in one group
+    // dir and the shared `_temporary` broke the second task commit) —
+    // the per-JVM sequence makes the group name unique unconditionally
+    val sub = s"d_${tag}_${System.nanoTime()}_${groupSeq.incrementAndGet()}"
     val dir = new File(table, sub)
     if (partCols.isEmpty) df.write.parquet(dir.getAbsolutePath)
     else {
@@ -957,14 +971,26 @@ object TxLog {
         var i = base + 1
         while (i <= v) {
           acc = readCommit(table, i).colDefaults.foldLeft(acc) {
-            case (a, ColDefault(c, Some(e))) => a + (c -> (e, i))
-            case (a, ColDefault(c, None)) => a - c
+            case (a, ColDefault(c, Some(e), since)) =>
+              a + (c -> (e, since.getOrElse(i)))
+            case (a, ColDefault(c, None, _)) => a - c
           }
           defaultsMemo.put((key, i), acc)
           i += 1
         }
         acc
     }
+  }
+
+  /** Active GENERATED columns as of `v`: the defaults whose auto
+    * constraint `gen_<col>` is active — the marker that distinguishes a
+    * generation expression from a literal default. col → expr, sorted.
+    */
+  private def generatedOf(table: File, v: Long): Seq[(String, String)] = {
+    val cons = constraintsAsOf(table, v)
+    defaultsAsOf(table, v).toSeq.collect {
+      case (c, (e, _)) if cons.contains(s"gen_$c") => (c, e)
+    }.sortBy(_._1)
   }
 
   /** The version each live-ish data file was ADDED at (canonical
@@ -1245,6 +1271,22 @@ object TxLog {
       val dup = added.fieldNames.filter(cur.fieldNames.contains)
       require(dup.isEmpty,
         s"TxLog ALTER: column(s) already exist: ${dup.mkString(", ")}")
+      // a DEFAULT/GENERATED expression must not reference a column that
+      // itself has (or is getting) a default/generation entry — the
+      // fill/materialize folds would become ORDER-DEPENDENT across
+      // columns (r13 review); Delta restricts generation expressions
+      // the same way. Word-boundary text match, conservative.
+      val dAll = defaultsAsOf(table, v).keySet ++ defaults.keySet ++
+        generated.keySet
+      (defaults ++ generated).foreach { case (c, e) =>
+        val refs = dAll.filter(d =>
+          ("\\b" + java.util.regex.Pattern.quote(d) + "\\b").r
+            .findFirstIn(e).isDefined)
+        require(refs.isEmpty, s"TxLog ALTER: the DEFAULT/GENERATED " +
+          s"expression of $c references defaulted/generated column(s) " +
+          s"${refs.toSeq.sorted.mkString(", ")} — expressions may only " +
+          "reference plain columns")
+      }
       val evolved = org.apache.spark.sql.types.StructType(
         cur.fields ++ added.fields)
       // column-mapping mode (any prior RENAME/DROP): a NEW column gets a
@@ -1335,8 +1377,20 @@ object TxLog {
         if (n == to) n -> old.getOrElse(from, from)
         else n -> old.getOrElse(n, n)
       }.toMap
+      // a DEFAULT on the renamed column MIGRATES under the new name with
+      // its ORIGINAL declaring version pinned via `since` — otherwise the
+      // default silently detaches (pre-alter rows stop filling) and a
+      // later re-ADD of the old name inherits the stale entry (r13
+      // review). Generated columns never reach here: their auto
+      // constraint references the column and the dependency guard above
+      // already rejected the rename.
+      val migrate = defaultsAsOf(table, v).get(from).toSeq.flatMap {
+        case (e, declV) => Seq(ColDefault(from, None),
+          ColDefault(to, Some(e), Some(declV)))
+      }
       committed = commitIfBase(table, v, Seq.empty, Seq.empty, "alter",
-        Some(evolved.toDDL), Some(encodeMapping(m)))
+        Some(evolved.toDDL), Some(encodeMapping(m)),
+        colDefaults = migrate)
     }
     committed
   }
@@ -1553,10 +1607,26 @@ object TxLog {
       val frame = assemble(spark, table, v, affected, st.dvs)
       val aliased = alias.map(frame.as(_)).getOrElse(frame)
       val setMap = sets.toMap
-      val rewritten = aliased.select(declared.map { c =>
-        setMap.get(c).map(vv => when(pred, vv).otherwise(col(c)).as(c))
+      // every assignment CASTs to the declared column type (the Delta
+      // assignment-cast rule): an uncast widening value (SET bigint_col
+      // = 1.5) would otherwise commit a DOUBLE-typed file the declared
+      // schema can never read back (r13 review)
+      val assigned = aliased.select(declared.map { c =>
+        setMap.get(c).map(vv => when(pred, vv).otherwise(col(c))
+          .cast(frame.schema(c).dataType).as(c))
           .getOrElse(col(c))
       }: _*)
+      // GENERATED columns the statement does not assign RECOMPUTE from
+      // the post-assignment row (the Delta rule) — without this, any
+      // UPDATE touching a referenced column would be rejected wholesale
+      // by the auto gen-constraint (r13 review). Unconditional over the
+      // affected rows: generation expressions are deterministic, so
+      // recomputing an untouched row reproduces its stored value.
+      val rewritten = generatedOf(table, v).foldLeft(assigned) {
+        case (d, (c, e)) if !setMap.contains(c) =>
+          d.withColumn(c, expr(e).cast(d.schema(c).dataType))
+        case (d, _) => d
+      }
       // the gate sees the post-update rows: an assignment driving a row
       // into violation must reject, the Delta CHECK-on-write contract
       enforceConstraints(spark, table, rewritten, "UPDATE")
@@ -1605,7 +1675,7 @@ object TxLog {
       val perFile = matches.groupBy(col("f")).count()
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
       if (perFile.isEmpty) return -1L
-      val sub = s"dv_${System.nanoTime()}"
+      val sub = s"dv_${System.nanoTime()}_${groupSeq.incrementAndGet()}"
       matches.coalesce(1).write
         .parquet(new File(table, sub).getAbsolutePath)
       // sidecar `f` stays the basename join key; the ATTACHMENT names the
@@ -1948,12 +2018,43 @@ object TxLog {
         val keep =
           if (deleteActs.isEmpty) "true"
           else s"$act NOT IN (${deleteActs.mkString(", ")})"
-        val survivors = spark.sql(
-          s"""SELECT ${colExprs.mkString(", ")}
-             |FROM $tv AS ${spec.tAlias}
-             |LEFT JOIN (SELECT *, true AS __m FROM $sv)
-             |  AS ${spec.sAlias} ON ${spec.cond}
-             |WHERE $keep""".stripMargin)
+        // with NO matched clause the cardinality rule does not apply —
+        // but the LEFT JOIN would still FAN OUT a target row matching
+        // several source rows, silently duplicating pass-throughs (r13
+        // review). Matched rows then need nothing from the source, so
+        // they route through a SEMI join (fan-out-proof) and the
+        // BY-SOURCE clauses through the complementary ANTI join.
+        val survivors =
+          if (spec.matched.isEmpty && spec.notMatchedBySource.nonEmpty) {
+            val passed = spark.sql(
+              s"""SELECT ${declared.map(c =>
+                   s"${spec.tAlias}.$c AS $c").mkString(", ")}
+                 |FROM $tv AS ${spec.tAlias}
+                 |LEFT SEMI JOIN $sv AS ${spec.sAlias}
+                 |ON ${spec.cond}""".stripMargin)
+            val antiCols = declared.map { c =>
+              val whens = spec.notMatchedBySource.zipWithIndex.flatMap {
+                case ((_, sets), j) =>
+                  sets.flatMap(_.get(c)).map(e => s"WHEN ${100 + j} THEN ($e)")
+              }
+              if (whens.isEmpty) s"${spec.tAlias}.$c AS $c"
+              else s"CAST(CASE ($nCase) ${whens.mkString(" ")} " +
+                s"ELSE ${spec.tAlias}.$c END AS ${typeOf(c)}) AS $c"
+            }
+            val antiKeep =
+              if (deleteActs.isEmpty) "true"
+              else s"($nCase) NOT IN (${deleteActs.mkString(", ")})"
+            passed.unionByName(spark.sql(
+              s"""SELECT ${antiCols.mkString(", ")}
+                 |FROM $tv AS ${spec.tAlias}
+                 |LEFT ANTI JOIN $sv AS ${spec.sAlias} ON ${spec.cond}
+                 |WHERE $antiKeep""".stripMargin))
+          } else spark.sql(
+            s"""SELECT ${colExprs.mkString(", ")}
+               |FROM $tv AS ${spec.tAlias}
+               |LEFT JOIN (SELECT *, true AS __m FROM $sv)
+               |  AS ${spec.sAlias} ON ${spec.cond}
+               |WHERE $keep""".stripMargin)
         // ---- inserts: anti-join + first-match clause CASE -----------
         // the anti-join target: with matched/by-source clauses the
         // affected files contain every source-matched row by the probe's
@@ -1981,15 +2082,48 @@ object TxLog {
               else s"CAST(CASE $iAct ${whens.mkString(" ")} " +
                 s"ELSE NULL END AS ${typeOf(c)}) AS $c"
             }
-            Some(spark.sql(
-              s"""SELECT ${iCols.mkString(", ")}
+            val raw = spark.sql(
+              s"""SELECT ${iCols.mkString(", ")},
+                 |  CAST($iAct AS INT) AS _iact
                  |FROM $sv AS ${spec.sAlias}
                  |LEFT ANTI JOIN $antiView AS ${spec.tAlias}
                  |ON ${spec.cond}
-                 |WHERE $iAct >= 0""".stripMargin))
+                 |WHERE $iAct >= 0""".stripMargin)
+            // a column a clause does NOT set takes its declared DEFAULT /
+            // GENERATED expression instead of NULL (the Delta
+            // insert-default rule) — applied in a SECOND projection where
+            // every table column already carries its INSERTED value, so a
+            // generation expression binds to the row being inserted,
+            // never to raw source columns; clause-set values (including
+            // explicit NULLs) pass through untouched via the act id
+            val dflt = defaultsAsOf(table, v)
+              .filter { case (c, _) => declared.contains(c) }
+            val filled = dflt.toSeq.sortBy(_._1).foldLeft(raw) {
+              case (d, (c, (e, _))) =>
+                val unsetIds = spec.notMatched.zipWithIndex.collect {
+                  case ((_, sets), i) if !sets.contains(c) => i
+                }
+                if (unsetIds.isEmpty) d
+                else d.withColumn(c,
+                  when(col("_iact").isin(unsetIds.map(Int.box): _*),
+                    expr(e).cast(d.schema(c).dataType))
+                    .otherwise(col(c)))
+            }.drop("_iact")
+            Some(filled)
           }
-        val rewritten = inserts.map(survivors.unionByName(_))
+        val merged = inserts.map(survivors.unionByName(_))
           .getOrElse(survivors)
+        // GENERATED columns recompute uniformly over the final frame
+        // (deterministic expressions: untouched rows reproduce their
+        // stored value; updated/inserted rows get the post-change value).
+        // In DML the expression is AUTHORITATIVE — a clause assigning a
+        // generated column is overridden by the recompute, the Delta
+        // UPDATE-recompute rule — while plain appends VALIDATE
+        // writer-provided values via the gen-constraint (r13 review).
+        val rewritten = generatedOf(table, v).foldLeft(merged) {
+          case (d, (c, e)) =>
+            d.withColumn(c, expr(e).cast(d.schema(c).dataType))
+        }
         // the gate sees the full post-merge state of the affected rows
         enforceConstraints(spark, table, rewritten, "MERGE")
         // matched deletes can empty every affected file, and an

@@ -114,10 +114,16 @@ object TxSql {
       // splits.
       val entryRe =
         ("""(?is)^\s*(\S+\s+.+?)""" +
-          """(?:\s+DEFAULT\s+('(?:[^']|'')*'|[-+]?\d+(?:\.\d+)?)""" +
+          """(?:\s+DEFAULT\s+('(?:[^']|'')*'""" +
+          """|[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?|NULL|TRUE|FALSE)""" +
           """|\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\))?\s*$""").r
       val parsed = splitTopLevel(ddl).map {
         case entryRe(colDdl, dflt, gen) =>
+          // an unsupported DEFAULT form (function call, typed literal)
+          // must fail HERE with its name, not deep inside the DDL parse
+          require(!colDdl.matches("(?is).*\\bDEFAULT\\b.*"),
+            s"TxSql ALTER: unsupported DEFAULT form in: $colDdl — " +
+              "literals only (quoted string, number, NULL, TRUE, FALSE)")
           (colDdl, Option(dflt), Option(gen))
         case bad => sys.error(s"TxSql ALTER: cannot parse column: $bad")
       }
@@ -220,16 +226,19 @@ object TxSql {
   private[sources] def lookup(name: String): Option[File] =
     registered.get(name.toLowerCase)
 
-  private val bindSeq = new java.util.concurrent.atomic.AtomicLong
-
   /** Run a plain SELECT with every REGISTERED TxLog name bound to its
     * latest snapshot (statements with travel clauses route through
     * [[selectAsOf]] instead). Binding is metadata-only; the query is an
-    * ordinary pruned scan. Views bind under UNIQUE suffixed names with a
-    * segment-aware rewrite — not createOrReplaceTempView on the bare
-    * name, which outlived the statement and could shadow a same-named
-    * session view with a stale-at-bind snapshot (r12 advice) — and drop
-    * after spark.sql's eager analysis inlines them.
+    * ordinary pruned scan.
+    *
+    * Names bind as temp views under their BARE name for EXACTLY the
+    * statement's analysis: identifier ROLES are the analyzer's business —
+    * an r12 text-rewrite variant mangled same-named column aliases
+    * (`SELECT count(*) AS orders` became `AS orders_bind_3`, r13
+    * review). A pre-existing same-named temp view is SAVED (its raw
+    * registry entry) and restored in a finally, so nothing outlives the
+    * statement even on analysis failure and a later same-named session
+    * view is never shadowed (the r12 advice, kept).
     */
   private[graft] def bindRegistered(spark: SparkSession, select: String)
       : DataFrame = {
@@ -237,21 +246,27 @@ object TxSql {
         select.matches("(?is).*\\btable_changes\\s*\\(.*"))
       return selectAsOf(spark, select)
     val segments = splitOnLiterals(select)
-    val bound = scala.collection.mutable.ArrayBuffer.empty[String]
-    registered.keys.toSeq.sorted.foreach { n =>
-      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
-      if (segments.exists(s => !s.startsWith("'") &&
-          re.findFirstIn(s).isDefined)) {
-        val view = s"${n}_bind_${bindSeq.incrementAndGet()}"
-        TxLog.snapshot(spark, registered(n)).createOrReplaceTempView(view)
-        bound += view
-        for (i <- segments.indices if !segments(i).startsWith("'"))
-          segments(i) = re.replaceAllIn(segments(i), view)
+    val cat = spark.sessionState.catalog
+    val bound = scala.collection.mutable.ArrayBuffer.empty[(String,
+      Option[org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation])]
+    try {
+      registered.keys.toSeq.sorted.foreach { n =>
+        val re = ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+        if (segments.exists(s => !s.startsWith("'") &&
+            re.findFirstIn(s).isDefined)) {
+          val prior = cat.getRawTempView(n)
+          TxLog.snapshot(spark, registered(n)).createOrReplaceTempView(n)
+          bound += ((n, prior))
+        }
+      }
+      spark.sql(select) // eager analysis inlines the views
+    } finally {
+      bound.foreach {
+        case (n, Some(prior)) => cat.createTempView(n, prior,
+          overrideIfExists = true)
+        case (n, None) => spark.catalog.dropTempView(n); ()
       }
     }
-    val out = spark.sql(segments.mkString)
-    bound.foreach(spark.catalog.dropTempView(_))
-    out
   }
 
   private def selectAsOf(spark: SparkSession, text: String): DataFrame = {

@@ -1506,6 +1506,116 @@ class TxLogSpec extends SparkSpec {
     assert(got == 1.0, s"generated round(7/7.0, 2) read $got")
   }
 
+  test("MERGE INSERT clauses honor DEFAULT and GENERATED columns they " +
+      "do not set, computed over the inserted values") {
+    import graft.sources.{TxDml, TxSql}
+    import spark.implicits._
+    val t = freshTable("mrgdflt")
+    TxLog.append(Seq((1L, 10L)).toDF("id", "v"), t)                 // v0
+    TxLog.alterAddColumns(spark, t, "tag BIGINT", Map("tag" -> "42")) // v1
+    TxLog.alterAddColumns(spark, t, "dbl BIGINT",
+      generated = Map("dbl" -> "v * 2"))                            // v2
+    TxSql.register("mrgdflt_t", t)
+    // source column names deliberately differ from table names: the
+    // generation expression must bind to the INSERTED v, not the source
+    Seq((5L, 50L), (6L, 60L)).toDF("k", "nv")
+      .createOrReplaceTempView("mrgdflt_src")
+    TxDml.exec(spark,
+      """MERGE INTO mrgdflt_t AS t
+        |USING mrgdflt_src AS s ON t.id = s.k
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.k, s.nv)
+        |""".stripMargin)
+    val got = TxLog.snapshot(spark, t).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("tag"), r.getAs[Long]("dbl"))).toSeq
+    assert(got == Seq((1L, 10L, 42L, 20L), (5L, 50L, 42L, 100L),
+      (6L, 60L, 42L, 120L)),
+      s"insert defaults/generated wrong: $got")
+    spark.catalog.dropTempView("mrgdflt_src")
+  }
+
+  test("BY-SOURCE-only merge never duplicates a pass-through row on " +
+      "duplicate source keys (semi/anti shape, no fan-out)") {
+    // r13 review: the LEFT JOIN shape silently duplicated matched
+    // pass-through rows when no MATCHED clause existed to trigger the
+    // cardinality check
+    import spark.implicits._
+    import TxLog.MergeSpec
+    val t = freshTable("nmbsdup")
+    TxLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t)
+    val dupSrc = Seq((1L, 0L), (1L, 0L)).toDF("id", "x") // id=1 twice
+    val v = TxLog.mergeInto(spark, t, dupSrc, MergeSpec(
+      "t.id = s.id", "t", "s",
+      matched = Seq.empty,
+      notMatched = Seq.empty,
+      notMatchedBySource = Seq((None, Some(Map("v" -> "0"))))))
+    assert(v == 1L)
+    val got = TxLog.snapshot(spark, t).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 0L)),
+      s"pass-through duplicated or by-source missed: $got")
+  }
+
+  test("UPDATE casts assignments to the declared type and recomputes " +
+      "GENERATED columns; renamed columns keep their DEFAULT") {
+    import graft.sources.{TxDml, TxSql}
+    import spark.implicits._
+    val t = freshTable("updcast")
+    TxLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t)      // v0
+    TxLog.alterAddColumns(spark, t, "dbl BIGINT",
+      generated = Map("dbl" -> "v * 2"))                            // v1
+    TxSql.register("updcast_t", t)
+    // r13 review: an uncast 1.5 committed a DOUBLE file the declared
+    // BIGINT schema could never read back; and without the generated
+    // recompute the gen-constraint rejected every UPDATE touching v
+    TxDml.exec(spark, "UPDATE updcast_t SET v = 1.5 WHERE id = 1")
+    val got = TxLog.snapshot(spark, t).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("dbl"))).toSeq
+    assert(got == Seq((1L, 1L, 2L), (2L, 20L, 40L)),
+      s"cast/recompute wrong: $got")
+    // rename migrates a literal default with its original epoch
+    val d = freshTable("rendflt")
+    TxLog.append(Seq((1L, "a")).toDF("id", "s"), d)                 // v0
+    TxLog.alterAddColumns(spark, d, "flag BIGINT", Map("flag" -> "7")) // v1
+    TxLog.alterRenameColumn(spark, d, "flag", "mark")               // v2
+    assert(TxLog.snapshot(spark, d).head().getAs[Long]("mark") == 7L,
+      "the default detached on rename")
+    // and a re-ADD of the OLD name inherits nothing
+    TxLog.alterAddColumns(spark, d, "flag BIGINT")                  // v3
+    assert(TxLog.snapshot(spark, d).head().isNullAt(
+      TxLog.snapshot(spark, d).columns.indexOf("flag")),
+      "a stale default leaked onto the re-added old name")
+  }
+
+  test("statement binding never mangles same-named column aliases and " +
+      "restores a shadowed temp view even on failure") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("bindalias")
+    TxLog.append(rows(3), t)
+    TxSql.register("bindalias_t", t)
+    val tgt = freshTable("bindaliastgt")
+    TxLog.append(Seq((0L, 0L)).toDF("k", "bindalias_t"), tgt)
+    TxSql.register("bindalias_tgt", tgt)
+    // r13 review: the text-rewrite binding renamed the OUTPUT ALIAS
+    // `bindalias_t` too, silently changing the result schema
+    TxSql.sql(spark, "INSERT OVERWRITE bindalias_tgt " +
+      "SELECT id AS k, count(*) OVER () AS bindalias_t FROM bindalias_t")
+    assert(TxLog.snapshot(spark, tgt).columns.toSeq ==
+      Seq("k", "bindalias_t"), "the column alias was mangled")
+    assert(TxLog.snapshot(spark, tgt).count() == 3)
+    // a failing statement restores the pre-existing shadowed view
+    Seq((42L, "mine")).toDF("id", "tag")
+      .createOrReplaceTempView("bindalias_t")
+    val failed = scala.util.Try(TxSql.sql(spark,
+      "INSERT OVERWRITE bindalias_tgt SELECT no_such_col FROM bindalias_t"))
+    assert(failed.isFailure)
+    assert(spark.table("bindalias_t").columns.toSeq == Seq("id", "tag"),
+      "the session view was not restored after a failed statement")
+    spark.catalog.dropTempView("bindalias_t")
+  }
+
   test("MERGE accepts an inline subquery source: USING (SELECT ...) AS s") {
     import graft.sources.{TxDml, TxSql}
     import spark.implicits._
