@@ -57,6 +57,8 @@ object TxSql {
 
   private val describeRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val describeDetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val optimizeZRe =
     ("""(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ZORDER\s+BY\s*""" +
       """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)""" +
@@ -99,6 +101,7 @@ object TxSql {
     */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case describeRe(name) => describeHistory(spark, tableOf(name))
+    case describeDetailRe(name) => describeDetail(spark, name, tableOf(name))
     case optimizeZRe(name, c1, c2) =>
       optSummary(spark, name,
         TxLog.optimizeZorder(spark, tableOf(name), Seq(c1, c2),
@@ -437,6 +440,33 @@ object TxSql {
     }
     out += cur.toString
     out.toArray
+  }
+
+  /** Delta's DESCRIBE DETAIL shape (round-13): one row of table-level
+    * metadata — format, location, live file/row counts, on-disk bytes of
+    * the live set, declared partition columns, active
+    * constraint/default counts, and the latest version — ALL from log
+    * metadata plus file-length stats (no data reads). The statement a
+    * BI tool or operator issues to size a table before querying it.
+    */
+  private def describeDetail(spark: SparkSession, name: String,
+      table: File): DataFrame = {
+    import spark.implicits._
+    val v = TxLog.versions(table).lastOption.getOrElse(
+      sys.error(s"TxSql: DESCRIBE DETAIL on empty table $name"))
+    val st = TxLog.liveState(table, v)
+    val bytes = st.live.map(a =>
+      new File(table, a.path).length()).sum
+    val parts = TxLog.partitionColsOf(table)
+    val nCons = TxLog.constraintsAsOf(table, v).size.toLong
+    val nDflt = TxLog.defaultsAsOf(table, v).size.toLong
+    Seq((name, "graft-txlog", table.getCanonicalPath,
+      st.live.size.toLong, st.rowCount, bytes,
+      if (parts.isEmpty) "" else parts.mkString(","),
+      nCons, nDflt, v))
+      .toDF("name", "format", "location", "num_files", "num_rows",
+        "size_bytes", "partition_columns", "n_constraints", "n_defaults",
+        "latest_version")
   }
 
   /** Delta's DESCRIBE HISTORY shape for any registered table: version,

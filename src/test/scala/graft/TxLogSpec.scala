@@ -1616,6 +1616,30 @@ class TxLogSpec extends SparkSpec {
     spark.catalog.dropTempView("bindalias_t")
   }
 
+  test("DESCRIBE DETAIL reports live files/rows/bytes, layout, and " +
+      "constraint/default counts from log metadata alone") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("detail")
+    TxLog.createPartitioned(
+      (0L until 10L).map(i => (i, i % 2, s"v$i"))
+        .toDF("id", "bucket", "s").repartition(1), t, Seq("bucket"))
+    TxLog.alterAddConstraint(spark, t, "pos", "id >= 0")
+    TxLog.alterAddColumns(spark, t, "flag BIGINT", Map("flag" -> "1"))
+    TxLog.deleteWhere(spark, t, col("id") === 9L)
+    TxSql.register("detail_t", t)
+    val r = TxSql.sql(spark, "DESCRIBE DETAIL detail_t").head()
+    assert(r.getAs[String]("format") == "graft-txlog")
+    assert(r.getAs[Long]("num_rows") == 9L)
+    assert(r.getAs[String]("partition_columns") == "bucket")
+    assert(r.getAs[Long]("n_constraints") == 1L)
+    assert(r.getAs[Long]("n_defaults") == 1L)
+    assert(r.getAs[Long]("latest_version") == 3L)
+    assert(r.getAs[Long]("size_bytes") > 0L)
+    assert(r.getAs[Long]("num_files") ==
+      TxLog.liveState(t, 3L).live.size.toLong)
+  }
+
   test("MERGE accepts an inline subquery source: USING (SELECT ...) AS s") {
     import graft.sources.{TxDml, TxSql}
     import spark.implicits._
