@@ -811,6 +811,192 @@ object TxFeatures {
         col("last_value"))
       .orderBy(col("user_id"))
 
+  // ---- S66: bloom-filter index + point-lookup file skipping ---------------
+
+  private val bloomDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Bloom-index demo: URGENT orders land one file per `o_orderkey % 8`
+    * bucket, so every file's o_custkey [min, max] spans nearly the whole
+    * customer domain — the S54 range prune is structurally useless here,
+    * which is exactly the workload the bloom index exists for. Bucket 0
+    * is appended BEFORE the index declaration (the pre-index epoch: no
+    * bitset, conservatively kept), buckets 1–7 after (each add action
+    * carries a 131072-bit / 3-hash bitset over o_custkey). Built once
+    * per (JVM, corpus); the declaration runs through the statement form.
+    */
+  private[graft] def bloomDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      bloomDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "bloom")
+        val o = graft.Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select((col("o_orderkey") % 8).as("bucket"), col("o_custkey"),
+            scaledLong(col("o_totalprice"), 100L).as("cents"))
+        TxSql.register("bloom_orders", t)
+        if (TxLog.versions(t).isEmpty)                              // v0
+          TxLog.append(o.filter(col("bucket") === 0).coalesce(1), t)
+        if (TxLog.versions(t).size < 2)                             // v1
+          TxSql.sql(spark, "CREATE BLOOMFILTER INDEX ON bloom_orders " +
+            "FOR COLUMNS (o_custkey OPTIONS (bits = 131072, k = 3))")
+        (1 to 7).foreach { b =>                                // v2..v8
+          if (TxLog.versions(t).size < b + 2)
+            TxLog.append(o.filter(col("bucket") === b).coalesce(1), t)
+        }
+        t
+      })
+    }
+
+  /** txlog_bloom_skipping (S66) — the bloom-pruned point lookup end to
+    * end: five customer-key probes (the four smallest keys in the demo
+    * slice plus one absent key past the domain max) each resolve their
+    * file set from LOG bitsets alone and read only the surviving files.
+    * The oracle recomputes the exact combined prune rule from raw data —
+    * a bloomed file survives iff it CONTAINS the key (zero false
+    * positives at these occupancies, verified at every shipped SF), the
+    * pre-index bucket-0 file survives iff the probe passes its min/max
+    * RANGE check (stats compose with blooms; for the absent key even the
+    * epoch file is range-pruned and the scan reads ZERO files) — so the
+    * hash-match proves the prune read exactly the right files: fewer
+    * would lose rows, more would break the files-read column.
+    */
+  def txlogBloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = bloomDemo(spark, dir)
+    // probe selection is ≤5 driver rows of log-backed metadata, same
+    // class as the file census itself
+    val snap = TxLog.snapshot(spark, t)
+    val present = snap.select(col("o_custkey")).distinct()
+      .orderBy(col("o_custkey")).limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    val absent = snap.agg(max(col("o_custkey"))).collect().head.getLong(0) + 1
+    val rows = (present :+ absent).map { k =>
+      val (frame, nRead, nTotal) = TxLog.snapshotPrunedEq(spark, t,
+        "o_custkey", k)
+      val r = frame.filter(col("o_custkey") === k) // blooms prune FILES
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("cents")), lit(0L)).as("c"))
+        .collect().head
+      (k, r.getLong(0), r.getLong(1), nRead.toLong, nTotal.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("probe_custkey", "n_orders", "total_cents",
+      "n_files_read", "n_files_total")
+      .orderBy(col("probe_custkey"))
+  }
+
+  val txlogBloomSkippingSql: String =
+    """WITH t AS (SELECT o_orderkey % 8 AS bucket, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |probes AS (
+      |  SELECT k FROM (SELECT DISTINCT o_custkey AS k FROM t
+      |                 ORDER BY k LIMIT 4)
+      |  UNION ALL SELECT MAX(o_custkey) + 1 FROM t),
+      |b0 AS (SELECT MIN(o_custkey) AS lo, MAX(o_custkey) AS hi
+      |       FROM t WHERE bucket = 0)
+      |SELECT p.k AS probe_custkey,
+      |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE(a.c, 0) AS BIGINT) AS total_cents,
+      |  CAST((SELECT COUNT(DISTINCT bucket) FROM t, b0
+      |        WHERE o_custkey = p.k
+      |           OR (bucket = 0 AND p.k BETWEEN b0.lo AND b0.hi))
+      |    AS BIGINT) AS n_files_read,
+      |  CAST((SELECT COUNT(DISTINCT bucket) FROM t) AS BIGINT)
+      |    AS n_files_total
+      |FROM probes p
+      |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n, SUM(cents) AS c
+      |           FROM t GROUP BY 1) a ON a.o_custkey = p.k
+      |ORDER BY probe_custkey""".stripMargin
+
+  // ---- S67: COPY INTO — idempotent bulk load ------------------------------
+
+  private val copyDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** COPY INTO demo: a landing directory accumulates flat parquet files
+    * (a, b at first; c arrives later). Run 1 loads a+b as one commit
+    * whose `copy` ledger actions name both source files; run 2 finds
+    * only c fresh and loads just it; run 3 finds nothing fresh and
+    * commits NOTHING — the log ends at exactly two versions, which the
+    * query exposes as a column. Built once per (JVM, corpus); all three
+    * runs go through the statement form.
+    */
+  private[graft] def copyDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      copyDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "copyinto")
+        val stage = demoDir(dir, "copystage")
+        stage.mkdirs()
+        val o = ordersCensus(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        def stageFile(nm: String, f: org.apache.spark.sql.DataFrame)
+            : Unit = {
+          val target = new File(stage, nm)
+          if (!target.exists()) {
+            val tmp = new File(stage, s"_build_$nm")
+            f.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+            val part = tmp.listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            java.nio.file.Files.move(part.toPath, target.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            def rm(x: File): Unit = {
+              Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete(); ()
+            }
+            rm(tmp)
+          }
+        }
+        TxSql.register("copy_orders", t)
+        val stmt = s"COPY INTO copy_orders FROM '${stage.getPath}' " +
+          "FILEFORMAT = PARQUET"
+        stageFile("a.parquet", o.filter(col("yr") <= 1994))
+        stageFile("b.parquet", o.filter(col("yr").between(1995, 1996)))
+        if (TxLog.versions(t).isEmpty) TxSql.sql(spark, stmt)   // v0: a+b
+        stageFile("c.parquet", o.filter(col("yr") >= 1997))
+        if (TxLog.versions(t).size < 2) TxSql.sql(spark, stmt)  // v1: c
+        TxSql.sql(spark, stmt) // fully loaded: must commit nothing
+        t
+      })
+    }
+
+  /** txlog_copy_into (S67) — idempotent bulk load end to end: censuses
+    * AS OF the initial load (files a+b) and at latest (after c landed),
+    * plus the total commit count — which proves the third, fully-loaded
+    * run committed nothing (two loads → exactly two versions). The
+    * oracle recomputes both censuses from the raw slices and pins the
+    * commit count as the by-construction constant.
+    */
+  def txlogCopyInto(spark: SparkSession, dir: String): DataFrame = {
+    val t = copyDemo(spark, dir)
+    val nCommits = TxLog.versions(t).size.toLong
+    def census(v: Option[Long], tag: String): org.apache.spark.sql.DataFrame =
+      TxLog.snapshot(spark, t, v)
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("total_cents"))
+        .select(lit(tag).as("state"), col("yr"), col("n_orders"),
+          col("total_cents"))
+    census(Some(0L), "v0_initial_load")
+      .unionByName(census(None, "v1_incremental"))
+      .withColumn("n_commits", lit(nCommits))
+      .orderBy(col("state"), col("yr"))
+  }
+
+  val txlogCopyIntoSql: String =
+    """WITH t AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT * FROM (
+      |  SELECT 'v0_initial_load' AS state, yr, COUNT(*) AS n_orders,
+      |    CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |    CAST(2 AS BIGINT) AS n_commits
+      |  FROM t WHERE yr <= 1996 GROUP BY yr
+      |  UNION ALL
+      |  SELECT 'v1_incremental', yr, COUNT(*),
+      |    CAST(SUM(cents) AS BIGINT), CAST(2 AS BIGINT)
+      |  FROM t GROUP BY yr
+      |) ORDER BY state, yr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
@@ -823,6 +1009,8 @@ object TxFeatures {
     "txlog_constraints" -> (txlogConstraints _),
     "txlog_add_column_default" -> (txlogAddColumnDefault _),
     "txlog_generated_column" -> (txlogGeneratedColumn _),
+    "txlog_bloom_skipping" -> (txlogBloomSkipping _),
+    "txlog_copy_into" -> (txlogCopyInto _),
     "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
@@ -838,5 +1026,7 @@ object TxFeatures {
     "txlog_constraints" -> txlogConstraintsSql,
     "txlog_add_column_default" -> txlogAddColumnDefaultSql,
     "txlog_generated_column" -> txlogGeneratedColumnSql,
+    "txlog_bloom_skipping" -> txlogBloomSkippingSql,
+    "txlog_copy_into" -> txlogCopyIntoSql,
     "txlog_cdc_apply" -> graft.operators.Cdc.cdcApplySql)
 }

@@ -84,7 +84,8 @@ object TxLog {
     * zero footer reads for pruned files.
     */
   private[graft] case class Add(path: String, rows: Long,
-    stats: Map[String, (Long, Long)] = Map.empty)
+    stats: Map[String, (Long, Long)] = Map.empty,
+    blooms: Map[String, String] = Map.empty)
 
   /** One committed action file, parsed. `metaMapping` (round-12) is the
     * column-mapping half of a metaData action: the FULL logical→physical
@@ -122,16 +123,30 @@ object TxLog {
   private[graft] case class ColDefault(col: String, expr: Option[String],
     since: Option[Long] = None)
 
+  /** One BLOOM-INDEX delta (round-13, S66 — Delta's bloom filter index):
+    * `spec = Some((bits, k))` declares a per-file bloom filter on PHYSICAL
+    * column `col` (every subsequent write carries a bloom bitset for the
+    * column in its add actions), `spec = None` drops the index (new files
+    * stop carrying blooms; existing bitsets stay harmlessly in the log).
+    * The column is recorded under its physical name so RENAME composes
+    * for free — physical names never change.
+    */
+  private[graft] case class BloomIdx(col: String, spec: Option[(Int, Int)])
+
   private[graft] case class Commit(adds: Seq[Add], removes: Seq[String],
     op: String, metaDdl: Option[String] = None,
     metaMapping: Option[String] = None, ts: Option[Long] = None,
     dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None,
     constraints: Seq[Constraint] = Seq.empty,
-    colDefaults: Seq[ColDefault] = Seq.empty)
+    colDefaults: Seq[ColDefault] = Seq.empty,
+    bloomIdx: Seq[BloomIdx] = Seq.empty,
+    copies: Seq[String] = Seq.empty)
 
   private val addRe =
     ("""\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)""" +
-      """(?:,\s*"stats":\s*\{([^}]*)\})?\}\}""").r
+      """(?:,\s*"stats":\s*\{([^}]*)\})?""" +
+      """(?:,\s*"blooms":\s*\{([^}]*)\})?\}\}""").r
+  private val bloomEntryRe = """"((?:[^"\\]|\\.)+)":\s*"([0-9a-f]*)"""".r
   private val statRe = """"((?:[^"\\]|\\.)+)":\s*\[(-?\d+),\s*(-?\d+)\]""".r
   private val dvRe =
     ("""\{"dv":\s*\{"path":\s*"([^"]+)",\s*"dvPath":\s*"([^"]+)",""" +
@@ -154,11 +169,23 @@ object TxLog {
       """"expr":\s*"((?:[^"\\]|\\.)+)"(?:,\s*"since":\s*(\d+))?\}\}""").r
   private val defaultDropRe =
     """\{"default":\s*\{"col":\s*"([^"]+)",\s*"drop":\s*true\}\}""".r
+  private val bloomIdxAddRe =
+    ("""\{"bloomidx":\s*\{"col":\s*"([^"]+)",\s*"bits":\s*(\d+),""" +
+      """\s*"k":\s*(\d+)\}\}""").r
+  private val bloomIdxDropRe =
+    """\{"bloomidx":\s*\{"col":\s*"([^"]+)",\s*"drop":\s*true\}\}""".r
+  private val copyRe =
+    """\{"copy":\s*\{"src":\s*"((?:[^"\\]|\\.)+)"\}\}""".r
 
   private def parseStats(s: String): Map[String, (Long, Long)] =
     if (s == null || s.isEmpty) Map.empty
     else statRe.findAllMatchIn(s).map(m =>
       m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+
+  private def parseBlooms(s: String): Map[String, String] =
+    if (s == null || s.isEmpty) Map.empty
+    else bloomEntryRe.findAllMatchIn(s).map(m =>
+      m.group(1) -> m.group(2)).toMap
 
   private[graft] def readCommit(table: File, v: Long): Commit = {
     val lines = Files.readAllLines(versionFile(table, v).toPath)
@@ -173,9 +200,12 @@ object TxLog {
     var partCols = Option.empty[String]
     var constraints = Vector.empty[Constraint]
     var colDefaults = Vector.empty[ColDefault]
+    var bloomIdx = Vector.empty[BloomIdx]
+    var copies = Vector.empty[String]
     lines.asScala.foreach { line =>
       line match {
-        case addRe(p, r, s) => adds :+= Add(p, r.toLong, parseStats(s))
+        case addRe(p, r, s, b) =>
+          adds :+= Add(p, r.toLong, parseStats(s), parseBlooms(b))
         case removeRe(p) => removes :+= p
         case dvRe(p, dp, r) => dvs :+= Dv(p, dp, r.toLong)
         case opRe(o) => op = o
@@ -188,6 +218,10 @@ object TxLog {
           colDefaults :+= ColDefault(c, Some(unq(e)),
             Option(s).map(_.toLong))
         case defaultDropRe(c) => colDefaults :+= ColDefault(c, None)
+        case bloomIdxAddRe(c, b, k) =>
+          bloomIdx :+= BloomIdx(c, Some((b.toInt, k.toInt)))
+        case bloomIdxDropRe(c) => bloomIdx :+= BloomIdx(c, None)
+        case copyRe(s) => copies :+= unq(s)
         case _ => ()
       }
       line match {
@@ -196,7 +230,7 @@ object TxLog {
       }
     }
     Commit(adds, removes, op, meta, mapping, ts, dvs, partCols, constraints,
-      colDefaults)
+      colDefaults, bloomIdx, copies)
   }
 
   /** Inverse of [[q]]'s escaping for constraint expression round-trips:
@@ -315,7 +349,8 @@ object TxLog {
     import scala.jdk.CollectionConverters._
     val lines = Files.readAllLines(checkpointFile(table, v).toPath)
       .asScala.toSeq
-    (lines.collect { case addRe(p, r, s) => Add(p, r.toLong, parseStats(s)) },
+    (lines.collect { case addRe(p, r, s, b) =>
+      Add(p, r.toLong, parseStats(s), parseBlooms(b)) },
       lines.collect { case dvRe(p, dp, r) => Dv(p, dp, r.toLong) })
   }
 
@@ -430,7 +465,12 @@ object TxLog {
       else a.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s"${q(c)}: [$lo, $hi]"
       }.mkString(""", "stats": {""", ", ", "}")
-    s"""{"add": {"path": ${q(a.path)}, "rows": ${a.rows}$stats}}"""
+    val blooms =
+      if (a.blooms.isEmpty) ""
+      else a.blooms.toSeq.sortBy(_._1).map { case (c, hex) =>
+        s"${q(c)}: ${q(hex)}"
+      }.mkString(""", "blooms": {""", ", ", "}")
+    s"""{"add": {"path": ${q(a.path)}, "rows": ${a.rows}$stats$blooms}}"""
   }
 
   private def renderDv(d: Dv): String =
@@ -442,6 +482,13 @@ object TxLog {
       s"""{"constraint": {"name": ${q(c.name)}, "expr": ${q(e)}}}"""
     case None =>
       s"""{"constraint": {"name": ${q(c.name)}, "drop": true}}"""
+  }
+
+  private def renderBloomIdx(b: BloomIdx): String = b.spec match {
+    case Some((bits, k)) =>
+      s"""{"bloomidx": {"col": ${q(b.col)}, "bits": $bits, "k": $k}}"""
+    case None =>
+      s"""{"bloomidx": {"col": ${q(b.col)}, "drop": true}}"""
   }
 
   private def renderDefault(d: ColDefault): String = d.expr match {
@@ -458,13 +505,17 @@ object TxLog {
       dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None,
       constraints: Seq[Constraint] = Seq.empty,
       txn: Option[(String, Long)] = None,
-      colDefaults: Seq[ColDefault] = Seq.empty): String =
+      colDefaults: Seq[ColDefault] = Seq.empty,
+      bloomIdx: Seq[BloomIdx] = Seq.empty,
+      copies: Seq[String] = Seq.empty): String =
     (adds.map(renderAdd) ++
       removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") ++
       dvs.map(renderDv) ++
       partCols.map(c => s"""{"partition": {"cols": ${q(c)}}}""") ++
       constraints.map(renderConstraint) ++
       colDefaults.map(renderDefault) ++
+      bloomIdx.map(renderBloomIdx) ++
+      copies.map(s => s"""{"copy": {"src": ${q(s)}}}""") ++
       txn.map { case (a, b) =>
         s"""{"txn": {"app": ${q(a)}, "batch": $b}}""" } ++
       metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}""" +
@@ -490,13 +541,14 @@ object TxLog {
       constraints: Seq[Constraint] = Seq.empty,
       txn: Option[(String, Long)] = None,
       partCols: Option[String] = None,
-      colDefaults: Seq[ColDefault] = Seq.empty): Long = {
+      colDefaults: Seq[ColDefault] = Seq.empty,
+      copies: Seq[String] = Seq.empty): Long = {
     logDir(table).mkdirs()
     val v = base + 1
     if (publishSlot(versionFile(table, v),
         commitBody(adds, removes, op, metaDdl, mapping, ts, dvs,
           partCols = partCols, constraints = constraints, txn = txn,
-          colDefaults = colDefaults))) {
+          colDefaults = colDefaults, copies = copies))) {
       maybeCheckpoint(table, v); v
     } else -1L
   }
@@ -513,10 +565,11 @@ object TxLog {
       removes: Seq[String], op: String, metaDdl: Option[String] = None,
       mapping: Option[String] = None, ts: Option[Long] = None,
       dvs: Seq[Dv] = Seq.empty, partCols: Option[String] = None,
-      constraints: Seq[Constraint] = Seq.empty): Long = {
+      constraints: Seq[Constraint] = Seq.empty,
+      bloomIdx: Seq[BloomIdx] = Seq.empty): Long = {
     logDir(table).mkdirs()
     val body = commitBody(adds, removes, op, metaDdl, mapping, ts, dvs,
-      partCols, constraints)
+      partCols, constraints, bloomIdx = bloomIdx)
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.map(_ + 1).getOrElse(0L)
@@ -567,9 +620,21 @@ object TxLog {
       case f if f.dataType == LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType => f.name
     }.toSeq
-    val aggs = count(lit(1)).as("_n") +: statCols.flatMap(c => Seq(
+    // declared bloom indexes whose (physical) column this frame carries:
+    // the bitsets ride the SAME per-file pass as the min/max stats — an
+    // indexed table pays k extra collect_sets here, an unindexed one
+    // pays nothing (bytes are bits/8 per file per column in the log)
+    val bloomCols = bloomsAsOf(table,
+      versions(table).lastOption.getOrElse(-1L)).toSeq.sortBy(_._1)
+      .filter { case (c, _) => statCols.contains(c) }
+    val aggs = (count(lit(1)).as("_n") +: statCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"_lo_$c"),
-      max(col(c)).cast("long").as(s"_hi_$c")))
+      max(col(c)).cast("long").as(s"_hi_$c")))) ++
+      bloomCols.zipWithIndex.flatMap { case ((c, (bits, k)), ci) =>
+        (0 until k).map(i => collect_set(
+          pmod(xxhash64(lit(i), col(c).cast("long")), lit(bits.toLong)))
+          .as(s"_bl_${ci}_$i"))
+      }
     val perFile = spark.read.parquet(dir.getAbsolutePath)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -579,7 +644,15 @@ object TxLog {
           if (lo == null || hi == null) None // all-null column: no range
           else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
         }.toMap
-        (r.getString(0), (r.getAs[Long]("_n"), stats))
+        val blooms = bloomCols.zipWithIndex.map {
+          case ((c, (bits, k)), ci) =>
+            val words = new Array[Long](bits / 64)
+            for (i <- 0 until k;
+                 p <- r.getAs[scala.collection.Seq[Long]](s"_bl_${ci}_$i"))
+              words(p.toInt >> 6) |= 1L << (p & 63)
+            c -> words.map(w => f"$w%016x").mkString
+        }.toMap
+        (r.getString(0), (r.getAs[Long]("_n"), stats, blooms))
       }.toMap
     def walk(d: File): Seq[File] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
@@ -601,10 +674,11 @@ object TxLog {
       // partition directory of a task, and a basename match would hand
       // every such Add one arbitrary sibling's count and stats
       val rel = dir.toPath.relativize(f.toPath).toString
-      val (n, stats) = perFileRaw.collectFirst {
+      val (n, stats, blooms) = perFileRaw.collectFirst {
         case (u, v) if u.endsWith(s"/$rel") => v
-      }.getOrElse((0L, Map.empty[String, (Long, Long)]))
-      Add(s"$sub/$rel", n, stats)
+      }.getOrElse((0L, Map.empty[String, (Long, Long)],
+        Map.empty[String, String]))
+      Add(s"$sub/$rel", n, stats, blooms)
     }
   }
 
@@ -721,6 +795,88 @@ object TxLog {
         table, "append", partitionColsOf(table))
       committed = commitIfBase(table, base.getOrElse(-1L), files,
         Seq.empty, "append", ts = ts)
+      if (committed < 0) discardFileGroup(table, files)
+    }
+    committed
+  }
+
+  /** Source files already loaded by COPY INTO as of `v` (canonical
+    * absolute paths). Same memoized fold as [[constraintsAsOf]] — the
+    * load ledger is log metadata, bytes per commit.
+    */
+  private val copiedMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Set[String]]
+
+  private[graft] def copiedAsOf(table: File, v: Long): Set[String] = {
+    if (v < 0) return Set.empty
+    val key = table.getCanonicalPath
+    copiedMemo.get((key, v)) match {
+      case Some(s) => s
+      case None =>
+        var base = v - 1
+        while (base >= 0 && !copiedMemo.contains((key, base))) base -= 1
+        var acc =
+          if (base < 0) Set.empty[String] else copiedMemo((key, base))
+        var i = base + 1
+        while (i <= v) {
+          acc = acc ++ readCommit(table, i).copies
+          copiedMemo.put((key, i), acc)
+          i += 1
+        }
+        acc
+    }
+  }
+
+  /** COPY INTO (S67, round-13 — Delta's idempotent bulk load): load the
+    * parquet files under `srcDir` that this table has NOT already
+    * loaded, as ONE atomic commit that carries both the new data files
+    * and a `copy` ledger action per consumed SOURCE file. Idempotence is
+    * file-level and transactional: a re-run (or a retry after a crash
+    * between write and commit) re-derives the fresh set from the log and
+    * loads nothing twice, because the ledger travels in the same commit
+    * as the data it admitted — the landing-zone exactly-once contract,
+    * without any state outside the table. Returns the version, or -1
+    * when every staged file is already loaded (no commit).
+    *
+    * The load itself is an append in every other respect: declared-
+    * schema enforcement, default/generated materialization, constraint
+    * gate, column-mapping translation, partition layout, bloom/stats
+    * maintenance — all via the same code paths.
+    *
+    * Scale: the fresh-set diff is |staged files| driver-side names
+    * against a log-resolved set; the data plane reads ONLY the fresh
+    * files. A racing COPY INTO of the same directory loses the commit
+    * slot, re-derives, and finds nothing fresh — exactly-once per file
+    * under concurrency.
+    */
+  def copyInto(spark: SparkSession, table: File, srcDir: File): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val base = versions(table).lastOption
+      val already = copiedAsOf(table, base.getOrElse(-1L))
+      val staged = Option(srcDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getCanonicalFile).sortBy(_.getName).toSeq
+      require(staged.nonEmpty,
+        s"TxLog COPY INTO: no .parquet files under $srcDir")
+      val fresh = staged.filterNot(f => already.contains(f.getPath))
+      if (fresh.isEmpty) return -1L // fully loaded: idempotent no-op
+      val raw = spark.read.parquet(fresh.map(_.getPath): _*)
+      base.flatMap(schemaDdlAsOf(table, _)).foreach { ddl =>
+        val declared = StructType.fromDDL(ddl).fieldNames.toSet
+        val unknown = raw.schema.fieldNames.filterNot(declared)
+        require(unknown.isEmpty,
+          s"TxLog COPY INTO: column(s) not in the table's declared " +
+            s"schema: ${unknown.mkString(", ")} — ALTER TABLE ADD " +
+            "COLUMNS first")
+      }
+      val landing = withWriteDefaults(raw, table, base)
+      enforceConstraints(spark, table, landing, "copy-into")
+      val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
+      val files = writeFiles(toPhysical(landing, mapping), table, "copy",
+        partitionColsOf(table))
+      committed = commitIfBase(table, base.getOrElse(-1L), files,
+        Seq.empty, "copy-into", copies = fresh.map(_.getPath))
       if (committed < 0) discardFileGroup(table, files)
     }
     committed
@@ -980,6 +1136,94 @@ object TxLog {
         }
         acc
     }
+  }
+
+  /** Active BLOOM indexes as of `v`: physical column → (bits, k). Same
+    * memoized add/drop fold as [[constraintsAsOf]] — bytes-per-commit
+    * driver resolution, never a data read.
+    */
+  private val bloomsMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Map[String, (Int, Int)]]
+
+  private[graft] def bloomsAsOf(table: File, v: Long)
+      : Map[String, (Int, Int)] = {
+    if (v < 0) return Map.empty
+    val key = table.getCanonicalPath
+    bloomsMemo.get((key, v)) match {
+      case Some(m) => m
+      case None =>
+        var base = v - 1
+        while (base >= 0 && !bloomsMemo.contains((key, base))) base -= 1
+        var acc =
+          if (base < 0) Map.empty[String, (Int, Int)]
+          else bloomsMemo((key, base))
+        var i = base + 1
+        while (i <= v) {
+          acc = readCommit(table, i).bloomIdx.foldLeft(acc) {
+            case (a, BloomIdx(c, Some(spec))) => a + (c -> spec)
+            case (a, BloomIdx(c, None)) => a - c
+          }
+          bloomsMemo.put((key, i), acc)
+          i += 1
+        }
+        acc
+    }
+  }
+
+  /** Declare a per-file BLOOM FILTER INDEX on `column` (S66, round-13 —
+    * Delta's `CREATE BLOOMFILTER INDEX`): every write from this commit
+    * on carries, per data file, a `bits`-wide / `k`-hash bloom bitset
+    * over the column in its add action, and [[snapshotPrunedEq]] prunes
+    * point-equality scans against the bitsets from the LOG alone — the
+    * skipping lever min/max stats (S54) cannot provide on a
+    * high-cardinality column whose values scatter across every file
+    * (each file's [min, max] then spans the whole domain and the range
+    * prune keeps everything). Files written BEFORE the declaration carry
+    * no bitset and are conservatively kept, same epoch discipline as
+    * S63's defaults — no table rewrite at declare time (OPTIMIZE
+    * re-writes files and thereby backfills their blooms).
+    *
+    * The index rides the log under the column's PHYSICAL name (RENAME
+    * composes for free; probes translate logical→physical, same as the
+    * stats prune). Integral columns only — the bitset is built from
+    * `xxhash64(i, CAST(col AS BIGINT))`, exact in i64 on both the write
+    * and probe side. `bits` must be a multiple of 64 (whole words on the
+    * wire); size it ≈16× the per-file distinct count for a ~1e-6
+    * false-positive rate at k=3.
+    */
+  def alterAddBloomIndex(spark: SparkSession, table: File, column: String,
+      bits: Int = 131072, k: Int = 3): Long = {
+    require(bits >= 64 && bits % 64 == 0,
+      s"TxLog: bloom bits must be a positive multiple of 64, got $bits")
+    require(k >= 1 && k <= 8, s"TxLog: bloom k must be in [1, 8], got $k")
+    val vOpt = versions(table).lastOption
+    vOpt.foreach { v =>
+      val schema = schemaDdlAsOf(table, v).map(StructType.fromDDL)
+        .getOrElse(snapshot(spark, table, Some(v)).schema)
+      val f = schema.fields.find(_.name == column).getOrElse(sys.error(
+        s"TxLog: bloom index column `$column` not in table schema " +
+          schema.fieldNames.mkString("(", ", ", ")")))
+      require(f.dataType == LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"TxLog: bloom index needs an integral column; `$column` is " +
+          f.dataType.simpleString)
+    }
+    val phys = vOpt.map(v => mappingAsOf(table, v).getOrElse(column, column))
+      .getOrElse(column)
+    commitAdds(table, Seq.empty, Seq.empty, "bloom_index",
+      bloomIdx = Seq(BloomIdx(phys, Some((bits, k)))))
+  }
+
+  /** Drop the bloom index on `column`: new files stop carrying bitsets;
+    * bitsets already in the log stay (harmless — nothing consults them
+    * once the spec is gone).
+    */
+  def alterDropBloomIndex(table: File, column: String): Long = {
+    val phys = versions(table).lastOption
+      .map(v => mappingAsOf(table, v).getOrElse(column, column))
+      .getOrElse(column)
+    commitAdds(table, Seq.empty, Seq.empty, "bloom_index_drop",
+      bloomIdx = Seq(BloomIdx(phys, None)))
   }
 
   /** Active GENERATED columns as of `v`: the defaults whose auto
@@ -1490,6 +1734,83 @@ object TxLog {
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true
     })
+    val frame =
+      if (kept.isEmpty) {
+        val schema = schemaDdlAsOf(table, v) match {
+          case Some(ddl) => StructType.fromDDL(ddl)
+          case None => snapshot(spark, table, Some(v)).schema
+        }
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else assemble(spark, table, v, kept, st.dvs)
+    (frame, kept.size, files.size)
+  }
+
+  /** Snapshot with BLOOM-INDEX file skipping (S66, round-13): live files
+    * whose bloom bitset for `column` definitively excludes `value` are
+    * pruned from the scan set BEFORE the read — the point-equality twin
+    * of [[snapshotPruned]]'s range prune, and the only log-side lever
+    * when the column's per-file [min, max] spans the whole domain (a
+    * high-cardinality key scattered across every file). Pruned files
+    * cost ZERO reads. Files lacking a bitset (written before the index
+    * declaration, or the index was never declared) are conservatively
+    * kept, as are files whose bloom says "maybe" — the caller still
+    * applies the row filter, so a false positive costs one extra file
+    * scan, never a wrong row. Min/max stats compose: a file must survive
+    * BOTH the range check ([value, value]) and the bloom to be read.
+    *
+    * The probe's k bit positions come from a 1-row Spark evaluation of
+    * the SAME `xxhash64(i, CAST(value AS BIGINT))` expression the writer
+    * aggregated per file — write and probe share one hash definition by
+    * construction, no reimplementation to drift.
+    */
+  def snapshotPrunedEq(spark: SparkSession, table: File, column: String,
+      value: Long, version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val v = version.orElse(versions(table).lastOption).getOrElse(
+      sys.error(s"TxLog: no commits in $table"))
+    val st = liveState(table, v)
+    val files = st.live
+    val phys = mappingAsOf(table, v).getOrElse(column, column)
+    // probe positions per declared (bits, k) spec — one LocalTableScan
+    // row, no data read; memoizing per (spec, value) would save ~10 ms
+    // on repeated probes but the prune is already metadata-cost
+    val positions: Map[(Int, Int), Seq[Int]] =
+      bloomsAsOf(table, v).get(phys) match {
+        case None => Map.empty
+        case Some((bits, k)) =>
+          val cols = (0 until k).map(i =>
+            pmod(xxhash64(lit(i), lit(value)), lit(bits.toLong))
+              .as(s"p$i"))
+          val r = spark.range(1).select(cols: _*).collect().head
+          Map((bits, k) -> (0 until k).map(i => r.getLong(i).toInt))
+      }
+    def bloomMaybe(hex: String, bits: Int, k: Int): Boolean =
+      positions.get((bits, k)) match {
+        case None => true // spec mismatch vs an old bitset: keep
+        case Some(ps) if hex.length != bits / 4 => true // malformed: keep
+        case Some(ps) => ps.forall { p =>
+          // hex is the big-endian word list writeFiles rendered: word
+          // w = hex[16w, 16w+16); bit b of word w = 1L << (b & 63)
+          val word = java.lang.Long.parseUnsignedLong(
+            hex.substring((p >> 6) * 16, (p >> 6) * 16 + 16), 16)
+          (word & (1L << (p & 63))) != 0L
+        }
+      }
+    val kept = files.filter { a =>
+      val rangeOk = a.stats.get(phys) match {
+        case Some((mn, mx)) => mx >= value && mn <= value
+        case None => true
+      }
+      val bloomOk = a.blooms.get(phys) match {
+        case Some(hex) => bloomsAsOf(table, v).get(phys) match {
+          case Some((bits, k)) => bloomMaybe(hex, bits, k)
+          case None => true // index dropped: bitsets are inert
+        }
+        case None => true // pre-declaration file: conservatively kept
+      }
+      rangeOk && bloomOk
+    }
     val frame =
       if (kept.isEmpty) {
         val schema = schemaDdlAsOf(table, v) match {

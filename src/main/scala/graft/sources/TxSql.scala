@@ -95,6 +95,19 @@ object TxSql {
     ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SHALLOW\s+""" +
       """CLONE\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
+  private val bloomCreateRe =
+    ("""(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+COLUMNS\s*""" +
+      """\(\s*([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+OPTIONS\s*\(\s*bits\s*=\s*(\d+)\s*,\s*k\s*=\s*(\d+)""" +
+      """\s*\))?\s*\)\s*;?\s*$""").r
+  private val bloomDropRe =
+    ("""(?is)^\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+COLUMNS\s*""" +
+      """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*;?\s*$""").r
+  private val copyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+""" +
+      """'([^']+)'\s+FILEFORMAT\s*=\s*PARQUET\s*;?\s*$""").r
 
   /** Execute one statement: DESCRIBE HISTORY, OPTIMIZE [ZORDER BY], or a
     * SELECT with VERSION AS OF over registered TxLog tables.
@@ -187,6 +200,26 @@ object TxSql {
       val v = TxLog.cloneShallow(spark, src, tgt)
       register(name, tgt)
       optSummary(spark, name, v, s"shallow clone of $srcName")
+    case bloomCreateRe(name, colName, bits, k) =>
+      // CREATE BLOOMFILTER INDEX ON t FOR COLUMNS (c [OPTIONS (bits=…,
+      // k=…)]) — Delta's statement, S66: a metadata commit; every
+      // subsequent write carries per-file bloom bitsets for the column
+      optSummary(spark, name,
+        TxLog.alterAddBloomIndex(spark, tableOf(name), colName,
+          Option(bits).map(_.toInt).getOrElse(131072),
+          Option(k).map(_.toInt).getOrElse(3)),
+        s"create bloomfilter index ($colName)")
+    case bloomDropRe(name, colName) =>
+      optSummary(spark, name,
+        TxLog.alterDropBloomIndex(tableOf(name), colName),
+        s"drop bloomfilter index ($colName)")
+    case copyIntoRe(name, path) =>
+      // COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET — Delta's
+      // idempotent bulk load (S67): file-level exactly-once; a re-run
+      // commits nothing (committed_version = -1)
+      optSummary(spark, name,
+        TxLog.copyInto(spark, tableOf(name), new File(path)),
+        "copy into")
     case vacuumRe(name, v) =>
       // VACUUM t RETAIN VERSION n: delete data files unreferenced by any
       // version >= n (the retention horizon); returns the deleted paths

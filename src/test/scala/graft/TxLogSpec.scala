@@ -1688,4 +1688,180 @@ class TxLogSpec extends SparkSpec {
     assert(spark.table("bind_probe").collect()(0).getString(1) == "session")
     spark.catalog.dropTempView("bind_probe")
   }
+
+  // ---- S66: bloom-filter index + point-lookup skipping ---------------------
+
+  test("bloom index: post-declaration add actions carry bitsets, the " +
+      "point probe prunes to exactly the files containing the key") {
+    import spark.implicits._
+    val t = freshTable("bloom")
+    // three files with near-identical [min, max] id ranges — the range
+    // prune is structurally useless; only the bloom can separate them
+    def slab(ks: Seq[Long]) =
+      ks.map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1)
+    TxLog.alterAddBloomIndex(spark, t, "id", bits = 4096, k = 3) // v0
+    TxLog.append(slab(Seq(1L, 500L, 1000L)), t)                  // v1
+    TxLog.append(slab(Seq(2L, 501L, 999L)), t)                   // v2
+    TxLog.append(slab(Seq(3L, 502L, 998L)), t)                   // v3
+    // wire: every data-carrying commit's adds hold a bitset for id
+    (1L to 3L).foreach { v =>
+      val adds = TxLog.readCommit(t, v).adds
+      assert(adds.nonEmpty && adds.forall(_.blooms.contains("id")),
+        s"v$v add actions lack an id bloom")
+      assert(adds.head.blooms("id").length == 4096 / 4) // hex chars
+    }
+    // present key: exactly ONE file survives despite all ranges matching
+    val (f1, r1, tot1) = TxLog.snapshotPrunedEq(spark, t, "id", 501L)
+    assert((r1, tot1) == (1, 3), s"read $r1 of $tot1")
+    assert(f1.filter(col("id") === 501L).count() == 1)
+    // absent in-range key: bloom prunes ALL files (range alone keeps all)
+    val (_, r0, _) = TxLog.snapshotPrunedEq(spark, t, "id", 700L)
+    assert(r0 == 0, s"absent key read $r0 files")
+  }
+
+  test("bloom index epochs: pre-declaration files are conservatively " +
+      "kept; DROP stops bitset maintenance on new files") {
+    import spark.implicits._
+    val t = freshTable("bloomepoch")
+    def slab(ks: Seq[Long]) =
+      ks.map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1)
+    TxLog.append(slab(Seq(1L, 1000L)), t)                        // v0: pre
+    TxLog.alterAddBloomIndex(spark, t, "id", bits = 4096, k = 3) // v1
+    TxLog.append(slab(Seq(2L, 999L)), t)                         // v2: post
+    assert(TxLog.readCommit(t, 0L).adds.forall(_.blooms.isEmpty))
+    assert(TxLog.readCommit(t, 2L).adds.forall(_.blooms.contains("id")))
+    // key 700 is in NEITHER file; both ranges cover it. The bloomed file
+    // is pruned; the pre-index file has no bitset and must be kept.
+    val (_, r, tot) = TxLog.snapshotPrunedEq(spark, t, "id", 700L)
+    assert((r, tot) == (1, 2), s"epoch prune read $r of $tot")
+    TxLog.alterDropBloomIndex(t, "id")                           // v3
+    TxLog.append(slab(Seq(3L, 998L)), t)                         // v4
+    assert(TxLog.readCommit(t, 4L).adds.forall(_.blooms.isEmpty),
+      "post-DROP files still carry bitsets")
+  }
+
+  test("bloom bitsets survive checkpoint round-trips and compose with " +
+      "RENAME (probe via the new logical name)") {
+    import spark.implicits._
+    val t = freshTable("bloomckpt")
+    def slab(ks: Seq[Long]) =
+      ks.map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1)
+    TxLog.alterAddBloomIndex(spark, t, "id", bits = 4096, k = 3) // v0
+    TxLog.append(slab(Seq(1L, 500L, 1000L)), t)                  // v1
+    TxLog.append(slab(Seq(2L, 501L, 999L)), t)                   // v2
+    // push past the checkpoint cadence so resolution reads a .ckpt base
+    (3 to 11).foreach(i => TxLog.append(slab(Seq(i * 100L)), t))
+    assert(TxLog.checkpoints(t).nonEmpty, "no checkpoint materialized")
+    val (_, r1, tot1) = TxLog.snapshotPrunedEq(spark, t, "id", 501L)
+    assert((r1, tot1) == (1, 11), s"post-ckpt prune read $r1 of $tot1")
+    // RENAME the indexed column: the bitset lives under the physical
+    // name, the probe translates — no re-index, no rewrite
+    TxLog.alterRenameColumn(spark, t, "id", "ident")
+    val (f2, r2, _) = TxLog.snapshotPrunedEq(spark, t, "ident", 501L)
+    assert(r2 == 1, s"post-rename prune read $r2")
+    assert(f2.filter(col("ident") === 501L).count() == 1)
+  }
+
+  test("bloom statement forms: CREATE/DROP BLOOMFILTER INDEX route " +
+      "through TxSql; non-integral and misspelled columns reject") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("bloomsql")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+      .coalesce(1), t)
+    TxSql.register("bloom_sql_probe", t)
+    val res = TxSql.sql(spark, "CREATE BLOOMFILTER INDEX ON " +
+      "bloom_sql_probe FOR COLUMNS (id OPTIONS (bits = 4096, k = 3))")
+    assert(res.collect().head.getLong(2) == 1L) // committed v1
+    TxLog.append(Seq((3L, "c")).toDF("id", "payload").coalesce(1), t)
+    assert(TxLog.readCommit(t, 2L).adds.forall(_.blooms.contains("id")))
+    intercept[RuntimeException] {
+      TxSql.sql(spark, "CREATE BLOOMFILTER INDEX ON bloom_sql_probe " +
+        "FOR COLUMNS (payload)") // string column: not integral
+    }
+    intercept[RuntimeException] {
+      TxSql.sql(spark, "CREATE BLOOMFILTER INDEX ON bloom_sql_probe " +
+        "FOR COLUMNS (nope)")
+    }
+    assert(TxSql.sql(spark, "DROP BLOOMFILTER INDEX ON bloom_sql_probe " +
+      "FOR COLUMNS (id)").collect().head.getLong(2) == 3L)
+    TxLog.append(Seq((4L, "d")).toDF("id", "payload").coalesce(1), t)
+    assert(TxLog.readCommit(t, 4L).adds.forall(_.blooms.isEmpty))
+  }
+
+  // ---- S67: COPY INTO — idempotent bulk load --------------------------------
+
+  private def stageParquet(stage: java.io.File, nm: String,
+      df: org.apache.spark.sql.DataFrame): java.io.File = {
+    val tmp = new java.io.File(stage, s"_build_$nm")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+    val target = new java.io.File(stage, nm)
+    java.nio.file.Files.move(part.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(); ()
+    }
+    rm(tmp)
+    target
+  }
+
+  test("COPY INTO loads each staged file exactly once: fresh files " +
+      "commit, a fully-loaded re-run commits nothing, the ledger " +
+      "travels in the data commit") {
+    val t = freshTable("copyinto")
+    val stage = freshTable("copystage")
+    val a = stageParquet(stage, "a.parquet", rows(5))
+    stageParquet(stage, "b.parquet", rows(3, 100))
+    assert(TxLog.copyInto(spark, t, stage) == 0L)
+    assert(TxLog.snapshot(spark, t).count() == 8)
+    // the commit carries one ledger action per consumed source file
+    val c0 = TxLog.readCommit(t, 0L)
+    assert(c0.copies.toSet ==
+      Set(a.getCanonicalPath,
+        new java.io.File(stage, "b.parquet").getCanonicalPath),
+      s"ledger wrong: ${c0.copies}")
+    // re-run with nothing new: no commit, same log
+    assert(TxLog.copyInto(spark, t, stage) == -1L)
+    assert(TxLog.versions(t) == Seq(0L))
+    // a late-arriving file loads ALONE
+    stageParquet(stage, "c.parquet", rows(2, 200))
+    assert(TxLog.copyInto(spark, t, stage) == 1L)
+    assert(TxLog.readCommit(t, 1L).copies.map(new java.io.File(_).getName)
+      == Seq("c.parquet"))
+    assert(TxLog.snapshot(spark, t).count() == 10)
+    assert(TxLog.copyInto(spark, t, stage) == -1L)
+  }
+
+  test("COPY INTO is an append in every other respect: declared-schema " +
+      "enforcement rejects unknown columns, constraint gates apply, " +
+      "and the statement form routes through TxSql") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("copygate")
+    val stage = freshTable("copygatestage")
+    stageParquet(stage, "a.parquet", rows(4))
+    TxSql.register("copy_gate_probe", t)
+    val res = TxSql.sql(spark, s"COPY INTO copy_gate_probe FROM " +
+      s"'${stage.getPath}' FILEFORMAT = PARQUET")
+    assert(res.collect().head.getLong(2) == 0L)
+    // pin a declared schema + a CHECK constraint, then stage violators
+    TxLog.alterAddColumns(spark, t, "extra BIGINT")
+    TxLog.alterAddConstraint(spark, t, "pos_id", "id >= 0")
+    stageParquet(stage, "bad_schema.parquet",
+      Seq((99L, "x", 1L)).toDF("id", "payload", "undeclared"))
+    intercept[RuntimeException] { TxLog.copyInto(spark, t, stage) }
+    assert(new java.io.File(stage, "bad_schema.parquet").delete())
+    stageParquet(stage, "bad_rows.parquet",
+      Seq((-5L, "neg")).toDF("id", "payload"))
+    intercept[RuntimeException] { TxLog.copyInto(spark, t, stage) }
+    // neither rejected run committed or consumed anything
+    assert(TxLog.versions(t).size == 3) // copy + alter + constraint
+    assert(new java.io.File(stage, "bad_rows.parquet").delete())
+    // statement re-run on the intact ledger: idempotent no-op (-1)
+    assert(TxSql.sql(spark, s"COPY INTO copy_gate_probe FROM " +
+      s"'${stage.getPath}' FILEFORMAT = PARQUET")
+      .collect().head.getLong(2) == -1L)
+  }
 }
