@@ -997,6 +997,71 @@ object TxFeatures {
       |  FROM t GROUP BY yr
       |) ORDER BY state, yr""".stripMargin
 
+  // ---- S68: row provenance (_commit_version) ------------------------------
+
+  private val provDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Row-provenance demo: URGENT orders append one file per year in
+    * ascending year order (version = year rank), then one UPDATE bumps
+    * 1995's cents by +7 — rewriting ONLY that year's file, so its rows'
+    * provenance moves to the update commit while every untouched year
+    * keeps its original load version. Built once per (JVM, corpus).
+    */
+  private[graft] def provDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      provDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "prov")
+        val o = ordersCensus(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val yrs = o.select(col("yr")).distinct()
+          .collect().map(_.getLong(0)).sorted // ≤|years| driver rows
+        yrs.zipWithIndex.foreach { case (y, i) =>
+          if (TxLog.versions(t).size < i + 1)
+            TxLog.append(o.filter(col("yr") === y).coalesce(1), t)
+        }
+        TxSql.register("prov_orders", t)
+        if (TxLog.versions(t).size < yrs.length + 1)
+          TxSql.sql(spark,
+            "UPDATE prov_orders SET cents = cents + 7 WHERE yr = 1995")
+        t
+      })
+    }
+
+  /** txlog_row_provenance (S68) — the zero-cost provenance column end to
+    * end: a census per (commit version, year) proves every year's rows
+    * carry their loading commit EXCEPT the updated year, whose rows
+    * carry the UPDATE's version (and its +7 cents) — the rewrite bumped
+    * provenance for exactly the touched file. The oracle derives the
+    * version map from year rank and the by-construction update version.
+    */
+  def txlogRowProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val t = provDemo(spark, dir)
+    TxLog.snapshotWithProvenance(spark, t)
+      .groupBy(col("_commit_version").as("commit_version"), col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("commit_version"), col("yr"))
+  }
+
+  val txlogRowProvenanceSql: String =
+    """WITH t0 AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |t AS (SELECT yr,
+      |    CASE WHEN yr = 1995 THEN cents + 7 ELSE cents END AS cents
+      |  FROM t0),
+      |yrs AS (SELECT yr,
+      |    CAST(dense_rank() OVER (ORDER BY yr) - 1 AS BIGINT) AS ver
+      |  FROM (SELECT DISTINCT yr FROM t0)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM yrs)
+      |SELECT CASE WHEN t.yr = 1995 THEN n.cnt ELSE y.ver END
+      |    AS commit_version,
+      |  t.yr, COUNT(*) AS n_orders,
+      |  CAST(SUM(t.cents) AS BIGINT) AS total_cents
+      |FROM t JOIN yrs y ON y.yr = t.yr CROSS JOIN n
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
@@ -1011,6 +1076,7 @@ object TxFeatures {
     "txlog_generated_column" -> (txlogGeneratedColumn _),
     "txlog_bloom_skipping" -> (txlogBloomSkipping _),
     "txlog_copy_into" -> (txlogCopyInto _),
+    "txlog_row_provenance" -> (txlogRowProvenance _),
     "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
@@ -1028,5 +1094,6 @@ object TxFeatures {
     "txlog_generated_column" -> txlogGeneratedColumnSql,
     "txlog_bloom_skipping" -> txlogBloomSkippingSql,
     "txlog_copy_into" -> txlogCopyIntoSql,
+    "txlog_row_provenance" -> txlogRowProvenanceSql,
     "txlog_cdc_apply" -> graft.operators.Cdc.cdcApplySql)
 }

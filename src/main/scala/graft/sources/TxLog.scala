@@ -1823,6 +1823,41 @@ object TxLog {
     (frame, kept.size, files.size)
   }
 
+  /** Snapshot plus a per-row `_commit_version` column: the commit that
+    * MATERIALIZED the row's file (S68, round-13 — Delta's
+    * `_metadata.row_commit_version` / Iceberg's snapshot lineage). The
+    * column costs ZERO stored bytes: it derives entirely from log
+    * metadata (file → adding commit) joined onto the scan by the
+    * file-identity key, as a file-count-bounded broadcast. Rewrites bump
+    * it — a CoW UPDATE/DELETE/OPTIMIZE re-materializes rows into files
+    * added by the rewriting commit, which is exactly the "last modified"
+    * semantics the audit/provenance use case wants (rows never touched
+    * keep their original load version forever). Composes with time
+    * travel (provenance AS OF v) and deletion vectors (tombstoned rows
+    * are gone before the join).
+    */
+  def snapshotWithProvenance(spark: SparkSession, table: File,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(versions(table).lastOption).getOrElse(
+      sys.error(s"TxLog: no commits in $table"))
+    val st = liveState(table, v)
+    if (st.live.isEmpty)
+      return snapshot(spark, table, Some(v))
+        .withColumn("_commit_version", lit(-1L))
+    val addedAt = addedAtVersions(table, v)
+    val entries = st.live.map { a =>
+      (scanKeyOf(table, a),
+        addedAt.getOrElse(new File(table, a.path).getCanonicalPath, -1L))
+    }
+    import spark.implicits._
+    val verFrame = entries.toDF("_pv_key", "_pv_ver")
+    val frame = assemble(spark, table, v, st.live, st.dvs, keepPos = true)
+    frame.join(broadcast(verFrame), frame("_gf_rel") === col("_pv_key"),
+      "left")
+      .withColumn("_commit_version", coalesce(col("_pv_ver"), lit(-1L)))
+      .drop("_gf_rel", "_gi", "_pv_key", "_pv_ver")
+  }
+
   /** Table-relative paths of the live files containing rows matching
     * `pred` at version `v` — the copy-on-write probe shared by delete
     * and merge. DV-applied (a row already tombstoned cannot make its

@@ -1864,4 +1864,52 @@ class TxLogSpec extends SparkSpec {
       s"'${stage.getPath}' FILEFORMAT = PARQUET")
       .collect().head.getLong(2) == -1L)
   }
+
+  // ---- S68: row provenance --------------------------------------------------
+
+  test("row provenance: _commit_version is the materializing commit, " +
+      "bumps on rewrite, and composes with time travel") {
+    val t = freshTable("prov")
+    // single-file appends: the rewrite-bump assertion below relies on
+    // id 0/1/2 sharing ONE file (a multi-file append would leave id 0
+    // and 2 in untouched files, correctly keeping their load version)
+    TxLog.append(rows(3).coalesce(1), t)       // v0: ids 0..2
+    TxLog.append(rows(3, 100).coalesce(1), t)  // v1: ids 100..102
+    def provOf(v: Option[Long]): Map[Long, Long] =
+      TxLog.snapshotWithProvenance(spark, t, v)
+        .select(col("id"), col("_commit_version"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p0 = provOf(None)
+    assert((0L to 2L).forall(p0(_) == 0L) &&
+      (100L to 102L).forall(p0(_) == 1L), s"initial provenance: $p0")
+    // CoW delete rewrites ONLY the first file: its survivors move to the
+    // deleting commit; the untouched file keeps its load version
+    TxLog.deleteWhere(spark, t, col("id") === 1L) // v2
+    val p1 = provOf(None)
+    assert(p1(0L) == 2L && p1(2L) == 2L && !p1.contains(1L) &&
+      (100L to 102L).forall(p1(_) == 1L), s"post-rewrite provenance: $p1")
+    // provenance AS OF v1: the pre-rewrite view, original versions
+    assert(provOf(Some(1L)) == p0)
+  }
+
+  test("OPTIMIZE backfills bloom bitsets for files written before the " +
+      "index declaration") {
+    import spark.implicits._
+    val t = freshTable("bloomfill")
+    def slab(ks: Seq[Long]) =
+      ks.map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1)
+    TxLog.append(slab(Seq(1L, 500L, 1000L)), t)                  // v0: pre
+    TxLog.append(slab(Seq(2L, 501L, 999L)), t)                   // v1: pre
+    TxLog.alterAddBloomIndex(spark, t, "id", bits = 4096, k = 3) // v2
+    // pre-index files have no bitsets: an absent-in-range probe keeps both
+    val (_, r0, _) = TxLog.snapshotPrunedEq(spark, t, "id", 700L)
+    assert(r0 == 2, s"pre-compact prune read $r0")
+    TxLog.compact(spark, t, targetFiles = 1)                     // v3
+    assert(TxLog.readCommit(t, 3L).adds.forall(_.blooms.contains("id")),
+      "compaction did not backfill bitsets")
+    val (_, r1, tot1) = TxLog.snapshotPrunedEq(spark, t, "id", 700L)
+    assert((r1, tot1) == (0, 1), s"post-compact prune read $r1 of $tot1")
+    val (f2, r2, _) = TxLog.snapshotPrunedEq(spark, t, "id", 501L)
+    assert(r2 == 1 && f2.filter(col("id") === 501L).count() == 1)
+  }
 }
