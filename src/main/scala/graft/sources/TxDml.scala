@@ -89,7 +89,14 @@ object TxDml {
         case other => sys.error("TxDml MERGE: source must be a named " +
           s"relation or an aliased subquery, got: $other")
       }
-      val declared = TxLog.snapshot(spark, table).schema.fieldNames.toSeq
+      // MERGE WITH SCHEMA EVOLUTION (S69): Spark's own parser carries
+      // the flag; star expansion must cover the EVOLVED schema so
+      // `UPDATE SET * / INSERT *` assign the new source columns too
+      val evolve = m.withSchemaEvolution
+      val base = TxLog.snapshot(spark, table).schema.fieldNames.toSeq
+      val declared =
+        if (!evolve) base
+        else base ++ source.columns.filterNot(base.contains)
       def starSets = declared.map(c => c -> s"$sAlias.$c").toMap
       val matched = m.matchedActions.map {
         case UpdateAction(g, as, _) =>
@@ -115,7 +122,7 @@ object TxDml {
       }
       Some(TxLog.mergeInto(spark, table, source, TxLog.MergeSpec(
         m.mergeCondition.sql, tAlias, sAlias,
-        matched, notMatched, bySource)))
+        matched, notMatched, bySource), evolve))
     case _ => None
   }
 

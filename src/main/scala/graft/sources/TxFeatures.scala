@@ -1062,6 +1062,74 @@ object TxFeatures {
       |FROM t JOIN yrs y ON y.yr = t.yr CROSS JOIN n
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- S69: MERGE WITH SCHEMA EVOLUTION -----------------------------------
+
+  private val evoDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Schema-evolving MERGE demo: the URGENT orders census loads once,
+    * then an enrichment batch carrying a column the table never declared
+    * (`discount_ppm`, a deterministic function of the order key, 1995
+    * only) lands through `MERGE WITH SCHEMA EVOLUTION` — ONE commit
+    * whose metaData action evolves the schema and whose files carry the
+    * merged data. Built once per (JVM, corpus).
+    */
+  private[graft] def evoDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      evoDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "mrgevo")
+        val o = ordersCensus(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        if (TxLog.versions(t).isEmpty) TxLog.append(o, t) // v0
+        TxSql.register("evo_orders", t)
+        if (TxLog.versions(t).size < 2) {
+          o.filter(col("yr") === 1995)
+            .select(col("o_orderkey"),
+              (col("o_orderkey") % 1000).as("discount_ppm"))
+            .createOrReplaceTempView("evo_src")
+          TxSql.sql(spark,
+            "MERGE WITH SCHEMA EVOLUTION INTO evo_orders AS t " +
+              "USING evo_src AS s ON t.o_orderkey = s.o_orderkey " +
+              "WHEN MATCHED THEN UPDATE SET discount_ppm = s.discount_ppm")
+          spark.catalog.dropTempView("evo_src")
+          ()
+        }
+        t
+      })
+    }
+
+  /** txlog_merge_evolution (S69) — schema-evolving MERGE end to end: the
+    * per-year census over the evolved table proves the new column landed
+    * on exactly the matched year (count + sum of the deterministic
+    * enrichment) and reads NULL everywhere else, with the whole
+    * evolution riding the merge's own commit (the demo's log has exactly
+    * two versions — spec-pinned).
+    */
+  def txlogMergeEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val t = evoDemo(spark, dir)
+    TxLog.snapshot(spark, t)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("total_cents"),
+        count(col("discount_ppm")).as("n_scored"),
+        coalesce(sum(col("discount_ppm")), lit(0L)).as("discount_sum"))
+      .orderBy(col("yr"))
+  }
+
+  val txlogMergeEvolutionSql: String =
+    """WITH t AS (SELECT o_orderkey,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |e AS (SELECT yr, cents,
+      |    CASE WHEN yr = 1995 THEN o_orderkey % 1000 END AS discount_ppm
+      |  FROM t)
+      |SELECT yr, COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST(COUNT(discount_ppm) AS BIGINT) AS n_scored,
+      |  CAST(COALESCE(SUM(discount_ppm), 0) AS BIGINT) AS discount_sum
+      |FROM e GROUP BY yr ORDER BY yr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
@@ -1077,6 +1145,7 @@ object TxFeatures {
     "txlog_bloom_skipping" -> (txlogBloomSkipping _),
     "txlog_copy_into" -> (txlogCopyInto _),
     "txlog_row_provenance" -> (txlogRowProvenance _),
+    "txlog_merge_evolution" -> (txlogMergeEvolution _),
     "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
@@ -1095,5 +1164,6 @@ object TxFeatures {
     "txlog_bloom_skipping" -> txlogBloomSkippingSql,
     "txlog_copy_into" -> txlogCopyIntoSql,
     "txlog_row_provenance" -> txlogRowProvenanceSql,
+    "txlog_merge_evolution" -> txlogMergeEvolutionSql,
     "txlog_cdc_apply" -> graft.operators.Cdc.cdcApplySql)
 }

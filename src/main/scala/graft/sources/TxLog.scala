@@ -2277,7 +2277,7 @@ object TxLog {
     * planner choice.
     */
   def mergeInto(spark: SparkSession, table: File, source: DataFrame,
-      spec: MergeSpec): Long = {
+      spec: MergeSpec, evolve: Boolean = false): Long = {
     require(spec.matched.nonEmpty || spec.notMatched.nonEmpty ||
       spec.notMatchedBySource.nonEmpty, "TxLog MERGE: no clauses")
     var committed = -1L
@@ -2285,9 +2285,38 @@ object TxLog {
       val v = versions(table).last
       val st = liveState(table, v)
       requireLocalized(st, "MERGE")
-      val schema = snapshot(spark, table, Some(v)).schema
+      val baseSchema = snapshot(spark, table, Some(v)).schema
+      // WITH SCHEMA EVOLUTION (S69, round-13 — the Delta autoMerge
+      // surface): source columns the target lacks join the declared
+      // schema IN THIS COMMIT — the merge's metaData action carries the
+      // evolved DDL, so evolution and data land atomically (a failed
+      // merge evolves nothing). Existing rows read the new columns as
+      // NULL (the standard added-column fill); mapped tables hand new
+      // columns fresh physical ids exactly like ALTER ADD COLUMNS.
+      // Column ADDITION only — a same-name type conflict is the
+      // caller's bug and surfaces as the usual cast/analysis error.
+      val newFields =
+        if (!evolve) Seq.empty[StructField]
+        else source.schema.fields.filterNot(f =>
+          baseSchema.fieldNames.contains(f.name)).toSeq
+      val schema = StructType(baseSchema.fields ++ newFields)
       val declared = schema.fieldNames.toSeq
       val typeOf = schema.fields.map(f => f.name -> f.dataType.sql).toMap
+      val baseMapping = mappingAsOf(table, v)
+      val newMapping =
+        if (newFields.isEmpty || !mappingMode(table, v))
+          Map.empty[String, String]
+        else newFields.map(f => f.name -> s"${f.name}_c${v + 1}").toMap
+      val writeMapping = baseMapping ++ newMapping
+      val (evoDdl, evoMapping) =
+        if (newFields.isEmpty) (None, None)
+        else (Some(schema.toDDL),
+          if (!mappingMode(table, v)) None
+          else Some(encodeMapping(
+            declared.map(n => n -> writeMapping.getOrElse(n, n)).toMap)))
+      def withNewNulls(d: DataFrame): DataFrame =
+        newFields.foldLeft(d)((acc, f) =>
+          acc.withColumn(f.name, lit(null).cast(f.dataType)))
       val n = mergeSeq.incrementAndGet()
       val sv = s"graft_mrg_s_$n"
       val tv = s"graft_mrg_t_$n"
@@ -2325,7 +2354,8 @@ object TxLog {
                 org.apache.spark.sql.types.StructField("_gf_rel",
                   org.apache.spark.sql.types.StringType),
                 org.apache.spark.sql.types.StructField("_gi", LongType))))
-          else assemble(spark, table, v, affected, st.dvs, keepPos = true)
+          else withNewNulls(
+            assemble(spark, table, v, affected, st.dvs, keepPos = true))
         tFrame.createOrReplaceTempView(tv)
         // ---- cardinality rule ---------------------------------------
         if (spec.matched.nonEmpty && affected.nonEmpty) {
@@ -2420,7 +2450,7 @@ object TxLog {
         val av = s"graft_mrg_a_$n"
         val antiView =
           if (spec.matched.isEmpty && spec.notMatchedBySource.isEmpty) {
-            assemble(spark, table, v, st.live, st.dvs)
+            withNewNulls(assemble(spark, table, v, st.live, st.dvs))
               .createOrReplaceTempView(av)
             av
           } else tv
@@ -2489,10 +2519,11 @@ object TxLog {
         val files =
           if ((deleteActs.nonEmpty || affectedRel.isEmpty) &&
               rewritten.isEmpty) Seq.empty[Add]
-          else writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
+          else writeFiles(toPhysical(rewritten, writeMapping),
             table, "merge", partitionColsOf(table))
         if (files.isEmpty && affectedRel.isEmpty) return -1L
-        committed = commitIfBase(table, v, files, affectedRel, "merge")
+        committed = commitIfBase(table, v, files, affectedRel, "merge",
+          evoDdl, evoMapping)
         if (committed < 0) discardFileGroup(table, files)
       } finally {
         spark.catalog.dropTempView(sv)

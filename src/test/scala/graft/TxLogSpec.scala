@@ -1865,6 +1865,46 @@ class TxLogSpec extends SparkSpec {
       .collect().head.getLong(2) == -1L)
   }
 
+  // ---- S69: MERGE WITH SCHEMA EVOLUTION -------------------------------------
+
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns join the " +
+      "declared schema atomically with the merge's data; existing rows " +
+      "read NULL; plain MERGE ignores extra source columns") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("mergevo")
+    TxLog.append(rows(3).coalesce(1), t) // v0: (id, payload) ids 0..2
+    TxSql.register("mergevo_t", t)
+    Seq((1L, "v1b", 77L), (9L, "v9", 99L))
+      .toDF("id", "payload", "score").createOrReplaceTempView("mergevo_s")
+    // without the clause, star expands to the DECLARED schema only: the
+    // extra source column is ignored and the schema must NOT change
+    val plain = freshTable("mergevoplain")
+    TxLog.append(rows(3).coalesce(1), plain)
+    TxSql.register("mergevo_plain", plain)
+    TxSql.sql(spark, "MERGE INTO mergevo_plain AS t USING mergevo_s AS s " +
+      "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(TxLog.snapshot(spark, plain).columns.toSeq ==
+      Seq("id", "payload"), "plain MERGE must not evolve the schema")
+    val res = TxSql.sql(spark,
+      "MERGE WITH SCHEMA EVOLUTION INTO mergevo_t AS t " +
+        "USING mergevo_s AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(res.collect().head.getLong(2) == 1L) // one commit: v1
+    val got = TxLog.snapshot(spark, t).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((0L, "v0", -1L), (1L, "v1b", 77L), (2L, "v2", -1L),
+      (9L, "v9", 99L)), s"evolved state: $got")
+    // the evolution rode the MERGE commit itself — no separate ALTER —
+    // and time travel to v0 still serves the pre-evolution schema
+    assert(TxLog.versions(t) == Seq(0L, 1L))
+    assert(!TxLog.snapshot(spark, t, Some(0L)).columns.contains("score"))
+    spark.catalog.dropTempView("mergevo_s")
+  }
+
   // ---- S68: row provenance --------------------------------------------------
 
   test("row provenance: _commit_version is the materializing commit, " +
