@@ -1130,6 +1130,66 @@ object TxFeatures {
       |  CAST(COALESCE(SUM(discount_ppm), 0) AS BIGINT) AS discount_sum
       |FROM e GROUP BY yr ORDER BY yr""".stripMargin
 
+  // ---- S70: type widening ---------------------------------------------------
+
+  private val widenDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** Type-widening demo: the pre-1995 URGENT census lands with INT
+    * cents (v0, narrow physical files), `ALTER COLUMN cents TYPE
+    * BIGINT` re-declares the schema in one metadata commit (v1, zero
+    * files rewritten), and the 1995+ slice appends with cents offset by
+    * +3,000,000,000 — a value NO int32 file could hold (v2). Built once
+    * per (JVM, corpus); the widen runs through the statement form.
+    */
+  private[graft] def widenDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      widenDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "widen")
+        val o = ordersCensus(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("yr").cast("int").as("yr"), col("cents"))
+        TxSql.register("widen_orders", t)
+        if (TxLog.versions(t).isEmpty)                            // v0
+          TxLog.append(o.filter(col("yr") <= 1994)
+            .withColumn("cents", col("cents").cast("int")), t)
+        if (TxLog.versions(t).size < 2)                           // v1
+          TxSql.sql(spark,
+            "ALTER TABLE widen_orders ALTER COLUMN cents TYPE BIGINT")
+        if (TxLog.versions(t).size < 3)                           // v2
+          TxLog.append(o.filter(col("yr") >= 1995)
+            .withColumn("cents", col("cents") + 3000000000L), t)
+        t
+      })
+    }
+
+  /** txlog_type_widening (S70) — the metadata-only widen end to end: a
+    * single census over narrow (int32) and wide (int64) files, where
+    * every post-widen value EXCEEDS the int32 range — the hash-match
+    * proves pre-widen files upcast losslessly under the evolved schema
+    * and the wide values arrive intact, with zero files rewritten at
+    * widen time (spec-pinned).
+    */
+  def txlogTypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    val t = widenDemo(spark, dir)
+    TxLog.snapshot(spark, t)
+      .groupBy(col("yr").cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("yr"))
+  }
+
+  val txlogTypeWideningSql: String =
+    """WITH t AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |e AS (SELECT yr,
+      |    CASE WHEN yr >= 1995 THEN cents + 3000000000 ELSE cents END AS v
+      |  FROM t)
+      |SELECT yr, COUNT(*) AS n_orders, CAST(SUM(v) AS BIGINT)
+      |    AS total_cents
+      |FROM e GROUP BY yr ORDER BY yr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
@@ -1146,6 +1206,7 @@ object TxFeatures {
     "txlog_copy_into" -> (txlogCopyInto _),
     "txlog_row_provenance" -> (txlogRowProvenance _),
     "txlog_merge_evolution" -> (txlogMergeEvolution _),
+    "txlog_type_widening" -> (txlogTypeWidening _),
     "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
@@ -1165,5 +1226,6 @@ object TxFeatures {
     "txlog_copy_into" -> txlogCopyIntoSql,
     "txlog_row_provenance" -> txlogRowProvenanceSql,
     "txlog_merge_evolution" -> txlogMergeEvolutionSql,
+    "txlog_type_widening" -> txlogTypeWideningSql,
     "txlog_cdc_apply" -> graft.operators.Cdc.cdcApplySql)
 }

@@ -1138,6 +1138,60 @@ object TxLog {
     }
   }
 
+  /** TYPE WIDENING (S70, round-13 — Delta 4.0's metadata-only widen):
+    * re-declare `column` at a WIDER type in one metadata commit — zero
+    * data rewritten. Pre-widen files keep their narrow physical encoding
+    * and upcast at read because every declared-schema read binds the
+    * files under the declared types (Spark's parquet reader upcasts
+    * int32→int64, float→double natively — probed on this image);
+    * post-widen writers land the wide type physically. Only lossless
+    * widenings are legal — narrowing would silently corrupt pre-widen
+    * reads. Bloom bitsets survive: the hash input casts to BIGINT on
+    * both the write and probe side, so a value's positions are identical
+    * at either width. Time travel to a pre-widen version serves the
+    * original narrow schema.
+    */
+  private val widenOk: Map[String, Set[String]] = Map(
+    "TINYINT" -> Set("SMALLINT", "INT", "BIGINT"),
+    "SMALLINT" -> Set("INT", "BIGINT"),
+    "INT" -> Set("BIGINT"),
+    "FLOAT" -> Set("DOUBLE"))
+
+  def alterWidenColumn(spark: SparkSession, table: File, column: String,
+      newType: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).lastOption.getOrElse(
+        sys.error(s"TxLog: ALTER on empty table $table"))
+      val cur = schemaDdlAsOf(table, v) match {
+        case Some(d) => StructType.fromDDL(d)
+        case None => snapshot(spark, table, Some(v)).schema
+      }
+      val f = cur.fields.find(_.name == column).getOrElse(sys.error(
+        s"TxLog ALTER COLUMN: `$column` not in table schema " +
+          cur.fieldNames.mkString("(", ", ", ")")))
+      val from = f.dataType.sql.toUpperCase
+      val to = org.apache.spark.sql.types.DataType
+        .fromDDL(newType).sql.toUpperCase
+      require(widenOk.get(from).exists(_.contains(to)),
+        s"TxLog ALTER COLUMN: $from -> $to is not a lossless widening " +
+          s"(legal: ${widenOk.map { case (k, vs) =>
+            s"$k->{${vs.mkString(",")}}" }.mkString("; ")})")
+      val evolved = StructType(cur.fields.map(x =>
+        if (x.name == column)
+          x.copy(dataType = org.apache.spark.sql.types.DataType
+            .fromDDL(newType))
+        else x))
+      // the mapping (if any) is untouched: widening changes a TYPE, the
+      // physical NAME stays — but the metaData action always carries
+      // both halves together, so re-emit the current mapping verbatim
+      val mapping = metaAsOf(table, v).flatMap(_._2)
+      committed = commitIfBase(table, v, Seq.empty, Seq.empty,
+        "alter-widen", Some(evolved.toDDL), mapping)
+    }
+    committed
+  }
+
   /** Active BLOOM indexes as of `v`: physical column → (bits, k). Same
     * memoized add/drop fold as [[constraintsAsOf]] — bytes-per-commit
     * driver resolution, never a data read.

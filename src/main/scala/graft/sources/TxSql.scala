@@ -75,6 +75,10 @@ object TxSql {
   private val dropColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+""" +
       """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val widenColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+""" +
+      """COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+""" +
+      """([A-Za-z]+)\s*;?\s*$""").r
   private val vacuumRe =
     ("""(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+""" +
       """VERSION\s+(\d+)\s*;?\s*$""").r
@@ -162,6 +166,12 @@ object TxSql {
       optSummary(spark, name,
         TxLog.alterDropColumn(spark, tableOf(name), colName),
         s"alter drop $colName")
+    case widenColRe(name, colName, newType) =>
+      // ALTER TABLE t ALTER COLUMN c TYPE <wider> — Delta 4.0 type
+      // widening (S70): metadata-only, zero files rewritten
+      optSummary(spark, name,
+        TxLog.alterWidenColumn(spark, tableOf(name), colName, newType),
+        s"alter widen $colName to $newType")
     case restoreRe(name, v) =>
       // RESTORE TABLE t TO VERSION AS OF v: one commit re-referencing the
       // historical version's immutable files (Delta RESTORE)

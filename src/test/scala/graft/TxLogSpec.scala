@@ -1905,6 +1905,39 @@ class TxLogSpec extends SparkSpec {
     spark.catalog.dropTempView("mergevo_s")
   }
 
+  // ---- S70: type widening ----------------------------------------------------
+
+  test("ALTER COLUMN TYPE widens metadata-only: zero files rewritten, " +
+      "narrow files upcast at read, wide values land, narrowing rejects") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("widen")
+    TxLog.append(Seq((1, 10), (2, 20)).toDF("id", "n").coalesce(1), t) // v0
+    TxSql.register("widen_probe", t)
+    val res = TxSql.sql(spark,
+      "ALTER TABLE widen_probe ALTER COLUMN n TYPE BIGINT")          // v1
+    assert(res.collect().head.getLong(2) == 1L)
+    val c1 = TxLog.readCommit(t, 1L)
+    assert(c1.adds.isEmpty && c1.removes.isEmpty,
+      "widen must be metadata-only")
+    // narrow file reads back under the widened declared type
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a post-widen append carries a value no int32 could hold
+    TxLog.append(Seq((3L, 5000000000L)).toDF("id", "n")
+      .select(col("id").cast("int").as("id"), col("n")).coalesce(1), t)
+    assert(TxLog.snapshot(spark, t).agg(sum(col("n"))).head.getLong(0)
+      == 10L + 20L + 5000000000L)
+    // time travel to v0 serves the original narrow schema
+    assert(TxLog.snapshot(spark, t, Some(0L)).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // narrowing (and sideways moves) reject
+    intercept[IllegalArgumentException] {
+      TxLog.alterWidenColumn(spark, t, "n", "INT")
+    }
+  }
+
   // ---- S68: row provenance --------------------------------------------------
 
   test("row provenance: _commit_version is the materializing commit, " +
