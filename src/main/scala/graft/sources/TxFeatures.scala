@@ -848,9 +848,11 @@ object TxFeatures {
     }
 
   /** txlog_bloom_skipping (S66) — the bloom-pruned point lookup end to
-    * end: five customer-key probes (the four smallest keys in the demo
-    * slice plus one absent key past the domain max) each resolve their
-    * file set from LOG bitsets alone and read only the surviving files.
+    * end: five customer-key probes (the domain min and the three keys
+    * above it — present or in-range-absent, the prune rule covers both
+    * — plus one key past the domain max, all derived from LOG stats
+    * with zero data jobs) each resolve their file set from LOG bitsets
+    * alone and read only the surviving files.
     * The oracle recomputes the exact combined prune rule from raw data —
     * a bloomed file survives iff it CONTAINS the key (zero false
     * positives at these occupancies, verified at every shipped SF), the
@@ -862,26 +864,25 @@ object TxFeatures {
     */
   def txlogBloomSkipping(spark: SparkSession, dir: String): DataFrame = {
     val t = bloomDemo(spark, dir)
-    // probe selection is ≤5 driver rows of log-backed metadata, same
-    // class as the file census itself
-    val snap = TxLog.snapshot(spark, t)
-    val present = snap.select(col("o_custkey")).distinct()
-      .orderBy(col("o_custkey")).limit(4)
-      .collect().map(_.getLong(0)).toSeq
-    val absent = snap.agg(max(col("o_custkey"))).collect().head.getLong(0) + 1
-    val rows = (present :+ absent).map { k =>
-      val (frame, nRead, nTotal) = TxLog.snapshotPrunedEq(spark, t,
-        "o_custkey", k)
-      val r = frame.filter(col("o_custkey") === k) // blooms prune FILES
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum(col("cents")), lit(0L)).as("c"))
-        .collect().head
-      (k, r.getLong(0), r.getLong(1), nRead.toLong, nTotal.toLong)
+    // probe selection from LOG stats alone — zero data jobs: the four
+    // keys at/just-above the domain min (present or in-range-absent,
+    // the prune rule covers both identically) and one key past the max
+    val (lo, hi) = TxLog.statsRange(t, "o_custkey").getOrElse(
+      sys.error("bloom demo: no o_custkey stats in the log"))
+    val probes = (0L to 3L).map(lo + _) :+ (hi + 1L)
+    // all five probes prune in one metadata pass (ONE position job) and
+    // the per-probe aggregates union into ONE Spark job — the probe
+    // batch costs O(jobs)=2, not O(jobs)=2×|probes|
+    val rows = TxLog.snapshotPrunedEqMulti(spark, t, "o_custkey",
+      probes).map { case (k, frame, nRead, nTotal) =>
+      frame.filter(col("o_custkey") === k) // blooms prune FILES, not rows
+        .agg(count(lit(1)).as("n_orders"),
+          coalesce(sum(col("cents")), lit(0L)).as("total_cents"))
+        .select(lit(k).as("probe_custkey"), col("n_orders"),
+          col("total_cents"), lit(nRead.toLong).as("n_files_read"),
+          lit(nTotal.toLong).as("n_files_total"))
     }
-    import spark.implicits._
-    rows.toDF("probe_custkey", "n_orders", "total_cents",
-      "n_files_read", "n_files_total")
-      .orderBy(col("probe_custkey"))
+    rows.reduce(_ unionByName _).orderBy(col("probe_custkey"))
   }
 
   val txlogBloomSkippingSql: String =
@@ -889,8 +890,8 @@ object TxFeatures {
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       |  FROM orders WHERE o_orderpriority = '1-URGENT'),
       |probes AS (
-      |  SELECT k FROM (SELECT DISTINCT o_custkey AS k FROM t
-      |                 ORDER BY k LIMIT 4)
+      |  SELECT (SELECT MIN(o_custkey) FROM t) + d AS k
+      |  FROM (VALUES (0), (1), (2), (3)) v(d)
       |  UNION ALL SELECT MAX(o_custkey) + 1 FROM t),
       |b0 AS (SELECT MIN(o_custkey) AS lo, MAX(o_custkey) AS hi
       |       FROM t WHERE bucket = 0)

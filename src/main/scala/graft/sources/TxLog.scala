@@ -1821,28 +1821,60 @@ object TxLog {
   def snapshotPrunedEq(spark: SparkSession, table: File, column: String,
       value: Long, version: Option[Long] = None)
       : (DataFrame, Int, Int) = {
+    val Seq((_, frame, nRead, nTotal)) =
+      snapshotPrunedEqMulti(spark, table, column, Seq(value), version)
+    (frame, nRead, nTotal)
+  }
+
+  /** The table-wide [min, max] of `column` from LOG stats alone (None
+    * when no live file carries stats for it) — the zero-job way to
+    * derive probe domains, freshness bounds, or range partitions from
+    * metadata. Driver cost: one log resolve.
+    */
+  def statsRange(table: File, column: String,
+      version: Option[Long] = None): Option[(Long, Long)] = {
+    val v = version.orElse(versions(table).lastOption).getOrElse(
+      sys.error(s"TxLog: no commits in $table"))
+    val phys = mappingAsOf(table, v).getOrElse(column, column)
+    val rs = liveState(table, v).live.flatMap(_.stats.get(phys))
+    if (rs.isEmpty) None
+    else Some((rs.map(_._1).min, rs.map(_._2).max))
+  }
+
+  /** The multi-probe form of [[snapshotPrunedEq]]: ALL probe values'
+    * bit positions evaluate in ONE 1-row job (the per-probe cost is a
+    * driver-side bitset test), and each returned frame stays LAZY — a
+    * caller unioning the per-probe aggregates pays a single Spark job
+    * for the whole probe batch instead of 2×|values|.
+    */
+  def snapshotPrunedEqMulti(spark: SparkSession, table: File,
+      column: String, values: Seq[Long], version: Option[Long] = None)
+      : Seq[(Long, DataFrame, Int, Int)] = {
     val v = version.orElse(versions(table).lastOption).getOrElse(
       sys.error(s"TxLog: no commits in $table"))
     val st = liveState(table, v)
     val files = st.live
     val phys = mappingAsOf(table, v).getOrElse(column, column)
-    // probe positions per declared (bits, k) spec — one LocalTableScan
-    // row, no data read; memoizing per (spec, value) would save ~10 ms
-    // on repeated probes but the prune is already metadata-cost
-    val positions: Map[(Int, Int), Seq[Int]] =
+    // probe positions for every value under the declared (bits, k) spec
+    // — one LocalTableScan row, no data read
+    val positions: Map[Long, Seq[Int]] =
       bloomsAsOf(table, v).get(phys) match {
         case None => Map.empty
         case Some((bits, k)) =>
-          val cols = (0 until k).map(i =>
-            pmod(xxhash64(lit(i), lit(value)), lit(bits.toLong))
-              .as(s"p$i"))
+          val cols = for (vi <- values.indices; i <- 0 until k) yield
+            pmod(xxhash64(lit(i), lit(values(vi))), lit(bits.toLong))
+              .as(s"p_${vi}_$i")
           val r = spark.range(1).select(cols: _*).collect().head
-          Map((bits, k) -> (0 until k).map(i => r.getLong(i).toInt))
+          values.zipWithIndex.map { case (value, vi) =>
+            value -> (0 until k).map(i => r.getLong(vi * k + i).toInt)
+          }.toMap
       }
-    def bloomMaybe(hex: String, bits: Int, k: Int): Boolean =
-      positions.get((bits, k)) match {
-        case None => true // spec mismatch vs an old bitset: keep
-        case Some(ps) if hex.length != bits / 4 => true // malformed: keep
+    val spec = bloomsAsOf(table, v).get(phys)
+    def bloomMaybe(hex: String, value: Long): Boolean = spec match {
+      case None => true // index dropped: bitsets are inert
+      case Some((bits, k)) => positions.get(value) match {
+        case None => true
+        case Some(_) if hex.length != bits / 4 => true // malformed: keep
         case Some(ps) => ps.forall { p =>
           // hex is the big-endian word list writeFiles rendered: word
           // w = hex[16w, 16w+16); bit b of word w = 1L << (b & 63)
@@ -1851,30 +1883,31 @@ object TxLog {
           (word & (1L << (p & 63))) != 0L
         }
       }
-    val kept = files.filter { a =>
-      val rangeOk = a.stats.get(phys) match {
-        case Some((mn, mx)) => mx >= value && mn <= value
-        case None => true
-      }
-      val bloomOk = a.blooms.get(phys) match {
-        case Some(hex) => bloomsAsOf(table, v).get(phys) match {
-          case Some((bits, k)) => bloomMaybe(hex, bits, k)
-          case None => true // index dropped: bitsets are inert
-        }
-        case None => true // pre-declaration file: conservatively kept
-      }
-      rangeOk && bloomOk
     }
-    val frame =
-      if (kept.isEmpty) {
-        val schema = schemaDdlAsOf(table, v) match {
-          case Some(ddl) => StructType.fromDDL(ddl)
-          case None => snapshot(spark, table, Some(v)).schema
+    lazy val emptySchema = schemaDdlAsOf(table, v) match {
+      case Some(ddl) => StructType.fromDDL(ddl)
+      case None => snapshot(spark, table, Some(v)).schema
+    }
+    values.map { value =>
+      val kept = files.filter { a =>
+        val rangeOk = a.stats.get(phys) match {
+          case Some((mn, mx)) => mx >= value && mn <= value
+          case None => true
         }
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else assemble(spark, table, v, kept, st.dvs)
-    (frame, kept.size, files.size)
+        val bloomOk = a.blooms.get(phys) match {
+          case Some(hex) => bloomMaybe(hex, value)
+          case None => true // pre-declaration file: conservatively kept
+        }
+        rangeOk && bloomOk
+      }
+      val frame =
+        if (kept.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            emptySchema)
+        else assemble(spark, table, v, kept, st.dvs)
+      (value, frame, kept.size, files.size)
+    }
   }
 
   /** Snapshot plus a per-row `_commit_version` column: the commit that
