@@ -1191,6 +1191,73 @@ object TxFeatures {
       |    AS total_cents
       |FROM e GROUP BY yr ORDER BY yr""".stripMargin
 
+  // ---- S71: CREATE TABLE / INSERT INTO statements ---------------------------
+
+  private val insDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** CREATE/INSERT statement demo: an empty declared table is created
+    * through the statement form, loaded by two positional
+    * `INSERT INTO … SELECT` batches (pre-/post-1995 URGENT census
+    * slices) and one `INSERT INTO … VALUES` sentinel row whose int
+    * literals must land in the BIGINT columns positionally. Four
+    * commits by construction. Built once per (JVM, corpus).
+    */
+  private[graft] def insDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      insDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "sqlins")
+        val o = ordersCensus(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("yr"), col("cents"))
+        if (TxLog.versions(t).isEmpty)                            // v0
+          TxSql.sql(spark, s"CREATE TABLE ins_orders (yr BIGINT, " +
+            s"cents BIGINT) USING graft LOCATION '${t.getPath}'")
+        else TxSql.register("ins_orders", t)
+        if (TxLog.versions(t).size < 2) {                         // v1
+          o.filter(col("yr") <= 1994).createOrReplaceTempView("ins_src")
+          TxSql.sql(spark,
+            "INSERT INTO ins_orders SELECT yr, cents FROM ins_src")
+          ()
+        }
+        if (TxLog.versions(t).size < 3) {                         // v2
+          o.filter(col("yr") >= 1995).createOrReplaceTempView("ins_src")
+          TxSql.sql(spark,
+            "INSERT INTO ins_orders SELECT yr, cents FROM ins_src")
+          ()
+        }
+        if (TxLog.versions(t).size < 4)                           // v3
+          TxSql.sql(spark, "INSERT INTO ins_orders VALUES (9999, 123)")
+        t
+      })
+    }
+
+  /** sql_txlog_insert (S71) — the CREATE + INSERT statement lifecycle
+    * end to end: the census over the statement-built table must equal
+    * the raw recompute plus the VALUES sentinel, and the commit count
+    * pins the four-statement history (create + 2 selects + values).
+    */
+  def sqlTxlogInsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = insDemo(spark, dir)
+    val nCommits = TxLog.versions(t).size.toLong
+    TxLog.snapshot(spark, t)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("n_commits", lit(nCommits))
+      .orderBy(col("yr"))
+  }
+
+  val sqlTxlogInsertSql: String =
+    """WITH t AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL SELECT 9999, 123)
+      |SELECT yr, COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST(4 AS BIGINT) AS n_commits
+      |FROM t GROUP BY yr ORDER BY yr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
@@ -1208,6 +1275,7 @@ object TxFeatures {
     "txlog_row_provenance" -> (txlogRowProvenance _),
     "txlog_merge_evolution" -> (txlogMergeEvolution _),
     "txlog_type_widening" -> (txlogTypeWidening _),
+    "sql_txlog_insert" -> (sqlTxlogInsert _),
     "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
@@ -1228,5 +1296,6 @@ object TxFeatures {
     "txlog_row_provenance" -> txlogRowProvenanceSql,
     "txlog_merge_evolution" -> txlogMergeEvolutionSql,
     "txlog_type_widening" -> txlogTypeWideningSql,
+    "sql_txlog_insert" -> sqlTxlogInsertSql,
     "txlog_cdc_apply" -> graft.operators.Cdc.cdcApplySql)
 }

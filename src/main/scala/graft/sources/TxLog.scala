@@ -882,6 +882,62 @@ object TxLog {
     committed
   }
 
+  /** CREATE TABLE (S71, round-13): declare an EMPTY table — one commit
+    * carrying the declared schema (and partitioning, when given), no
+    * data files. Slot-0 only: losing the create race rejects rather
+    * than stacking a second declaration onto someone else's table.
+    */
+  def createEmpty(table: File, schemaDdl: String,
+      partCols: Seq[String] = Seq.empty): Long = {
+    require(versions(table).isEmpty,
+      s"TxLog CREATE TABLE: $table already has a log")
+    val schema = StructType.fromDDL(schemaDdl)
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, "TxLog CREATE TABLE: PARTITIONED BY " +
+      s"column(s) not in the schema: ${missing.mkString(", ")}")
+    val v = commitIfBase(table, -1L, Seq.empty, Seq.empty, "create",
+      Some(schema.toDDL),
+      partCols = if (partCols.isEmpty) None
+        else Some(partCols.mkString(",")))
+    if (v < 0) sys.error(s"TxLog CREATE TABLE: $table already has a " +
+      "log — a concurrent creator won the slot")
+    v
+  }
+
+  /** CREATE TABLE AS SELECT (S71): declaration AND first data load in
+    * ONE slot-0 commit — schema from the frame, files from one write.
+    */
+  def createAs(spark: SparkSession, table: File, df: DataFrame,
+      partCols: Seq[String] = Seq.empty): Long = {
+    require(versions(table).isEmpty,
+      s"TxLog CREATE TABLE: $table already has a log")
+    val missing = partCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, "TxLog CREATE TABLE: PARTITIONED BY " +
+      s"column(s) not in the data: ${missing.mkString(", ")}")
+    val files = writeFiles(df, table, "create", partCols)
+    val v = commitIfBase(table, -1L, files, Seq.empty, "create",
+      Some(df.schema.toDDL),
+      partCols = if (partCols.isEmpty) None
+        else Some(partCols.mkString(",")))
+    if (v < 0) {
+      discardFileGroup(table, files)
+      sys.error(s"TxLog CREATE TABLE: $table already has a log — a " +
+        "concurrent creator won the slot")
+    }
+    v
+  }
+
+  /** The table's declared schema (falling back to the snapshot's footer
+    * schema for never-ALTERed tables) — what INSERT INTO binds
+    * positionally against.
+    */
+  def declaredSchema(spark: SparkSession, table: File): StructType = {
+    val v = versions(table).lastOption.getOrElse(
+      sys.error(s"TxLog: no commits in $table"))
+    schemaDdlAsOf(table, v).map(StructType.fromDDL)
+      .getOrElse(snapshot(spark, table, Some(v)).schema)
+  }
+
   // ---- partitioned tables (S58) -------------------------------------------
 
   private val partColsMemo =
@@ -1524,7 +1580,20 @@ object TxLog {
     val v = version.orElse(versions(table).lastOption).getOrElse(
       sys.error(s"TxLog: no commits in $table"))
     val st = liveState(table, v)
-    require(st.live.nonEmpty, s"TxLog: version $v has no live files")
+    if (st.live.isEmpty) {
+      // a created-but-empty (or fully-deleted) table with a DECLARED
+      // schema reads as an empty frame — the Delta behavior; a table
+      // with neither files nor schema has nothing to describe
+      schemaDdlAsOf(table, v) match {
+        case Some(ddl) =>
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(ddl))
+        case None =>
+          sys.error(s"TxLog: version $v has no live files and no " +
+            "declared schema")
+      }
+    }
     // an ALTERed table reads under its declared AS-OF schema: files
     // written before the evolution lack the added columns and the
     // parquet reader null-fills them (S13's mergeSchema semantics with

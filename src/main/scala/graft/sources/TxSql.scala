@@ -112,6 +112,30 @@ object TxSql {
   private val copyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+""" +
       """'([^']+)'\s+FILEFORMAT\s*=\s*PARQUET\s*;?\s*$""").r
+  private val createTableRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*""" +
+      """\(\s*(.+?)\s*\)\s+USING\s+graft""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*([A-Za-z0-9_,\s]+?)\s*\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
+  private val ctasRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """USING\s+graft""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*([A-Za-z0-9_,\s]+?)\s*\))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\b.+?)\s*;?\s*$""").r
+  private val insertIntoRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """((?:SELECT|VALUES|WITH|TABLE)\b.+?)\s*;?\s*$""").r
+
+  /** Managed-table root for CREATE TABLE without LOCATION: pid-scoped
+    * so demo/test JVMs never collide; deployments pass LOCATION.
+    */
+  private def managedDir(name: String): File =
+    new File(new File(new File(sys.props("java.io.tmpdir")),
+      s"graft_sql_tables_${ProcessHandle.current.pid}"), name)
+
+  private def partColsOf(s: String): Seq[String] =
+    Option(s).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   /** Execute one statement: DESCRIBE HISTORY, OPTIMIZE [ZORDER BY], or a
     * SELECT with VERSION AS OF over registered TxLog tables.
@@ -223,6 +247,41 @@ object TxSql {
       optSummary(spark, name,
         TxLog.alterDropBloomIndex(tableOf(name), colName),
         s"drop bloomfilter index ($colName)")
+    case createTableRe(name, ddl, parts, loc) =>
+      // CREATE TABLE n (cols) USING graft [PARTITIONED BY (…)]
+      // [LOCATION '…'] — an EMPTY declared table (S71); reads as an
+      // empty frame until the first INSERT/COPY/append
+      val dir = Option(loc).map(new File(_)).getOrElse(managedDir(name))
+      dir.getParentFile.mkdirs()
+      val v = TxLog.createEmpty(dir, ddl, partColsOf(parts))
+      register(name, dir)
+      optSummary(spark, name, v, "create table")
+    case ctasRe(name, parts, loc, select) =>
+      // CREATE TABLE n USING graft [PARTITIONED BY (…)] [LOCATION '…']
+      // AS SELECT … — declaration and first load in ONE commit;
+      // registered TxLog names in the SELECT bind to latest snapshots
+      val dir = Option(loc).map(new File(_)).getOrElse(managedDir(name))
+      dir.getParentFile.mkdirs()
+      val df = bindRegistered(spark, select)
+      val v = TxLog.createAs(spark, dir, df, partColsOf(parts))
+      register(name, dir)
+      optSummary(spark, name, v, "create table as select")
+    case insertIntoRe(name, query) =>
+      // INSERT INTO t <SELECT…|VALUES…> — SQL-standard POSITIONAL
+      // append (S71): arity must match the declared schema; columns
+      // bind by position and cast to declared types, so a VALUES int
+      // literal lands in a BIGINT column the way every engine does it
+      val target = tableOf(name)
+      val raw = bindRegistered(spark, query)
+      val declared = TxLog.declaredSchema(spark, target)
+      require(raw.columns.length == declared.length,
+        s"TxSql INSERT INTO: the query produces ${raw.columns.length} " +
+          s"column(s) but $name declares ${declared.length} " +
+          declared.fieldNames.mkString("(", ", ", ")"))
+      val df = raw.toDF(declared.fieldNames.toIndexedSeq: _*)
+        .select(declared.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      optSummary(spark, name, TxLog.append(df, target), "insert into")
     case copyIntoRe(name, path) =>
       // COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET — Delta's
       // idempotent bulk load (S67): file-level exactly-once; a re-run

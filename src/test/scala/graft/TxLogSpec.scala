@@ -1905,6 +1905,58 @@ class TxLogSpec extends SparkSpec {
     spark.catalog.dropTempView("mergevo_s")
   }
 
+  // ---- S71: CREATE TABLE / INSERT INTO statements ----------------------------
+
+  test("CREATE TABLE USING graft declares an empty readable table; " +
+      "INSERT INTO appends positionally with declared-type casts; " +
+      "arity mismatch and duplicate create reject") {
+    import graft.sources.TxSql
+    val loc = freshTable("createstmt")
+    assert(loc.delete()) // CREATE wants a nonexistent/empty dir
+    val res = TxSql.sql(spark, "CREATE TABLE create_probe (id BIGINT, " +
+      s"payload STRING) USING graft LOCATION '${loc.getPath}'")
+    assert(res.collect().head.getLong(2) == 0L)
+    // empty declared table reads as an empty frame with the schema
+    val empty = TxLog.snapshot(spark, loc)
+    assert(empty.columns.toSeq == Seq("id", "payload") && empty.count() == 0)
+    // VALUES: int literal lands in the BIGINT column positionally
+    TxSql.sql(spark, "INSERT INTO create_probe VALUES (7, 'a')")
+    TxSql.sql(spark,
+      "INSERT INTO create_probe SELECT 8, 'b' UNION ALL SELECT 9, 'c'")
+    val got = TxLog.snapshot(spark, loc).orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((7L, "a"), (8L, "b"), (9L, "c")), s"state: $got")
+    intercept[Exception] { // 1 value for 2 declared columns
+      TxSql.sql(spark, "INSERT INTO create_probe VALUES (10)")
+    }
+    intercept[Exception] { // the dir already has a log
+      TxSql.sql(spark, "CREATE TABLE create_probe2 (x INT) USING graft " +
+        s"LOCATION '${loc.getPath}'")
+    }
+  }
+
+  test("CTAS creates declaration and first load in one commit, and a " +
+      "PARTITIONED create prunes partitions on read") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L))
+      .toDF("id", "grp", "n").createOrReplaceTempView("ctas_src")
+    val loc = freshTable("ctasstmt"); assert(loc.delete())
+    val res = TxSql.sql(spark, "CREATE TABLE ctas_probe USING graft " +
+      s"PARTITIONED BY (grp) LOCATION '${loc.getPath}' " +
+      "AS SELECT * FROM ctas_src")
+    assert(res.collect().head.getLong(2) == 0L) // ONE commit: v0
+    assert(TxLog.versions(loc) == Seq(0L))
+    assert(TxLog.snapshot(spark, loc).count() == 3)
+    // partition pruning works off the create-carried partCols
+    val (pf, nKept, nPruned) = TxLog.snapshotPartitionPruned(
+      spark, loc, m => m.get("grp").contains("x"))
+    assert(nKept >= 1 && nPruned >= 1,
+      s"partition prune kept $nKept pruned $nPruned")
+    assert(pf.agg(sum(col("n"))).head.getLong(0) == 40L) // both x rows
+    spark.catalog.dropTempView("ctas_src")
+  }
+
   // ---- S70: type widening ----------------------------------------------------
 
   test("ALTER COLUMN TYPE widens metadata-only: zero files rewritten, " +
