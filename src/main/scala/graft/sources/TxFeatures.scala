@@ -1258,6 +1258,81 @@ object TxFeatures {
       |  CAST(4 AS BIGINT) AS n_commits
       |FROM t GROUP BY yr ORDER BY yr""".stripMargin
 
+  // ---- S72: IDENTITY columns ------------------------------------------------
+
+  private val identDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** IDENTITY demo: a table created with `rid BIGINT GENERATED ALWAYS
+    * AS IDENTITY` receives the URGENT census in two INSERT batches
+    * (pre-/post-1995). The engine assigns rid = 1..N gap-free across
+    * the two batches (per-partition offset allocation, the advanced
+    * mark riding each data commit). Built once per (JVM, corpus).
+    */
+  private[graft] def identDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      identDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "ident")
+        val o = ordersCensus(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("yr"), col("cents"))
+        if (TxLog.versions(t).isEmpty)                            // v0
+          TxSql.sql(spark, "CREATE TABLE ident_orders (rid BIGINT " +
+            "GENERATED ALWAYS AS IDENTITY, yr BIGINT, cents BIGINT) " +
+            s"USING graft LOCATION '${t.getPath}'")
+        else TxSql.register("ident_orders", t)
+        if (TxLog.versions(t).size < 2) {                         // v1
+          o.filter(col("yr") <= 1994)
+            .createOrReplaceTempView("ident_src")
+          TxSql.sql(spark,
+            "INSERT INTO ident_orders SELECT yr, cents FROM ident_src")
+          ()
+        }
+        if (TxLog.versions(t).size < 3) {                         // v2
+          o.filter(col("yr") >= 1995)
+            .createOrReplaceTempView("ident_src")
+          TxSql.sql(spark,
+            "INSERT INTO ident_orders SELECT yr, cents FROM ident_src")
+          ()
+        }
+        t
+      })
+    }
+
+  /** txlog_identity (S72) — engine-assigned surrogate keys end to end:
+    * the census carries PERMUTATION-INVARIANT identity invariants — the
+    * assigned rid set must be EXACTLY {1..N} (count distinct, min, max,
+    * and the arithmetic-series sum all pin it; which row got which id
+    * is deliberately unasserted, the Delta contract) — plus the
+    * ordinary per-year census proving the data landed intact.
+    */
+  def txlogIdentity(spark: SparkSession, dir: String): DataFrame = {
+    val t = identDemo(spark, dir)
+    val snap = TxLog.snapshot(spark, t)
+    val inv = snap.agg(
+      countDistinct(col("rid")).as("n_ids"),
+      min(col("rid")).as("min_id"),
+      max(col("rid")).as("max_id"),
+      sum(col("rid")).as("sum_ids"))
+    snap.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("total_cents"))
+      .crossJoin(broadcast(inv))
+      .orderBy(col("yr"))
+  }
+
+  val txlogIdentitySql: String =
+    """WITH t AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM t)
+      |SELECT yr, COUNT(*) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  n.cnt AS n_ids, CAST(1 AS BIGINT) AS min_id, n.cnt AS max_id,
+      |  CAST(n.cnt * (n.cnt + 1) // 2 AS BIGINT) AS sum_ids
+      |FROM t CROSS JOIN n
+      |GROUP BY yr, n.cnt ORDER BY yr""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
@@ -1276,6 +1351,7 @@ object TxFeatures {
     "txlog_merge_evolution" -> (txlogMergeEvolution _),
     "txlog_type_widening" -> (txlogTypeWidening _),
     "sql_txlog_insert" -> (sqlTxlogInsert _),
+    "txlog_identity" -> (txlogIdentity _),
     "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
@@ -1297,5 +1373,6 @@ object TxFeatures {
     "txlog_merge_evolution" -> txlogMergeEvolutionSql,
     "txlog_type_widening" -> txlogTypeWideningSql,
     "sql_txlog_insert" -> sqlTxlogInsertSql,
+    "txlog_identity" -> txlogIdentitySql,
     "txlog_cdc_apply" -> graft.operators.Cdc.cdcApplySql)
 }

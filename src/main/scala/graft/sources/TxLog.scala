@@ -140,7 +140,8 @@ object TxLog {
     constraints: Seq[Constraint] = Seq.empty,
     colDefaults: Seq[ColDefault] = Seq.empty,
     bloomIdx: Seq[BloomIdx] = Seq.empty,
-    copies: Seq[String] = Seq.empty)
+    copies: Seq[String] = Seq.empty,
+    identities: Seq[(String, Long)] = Seq.empty)
 
   private val addRe =
     ("""\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)""" +
@@ -176,6 +177,8 @@ object TxLog {
     """\{"bloomidx":\s*\{"col":\s*"([^"]+)",\s*"drop":\s*true\}\}""".r
   private val copyRe =
     """\{"copy":\s*\{"src":\s*"((?:[^"\\]|\\.)+)"\}\}""".r
+  private val identityRe =
+    """\{"identity":\s*\{"col":\s*"([^"]+)",\s*"next":\s*(\d+)\}\}""".r
 
   private def parseStats(s: String): Map[String, (Long, Long)] =
     if (s == null || s.isEmpty) Map.empty
@@ -202,6 +205,7 @@ object TxLog {
     var colDefaults = Vector.empty[ColDefault]
     var bloomIdx = Vector.empty[BloomIdx]
     var copies = Vector.empty[String]
+    var identities = Vector.empty[(String, Long)]
     lines.asScala.foreach { line =>
       line match {
         case addRe(p, r, s, b) =>
@@ -222,6 +226,7 @@ object TxLog {
           bloomIdx :+= BloomIdx(c, Some((b.toInt, k.toInt)))
         case bloomIdxDropRe(c) => bloomIdx :+= BloomIdx(c, None)
         case copyRe(s) => copies :+= unq(s)
+        case identityRe(c, n) => identities :+= (c -> n.toLong)
         case _ => ()
       }
       line match {
@@ -230,7 +235,7 @@ object TxLog {
       }
     }
     Commit(adds, removes, op, meta, mapping, ts, dvs, partCols, constraints,
-      colDefaults, bloomIdx, copies)
+      colDefaults, bloomIdx, copies, identities)
   }
 
   /** Inverse of [[q]]'s escaping for constraint expression round-trips:
@@ -507,7 +512,8 @@ object TxLog {
       txn: Option[(String, Long)] = None,
       colDefaults: Seq[ColDefault] = Seq.empty,
       bloomIdx: Seq[BloomIdx] = Seq.empty,
-      copies: Seq[String] = Seq.empty): String =
+      copies: Seq[String] = Seq.empty,
+      identities: Seq[(String, Long)] = Seq.empty): String =
     (adds.map(renderAdd) ++
       removes.map(p => s"""{"remove": {"path": ${q(p)}}}""") ++
       dvs.map(renderDv) ++
@@ -516,6 +522,8 @@ object TxLog {
       colDefaults.map(renderDefault) ++
       bloomIdx.map(renderBloomIdx) ++
       copies.map(s => s"""{"copy": {"src": ${q(s)}}}""") ++
+      identities.map { case (c, n) =>
+        s"""{"identity": {"col": ${q(c)}, "next": $n}}""" } ++
       txn.map { case (a, b) =>
         s"""{"txn": {"app": ${q(a)}, "batch": $b}}""" } ++
       metaDdl.map(d => s"""{"metaData": {"schemaDdl": ${q(d)}""" +
@@ -542,13 +550,15 @@ object TxLog {
       txn: Option[(String, Long)] = None,
       partCols: Option[String] = None,
       colDefaults: Seq[ColDefault] = Seq.empty,
-      copies: Seq[String] = Seq.empty): Long = {
+      copies: Seq[String] = Seq.empty,
+      identities: Seq[(String, Long)] = Seq.empty): Long = {
     logDir(table).mkdirs()
     val v = base + 1
     if (publishSlot(versionFile(table, v),
         commitBody(adds, removes, op, metaDdl, mapping, ts, dvs,
           partCols = partCols, constraints = constraints, txn = txn,
-          colDefaults = colDefaults, copies = copies))) {
+          colDefaults = colDefaults, copies = copies,
+          identities = identities))) {
       maybeCheckpoint(table, v); v
     } else -1L
   }
@@ -787,14 +797,19 @@ object TxLog {
       // constraint must judge the rows as they will LAND (an omitted
       // generated column is filled here and passes its own
       // gen-constraint by construction)
-      val landing = withWriteDefaults(df, table, base)
+      val defaulted = withWriteDefaults(df, table, base)
+      // IDENTITY assignment (S72) precedes the gate so constraints
+      // judge rows as they land; the advanced high-water mark rides
+      // the SAME commit as the data — atomic allocation
+      val (landing, advanced) = withIdentity(defaulted,
+        identitiesAsOf(table, base.getOrElse(-1L)))
       enforceConstraints(spark = df.sparkSession, table, landing, "append")
       // mapped tables store PHYSICAL names; the caller writes logical
       val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
       val files = writeFiles(toPhysical(landing, mapping),
         table, "append", partitionColsOf(table))
       committed = commitIfBase(table, base.getOrElse(-1L), files,
-        Seq.empty, "append", ts = ts)
+        Seq.empty, "append", ts = ts, identities = advanced)
       if (committed < 0) discardFileGroup(table, files)
     }
     committed
@@ -882,23 +897,95 @@ object TxLog {
     committed
   }
 
+  /** IDENTITY high-water marks as of `v`: column → next id to assign.
+    * Same memoized fold as [[constraintsAsOf]]; the latest `identity`
+    * action per column wins (each assigning commit re-emits the
+    * advanced mark, so the fold is the allocation ledger).
+    */
+  private val identityMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Map[String, Long]]
+
+  private[graft] def identitiesAsOf(table: File, v: Long)
+      : Map[String, Long] = {
+    if (v < 0) return Map.empty
+    val key = table.getCanonicalPath
+    identityMemo.get((key, v)) match {
+      case Some(m) => m
+      case None =>
+        var base = v - 1
+        while (base >= 0 && !identityMemo.contains((key, base))) base -= 1
+        var acc =
+          if (base < 0) Map.empty[String, Long]
+          else identityMemo((key, base))
+        var i = base + 1
+        while (i <= v) {
+          acc = acc ++ readCommit(table, i).identities
+          identityMemo.put((key, i), acc)
+          i += 1
+        }
+        acc
+    }
+  }
+
+  /** Assign IDENTITY values to a landing batch (S72 — Delta's
+    * `GENERATED ALWAYS AS IDENTITY`, START 1 INCREMENT 1): each
+    * identity column the batch does NOT carry gets `highWater + k` for
+    * k = 1..n via per-partition offset ranges (zipWithIndex — ONE
+    * count job for the offsets, no global sort, no shuffle: the Delta
+    * allocation pattern). Gap-free per batch by construction; the
+    * caller commits the advanced mark IN THE SAME COMMIT as the data,
+    * so allocation is atomic and a lost race re-derives. A batch that
+    * carries an ALWAYS-identity column explicitly is rejected — the
+    * Delta rule (writers cannot supply ALWAYS values).
+    */
+  private def withIdentity(df: DataFrame, idents: Map[String, Long])
+      : (DataFrame, Seq[(String, Long)]) = {
+    if (idents.isEmpty) return (df, Seq.empty)
+    val supplied = idents.keys.filter(df.columns.contains)
+    require(supplied.isEmpty,
+      s"TxLog: column(s) ${supplied.mkString(", ")} are GENERATED " +
+        "ALWAYS AS IDENTITY — writers cannot supply values")
+    val spark = df.sparkSession
+    val zipped = df.rdd.zipWithIndex()
+    val n = df.count()
+    val cols = idents.toSeq.sortBy(_._1)
+    val schema = StructType(df.schema.fields ++ cols.map { case (c, _) =>
+      org.apache.spark.sql.types.StructField(c, LongType, nullable = false)
+    })
+    val out = spark.createDataFrame(
+      zipped.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq ++ cols.map { case (_, hw) => hw + idx })
+      }, schema)
+    (out, cols.map { case (c, hw) => c -> (hw + n) })
+  }
+
   /** CREATE TABLE (S71, round-13): declare an EMPTY table — one commit
     * carrying the declared schema (and partitioning, when given), no
     * data files. Slot-0 only: losing the create race rejects rather
     * than stacking a second declaration onto someone else's table.
     */
   def createEmpty(table: File, schemaDdl: String,
-      partCols: Seq[String] = Seq.empty): Long = {
+      partCols: Seq[String] = Seq.empty,
+      identityCols: Seq[String] = Seq.empty): Long = {
     require(versions(table).isEmpty,
       s"TxLog CREATE TABLE: $table already has a log")
     val schema = StructType.fromDDL(schemaDdl)
     val missing = partCols.filterNot(schema.fieldNames.contains)
     require(missing.isEmpty, "TxLog CREATE TABLE: PARTITIONED BY " +
       s"column(s) not in the schema: ${missing.mkString(", ")}")
+    identityCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(sys.error(
+        s"TxLog CREATE TABLE: IDENTITY column `$c` not in the schema"))
+      require(f.dataType == LongType,
+        s"TxLog CREATE TABLE: IDENTITY column `$c` must be BIGINT, " +
+          s"got ${f.dataType.sql}")
+    }
     val v = commitIfBase(table, -1L, Seq.empty, Seq.empty, "create",
       Some(schema.toDDL),
       partCols = if (partCols.isEmpty) None
-        else Some(partCols.mkString(",")))
+        else Some(partCols.mkString(",")),
+      identities = identityCols.map(_ -> 1L))
     if (v < 0) sys.error(s"TxLog CREATE TABLE: $table already has a " +
       "log — a concurrent creator won the slot")
     v

@@ -253,7 +253,19 @@ object TxSql {
       // empty frame until the first INSERT/COPY/append
       val dir = Option(loc).map(new File(_)).getOrElse(managedDir(name))
       dir.getParentFile.mkdirs()
-      val v = TxLog.createEmpty(dir, ddl, partColsOf(parts))
+      // column entries may carry `GENERATED ALWAYS AS IDENTITY` (S72):
+      // strip it off before the DDL parse and declare the column's
+      // allocation mark in the creating commit
+      val idRe =
+        """(?is)^(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*$""".r
+      val (cleanEntries, idCols) = splitTopLevel(ddl)
+        .foldLeft((Vector.empty[String], Vector.empty[String])) {
+          case ((cs, ids), idRe(colDdl)) =>
+            (cs :+ colDdl, ids :+ colDdl.trim.split("\\s+").head)
+          case ((cs, ids), e) => (cs :+ e, ids)
+        }
+      val v = TxLog.createEmpty(dir, cleanEntries.mkString(", "),
+        partColsOf(parts), idCols)
       register(name, dir)
       optSummary(spark, name, v, "create table")
     case ctasRe(name, parts, loc, select) =>
@@ -274,12 +286,18 @@ object TxSql {
       val target = tableOf(name)
       val raw = bindRegistered(spark, query)
       val declared = TxLog.declaredSchema(spark, target)
-      require(raw.columns.length == declared.length,
+      // IDENTITY columns are engine-assigned (S72): positional binding
+      // covers the insertable (non-identity) columns only
+      val idCols = TxLog.identitiesAsOf(target,
+        TxLog.versions(target).last).keySet
+      val insertable = declared.fields.filterNot(f => idCols(f.name))
+      require(raw.columns.length == insertable.length,
         s"TxSql INSERT INTO: the query produces ${raw.columns.length} " +
-          s"column(s) but $name declares ${declared.length} " +
-          declared.fieldNames.mkString("(", ", ", ")"))
-      val df = raw.toDF(declared.fieldNames.toIndexedSeq: _*)
-        .select(declared.fields.toIndexedSeq.map(f =>
+          s"column(s) but $name declares ${insertable.length} " +
+          "insertable " +
+          insertable.map(_.name).mkString("(", ", ", ")"))
+      val df = raw.toDF(insertable.map(_.name).toIndexedSeq: _*)
+        .select(insertable.toIndexedSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
       optSummary(spark, name, TxLog.append(df, target), "insert into")
     case copyIntoRe(name, path) =>

@@ -1957,6 +1957,46 @@ class TxLogSpec extends SparkSpec {
     spark.catalog.dropTempView("ctas_src")
   }
 
+  // ---- S72: IDENTITY columns -------------------------------------------------
+
+  test("IDENTITY: gap-free atomic allocation across batches, explicit " +
+      "values reject, a lost race never burns or duplicates ids") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val loc = freshTable("identstmt"); assert(loc.delete())
+    TxSql.sql(spark, "CREATE TABLE ident_probe (rid BIGINT GENERATED " +
+      "ALWAYS AS IDENTITY, v STRING) USING graft " +
+      s"LOCATION '${loc.getPath}'")
+    TxSql.sql(spark, "INSERT INTO ident_probe VALUES ('a')")
+    TxSql.sql(spark,
+      "INSERT INTO ident_probe SELECT 'b' UNION ALL SELECT 'c'")
+    val ids = TxLog.snapshot(spark, loc).select(col("rid"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"ids: $ids")
+    // ALWAYS identity: a writer-supplied value rejects
+    intercept[Exception] {
+      TxLog.append(Seq((99L, "x")).toDF("rid", "v"), loc)
+    }
+    // the rejected append burned nothing: the next insert continues at 4
+    TxSql.sql(spark, "INSERT INTO ident_probe VALUES ('d')")
+    val ids2 = TxLog.snapshot(spark, loc).select(col("rid"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids2 == Seq(1L, 2L, 3L, 4L), s"ids after reject: $ids2")
+    // concurrent inserters race losslessly: 3 × 2 rows land as 5..10
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(3)
+    val fs = (1 to 3).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long =
+          TxLog.append(Seq(s"p${i}a", s"p${i}b").toDF("v"), loc)
+      })
+    }
+    fs.foreach(_.get()); pool.shutdown()
+    val ids3 = TxLog.snapshot(spark, loc).select(col("rid"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids3 == (1L to 10L), s"ids after race: $ids3")
+  }
+
   // ---- S70: type widening ----------------------------------------------------
 
   test("ALTER COLUMN TYPE widens metadata-only: zero files rewritten, " +
