@@ -3068,6 +3068,42 @@ object TxLog {
     * files into `targetFiles` rewritten ones in one add+remove commit.
     * Pre-compaction versions still time-travel from the original files.
     */
+  /** Partition-scoped OPTIMIZE (round-13, the Delta `OPTIMIZE … WHERE`
+    * surface): compact ONLY the live files of the partitions `keep`
+    * selects — cost is |selected partitions' files|, never |table|; the
+    * rest of the table survives by reference in the same commit. Live
+    * deletion vectors on selected files MATERIALIZE in the rewrite (the
+    * re-read is DV-applied and the removes drop their sidecars' targets).
+    * The everyday shape at 100 TB: yesterday's hot partition compacts
+    * nightly while years of cold partitions stay untouched.
+    */
+  def compactWhere(spark: SparkSession, table: File,
+      keep: Map[String, String] => Boolean, targetFiles: Int): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val v = versions(table).last
+      val st = liveState(table, v)
+      val partCols = partitionColsOf(table)
+      require(partCols.nonEmpty,
+        s"TxLog OPTIMIZE WHERE: $table is not partitioned — use plain " +
+          "OPTIMIZE (partition predicates need a declared layout)")
+      val selected = st.live.filter { a =>
+        val pv = partValsOf(a.path)
+        partCols.forall(pv.contains) && keep(pv)
+      }
+      if (selected.isEmpty) return -1L // nothing matches: no commit
+      val frame = assemble(spark, table, v, selected, st.dvs)
+      val files = writeFiles(
+        toPhysical(frame.repartition(targetFiles, partCols.map(col): _*),
+          mappingAsOf(table, v)),
+        table, "compact", partCols)
+      committed = commitIfBase(table, v, files, selected.map(_.path),
+        "compact-where")
+      if (committed < 0) discardFileGroup(table, files)
+    }
+    committed
+  }
+
   def compact(spark: SparkSession, table: File, targetFiles: Int): Long = {
     // compare-and-commit: a delete/merge landing mid-compaction would
     // otherwise be silently undone by the compacted re-add of its rows

@@ -65,6 +65,10 @@ object TxSql {
       """\s*\)\s*;?\s*$""").r
   private val optimizeRe =
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val optimizeWhereRe =
+    ("""(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)\s+WHERE\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*=\s*""" +
+      """(?:'([^']*)'|([A-Za-z0-9_.\-]+))\s*;?\s*$""").r
   private val alterRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+""" +
       """COLUMNS\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
@@ -150,6 +154,16 @@ object TxSql {
     case optimizeRe(name) =>
       optSummary(spark, name,
         TxLog.compact(spark, tableOf(name), targetFiles = 8), "compact")
+    case optimizeWhereRe(name, colName, strVal, bareVal) =>
+      // OPTIMIZE t WHERE <partition-col> = <value>: partition-scoped
+      // compaction (Delta's partition predicate) — only the selected
+      // partition's files rewrite; partition dir values compare as the
+      // STRINGS the layout wrote (`_p_` dirs cast to string)
+      val v = Option(strVal).getOrElse(bareVal)
+      optSummary(spark, name,
+        TxLog.compactWhere(spark, tableOf(name),
+          m => m.get(colName).contains(v), targetFiles = 4),
+        s"compact where $colName = $v")
     case alterRe(name, ddl) =>
       // each column entry may carry `DEFAULT <literal>` (round-13, S63)
       // or `GENERATED ALWAYS AS (<expr>)` (S65): split either off before

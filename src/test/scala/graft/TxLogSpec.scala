@@ -1957,6 +1957,39 @@ class TxLogSpec extends SparkSpec {
     spark.catalog.dropTempView("ctas_src")
   }
 
+  // ---- partition-scoped OPTIMIZE ---------------------------------------------
+
+  test("OPTIMIZE WHERE compacts only the selected partition: other " +
+      "partitions survive by file identity; content is preserved") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("optwhere")
+    def slab(g: String, ks: Seq[Long]) =
+      ks.map(i => (i, g)).toDF("n", "grp").coalesce(1)
+    TxLog.createPartitioned(slab("a", Seq(1L)), t, Seq("grp")) // v0
+    TxLog.append(slab("a", Seq(2L)), t)                        // v1
+    TxLog.append(slab("a", Seq(3L)), t)                        // v2
+    TxLog.append(slab("b", Seq(10L)), t)                       // v3
+    TxSql.register("optw_probe", t)
+    val before = TxLog.resolve(t, 3L)._1.map(_.path)
+    val bFiles = before.filter(_.contains("_p_grp=b"))
+    assert(before.count(_.contains("_p_grp=a")) == 3 && bFiles.size == 1)
+    val res = TxSql.sql(spark, "OPTIMIZE optw_probe WHERE grp = 'a'")
+    assert(res.collect().head.getLong(2) == 4L)
+    val after = TxLog.resolve(t, 4L)._1.map(_.path)
+    // grp=a's three fragments compacted; grp=b's file untouched BY PATH
+    assert(after.count(_.contains("_p_grp=a")) < 3, s"a files: $after")
+    assert(after.filter(_.contains("_p_grp=b")) == bFiles,
+      "the unselected partition must survive by reference")
+    val got = TxLog.snapshot(spark, t).orderBy(col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b")))
+    // nothing matches: no commit
+    assert(TxLog.compactWhere(spark, t,
+      m => m.get("grp").contains("zzz"), 4) == -1L)
+    assert(TxLog.versions(t).size == 5)
+  }
+
   // ---- S72: IDENTITY columns -------------------------------------------------
 
   test("IDENTITY: gap-free atomic allocation across batches, explicit " +
