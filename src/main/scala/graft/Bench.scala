@@ -175,6 +175,10 @@ object Bench {
     val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passRepsLog = scala.collection.mutable.ArrayBuffer.empty[Int]
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // (rescued_n, sum_best_after, wall, load) of the r13 rescue partial
+    // pass, when one ran — reported under its own detail key so a
+    // partial-coverage pass can never read as a full one
+    var rescuePass: Option[(Int, Double, Double, Double)] = None
     // Abort insurance: if the driver's external timeout kills the JVM
     // (SIGTERM) mid-pass, the per-query bests gathered so far still become
     // an artifact — a partial line beats a missing one. Printed at most
@@ -225,8 +229,11 @@ object Bench {
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val passWallJson = passWalls.mkString("[", ",", "]")
       val passRepsJson = passRepsLog.mkString("[", ",", "]")
+      val rescueJson = rescuePass.map { case (n, sb, w, l) =>
+        s""","partial_pass":{"rescued_n":$n,"sum_best":$sb,"wall":$w,"load":$l}"""
+      }.getOrElse("")
       val detail =
-        s"""{"bench_detail":$qs,"warm_state":$warmState,"passes":$passesJson,"pass_wall":$passWallJson,"pass_reps":$passRepsJson,"pass_load":$passLoadJson,"p1_full_reps_n":$p1FullReps,"order":"shuffled(seed=$orderSeedBase+pass)"}"""
+        s"""{"bench_detail":$qs,"warm_state":$warmState,"passes":$passesJson,"pass_wall":$passWallJson,"pass_reps":$passRepsJson,"pass_load":$passLoadJson,"p1_full_reps_n":$p1FullReps$rescueJson,"order":"shuffled(seed=$orderSeedBase+pass)"}"""
       println(detail)
       try {
         val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
@@ -283,13 +290,16 @@ object Bench {
             rescued += 1
             i += 1
           }
-          passTotals += ms(best.values.sum)
-          passWalls += ms((System.nanoTime() - tPass) / 1e9)
-          passRepsLog += 1
-          passLoads += loadAvg
+          // The rescue pass lands in its OWN artifact key (r13 advisor):
+          // appended to passTotals/passWalls it was indistinguishable
+          // from a full-coverage pass in bench_detail.json, and the
+          // partial-coverage disclosure lived only in a transient
+          // stdout line.
+          val rWall = ms((System.nanoTime() - tPass) / 1e9)
+          rescuePass = Some((rescued, ms(best.values.sum), rWall, loadAvg))
           println(s"""{"bench_partial":$p,"rescue":$rescued,""" +
             s""""sum_best":${ms(best.values.sum)},""" +
-            s""""pass_wall":${passWalls.last},"load":${passLoads.last}}""")
+            s""""pass_wall":$rWall,"load":$loadAvg}""")
         }
         continue = false
       } else if (p > passes && elapsed + nextPassEst > budgetSec * 0.85) {

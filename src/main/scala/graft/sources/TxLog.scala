@@ -801,13 +801,15 @@ object TxLog {
       // IDENTITY assignment (S72) precedes the gate so constraints
       // judge rows as they land; the advanced high-water mark rides
       // the SAME commit as the data — atomic allocation
-      val (landing, advanced) = withIdentity(defaulted,
+      val (landing, advanced, idPin) = withIdentity(defaulted,
         identitiesAsOf(table, base.getOrElse(-1L)))
       enforceConstraints(spark = df.sparkSession, table, landing, "append")
       // mapped tables store PHYSICAL names; the caller writes logical
       val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
-      val files = writeFiles(toPhysical(landing, mapping),
-        table, "append", partitionColsOf(table))
+      val files =
+        try writeFiles(toPhysical(landing, mapping),
+          table, "append", partitionColsOf(table))
+        finally idPin.foreach(_.unpersist(false))
       committed = commitIfBase(table, base.getOrElse(-1L), files,
         Seq.empty, "append", ts = ts, identities = advanced)
       if (committed < 0) discardFileGroup(table, files)
@@ -939,15 +941,23 @@ object TxLog {
     * Delta rule (writers cannot supply ALWAYS values).
     */
   private def withIdentity(df: DataFrame, idents: Map[String, Long])
-      : (DataFrame, Seq[(String, Long)]) = {
-    if (idents.isEmpty) return (df, Seq.empty)
+      : (DataFrame, Seq[(String, Long)], Option[DataFrame]) = {
+    if (idents.isEmpty) return (df, Seq.empty, None)
     val supplied = idents.keys.filter(df.columns.contains)
     require(supplied.isEmpty,
       s"TxLog: column(s) ${supplied.mkString(", ")} are GENERATED " +
         "ALWAYS AS IDENTITY — writers cannot supply values")
     val spark = df.sparkSession
-    val zipped = df.rdd.zipWithIndex()
-    val n = df.count()
+    // ONE materialization feeds the offset job, the mark count, AND the
+    // downstream write (r13 advisor): unpersisted, zipWithIndex's
+    // internal offset job, the count, and the write each re-evaluate
+    // df — a non-deterministic source (sample/limit/rand) could commit
+    // a high-water mark that doesn't match the ids actually assigned.
+    // The caller unpersists after the files land.
+    val pinned = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pinned.count()
+    val zipped = pinned.rdd.zipWithIndex()
     val cols = idents.toSeq.sortBy(_._1)
     val schema = StructType(df.schema.fields ++ cols.map { case (c, _) =>
       org.apache.spark.sql.types.StructField(c, LongType, nullable = false)
@@ -957,7 +967,7 @@ object TxLog {
         org.apache.spark.sql.Row.fromSeq(
           row.toSeq ++ cols.map { case (_, hw) => hw + idx })
       }, schema)
-    (out, cols.map { case (c, hw) => c -> (hw + n) })
+    (out, cols.map { case (c, hw) => c -> (hw + n) }, Some(pinned))
   }
 
   /** CREATE TABLE (S71, round-13): declare an EMPTY table — one commit
@@ -2026,6 +2036,22 @@ object TxLog {
           }.toMap
       }
     val spec = bloomsAsOf(table, v).get(phys)
+    // Epoch guard (r13 advisor): a bitset only encodes the (bits, k)
+    // spec ACTIVE WHEN ITS FILE WAS WRITTEN. After DROP + re-CREATE
+    // with equal bits but different k, an old file's hex passes the
+    // length check yet its set bits sit at old-k positions — probing
+    // all new-k positions would false-negative a genuinely present key
+    // and silently prune its file. So only files added AT/AFTER the
+    // commit that declared the current spec are probed; older bitsets
+    // are inert and their files conservatively kept (the same epoch
+    // discipline S63's default fill keys on addedAtVersions).
+    val declEpoch: Long =
+      if (spec.isEmpty) Long.MaxValue
+      else versions(table).filter(_ <= v).reverse.find(vv =>
+        readCommit(table, vv).bloomIdx
+          .exists(b => b.col == phys && b.spec.isDefined))
+        .getOrElse(Long.MaxValue)
+    val addedAt = addedAtVersions(table, v)
     def bloomMaybe(hex: String, value: Long): Boolean = spec match {
       case None => true // index dropped: bitsets are inert
       case Some((bits, k)) => positions.get(value) match {
@@ -2051,7 +2077,12 @@ object TxLog {
           case None => true
         }
         val bloomOk = a.blooms.get(phys) match {
-          case Some(hex) => bloomMaybe(hex, value)
+          case Some(hex)
+              if addedAt.getOrElse(
+                new File(table, a.path).getCanonicalPath,
+                -1L) >= declEpoch =>
+            bloomMaybe(hex, value)
+          case Some(_) => true // bitset predates current spec: keep
           case None => true // pre-declaration file: conservatively kept
         }
         rangeOk && bloomOk

@@ -1740,6 +1740,37 @@ class TxLogSpec extends SparkSpec {
       "post-DROP files still carry bitsets")
   }
 
+  test("bloom re-declaration epoch: DROP + re-CREATE with equal bits " +
+      "but different k never false-negative-prunes an old file") {
+    import spark.implicits._
+    val t = freshTable("bloomrek")
+    def slab(ks: Seq[Long]) =
+      ks.map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1)
+    TxLog.alterAddBloomIndex(spark, t, "id", bits = 4096, k = 2) // v0
+    TxLog.append(slab(Seq(1L, 500L, 1000L)), t)                  // v1: k=2
+    TxLog.alterDropBloomIndex(t, "id")                           // v2
+    TxLog.alterAddBloomIndex(spark, t, "id", bits = 4096, k = 5) // v3
+    TxLog.append(slab(Seq(2L, 501L, 999L)), t)                   // v4: k=5
+    // the v1 file's bitset has k=2 positions set; probing it at the
+    // current k=5 positions would false-negative key 500 (present!).
+    // The epoch guard keeps any file whose bitset predates the current
+    // declaration, so BOTH files survive for 500 and the rows are whole.
+    val (f, r, tot) = TxLog.snapshotPrunedEq(spark, t, "id", 500L)
+    assert(tot == 2)
+    assert(r >= 1 && f.filter(col("id") === 500L).count() == 1,
+      s"re-keyed probe lost a present row (read $r of $tot)")
+    // new-epoch bitsets still prune: 501 lives only in the v4 file and
+    // the v1 file predates the current spec → conservatively kept, so
+    // the probe reads ≤2 but finds the row
+    val (f2, _, _) = TxLog.snapshotPrunedEq(spark, t, "id", 501L)
+    assert(f2.filter(col("id") === 501L).count() == 1)
+    // absent key: the old-epoch file is kept (its bitset is inert), the
+    // new-epoch file prunes — never MORE than the conservative set
+    val (_, r0, _) = TxLog.snapshotPrunedEq(spark, t, "id", 700L)
+    assert(r0 == 1, s"absent key read $r0 files (want just the " +
+      "old-epoch conservative keep)")
+  }
+
   test("bloom bitsets survive checkpoint round-trips and compose with " +
       "RENAME (probe via the new logical name)") {
     import spark.implicits._
