@@ -224,7 +224,11 @@ object Bench {
           // the envelope stream drains + lands its state once per JVM
           "cdc_debezium_stream",
           // the evolution demo table builds + ALTERs once per JVM
-          "txlog_schema_evolution")
+          "txlog_schema_evolution",
+          // r14: these read the bucketed lineitem/orders landing (one
+          // keyed re-land per corpus; the layout answer to a recurring
+          // order-keyed join/agg)
+          "join_bucketed", "basket_rules", "graph_kcore")
         .filter(best.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val passWallJson = passWalls.mkString("[", ",", "]")

@@ -1154,7 +1154,16 @@ object Olap {
     // A/B, min of 7) while reaching steady state on run 1 (the
     // checkpointed shape needed extra runs to warm — the bench-protocol
     // lesson)
-    val li = Tables.lineitem(spark, dir)
+    // r14: read the BUCKETED lineitem landing (clustered by l_orderkey,
+    // the join_bucketed layout). HashPartitioning(l_orderkey) satisfies
+    // BOTH the (okey, pkey) distinct's clustering (subset rule) and the
+    // basket collect_set, so the two order-keyed exchanges disappear
+    // and the only remaining data shuffle is the part-keyed supp re-key
+    // (interleaved A/B, min-of-7: 1.31 → 0.61 s at sf0.1). Same rows —
+    // bucketing is layout, not semantics; the landing builds once per
+    // corpus (disclosed in Bench's warm_state).
+    val (lTbl, _) = graft.sources.Bucketed.ensure(spark, dir)
+    val li = spark.table(lTbl)
       .select(col("l_orderkey"), col("l_partkey"))
     val po = li.distinct()
     val supp = po.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp_i"))

@@ -595,6 +595,193 @@ object AB {
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** kcore r14 candidate: FULLY LAZY rounds — only edges0 and the
+    * round-0 degree frame pin (k needs a driver read); rounds 1-3 build
+    * one DAG whose final census union is the single action. Within that
+    * one execution, each deg_r shuffle exchange has two consumers
+    * (census r and round r+1's keep broadcast) and Spark's exchange
+    * reuse serves both from one materialization — the cross-ACTION
+    * replay that killed the r9 lazy variant (k head + keep broadcast as
+    * separate jobs) does not apply to consumers inside one action.
+    * Saves the two mid-round checkpoint jobs.
+    */
+  def kcoreV5(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 2 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    val edges0 = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct().localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("x"), col("y"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges0).localCheckpoint()
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = edges0
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      edges = edges
+        .join(broadcast(keep), col("x") === keep("n"), "left_semi")
+        .join(broadcast(keep), col("y") === keep("n"), "left_semi")
+        .select(col("x"), col("y"))
+      deg = degrees(edges) // lazy: exchange reuse inside the one action
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** kcore r14 candidate: edges0's basket agg reads the BUCKETED
+    * lineitem landing (clustered by l_orderkey) — the scan already
+    * carries HashPartitioning(l_orderkey), so the collect_set aggregate
+    * runs exchange-free and edges0 drops to ONE shuffle (the pair
+    * distinct). Rounds unchanged from the committed shape.
+    */
+  def kcoreV6(spark: SparkSession, dir: String): DataFrame = {
+    val (lTbl, _) = graft.sources.Bucketed.ensure(spark, dir)
+    val baskets = spark.table(lTbl)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_partkey") % 2 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    val edges0 = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct().localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("x"), col("y"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges0).localCheckpoint()
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = edges0
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      edges = edges
+        .join(broadcast(keep), col("x") === keep("n"), "left_semi")
+        .join(broadcast(keep), col("y") === keep("n"), "left_semi")
+        .select(col("x"), col("y"))
+      val d = degrees(edges)
+      deg = if (r < 3) d.localCheckpoint() else d
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+/** kcore r14 candidate: v6 bucketed build + v5 lazy rounds. */
+  def kcoreV7(spark: SparkSession, dir: String): DataFrame = {
+    val (lTbl, _) = graft.sources.Bucketed.ensure(spark, dir)
+    val baskets = spark.table(lTbl)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_partkey") % 2 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    val edges0 = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct().localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("x"), col("y"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges0).localCheckpoint()
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = edges0
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      edges = edges
+        .join(broadcast(keep), col("x") === keep("n"), "left_semi")
+        .join(broadcast(keep), col("y") === keep("n"), "left_semi")
+        .select(col("x"), col("y"))
+      deg = degrees(edges) // lazy rounds (v5) on the bucketed build (v6)
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** basket r14 candidate: reads the BUCKETED lineitem landing — the
+    * scan's HashPartitioning(l_orderkey) satisfies BOTH the (okey,pkey)
+    * distinct's clustering (subset rule) and the basket collect_set, so
+    * the only remaining data exchange is the small supp re-key.
+    */
+  def basketV4(spark: SparkSession, dir: String): DataFrame = {
+    val (lTbl, _) = graft.sources.Bucketed.ensure(spark, dir)
+    val li = spark.table(lTbl)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val po = li.distinct()
+    val supp = po.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp_i"))
+    val nOrders = po.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val baskets = li
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (x, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "y -> struct(x AS pa, y AS pb))))")
+    val pairs = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("supp_ab"))
+    pairs
+      .join(broadcast(supp.select(col("l_partkey").as("pa"),
+        col("supp_i").as("supp_a"))), Seq("pa"))
+      .join(broadcast(supp.select(col("l_partkey").as("pb"),
+        col("supp_i").as("supp_b"))), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"),
+        col("supp_ab").cast("long").as("supp_ab"),
+        col("supp_a").cast("long").as("supp_a"),
+        col("supp_b").cast("long").as("supp_b"),
+        expr("supp_ab * 1000000 div supp_a").as("conf_ab_ppm"),
+        expr("supp_ab * 1000000 div supp_b").as("conf_ba_ppm"),
+        expr("supp_ab * n_orders * 1000000 div (supp_a * supp_b)")
+          .as("lift_ppm"))
+      .orderBy(col("supp_ab").desc, col("lift_ppm").desc,
+        col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  /** probe: kcore's edges0 build alone (basket agg + pair explode +
+    * distinct + pin) — isolates the round-independent cost floor. */
+  def kcoreEdges0(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .filter(col("l_partkey") % 2 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct().localCheckpoint().agg(count(lit(1)).as("n"))
+  }
+
   /** gsp r11 candidate: TWO BFS levels fused per checkpoint — the fused
     * round computes fresh_P (level k) and fresh_C (level k+1) in one DAG,
     * tags them into ONE union frame, and pins that single frame (one
@@ -743,6 +930,11 @@ object AB {
       "basket_v3" -> (basketV3 _),
       "kcore_v3" -> (kcoreV3 _),
       "kcore_v4" -> (kcoreV4 _),
+      "kcore_v5" -> (kcoreV5 _),
+      "kcore_edges0" -> (kcoreEdges0 _),
+      "kcore_v6" -> (kcoreV6 _),
+      "basket_v4" -> (basketV4 _),
+      "kcore_v7" -> (kcoreV7 _),
       "gsp_v6" -> (gspV6 _),
       "gsp_v7" -> (gspV7 _),
       "triangles_v2" -> (trianglesV2 _))
