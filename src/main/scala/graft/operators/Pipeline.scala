@@ -1404,6 +1404,19 @@ object Pipeline {
     * (accumulating persists it cannot unpersist pre-execution). No
     * reliable win; the per-level pin stands as the measured floor and
     * this line of attack is closed.
+    *
+    * r14 probes (tools/AB.gspV8/V9, the r13 verdict's remaining ideas):
+    * (8) cp built from the CO-BUCKETED lineitem/orders landing
+    * (exchange-free merge join) and (9) v8 plus a FUSED census — one
+    * exploded (kind, id) distinct + one broadcast dist join instead of
+    * two distincts + two joins. Interleaved 3-way min-of-9 under
+    * load ~2: committed 1.755, v8 1.934, v9 1.815 — both inside noise
+    * of the committed shape, because the cp build and census are small
+    * next to the four frontier-pin jobs (each a checkpoint + two
+    * broadcast builds, every deferral of which lost in r9/r11/r12).
+    * The per-round job floor is the measured, repeatedly-probed
+    * asymptote; remaining evidence burden moves to the sf1 SCALING
+    * rung (ratio collapses as data outgrows the floor).
     */
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

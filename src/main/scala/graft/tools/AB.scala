@@ -766,6 +766,110 @@ object AB {
       .limit(20)
   }
 
+  /** gsp r14 candidate: the cp edge frame builds from the CO-BUCKETED
+    * lineitem/orders landing — the okey=okey join runs as an
+    * exchange-free merge over pre-sorted buckets, killing both wide
+    * exchanges in the pinned-frame build. Rounds unchanged.
+    */
+  def gspV8(spark: SparkSession, dir: String): DataFrame = {
+    val (lTbl, oTbl) = graft.sources.Bucketed.ensure(spark, dir)
+    val li = spark.table(lTbl).select(col("l_orderkey"), col("l_partkey"))
+    val o = spark.table(oTbl).select(col("o_orderkey"), col("o_custkey"))
+    val cp = li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .localCheckpoint()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cp.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    for (k <- 1 to 4) {
+      val fromC = k % 2 == 1
+      val (key, other) = if (fromC) ("c", "p") else ("p", "c")
+      val own = if (fromC) dP else dC
+      val cand = cp
+        .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
+        .select(col(other).as("id")).distinct()
+      val fresh = cand
+        .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+        .localCheckpoint()
+      if (fromC) dP = dP.unionByName(fresh)
+      else dC = dC.unionByName(fresh)
+      frontier = fresh.select(col("id"))
+    }
+    val custs = cp.select(col("c").as("id")).distinct()
+      .join(dC, Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = cp.select(col("p").as("id")).distinct()
+      .join(dP, Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
+  /** gsp r14 candidate: v8's co-bucketed cp build + a FUSED census —
+    * one exploded (kind, id) pass over cp (ONE distinct exchange instead
+    * of two) and one broadcast join against the tagged dist union.
+    */
+  def gspV9(spark: SparkSession, dir: String): DataFrame = {
+    val (lTbl, oTbl) = graft.sources.Bucketed.ensure(spark, dir)
+    val li = spark.table(lTbl).select(col("l_orderkey"), col("l_partkey"))
+    val o = spark.table(oTbl).select(col("o_orderkey"), col("o_custkey"))
+    val cp = li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .localCheckpoint()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cp.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    for (k <- 1 to 4) {
+      val fromC = k % 2 == 1
+      val (key, other) = if (fromC) ("c", "p") else ("p", "c")
+      val own = if (fromC) dP else dC
+      val cand = cp
+        .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
+        .select(col(other).as("id")).distinct()
+      val fresh = cand
+        .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+        .localCheckpoint()
+      if (fromC) dP = dP.unionByName(fresh)
+      else dC = dC.unionByName(fresh)
+      frontier = fresh.select(col("id"))
+    }
+    val dists = dC.select(lit("customer").as("kind"), col("id"),
+        col("dist"))
+      .unionByName(dP.select(lit("part").as("kind"), col("id"),
+        col("dist")))
+    cp.select(explode(array(
+        struct(lit("customer").as("kind"), col("c").as("id")),
+        struct(lit("part").as("kind"), col("p").as("id")))).as("n"))
+      .select(col("n.kind").as("kind"), col("n.id").as("id"))
+      .distinct()
+      .join(broadcast(dists), Seq("kind", "id"), "left")
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
   /** probe: kcore's edges0 build alone (basket agg + pair explode +
     * distinct + pin) — isolates the round-independent cost floor. */
   def kcoreEdges0(spark: SparkSession, dir: String): DataFrame = {
@@ -934,6 +1038,8 @@ object AB {
       "kcore_edges0" -> (kcoreEdges0 _),
       "kcore_v6" -> (kcoreV6 _),
       "basket_v4" -> (basketV4 _),
+      "gsp_v8" -> (gspV8 _),
+      "gsp_v9" -> (gspV9 _),
       "kcore_v7" -> (kcoreV7 _),
       "gsp_v6" -> (gspV6 _),
       "gsp_v7" -> (gspV7 _),
