@@ -17,6 +17,7 @@ object SparkEntry {
       (operators.Intervals.queries, operators.Intervals.oracle),
       (operators.Windows.queries, operators.Windows.oracle),
       (operators.Cdc.queries, operators.Cdc.oracle),
+      (operators.AvroWire.queries, operators.AvroWire.oracle),
       (operators.Olap.queries, operators.Olap.oracle),
       (operators.Docs.queries, operators.Docs.oracle),
       (operators.NearDup.queries, operators.NearDup.oracle),

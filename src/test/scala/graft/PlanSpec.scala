@@ -609,6 +609,23 @@ class PlanSpec extends SparkSpec {
     // shuffles the whole resolved log into per-key sorts
     assert(windows("cdc_ddl_evolution").isEmpty,
       "cdc_ddl_evolution regained a WindowExec (argmax aggregate gone)")
+    // cdc_avro_apply (r14): the native decode runs ONCE per message and
+    // stays INSIDE whole-stage codegen (no interpreted fallback, no
+    // second decode pushed below the projection); the only hash exchange
+    // is the user-keyed apply aggregate, same shape as the JSON twin.
+    val avroDf = SparkEntry.queries("cdc_avro_apply")(spark, sfTiny)
+    avroDf.collect() // AQE: codegen stars only appear on the FINAL plan
+    val avroPlan = avroDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val avroDecodes = "avro_envelope_decode".r.findAllIn(avroPlan).length
+    assert(avroDecodes == 1,
+      s"cdc_avro_apply decodes the wire $avroDecodes times:\n$avroPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(avroPlan).length <= 1,
+      s"cdc_avro_apply grew hash exchanges:\n$avroPlan")
+    val avroScanLine = avroPlan.linesIterator
+      .find(_.contains("avro_envelope_decode")).getOrElse("")
+    assert(avroScanLine.replaceAll("^[\\s:+-]+", "").startsWith("*"),
+      s"decode projection fell out of WholeStageCodegen: $avroScanLine")
   }
 
   test("no query plans a partition-less (single-task) WindowExec") {
