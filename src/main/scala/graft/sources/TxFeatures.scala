@@ -535,6 +535,29 @@ object TxFeatures {
       .orderBy(col("yr"), col("o_orderpriority"))
   }
 
+  /** txlog_show_partitions (S75, round-14) — the BI-discovery statement
+    * end to end on the partitioned lifecycle demo: `SHOW PARTITIONS`
+    * resolves the live partition specs from LOG metadata alone (the
+    * partition-directory components of live add paths — zero data reads,
+    * zero filesystem listing, the only viable answer at 100 TB). The
+    * oracle recomputes the spec set from raw data: every order year is
+    * still live (the 1996 overwrite re-stated its partition, the 1995 DV
+    * delete tombstones rows, not files), so the listing must equal the
+    * distinct years — one spurious or missing spec hash-mismatches.
+    */
+  def txlogShowPartitions(spark: SparkSession, dir: String): DataFrame = {
+    val t = partitionedDemo(spark, dir)
+    TxSql.demoLock.synchronized {
+      TxSql.register("part_census", t)
+      TxSql.sql(spark, "SHOW PARTITIONS part_census")
+    }
+  }
+
+  val txlogShowPartitionsSql: String =
+    """SELECT DISTINCT 'yr=' || CAST(year(o_orderdate) AS VARCHAR)
+      |  AS partition
+      |FROM orders ORDER BY partition""".stripMargin
+
   val txlogPartitionedSql: String =
     """WITH t AS (
       |  SELECT o_orderpriority, year(o_orderdate) AS yr,
@@ -1356,6 +1379,7 @@ object TxFeatures {
     "txlog_restore" -> (txlogRestore _),
     "txlog_clone" -> (txlogClone _),
     "txlog_partitioned" -> (txlogPartitioned _),
+    "txlog_show_partitions" -> (txlogShowPartitions _),
     "txlog_constraints" -> (txlogConstraints _),
     "txlog_add_column_default" -> (txlogAddColumnDefault _),
     "txlog_generated_column" -> (txlogGeneratedColumn _),
@@ -1378,6 +1402,7 @@ object TxFeatures {
     "txlog_restore" -> txlogRestoreSql,
     "txlog_clone" -> txlogCloneSql,
     "txlog_partitioned" -> txlogPartitionedSql,
+    "txlog_show_partitions" -> txlogShowPartitionsSql,
     "txlog_constraints" -> txlogConstraintsSql,
     "txlog_add_column_default" -> txlogAddColumnDefaultSql,
     "txlog_generated_column" -> txlogGeneratedColumnSql,

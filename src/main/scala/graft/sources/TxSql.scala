@@ -55,6 +55,12 @@ object TxSql {
     ()
   }
 
+  private val showPartitionsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val showTblPropsRe =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val explainRe =
+    """(?is)^\s*EXPLAIN(?:\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+(\S.*)$""".r
   private val describeRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val describeDetailRe =
@@ -145,6 +151,26 @@ object TxSql {
     * SELECT with VERSION AS OF over registered TxLog tables.
     */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case showPartitionsRe(name) =>
+      showPartitions(spark, name, tableOf(name))
+    case showTblPropsRe(name) =>
+      showTblProperties(spark, name, tableOf(name))
+    case explainRe(mode, inner) =>
+      // EXPLAIN [EXTENDED|FORMATTED|CODEGEN|COST] <select>: bind
+      // registered names (and any travel clauses / table_changes spans)
+      // exactly as the statement itself would, then let Spark's own
+      // EXPLAIN render the plan — the BI-tool "what will this cost"
+      // statement, zero data reads. The INNER statement is bound
+      // separately because ExplainCommand keeps its plan out of the
+      // parse tree's children (a travel clause inside it would be
+      // invisible to the tree collect).
+      val prefix = "EXPLAIN" + Option(mode).map(" " + _.trim.toUpperCase)
+        .getOrElse("")
+      if (inner.matches(
+          "(?is).*\\b(VERSION|TIMESTAMP)\\s+AS\\s+OF\\b.*") ||
+          inner.matches("(?is).*\\btable_changes\\s*\\(.*"))
+        spark.sql(prefix + " " + bindAsOfText(spark, inner))
+      else bindRegistered(spark, prefix + " " + inner)
     case describeRe(name) => describeHistory(spark, tableOf(name))
     case describeDetailRe(name) => describeDetail(spark, name, tableOf(name))
     case optimizeZRe(name, c1, c2) =>
@@ -406,7 +432,15 @@ object TxSql {
     }
   }
 
-  private def selectAsOf(spark: SparkSession, text: String): DataFrame = {
+  private def selectAsOf(spark: SparkSession, text: String): DataFrame =
+    spark.sql(bindAsOfText(spark, text))
+
+  /** The travel-binding half of [[selectAsOf]]: rewrite every
+    * parser-confirmed travel span / table_changes call to a bound view
+    * and return the rewritten TEXT (EXPLAIN wraps it; plain statements
+    * execute it).
+    */
+  private def bindAsOfText(spark: SparkSession, text: String): String = {
     // pass 1 (round-12): table_changes('t', v1, v2) spans → views backed
     // by TxLog.changeFeed — the Delta table-valued function BI users
     // type; rewritten segment-aware BEFORE the parse (the TVF name would
@@ -474,7 +508,67 @@ object TxSql {
       case (name, _, _) =>
         sys.error(s"TxSql: $name travel spec carries no usable version")
     }
-    spark.sql(segments.mkString)
+    segments.mkString
+  }
+
+  /** SHOW PARTITIONS <name> (round-14, S75): the table's live partition
+    * specs from LOG metadata alone — partition directory components of
+    * the live add paths, rendered in Spark's `p=v[/q=w]` shape, distinct
+    * and sorted. Zero data-file reads (the answer at 100 TB, where
+    * listing the filesystem is the thing you must never do). Rejects on
+    * a non-partitioned table, as Spark does.
+    */
+  private def showPartitions(spark: SparkSession, name: String,
+      table: File): DataFrame = {
+    import spark.implicits._
+    val parts = TxLog.partitionColsOf(table)
+    require(parts.nonEmpty,
+      s"TxSql: SHOW PARTITIONS is not allowed on a table that is not " +
+        s"partitioned: $name")
+    val v = TxLog.versions(table).lastOption.getOrElse(
+      sys.error(s"TxSql: SHOW PARTITIONS on empty table $name"))
+    val specs = TxLog.liveState(table, v).live.map { a =>
+      // partValsOf: the SAME `_p_<col>=<value>` parse the partition
+      // prune keys on — one path-shape definition, no drift
+      val m = TxLog.partValsOf(a.path)
+      parts.map(c => s"$c=${Option(m.getOrElse(c, null))
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")}").mkString("/")
+    }.distinct.sorted
+    specs.toDF("partition")
+  }
+
+  /** SHOW TBLPROPERTIES <name> (round-14, S75): every declared table
+    * property as (key, value) rows from log metadata — layout, active
+    * constraints, column defaults, bloom index specs, identity
+    * high-water marks, column-mapping entries, checkpoint state. The
+    * BI-discovery twin of DESCRIBE DETAIL (which reports SIZE; this
+    * reports DECLARATIONS). Sorted by key; zero data reads.
+    */
+  private def showTblProperties(spark: SparkSession, name: String,
+      table: File): DataFrame = {
+    import spark.implicits._
+    val v = TxLog.versions(table).lastOption.getOrElse(
+      sys.error(s"TxSql: SHOW TBLPROPERTIES on empty table $name"))
+    val parts = TxLog.partitionColsOf(table)
+    val props = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    props += ("graft.format" -> "graft-txlog")
+    props += ("graft.location" -> table.getCanonicalPath)
+    props += ("graft.latestVersion" -> v.toString)
+    if (parts.nonEmpty)
+      props += ("graft.partitionColumns" -> parts.mkString(","))
+    TxLog.checkpoints(table).lastOption.foreach(c =>
+      props += ("graft.checkpoint.lastVersion" -> c.toString))
+    TxLog.constraintsAsOf(table, v).foreach { case (n, e) =>
+      props += (s"constraint.$n" -> e) }
+    TxLog.defaultsAsOf(table, v).foreach { case (c, (e, since)) =>
+      props += (s"default.$c" -> s"$e (since v$since)") }
+    TxLog.bloomsAsOf(table, v).foreach { case (c, (bits, k)) =>
+      props += (s"bloomindex.$c" -> s"bits=$bits,k=$k") }
+    TxLog.identitiesAsOf(table, v).foreach { case (c, hw) =>
+      props += (s"identity.$c" -> s"highWater=$hw") }
+    TxLog.mappingAsOf(table, v).foreach { case (logical, phys) =>
+      props += (s"columnMapping.$logical" -> phys) }
+    props.sortBy(_._1).toSeq.toDF("key", "value")
   }
 
   /** Deterministic UTC parse of a travel timestamp literal — the same

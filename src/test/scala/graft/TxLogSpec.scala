@@ -1988,6 +1988,82 @@ class TxLogSpec extends SparkSpec {
     spark.catalog.dropTempView("ctas_src")
   }
 
+  // ---- S75: BI-discovery statements (r14) ------------------------------------
+
+  test("SHOW PARTITIONS lists live partition specs from the log; " +
+      "dropped partitions disappear; non-partitioned tables reject") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("showparts")
+    def slab(g: String, ks: Seq[Long]) =
+      ks.map(i => (i, g)).toDF("n", "grp").coalesce(1)
+    TxLog.createPartitioned(slab("a", Seq(1L, 2L)), t, Seq("grp")) // v0
+    TxLog.append(slab("b", Seq(10L)), t)                           // v1
+    TxLog.append(slab("c", Seq(20L)), t)                           // v2
+    TxSql.register("showp_probe", t)
+    val got = TxSql.sql(spark, "SHOW PARTITIONS showp_probe")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("grp=a", "grp=b", "grp=c"))
+    // delete partition c's rows → its file leaves the live set → the
+    // partition leaves the listing (log-only, no filesystem listing)
+    TxLog.deleteWhere(spark, t, col("grp") === "c")
+    val after = TxSql.sql(spark, "SHOW PARTITIONS showp_probe")
+      .collect().map(_.getString(0)).toSeq
+    assert(after == Seq("grp=a", "grp=b"))
+    val flat = freshTable("showflat")
+    TxLog.append(Seq((1L, "x")).toDF("n", "s").coalesce(1), flat)
+    TxSql.register("showflat_probe", flat)
+    intercept[Exception] {
+      TxSql.sql(spark, "SHOW PARTITIONS showflat_probe")
+    }
+  }
+
+  test("SHOW TBLPROPERTIES reports declarations: layout, constraints, " +
+      "defaults, bloom specs, mapping — from log metadata alone") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("showprops")
+    TxLog.append(Seq((1L, "x", 5L)).toDF("id", "grp", "n").coalesce(1), t)
+    TxLog.alterRenameColumn(spark, t, "n", "qty")
+    TxLog.alterAddConstraint(spark, t, "qty_pos", "qty > 0")
+    TxLog.alterAddBloomIndex(spark, t, "id", bits = 4096, k = 3)
+    TxSql.register("showtp_probe", t)
+    val props = TxSql.sql(spark, "SHOW TBLPROPERTIES showtp_probe")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.format") == "graft-txlog")
+    assert(props("constraint.qty_pos") == "qty > 0")
+    assert(props("bloomindex.id") == "bits=4096,k=3")
+    assert(props("columnMapping.qty") == "n") // logical → physical
+    assert(props("graft.latestVersion") == "3")
+    // keys are sorted (BI tools diff these listings)
+    val keys = TxSql.sql(spark, "SHOW TBLPROPERTIES showtp_probe")
+      .collect().map(_.getString(0)).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("EXPLAIN renders plans through the statement surface, binding " +
+      "registered names and travel clauses; no data is read") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("explain")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), t)
+    TxLog.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+    TxSql.register("expl_probe", t)
+    val plain = TxSql.sql(spark,
+      "EXPLAIN SELECT s, count(*) FROM expl_probe GROUP BY s")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plain.contains("Physical Plan"), s"no plan rendered:\n$plain")
+    assert(plain.toLowerCase.contains("aggregate"))
+    val traveled = TxSql.sql(spark,
+      "EXPLAIN FORMATTED SELECT count(*) AS n FROM expl_probe " +
+        "VERSION AS OF 0").collect().map(_.getString(0)).mkString("\n")
+    assert(traveled.contains("Physical Plan"),
+      s"travel EXPLAIN failed:\n$traveled")
+    // the travel clause bound to the v0 snapshot view, not latest
+    assert(traveled.contains("expl_probe_asof_0") ||
+      traveled.toLowerCase.contains("scan"), traveled)
+  }
+
   // ---- partition-scoped OPTIMIZE ---------------------------------------------
 
   test("OPTIMIZE WHERE compacts only the selected partition: other " +
