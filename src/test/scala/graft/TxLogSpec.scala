@@ -1076,6 +1076,79 @@ class TxLogSpec extends SparkSpec {
     assert(snap.filter(col("id") < 2).isEmpty)
   }
 
+  test("MERGE racing MERGE on disjoint keys: both land, the loser " +
+      "re-derives off the winner's commit, no row lost or doubled") {
+    import spark.implicits._
+    val t = freshTable("mergerace")
+    TxLog.append(rows(10).coalesce(1), t)       // file A: ids 0-9
+    TxLog.append(rows(10, 100).coalesce(1), t)  // file B: ids 100-109
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    // disjoint keys in DIFFERENT files: thread 0 updates id 1 + inserts
+    // 50; thread 1 updates id 101 + inserts 60. A stale blind publish
+    // would clobber the other merge's rewrite of its file.
+    val fs = Seq((1L, 50L), (101L, 60L)).map { case (upd, ins) =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          gate.await()
+          TxLog.merge(spark, t,
+            Seq((upd, s"upd_$upd"), (ins, s"ins_$ins"))
+              .toDF("id", "payload"), Seq("id"))
+        }
+      })
+    }
+    gate.countDown()
+    val versions = fs.map(_.get()).sorted
+    pool.shutdown()
+    assert(versions == Seq(2L, 3L), s"got $versions")
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 22, "a stale merge rewrite lost/doubled rows")
+    assert(snap.select(col("id")).distinct().count() == 22)
+    // BOTH merges' effects present — neither clobbered the other
+    assert(snap.filter(col("id") === 1L).head.getString(1) == "upd_1")
+    assert(snap.filter(col("id") === 101L).head.getString(1) == "upd_101")
+    assert(snap.filter(col("id").isin(50L, 60L)).count() == 2)
+  }
+
+  test("MERGE racing OPTIMIZE: the file-identity conflict forces the " +
+      "loser to re-derive; content is exact after both commit") {
+    import spark.implicits._
+    val t = freshTable("mergeopt")
+    TxLog.append(rows(10).coalesce(1), t)       // v0: ids 0-9
+    TxLog.append(rows(10, 100).coalesce(1), t)  // v1: ids 100-109
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    // OPTIMIZE rewrites EVERY live file; the merge rewrites the file
+    // holding id 1 — whichever publishes second sees its base gone and
+    // must re-derive (a blind publish would resurrect pre-merge rows or
+    // drop the compaction)
+    val fMerge = pool.submit(new java.util.concurrent.Callable[Long] {
+      override def call(): Long = {
+        gate.await()
+        TxLog.merge(spark, t,
+          Seq((1L, "merged"), (200L, "fresh")).toDF("id", "payload"),
+          Seq("id"))
+      }
+    })
+    val fOpt = pool.submit(new java.util.concurrent.Callable[Long] {
+      override def call(): Long = {
+        gate.await()
+        TxLog.compact(spark, t, targetFiles = 1)
+      }
+    })
+    gate.countDown()
+    val versions = Seq(fMerge.get(), fOpt.get()).sorted
+    pool.shutdown()
+    assert(versions == Seq(2L, 3L), s"got $versions")
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 21, "merge-vs-optimize race lost/doubled rows")
+    assert(snap.select(col("id")).distinct().count() == 21)
+    assert(snap.filter(col("id") === 1L).head.getString(1) == "merged")
+    assert(snap.filter(col("id") === 200L).count() == 1)
+  }
+
   test("CHECK constraints: declaration validates existing data, every " +
       "incoming write path is gated, NULL satisfies, drop re-opens, " +
       "clones inherit") {
