@@ -628,6 +628,75 @@ class PlanSpec extends SparkSpec {
       s"decode projection fell out of WholeStageCodegen: $avroScanLine")
   }
 
+  test("CBO consumes ANALYZE FOR COLUMNS histograms: skewed-predicate " +
+      "selectivity flips the broadcast decision (r14)") {
+    // Equi-height histograms are the piece plain column stats (ndv/min/
+    // max) cannot fake: a predicate on the SKEWED value `grp = 0` (90%
+    // of rows) estimates at 1/ndv ≈ 12.5% under uniform assumption —
+    // small enough to broadcast the filtered fact — but at ~90% once the
+    // histogram records where the mass actually sits, pushing the
+    // estimate over the broadcast threshold. Two IDENTICAL tables,
+    // identical queries, identical confs; the ONLY difference is whether
+    // ANALYZE ... FOR COLUMNS ran with histogram collection on. AQE is
+    // disabled for the probe so the pin reads the cost-based choice, not
+    // the runtime rescue.
+    val db = "cbo_hist_db"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def mkSkew(name: String, hist: Boolean): Unit = {
+      if (!spark.catalog.tableExists(s"$db.$name")) {
+        spark.sql(
+          s"""CREATE TABLE $db.$name USING parquet AS
+             |SELECT id, IF(id % 10 < 9, 0L, 1L + id % 7) AS grp
+             |FROM range(100000)""".stripMargin)
+        val saved = spark.conf.getOption(
+          "spark.sql.statistics.histogram.enabled")
+        spark.conf.set("spark.sql.statistics.histogram.enabled",
+          hist.toString)
+        try spark.sql(
+          s"ANALYZE TABLE $db.$name COMPUTE STATISTICS FOR COLUMNS grp, id")
+        finally saved match {
+          case Some(v) => spark.conf
+            .set("spark.sql.statistics.histogram.enabled", v)
+          case None => spark.conf
+            .unset("spark.sql.statistics.histogram.enabled")
+        }
+      }
+    }
+    mkSkew("skew_nohist", hist = false)
+    mkSkew("skew_hist", hist = true)
+    if (!spark.catalog.tableExists(s"$db.probe_dim")) {
+      spark.sql(s"""CREATE TABLE $db.probe_dim USING parquet AS
+        |SELECT id FROM range(100000)""".stripMargin)
+      spark.sql(s"ANALYZE TABLE $db.probe_dim COMPUTE STATISTICS")
+    }
+    def planOf(t: String): String = {
+      val keys = Seq(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> (512 * 1024).toString)
+      val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        keys.foreach { case (k, v) => spark.conf.set(k, v) }
+        spark.sql(
+          s"""SELECT count(*) AS n FROM $db.$t s
+             |JOIN $db.probe_dim d ON s.id = d.id
+             |WHERE s.grp = 0""".stripMargin)
+          .queryExecution.executedPlan.toString
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val without = planOf("skew_nohist")
+    val withHist = planOf("skew_hist")
+    assert(without.contains("BroadcastHashJoin"),
+      s"uniform 1/ndv estimate should have broadcast the filtered " +
+        s"side:\n$without")
+    assert(!withHist.contains("BroadcastHashJoin"),
+      s"histogram says grp=0 is 90% of the table — broadcasting it is " +
+        s"the mis-plan the histogram exists to prevent:\n$withHist")
+  }
+
   test("no query plans a partition-less (single-task) WindowExec") {
     // A window with an empty partitionSpec funnels every row through ONE
     // task — fine at |groups| rows, a straggler at 100 TB. The engine has
