@@ -91,6 +91,12 @@ object Intervals {
     //    costs more than the exchange it saves, and it also gives up
     //    AQE skew splitting on the bin key — which at 100 TB is the
     //    protection the concurrency-skewed bins actually need.
+    //  - r14 re-probe AT SF1 (the r13 verdict's "where the exchange
+    //    actually matters" question, tools/AB.binsV2): the zero-exchange
+    //    landing loses THERE TOO — 4.24 vs 3.54 min-of-7 interleaved at
+    //    10× data, quiet host. Writing the exploded frame once costs
+    //    more than shuffling it twice at every scale measured; the
+    //    committed shape stands on data, not argument.
     // The b side carries only (b_s, b_e, bin): the self-pair trick
     // removed the user comparison, so b_user is dead weight.
     val a = binned.toDF("a_user", "a_no", "a_sts", "a_s", "a_e", "bin")

@@ -870,6 +870,50 @@ object AB {
       .orderBy(col("kind"), col("dist"))
   }
 
+  /** interval-bins r14 probe (r13 verdict task 3): the ledger's
+    * rejected repartition(bin)+pin zero-exchange join, re-measured at
+    * sf1 where the two bin exchanges actually carry 10x the data. AQE
+    * stays ON (the committed shape's skew protection); the pinned frame
+    * joins itself with no exchange because the checkpoint captures the
+    * bin partitioning pre-AQE-reset only when taken eagerly here.
+    */
+  def binsV2(spark: SparkSession, dir: String): DataFrame = {
+    val BinUs = 3600L * 1000000L
+    val e = Tables.events(spark, dir)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord))
+    val flagged = e.withColumn("is_start",
+      when(gapUs.isNull || gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+    val sess = flagged
+      .withColumn("session_no", sum(col("is_start")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("s_ts"),
+        min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+      .localCheckpoint()
+    val binned = sess.select(
+      col("user_id"), col("session_no"), col("s_ts"), col("s_us"), col("e_us"),
+      explode(sequence(
+        expr(s"s_us div $BinUs"), expr(s"e_us div $BinUs"))).as("bin"))
+      .repartition(col("bin"))
+      .localCheckpoint()
+    val a = binned.toDF("a_user", "a_no", "a_sts", "a_s", "a_e", "bin")
+    val b = binned.select(
+      col("s_us").as("b_s"), col("e_us").as("b_e"), col("bin"))
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("bin"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+        expr(s"greatest(a_s, b_s) div $BinUs") === col("bin"))
+    pairs.groupBy(col("a_user"), col("a_no"), col("a_sts"))
+      .agg((count(lit(1)) - 1L).as("n_concurrent"))
+      .select(
+        col("a_user").as("user_id"), col("a_no").as("session_no"),
+        graft.functions.Det.fmtTs(col("a_sts")).as("session_start"),
+        col("n_concurrent"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
   /** probe: kcore's edges0 build alone (basket agg + pair explode +
     * distinct + pin) — isolates the round-independent cost floor. */
   def kcoreEdges0(spark: SparkSession, dir: String): DataFrame = {
@@ -1040,6 +1084,7 @@ object AB {
       "basket_v4" -> (basketV4 _),
       "gsp_v8" -> (gspV8 _),
       "gsp_v9" -> (gspV9 _),
+      "bins_v2" -> (binsV2 _),
       "kcore_v7" -> (kcoreV7 _),
       "gsp_v6" -> (gspV6 _),
       "gsp_v7" -> (gspV7 _),
