@@ -228,7 +228,7 @@ object Bench {
           // r14: these read the bucketed lineitem/orders landing (one
           // keyed re-land per corpus; the layout answer to a recurring
           // order-keyed join/agg)
-          "join_bucketed", "basket_rules", "graph_kcore")
+          "join_bucketed", "basket_rules", "graph_kcore", "orders_backlog")
         .filter(best.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val passWallJson = passWalls.mkString("[", ",", "]")

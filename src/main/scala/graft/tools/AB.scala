@@ -914,6 +914,53 @@ object AB {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** backlog r14 candidate: the order/lineitem pairing reads the
+    * CO-BUCKETED landing — the per-order last-ship aggregate inherits
+    * the scan's HashPartitioning (exchange-free) and the pairing is a
+    * zero-exchange merge join, deleting the one fact-sized exchange the
+    * cogroup-via-union shape paid. The boundary-delta aggregate is then
+    * the plan's only data shuffle.
+    */
+  def backlogV4(spark: SparkSession, dir: String): DataFrame = {
+    val (lTbl, oTbl) = graft.sources.Bucketed.ensure(spark, dir)
+    val ship = spark.table(lTbl)
+      .select(col("l_orderkey").as("k"), to_date(col("l_shipdate")).as("d"))
+      .groupBy(col("k")).agg(max(col("d")).as("last_ship"))
+    val orderSide = spark.table(oTbl)
+      .select(col("o_orderkey").as("k"),
+        to_date(col("o_orderdate")).as("s"))
+    val perOrder = ship.hint("merge")
+      .join(orderSide, Seq("k"))
+    val deltas = perOrder
+      .select(explode(array(
+        struct(col("s").as("d"), lit(1L).as("delta")),
+        struct(date_add(col("last_ship"), 1).as("d"),
+          lit(-1L).as("delta")))).as("b"))
+      .groupBy(col("b.d").as("d")).agg(sum(col("b.delta")).as("delta"))
+      .withColumn("yr", year(col("d")))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("yr")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val inYear = deltas
+      .withColumn("cin", sum(col("delta")).over(wCum))
+    val yearTot = deltas.groupBy(col("yr")).agg(sum(col("delta")).as("yt"))
+    val off = yearTot.as("a")
+      .join(yearTot.as("b"), col("b.yr") < col("a.yr"))
+      .groupBy(col("a.yr").as("yr")).agg(sum(col("b.yt")).as("off"))
+    val cum = inYear.join(broadcast(off), Seq("yr"), "left")
+      .select(col("d"),
+        (col("cin") + coalesce(col("off"), lit(0L))).as("open_orders"))
+    cum.groupBy(trunc(col("d"), "month").as("m"))
+      .agg(count(lit(1)).as("n_boundary_days"),
+        max(struct(col("d"), col("open_orders"))).as("eom"),
+        max(col("open_orders")).as("peak_open"))
+      .select(fmtDate(col("m")).as("month"), col("n_boundary_days"),
+        col("eom.open_orders").cast("long").as("eom_open"),
+        col("peak_open").cast("long").as("peak_open"))
+      .orderBy(col("month"))
+  }
+
   /** probe: kcore's edges0 build alone (basket agg + pair explode +
     * distinct + pin) — isolates the round-independent cost floor. */
   def kcoreEdges0(spark: SparkSession, dir: String): DataFrame = {
@@ -1085,6 +1132,7 @@ object AB {
       "gsp_v8" -> (gspV8 _),
       "gsp_v9" -> (gspV9 _),
       "bins_v2" -> (binsV2 _),
+      "backlog_v4" -> (backlogV4 _),
       "kcore_v7" -> (kcoreV7 _),
       "gsp_v6" -> (gspV6 _),
       "gsp_v7" -> (gspV7 _),

@@ -566,18 +566,22 @@ class PlanSpec extends SparkSpec {
       "agg_weighted_median intra-shard window is no longer 2-key sharded")
     assert(exchanges("agg_weighted_median").size <= 4,
       "agg_weighted_median grew extra exchanges")
-    // orders_backlog: the order⋈lineitem pairing is ONE co-clustered
-    // union exchange — no shuffled fact join anywhere (the only joins
-    // left are tiny broadcast year-offset frames)
+    // orders_backlog (r14): the order⋈lineitem pairing is a
+    // ZERO-EXCHANGE merge join over the co-bucketed landing — the
+    // per-order aggregate and both join inputs inherit the scan's
+    // HashPartitioning, so no exchange (and no union re-shuffle, the
+    // r10 shape this replaced) appears anywhere below the join
     val ob = sparkPlanOf("orders_backlog")
-    val obShuffledJoins = ob.collect {
+    val obJoins = ob.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }
-    assert(obShuffledJoins.isEmpty,
-      "orders_backlog regained a shuffled fact join (the union-merge is gone)")
-    assert(ob.toString.contains("Union"),
-      "orders_backlog lost the cogroup-via-union merge")
+    assert(obJoins.nonEmpty,
+      "orders_backlog lost the co-bucketed merge join")
+    val obBelowJoin = obJoins.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(obBelowJoin.isEmpty,
+      s"orders_backlog's bucketed pairing regained an exchange:\n$ob")
     // q16_supp_variety: zero windows (the per-suppkey deny window is
     // gone), both reductions broadcast BEFORE the only fact exchange
     assert(windows("q16_supp_variety").isEmpty,
