@@ -222,7 +222,7 @@ object Bench {
           // the zorder demo table builds + OPTIMIZEs once per JVM
           "txlog_optimize_zorder",
           // the envelope stream drains + lands its state once per JVM
-          "cdc_debezium_stream",
+          "cdc_debezium_stream", "cdc_avro_stream",
           // the evolution demo table builds + ALTERs once per JVM
           "txlog_schema_evolution",
           // r14: these read the bucketed lineitem/orders landing (one
