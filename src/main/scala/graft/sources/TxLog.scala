@@ -803,13 +803,15 @@ object TxLog {
       // the SAME commit as the data — atomic allocation
       val (landing, advanced, idPin) = withIdentity(defaulted,
         identitiesAsOf(table, base.getOrElse(-1L)))
-      enforceConstraints(spark = df.sparkSession, table, landing, "append")
       // mapped tables store PHYSICAL names; the caller writes logical
       val mapping = base.map(mappingAsOf(table, _)).getOrElse(Map.empty)
       val files =
-        try writeFiles(toPhysical(landing, mapping),
-          table, "append", partitionColsOf(table))
-        finally idPin.foreach(_.unpersist(false))
+        try {
+          enforceConstraints(spark = df.sparkSession, table, landing,
+            "append")
+          writeFiles(toPhysical(landing, mapping),
+            table, "append", partitionColsOf(table))
+        } finally idPin.foreach(_.unpersist(false))
       committed = commitIfBase(table, base.getOrElse(-1L), files,
         Seq.empty, "append", ts = ts, identities = advanced)
       if (committed < 0) discardFileGroup(table, files)
