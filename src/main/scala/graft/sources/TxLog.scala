@@ -3068,6 +3068,26 @@ object TxLog {
     * STRUCTURE stays auditable. Returns the deleted relative paths.
     */
   def vacuum(table: File, retainFromVersion: Long): Seq[String] = {
+    // report only files ACTUALLY deleted this call — a re-run is a no-op
+    vacuumPreview(table, retainFromVersion).filter { p =>
+      val f = new File(table, p)
+      if (f.isDirectory) { // DV sidecar group dir
+        Option(f.listFiles()).foreach(_.foreach(_.delete()))
+        f.delete()
+      } else Files.deleteIfExists(f.toPath)
+    }
+  }
+
+  /** The files a VACUUM at this horizon WOULD reclaim, without touching
+    * anything (S73 DRY RUN, round-14 — Delta's `VACUUM … DRY RUN`): the
+    * operator's pre-flight before an irreversible delete. Same candidate
+    * derivation [[vacuum]] deletes from — data files no retained version
+    * references, plus DV sidecar groups past the horizon; external
+    * (`../`, clone-inherited) references belong to the SOURCE table and
+    * are never candidates. Log-metadata work plus one existence check
+    * per candidate; zero data reads.
+    */
+  def vacuumPreview(table: File, retainFromVersion: Long): Seq[String] = {
     val vs = versions(table)
     val retainedStates = vs.filter(_ >= retainFromVersion)
       .map(v => liveState(table, v))
@@ -3076,25 +3096,17 @@ object TxLog {
       .flatMap(_.dvs.values.flatten.map(_.dvPath)).toSet
     // every file ever added, in log order
     val everAdded = vs.flatMap(v => readCommit(table, v).adds.map(_.path))
-    // report only files ACTUALLY deleted this call — a re-run is a no-op
-    // external (`../`, clone-inherited) references belong to the SOURCE
-    // table — the clone's vacuum must never reach across and delete them
-    val deletedData = everAdded.filterNot(retained)
+    val data = everAdded.filterNot(retained)
       .filterNot(_.startsWith(".."))
-      .filter(p => Files.deleteIfExists(new File(table, p).toPath))
+      .distinct
+      .filter(p => new File(table, p).exists())
     // DV sidecars past the horizon reclaim too (whole parquet groups)
     val everDv = vs.flatMap(v => readCommit(table, v).dvs.map(_.dvPath))
       .distinct
-    val deletedDv = everDv.filterNot(retainedDv)
-      .filterNot(_.startsWith("..")).filter { dp =>
-      val dir = new File(table, dp)
-      if (!dir.exists()) false
-      else {
-        Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-        dir.delete()
-      }
-    }
-    deletedData ++ deletedDv
+    val dv = everDv.filterNot(retainedDv)
+      .filterNot(_.startsWith(".."))
+      .filter(dp => new File(table, dp).exists())
+    data ++ dv
   }
 
   /** ACID compaction (S23, with the commit this time): bin ALL live

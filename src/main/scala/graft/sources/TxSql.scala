@@ -57,6 +57,11 @@ object TxSql {
 
   private val showPartitionsRe =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val showCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val vacuumDryRe =
+    ("""(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)\s+RETAIN\s+""" +
+      """VERSION\s+(\d+)\s+DRY\s+RUN\s*;?\s*$""").r
   private val showTblPropsRe =
     """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val explainRe =
@@ -153,6 +158,15 @@ object TxSql {
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case showPartitionsRe(name) =>
       showPartitions(spark, name, tableOf(name))
+    case showCreateRe(name) =>
+      showCreateTable(spark, name, tableOf(name))
+    case vacuumDryRe(name, v) =>
+      // DRY RUN precedes the destructive form: the candidate list a
+      // real VACUUM at this horizon would reclaim, one row per path,
+      // nothing touched — the operator's pre-flight.
+      import spark.implicits._
+      TxLog.vacuumPreview(tableOf(name), v.toLong).sorted
+        .toDF("path_deletable")
     case showTblPropsRe(name) =>
       showTblProperties(spark, name, tableOf(name))
     case explainRe(mode, inner) =>
@@ -535,6 +549,44 @@ object TxSql {
         .getOrElse("__HIVE_DEFAULT_PARTITION__")}").mkString("/")
     }.distinct.sorted
     specs.toDF("partition")
+  }
+
+  /** SHOW CREATE TABLE <name> (round-14, S75 cont.): reconstruct the
+    * statement that would re-declare this table — declared schema (with
+    * IDENTITY markers inline), partitioning, location, and the active
+    * constraint/default/bloom declarations as TBLPROPERTIES — entirely
+    * from log metadata. Spark's one-row `createtab_stmt` shape.
+    */
+  private def showCreateTable(spark: SparkSession, name: String,
+      table: File): DataFrame = {
+    import spark.implicits._
+    val v = TxLog.versions(table).lastOption.getOrElse(
+      sys.error(s"TxSql: SHOW CREATE TABLE on empty table $name"))
+    val schema = TxLog.schemaDdlAsOf(table, v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(TxLog.snapshot(spark, table, Some(v)).schema)
+    val idents = TxLog.identitiesAsOf(table, v).keySet
+    val cols = schema.fields.map { f =>
+      val base = s"${f.name} ${f.dataType.sql}"
+      if (idents(f.name)) s"$base GENERATED ALWAYS AS IDENTITY" else base
+    }.mkString(",\n  ")
+    val parts = TxLog.partitionColsOf(table)
+    val partClause =
+      if (parts.isEmpty) "" else s"\nPARTITIONED BY (${parts.mkString(", ")})"
+    val props =
+      TxLog.constraintsAsOf(table, v).toSeq.sortBy(_._1).map {
+        case (n, e) => s"'constraint.$n' = '$e'" } ++
+      TxLog.defaultsAsOf(table, v).toSeq.sortBy(_._1).map {
+        case (c, (e, _)) => s"'default.$c' = '$e'" } ++
+      TxLog.bloomsAsOf(table, v).toSeq.sortBy(_._1).map {
+        case (c, (bits, k)) => s"'bloomindex.$c' = 'bits=$bits,k=$k'" }
+    val propClause =
+      if (props.isEmpty) ""
+      else props.mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    val stmt = s"CREATE TABLE $name (\n  $cols)\nUSING graft" +
+      partClause +
+      s"\nLOCATION '${table.getCanonicalPath}'" + propClause
+    Seq(stmt).toDF("createtab_stmt")
   }
 
   /** SHOW TBLPROPERTIES <name> (round-14, S75): every declared table

@@ -2114,6 +2114,54 @@ class TxLogSpec extends SparkSpec {
     assert(keys == keys.sorted)
   }
 
+  test("SHOW CREATE TABLE reconstructs the declaration: schema, " +
+      "IDENTITY markers, partitioning, location, and property clauses") {
+    import graft.sources.TxSql
+    val t = freshTable("showcreate"); assert(t.delete())
+    TxLog.createEmpty(t,
+      "id BIGINT, grp STRING, qty BIGINT",
+      partCols = Seq("grp"), identityCols = Seq("id"))
+    TxLog.alterAddConstraint(spark, t, "qty_pos", "qty > 0")
+    TxSql.register("showct_probe", t)
+    val stmt = TxSql.sql(spark, "SHOW CREATE TABLE showct_probe")
+      .head().getString(0)
+    assert(stmt.contains("CREATE TABLE showct_probe"))
+    assert(stmt.contains("id BIGINT GENERATED ALWAYS AS IDENTITY"))
+    assert(stmt.contains("PARTITIONED BY (grp)"))
+    assert(stmt.contains(s"LOCATION '${t.getCanonicalPath}'"))
+    assert(stmt.contains("'constraint.qty_pos' = 'qty > 0'"))
+  }
+
+  test("VACUUM DRY RUN lists exactly what the real VACUUM then deletes, " +
+      "and touches nothing itself") {
+    import graft.sources.TxSql
+    import spark.implicits._
+    val t = freshTable("vacdry")
+    def slab(ks: Seq[Long]) =
+      ks.map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1)
+    TxLog.append(slab(Seq(1L)), t)                          // v0
+    TxLog.append(slab(Seq(2L)), t)                          // v1
+    TxLog.deleteWhere(spark, t, col("id") === 1L)           // v2: rewrite
+    TxSql.register("vacdry_probe", t)
+    val preview = TxSql.sql(spark,
+      "VACUUM vacdry_probe RETAIN VERSION 2 DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(preview.nonEmpty, "the v0 pre-delete file should be reclaimable")
+    // dry run touched nothing: every candidate still exists, the table
+    // still time-travels to v0
+    preview.foreach(p => assert(new java.io.File(t, p).exists(), p))
+    assert(TxLog.snapshot(spark, t, Some(0L)).count() == 1)
+    // the destructive form then deletes EXACTLY the previewed set
+    val deleted = TxSql.sql(spark, "VACUUM vacdry_probe RETAIN VERSION 2")
+      .head().getLong(2)
+    assert(deleted == preview.size.toLong,
+      s"vacuum deleted $deleted files, dry run previewed ${preview.size}")
+    preview.foreach(p => assert(!new java.io.File(t, p).exists(), p))
+    // and a second dry run now previews nothing
+    assert(TxSql.sql(spark,
+      "VACUUM vacdry_probe RETAIN VERSION 2 DRY RUN").count() == 0)
+  }
+
   test("EXPLAIN renders plans through the statement surface, binding " +
       "registered names and travel clauses; no data is read") {
     import graft.sources.TxSql
