@@ -3079,7 +3079,7 @@ object TxLog {
   }
 
   /** The files a VACUUM at this horizon WOULD reclaim, without touching
-    * anything (S73 DRY RUN, round-14 — Delta's `VACUUM … DRY RUN`): the
+    * anything (S75 cont., round-14 — Delta's `VACUUM … DRY RUN`): the
     * operator's pre-flight before an irreversible delete. Same candidate
     * derivation [[vacuum]] deletes from — data files no retained version
     * references, plus DV sidecar groups past the horizon; external
