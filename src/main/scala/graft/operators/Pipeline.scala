@@ -1523,6 +1523,16 @@ object Pipeline {
     * convergence probes per round.
     */
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    // r14 probe REJECTED on protocol honesty (tools/AB.kcoreV8): lazy
+    // persist() for edges0/deg0 instead of the eager pins read 1.09 vs
+    // 1.55 interleaved — but persist registers in the CacheManager,
+    // which SUBSTITUTES the cached subtree into every later identical
+    // plan, so bench reps 2+ were serving rep 1's cache instead of
+    // recomputing (the cross-rep reuse the rebuild-per-rep protocol
+    // exists to forbid, and a leak besides: nothing can unpersist a
+    // lazily-returned frame). localCheckpoint materializes OUTSIDE the
+    // cache manager — every rep honestly recomputes — which is why the
+    // pin idiom stays.
     // r12 floor closure (r11 verdict task 8): quiet re-measure on
     // unchanged code reads 1.267 s min-of-7 (load ~2.2) — under the
     // 1.3 s target; the r11 artifact's 1.67 was ambient load. The

@@ -961,6 +961,51 @@ object AB {
       .orderBy(col("month"))
   }
 
+  /** kcore r14 candidate 8: v6's bucketed build, but edges0 and deg0
+    * CACHE (lazy persist) instead of eager localCheckpoint pins — the k
+    * driver probe then materializes BOTH in its one job (edges0 fills
+    * the cache on the way to deg0's shuffle), deleting two standalone
+    * pin jobs from the round ladder. Mid-round pins unchanged.
+    */
+  def kcoreV8(spark: SparkSession, dir: String): DataFrame = {
+    val (lTbl, _) = graft.sources.Bucketed.ensure(spark, dir)
+    val baskets = spark.table(lTbl)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_partkey") % 2 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    val edges0 = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct().persist()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("x"), col("y"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges0).persist()
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = edges0
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      edges = edges
+        .join(broadcast(keep), col("x") === keep("n"), "left_semi")
+        .join(broadcast(keep), col("y") === keep("n"), "left_semi")
+        .select(col("x"), col("y"))
+      val d = degrees(edges)
+      deg = if (r < 3) d.localCheckpoint() else d
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** probe: kcore's edges0 build alone (basket agg + pair explode +
     * distinct + pin) — isolates the round-independent cost floor. */
   def kcoreEdges0(spark: SparkSession, dir: String): DataFrame = {
@@ -1134,6 +1179,7 @@ object AB {
       "bins_v2" -> (binsV2 _),
       "backlog_v4" -> (backlogV4 _),
       "kcore_v7" -> (kcoreV7 _),
+      "kcore_v8" -> (kcoreV8 _),
       "gsp_v6" -> (gspV6 _),
       "gsp_v7" -> (gspV7 _),
       "triangles_v2" -> (trianglesV2 _))
