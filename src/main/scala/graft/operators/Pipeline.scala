@@ -1532,7 +1532,13 @@ object Pipeline {
     // exists to forbid, and a leak besides: nothing can unpersist a
     // lazily-returned frame). localCheckpoint materializes OUTSIDE the
     // cache manager — every rep honestly recomputes — which is why the
-    // pin idiom stays.
+    // pin idiom stays. The HONEST variant of the same idea — every pin
+    // localCheckpoint(eager=false), one shared RDD per pin materialized
+    // by its first consumer (AB.kcoreV9) — TIES the eager shape exactly
+    // (1.033 vs 1.028 min-of-9, quiet host): the pin jobs it deletes
+    // were already overlapping the work their consumers re-absorb.
+    // Job-count reduction is exhausted; the remaining wall is the
+    // edges0 build + three degree shuffles.
     // r12 floor closure (r11 verdict task 8): quiet re-measure on
     // unchanged code reads 1.267 s min-of-7 (load ~2.2) — under the
     // 1.3 s target; the r11 artifact's 1.67 was ambient load. The

@@ -725,6 +725,55 @@ object AB {
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** kcore r14 candidate 9: v6's bucketed build with every pin LAZY
+    * (localCheckpoint(eager=false)) — the Dataset API builds ONE shared
+    * RDD per pin at call time, so the k driver probe materializes
+    * edges0+deg0 in its single job and the final census action
+    * materializes the mid-round pins inside itself (shared-lineage
+    * stage dedup; checkpoint blocks serve the second consumer). Unlike
+    * the rejected persist() probe this is RDD-level, NOT CacheManager:
+    * a fresh call builds fresh RDDs, so every bench rep recomputes
+    * honestly.
+    */
+  def kcoreV9(spark: SparkSession, dir: String): DataFrame = {
+    val (lTbl, _) = graft.sources.Bucketed.ensure(spark, dir)
+    val baskets = spark.table(lTbl)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_partkey") % 2 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+    val pairsCol = expr(
+      "flatten(transform(items, (v, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "w -> struct(v AS x, w AS y))))")
+    val edges0 = baskets.select(explode(pairsCol).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .distinct().localCheckpoint(false)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("x"), col("y"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges0).localCheckpoint(false)
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = edges0
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      edges = edges
+        .join(broadcast(keep), col("x") === keep("n"), "left_semi")
+        .join(broadcast(keep), col("y") === keep("n"), "left_semi")
+        .select(col("x"), col("y"))
+      val d = degrees(edges)
+      deg = if (r < 3) d.localCheckpoint(false) else d
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** basket r14 candidate: reads the BUCKETED lineitem landing — the
     * scan's HashPartitioning(l_orderkey) satisfies BOTH the (okey,pkey)
     * distinct's clustering (subset rule) and the basket collect_set, so
@@ -1180,6 +1229,7 @@ object AB {
       "backlog_v4" -> (backlogV4 _),
       "kcore_v7" -> (kcoreV7 _),
       "kcore_v8" -> (kcoreV8 _),
+      "kcore_v9" -> (kcoreV9 _),
       "gsp_v6" -> (gspV6 _),
       "gsp_v7" -> (gspV7 _),
       "triangles_v2" -> (trianglesV2 _))
