@@ -1416,7 +1416,12 @@ object Pipeline {
     * broadcast builds, every deferral of which lost in r9/r11/r12).
     * The per-round job floor is the measured, repeatedly-probed
     * asymptote; remaining evidence burden moves to the sf1 SCALING
-    * rung (ratio collapses as data outgrows the floor).
+    * rung (ratio collapses as data outgrows the floor). A 10th probe
+    * (r14, AB.gspV10): every pin lazy via localCheckpoint(eager=false)
+    * — one shared RDD per pin, consumers absorb the six standalone pin
+    * jobs — measured 1.915 vs 1.955 min-of-9, a 2% delta inside the
+    * load band; same verdict as kcore's lazy-pin tie. The eager shape
+    * stays (steady by run 1, no shared-stage duplication risk).
     */
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -142,6 +142,59 @@ object AB {
       .orderBy(col("kind"), col("dist"))
   }
 
+  /** gsp r14 candidate 10: the committed shape with every pin LAZY
+    * (localCheckpoint(eager=false)) — one shared RDD per pin,
+    * materialized by its first consumer; the census action absorbs the
+    * six standalone pin jobs. RDD-level, not CacheManager: each rep
+    * recomputes honestly (the kcoreV9 discipline).
+    */
+  def gspV10(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .localCheckpoint(false)
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cp.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint(false)
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    for (k <- 1 to 4) {
+      val fromC = k % 2 == 1
+      val (key, other) = if (fromC) ("c", "p") else ("p", "c")
+      val own = if (fromC) dP else dC
+      val cand = cp
+        .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
+        .select(col(other).as("id")).distinct()
+      val fresh = cand
+        .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+        .localCheckpoint(false)
+      if (fromC) dP = dP.unionByName(fresh)
+      else dC = dC.unionByName(fresh)
+      frontier = fresh.select(col("id"))
+    }
+    val custs = cp.select(col("c").as("id")).distinct()
+      .join(dC, Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = cp.select(col("p").as("id")).distinct()
+      .join(dP, Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
   private def nrm(c: org.apache.spark.sql.Column) =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
@@ -1225,6 +1278,7 @@ object AB {
       "basket_v4" -> (basketV4 _),
       "gsp_v8" -> (gspV8 _),
       "gsp_v9" -> (gspV9 _),
+      "gsp_v10" -> (gspV10 _),
       "bins_v2" -> (binsV2 _),
       "backlog_v4" -> (backlogV4 _),
       "kcore_v7" -> (kcoreV7 _),
