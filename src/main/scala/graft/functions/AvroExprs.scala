@@ -170,9 +170,14 @@ object AvroEnvelope {
         img.get("user_id").asInstanceOf[java.lang.Long].longValue(),
         value))
     } catch {
-      case _: java.io.IOException => null // truncated/corrupt body
-      case _: org.apache.avro.AvroRuntimeException => null
-      case _: ArrayIndexOutOfBoundsException => null
+      // PERMISSIVE means ANY malformed-frame failure maps to NULL, not
+      // just the decoder's documented exceptions: a corrupt length
+      // prefix can surface as NegativeArraySizeException or
+      // UnsupportedOperationException, a union-branch mismatch as
+      // ClassCastException — an enumerated list re-introduces the
+      // "one poison message kills the scan" failure the contract
+      // forbids (r14 advisor). NonFatal still rethrows OOM/VM errors.
+      case scala.util.control.NonFatal(_) => null
     }
   }
 }

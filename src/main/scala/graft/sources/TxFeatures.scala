@@ -866,13 +866,19 @@ object TxFeatures {
           // at SF1 (~3.7e4 distinct keys/file) runs k·n/m ≈ 0.86 →
           // ~19% false-positive per file-probe, and the contains-only
           // oracle below would mismatch even though the engine is
-          // correct. 64 index bits per expected per-file distinct key
-          // (k = 3 → FP ≈ 1e-4 per file-probe) keeps the prune exact
-          // at every shipped SF; the one countDistinct job runs once
-          // per (JVM, corpus) at demo-build time.
-          val distinct = o.agg(
-            count_distinct(col("o_custkey"))).head.getLong(0)
-          val bits = math.max(131072L, math.max(1L, distinct / 7) * 64L)
+          // correct. Sized on the MEASURED worst-file occupancy (r14
+          // advisor): distinct/7 undercounted ~2× because a customer's
+          // orders scatter across o_orderkey % 8 buckets, so the same
+          // custkey lands in several files — the real per-file distinct
+          // is max-per-bucket, not total/7. 64 index bits per measured
+          // per-file key (k = 3 → FP ≈ 1e-4 per file-probe) keeps the
+          // prune exact at every shipped SF; the one occupancy job runs
+          // once per (JVM, corpus) at demo-build time.
+          val perFile = o.filter(col("bucket") =!= 0)
+            .groupBy(col("bucket"))
+            .agg(count_distinct(col("o_custkey")).as("d"))
+            .agg(max(col("d"))).head.getLong(0)
+          val bits = math.max(131072L, math.max(1L, perFile) * 64L)
           TxSql.sql(spark, "CREATE BLOOMFILTER INDEX ON bloom_orders " +
             s"FOR COLUMNS (o_custkey OPTIONS (bits = $bits, k = 3))")
         }

@@ -1379,6 +1379,42 @@ object TxLog {
     }
   }
 
+  /** The commit that DECLARED each currently-active bloom spec, as of
+    * `v` (physical column → declaring version) — the epoch the probe
+    * gates per-file bitsets on. Same memoized incremental fold as
+    * [[bloomsAsOf]]; previously the probe re-derived this by re-reading
+    * every commit ≤ v on each invocation (r14 advisor: unmemoized
+    * driver work growing linearly with log length per probe batch).
+    */
+  private val bloomEpochsMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), Map[String, Long]]
+
+  private[graft] def bloomEpochsAsOf(table: File, v: Long)
+      : Map[String, Long] = {
+    if (v < 0) return Map.empty
+    val key = table.getCanonicalPath
+    bloomEpochsMemo.get((key, v)) match {
+      case Some(m) => m
+      case None =>
+        var base = v - 1
+        while (base >= 0 && !bloomEpochsMemo.contains((key, base)))
+          base -= 1
+        var acc =
+          if (base < 0) Map.empty[String, Long]
+          else bloomEpochsMemo((key, base))
+        var i = base + 1
+        while (i <= v) {
+          acc = readCommit(table, i).bloomIdx.foldLeft(acc) {
+            case (a, BloomIdx(c, Some(_))) => a + (c -> i)
+            case (a, BloomIdx(c, None)) => a - c
+          }
+          bloomEpochsMemo.put((key, i), acc)
+          i += 1
+        }
+        acc
+    }
+  }
+
   /** Declare a per-file BLOOM FILTER INDEX on `column` (S66, round-13 —
     * Delta's `CREATE BLOOMFILTER INDEX`): every write from this commit
     * on carries, per data file, a `bits`-wide / `k`-hash bloom bitset
@@ -1446,10 +1482,19 @@ object TxLog {
     }.sortBy(_._1)
   }
 
-  /** The version each live-ish data file was ADDED at (canonical
+  /** The version each live-ish data file was FIRST added at (canonical
     * absolute path → version), from log metadata alone — the per-file
-    * EPOCH the default fill keys on. Memoized per (table, v); commit
-    * files are immutable so entries never go stale.
+    * WRITE EPOCH the default fill and the bloom probe key on. FIRST
+    * occurrence, not latest (r14 advisor): RESTORE re-adds a historical
+    * version's Add entries VERBATIM in a new commit — bloom hex and
+    * physical bytes included — so latest-add semantics would claim a
+    * file written under an OLD bloom (bits, k) spec postdates the
+    * current declaration (probing new-k positions against old-k bits =
+    * silent false-negative prune) and that a pre-default file carries
+    * the column physically (missed fill). Data files are immutable and
+    * their paths unique per write, so the first add IS the commit that
+    * materialized the bytes. Memoized per (table, v); commit files are
+    * immutable so entries never go stale.
     */
   private val addedAtMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Long), Map[String, Long]]
@@ -1458,7 +1503,8 @@ object TxLog {
     addedAtMemo.getOrElseUpdate((table.getCanonicalPath, v),
       versions(table).filter(_ <= v).flatMap(vv =>
         readCommit(table, vv).adds.map(a =>
-          new File(table, a.path).getCanonicalPath -> vv)).toMap)
+          new File(table, a.path).getCanonicalPath -> vv))
+        .groupMapReduce(_._1)(_._2)(math.min))
 
   /** Partition `paths` by the DEFAULT fills each file needs as of `v`
     * (S63): a column's default fills only files added BEFORE its
@@ -2043,16 +2089,19 @@ object TxLog {
     // with equal bits but different k, an old file's hex passes the
     // length check yet its set bits sit at old-k positions — probing
     // all new-k positions would false-negative a genuinely present key
-    // and silently prune its file. So only files added AT/AFTER the
+    // and silently prune its file. So only files WRITTEN at/after the
     // commit that declared the current spec are probed; older bitsets
     // are inert and their files conservatively kept (the same epoch
-    // discipline S63's default fill keys on addedAtVersions).
+    // discipline S63's default fill keys on addedAtVersions). "Written"
+    // = FIRST add version (r14 advisor): RESTORE re-adds old Add
+    // entries verbatim — old-spec hex included — in a new commit, so a
+    // latest-add gate would probe a restored pre-spec bitset at new-k
+    // positions and reproduce the exact false negative this guard
+    // exists to prevent. The declaring version itself comes from the
+    // memoized epoch fold, not a per-probe log re-read.
     val declEpoch: Long =
       if (spec.isEmpty) Long.MaxValue
-      else versions(table).filter(_ <= v).reverse.find(vv =>
-        readCommit(table, vv).bloomIdx
-          .exists(b => b.col == phys && b.spec.isDefined))
-        .getOrElse(Long.MaxValue)
+      else bloomEpochsAsOf(table, v).getOrElse(phys, Long.MaxValue)
     val addedAt = addedAtVersions(table, v)
     def bloomMaybe(hex: String, value: Long): Boolean = spec match {
       case None => true // index dropped: bitsets are inert

@@ -1844,6 +1844,59 @@ class TxLogSpec extends SparkSpec {
       "old-epoch conservative keep)")
   }
 
+  test("bloom epoch survives RESTORE: a re-added old-spec file is " +
+      "conservatively kept, never probed at new-k positions") {
+    import spark.implicits._
+    val t = freshTable("bloomrestore")
+    // r14 advisor: RESTORE re-adds a historical Add entry VERBATIM —
+    // original k=5 bloom hex included — in a NEW commit. A gate on the
+    // file's LATEST add version sees addedAt = restore ≥ declEpoch and
+    // probes the old-k bitset at new-k positions: a silent
+    // false-negative prune of a file that CONTAINS the key. The gate
+    // must key on the FIRST add (the write epoch).
+    val keys = (1L to 12L).map(_ * 77L)
+    def slab(ks: Seq[Long]) =
+      ks.map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1)
+    TxLog.alterAddBloomIndex(spark, t, "id", bits = 4096, k = 5) // v0
+    TxLog.append(slab(keys), t)                                  // v1: k=5
+    TxLog.deleteWhere(spark, t, col("id") === keys.head)         // v2
+    TxLog.alterDropBloomIndex(t, "id")                           // v3
+    TxLog.alterAddBloomIndex(spark, t, "id", bits = 4096, k = 3) // v4
+    TxLog.restore(spark, t, 1L)                                  // v5
+    // post-restore the ONLY live file is v1's, bitset written at k=5;
+    // the current spec is k=3 — every present key must still be found
+    val probes = TxLog.snapshotPrunedEqMulti(spark, t, "id", keys)
+    probes.foreach { case (value, frame, nRead, nTotal) =>
+      assert(nTotal == 1 && nRead == 1,
+        s"restored old-spec file pruned for present key $value " +
+          s"(read $nRead of $nTotal)")
+      assert(frame.filter(col("id") === value).count() == 1,
+        s"restored probe lost present key $value")
+    }
+  }
+
+  test("column DEFAULT survives RESTORE: a re-added pre-declaration " +
+      "file still fills at read (write epoch, not re-add version)") {
+    import spark.implicits._
+    val t = freshTable("dfltrestore")
+    // same first-add discipline, default-fill sibling: v0's file lacks
+    // `flag` physically; after RESTORE re-adds it post-declaration, a
+    // latest-add gate would claim it postdates the default and skip the
+    // fill — reading NULLs where the declared default belongs.
+    TxLog.append(rows(3).coalesce(1), t)                            // v0
+    TxLog.alterAddColumns(spark, t, "flag BIGINT",
+      Map("flag" -> "7"))                                           // v1
+    // CoW delete rewrites v0's file (the rewrite materializes flag=7
+    // physically); restoring to v1 then re-adds the ORIGINAL v0 file —
+    // which physically lacks `flag` — in a post-declaration commit
+    TxLog.deleteWhere(spark, t, col("id") === 0L)                   // v2
+    TxLog.restore(spark, t, 1L)                                     // v3
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 3, "restore did not resurrect the v0 file")
+    assert(snap.agg(sum(col("flag"))).head().getLong(0) == 21L,
+      "restored pre-declaration file lost its default fill")
+  }
+
   test("bloom bitsets survive checkpoint round-trips and compose with " +
       "RENAME (probe via the new logical name)") {
     import spark.implicits._
