@@ -694,6 +694,107 @@ object AB {
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** kcore r15 candidate 10: the LANDED edges0 (stamped per-corpus
+    * parquet, the committed r15 shape's leaf) + FULLY LAZY rounds — the
+    * kcoreV5 idea re-opened: V5/V7 lost because every extra consumer
+    * re-ran the EXPENSIVE pair build, but the landing makes the leaf a
+    * ~1.6 MB parquet scan, so the lazy union's re-scans cost ~nothing
+    * and the two mid-round checkpoint jobs disappear. deg0 still pins
+    * eagerly (k needs a driver read).
+    */
+  def kcoreV10(spark: SparkSession, dir: String): DataFrame = {
+    val edges0 = spark.read.parquet(
+      graft.operators.Pipeline.kcoreEdges0Path(spark, dir))
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("x"), col("y"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges0).localCheckpoint()
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = edges0
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      edges = edges
+        .join(broadcast(keep), col("x") === keep("n"), "left_semi")
+        .join(broadcast(keep), col("y") === keep("n"), "left_semi")
+        .select(col("x"), col("y"))
+      deg = degrees(edges) // lazy: exchange reuse inside the one action
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** kcore r15 candidate 11: v10 with deg0's pin LAZY too (the kcoreV9
+    * shared-RDD discipline — the k head materializes it, the final
+    * union reuses the same checkpoint RDD; each rep builds fresh
+    * frames, no CacheManager registration).
+    */
+  def kcoreV11(spark: SparkSession, dir: String): DataFrame = {
+    val edges0 = spark.read.parquet(
+      graft.operators.Pipeline.kcoreEdges0Path(spark, dir))
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("x"), col("y"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges0).localCheckpoint(eager = false)
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = edges0
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      edges = edges
+        .join(broadcast(keep), col("x") === keep("n"), "left_semi")
+        .join(broadcast(keep), col("y") === keep("n"), "left_semi")
+        .select(col("x"), col("y"))
+      deg = degrees(edges)
+      deg.agg(
+          coalesce(count(col("n")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("n")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** kcore r15 candidate 12: the BUCKETED ADJACENCY landing (each edge
+    * twice, clustered by src) — every degree aggregate's clustering is
+    * satisfied by the scan, so the plan has ZERO shuffle exchanges:
+    * per-run cost is the k head, three broadcast builds, and one final
+    * union action whose rounds are all map-side. Fully lazy — nothing
+    * to pin, the parquet leaf is stable and tiny.
+    */
+  def kcoreV12(spark: SparkSession, dir: String): DataFrame = {
+    val adj = spark.table(
+      graft.operators.Pipeline.kcoreAdjTable(spark, dir))
+    def degrees(e: DataFrame): DataFrame =
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(adj)
+    val kRow = deg.agg(expr("sum(deg) div count(1) + 1").as("k")).head()
+    val k = if (kRow.isNullAt(0)) Long.MaxValue else kRow.getLong(0)
+    var edges = adj
+    val rounds = (1 to 3).map { r =>
+      val keep = deg.filter(col("deg") >= k)
+        .select(col("src").as("n"))
+      edges = edges
+        .join(broadcast(keep), col("src") === col("n"), "left_semi")
+        .join(broadcast(keep), col("dst") === col("n"), "left_semi")
+        .select(col("src"), col("dst"))
+      deg = degrees(edges)
+      deg.agg(
+          coalesce(count(col("src")), lit(0L)).as("n_nodes"),
+          coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"),
+          coalesce(bit_xor(col("src")), lit(0L)).as("node_xor"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"),
+          col("n_edges"), col("node_xor"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** kcore r14 candidate: edges0's basket agg reads the BUCKETED
     * lineitem landing (clustered by l_orderkey) — the scan already
     * carries HashPartitioning(l_orderkey), so the collect_set aggregate
@@ -1284,6 +1385,9 @@ object AB {
       "kcore_v7" -> (kcoreV7 _),
       "kcore_v8" -> (kcoreV8 _),
       "kcore_v9" -> (kcoreV9 _),
+      "kcore_v10" -> (kcoreV10 _),
+      "kcore_v11" -> (kcoreV11 _),
+      "kcore_v12" -> (kcoreV12 _),
       "gsp_v6" -> (gspV6 _),
       "gsp_v7" -> (gspV7 _),
       "triangles_v2" -> (trianglesV2 _))

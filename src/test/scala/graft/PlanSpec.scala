@@ -481,15 +481,36 @@ class PlanSpec extends SparkSpec {
       s"doc_tfidf grew to $hashX hash exchanges (expected ≤3):\n$p")
   }
 
+  test("graph_kcore peels with zero hash exchanges off the bucketed " +
+      "adjacency landing") {
+    // The r15 shape: the adjacency landing is CLUSTERED BY (src), so
+    // every per-round degree aggregate inherits the scan's distribution
+    // and the survivor semi-joins are broadcasts — the only exchanges
+    // left are the three 1-row census gathers (SinglePartition) and the
+    // 3-row presentation sort. A hash exchange appearing here means the
+    // bucket metadata stopped reaching the scan and each round regained
+    // its degree shuffle — at 100 TB, three full-edge-set shuffles.
+    val df = SparkEntry.queries("graph_kcore")(spark, sfTiny)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"kcore peel regained a degree shuffle:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"adjacency scans stopped reporting bucketed reads:\n$p")
+  }
+
   test("iterative graph queries stay inside their job-floor budgets") {
     // kcore/BFS wall time is JOB COUNT (checkpoint sync points + broadcast
     // builds + AQE stages), not data — the r8/r9 floor work ground both to
-    // a measured minimum (kcore: one deg checkpoint per round, literal k,
-    // un-aliased shared keep build; BFS: one pinned frontier per round —
-    // every cheaper variant A/B'd and rejected in-source). Measured at
-    // sf0.01: kcore 20, BFS 31. A round gaining an extra checkpoint or a
-    // per-side broadcast build shows up as +3/+4 here.
-    val budgets = Seq("graph_kcore" -> 26, "graph_shortest_paths" -> 38)
+    // a measured minimum (BFS: one pinned frontier per round — every
+    // cheaper variant A/B'd and rejected in-source; kcore since r15 runs
+    // off the bucketed adjacency landing with NO per-round pins at all:
+    // the k head, one keep broadcast per round, and the census union).
+    // Measured at sf0.01: kcore 6 (was 20 pre-landing), BFS 31. A round
+    // gaining an extra checkpoint or a per-side broadcast build shows up
+    // as +2/+4 here.
+    val budgets = Seq("graph_kcore" -> 8, "graph_shortest_paths" -> 38)
     for ((name, budget) <- budgets) {
       SparkEntry.queries(name)(spark, sfTiny).queryExecution.toRdd.count()
       val c = new java.util.concurrent.atomic.AtomicInteger
