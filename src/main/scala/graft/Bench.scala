@@ -16,6 +16,22 @@ object Bench {
     math.rint(l * 100) / 100
   }
 
+  /** Cumulative stop-the-world GC time of this JVM, in seconds — sampled
+    * around each timed execution so the artifact can separate plan cost
+    * from collector overlap (r15: the doc_ngram_jaccard full-suite minima
+    * ran 2.2× its isolated minima on identical code; per-query GC deltas
+    * make that kind of suite-context inflation attributable instead of
+    * mysterious).
+    */
+  private def gcSec: Double = {
+    var s = 0L
+    ManagementFactory.getGarbageCollectorMXBeans.forEach { b =>
+      val t = b.getCollectionTime
+      if (t > 0) s += t
+    }
+    s / 1000.0
+  }
+
   /** Round to milliseconds: keeps the single-line JSON short enough that a
     * bounded tail capture of stdout still contains the whole line (the
     * round-2 artifact was front-truncated by full-precision doubles).
@@ -168,6 +184,9 @@ object Bench {
     // visibility guarantee there (the hook could observe an empty or
     // mid-resize map).
     val best = scala.collection.concurrent.TrieMap.empty[String, Double]
+    // GC overlap of the execution that produced each query's best time —
+    // a diagnostic surface, not a correction (the timing keeps the GC)
+    val bestGc = scala.collection.concurrent.TrieMap.empty[String, Double]
     val passTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     // queries that got the full consecutive-rep treatment before the
     // mid-pass rep downgrade (disclosure for the artifact)
@@ -187,6 +206,11 @@ object Bench {
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
       val done = names.filter(best.contains)
       val qs = done.map(k => s"\"" + k + "\":" + ms(best(k)))
+        .mkString("{", ",", "}")
+      // GC overlap inside each best execution, ≥50 ms only (diagnostic:
+      // separates plan cost from collector pressure in suite context)
+      val gcs = done.filter(k => bestGc.getOrElse(k, 0.0) >= 0.05)
+        .map(k => s"\"" + k + "\":" + ms(bestGc(k)))
         .mkString("{", ",", "}")
       val total = ms(done.map(best).sum)
       val passesJson = passTotals.mkString("[", ",", "]")
@@ -223,12 +247,21 @@ object Bench {
           "txlog_optimize_zorder",
           // the envelope stream drains + lands its state once per JVM
           "cdc_debezium_stream", "cdc_avro_stream",
+          // r15: the composed pipeline's table (seed + one CDC-apply
+          // commit off the avro landing) builds once per JVM; the timed
+          // path is the consumer view (v0 census + CDF delta merge)
+          "cdc_e2e_pipeline",
+          // r15: the transformWithState profile drains once per JVM;
+          // the timed path reads the landed state
+          "events_tws_profile",
           // the evolution demo table builds + ALTERs once per JVM
           "txlog_schema_evolution",
           // r14: these read the bucketed lineitem/orders landing (one
           // keyed re-land per corpus; the layout answer to a recurring
           // order-keyed join/agg)
-          "join_bucketed", "basket_rules", "graph_kcore", "orders_backlog")
+          "join_bucketed", "basket_rules", "graph_kcore", "orders_backlog",
+          // r15: the BFS edge frame pins from its stamped pair landing
+          "graph_shortest_paths")
         .filter(best.contains)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val passWallJson = passWalls.mkString("[", ",", "]")
@@ -237,7 +270,7 @@ object Bench {
         s""","partial_pass":{"rescued_n":$n,"sum_best":$sb,"wall":$w,"load":$l}"""
       }.getOrElse("")
       val detail =
-        s"""{"bench_detail":$qs,"warm_state":$warmState,"passes":$passesJson,"pass_wall":$passWallJson,"pass_reps":$passRepsJson,"pass_load":$passLoadJson,"p1_full_reps_n":$p1FullReps$rescueJson,"order":"shuffled(seed=$orderSeedBase+pass)"}"""
+        s"""{"bench_detail":$qs,"gc_in_best":$gcs,"warm_state":$warmState,"passes":$passesJson,"pass_wall":$passWallJson,"pass_reps":$passRepsJson,"pass_load":$passLoadJson,"p1_full_reps_n":$p1FullReps$rescueJson,"order":"shuffled(seed=$orderSeedBase+pass)"}"""
       println(detail)
       try {
         val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
@@ -284,12 +317,18 @@ object Bench {
           val order = best.toSeq.sortBy(-_._2).map(_._1)
           var i = 0
           var rescued = 0
-          while (i < order.size &&
-              (System.nanoTime() - tLoop) / 1e9 < budgetSec * 0.92) {
-            val name = order(i)
+          while ((System.nanoTime() - tLoop) / 1e9 < budgetSec * 0.92) {
+            // CYCLE the descending-cost order (r15, r14 verdict item 7):
+            // one rescue sweep often leaves budget on the table after a
+            // load-burned pass 1 — leftover budget re-samples the most
+            // inflated queries again instead of idling, pulling the
+            // driver artifact toward the committed minima.
+            val name = order(i % order.size)
             val t0 = System.nanoTime()
+            val g0 = gcSec
             force(SparkEntry.queries(name)(spark, sfDir))
             val t = (System.nanoTime() - t0) / 1e9
+            if (t < best(name)) bestGc(name) = gcSec - g0
             best(name) = math.min(best(name), t)
             rescued += 1
             i += 1
@@ -318,14 +357,16 @@ object Bench {
             if (reps > 1 && passElapsed > budgetSec * repBudgetFrac) 1
             else reps
           if (qReps > 1) p1FullReps += 1
-          val t = (1 to qReps).map { _ =>
+          val (t, g) = (1 to qReps).map { _ =>
             val t0 = System.nanoTime()
+            val g0 = gcSec
             // Rebuild the DataFrame each rep: re-running a cached plan
             // object would reuse shuffle outputs and AQE stage results
             // (dishonest).
             force(fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
-          }.min
+            ((System.nanoTime() - t0) / 1e9, gcSec - g0)
+          }.minBy(_._1)
+          if (t < best.getOrElse(name, Double.MaxValue)) bestGc(name) = g
           best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
           t
         }

@@ -761,6 +761,156 @@ object AB {
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** gsp r15 candidate 11: the TWO-COPY bucketed edge landing (by c and
+    * by p) + FULLY LAZY levels — the kcore-v12 shape on the bipartite
+    * BFS. Each level's candidate distinct inherits the scan's bucket
+    * distribution (frontier filter is a broadcast, preserves it), the
+    * anti-join is a broadcast, the censuses read their matching copy —
+    * zero hash exchanges anywhere; per-run cost is the level broadcast
+    * builds inside ONE census action.
+    */
+  def gspV11(spark: SparkSession, dir: String): DataFrame = {
+    val (byC, byP) = graft.operators.Pipeline.gspCpTables(spark, dir)
+    val cpC = spark.table(byC)
+    val cpP = spark.table(byP)
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cpC.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist"))
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    for (k <- 1 to 4) {
+      val fromC = k % 2 == 1
+      // expand over the copy bucketed by the DESTINATION side: the
+      // candidate distinct then needs no exchange
+      val (scan, key, other) =
+        if (fromC) (cpP, "c", "p") else (cpC, "p", "c")
+      val own = if (fromC) dP else dC
+      val cand = scan
+        .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
+        .select(col(other).as("id")).distinct()
+      val fresh = cand
+        .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+      if (fromC) dP = dP.unionByName(fresh)
+      else dC = dC.unionByName(fresh)
+      frontier = fresh.select(col("id"))
+    }
+    val custs = cpC.select(col("c").as("id")).distinct()
+      .join(broadcast(dC), Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = cpP.select(col("p").as("id")).distinct()
+      .join(broadcast(dP), Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
+  /** gsp r15 candidate 12: the landing + the committed per-level PIN
+    * discipline (fresh localCheckpoint per level) — isolates how much
+    * of any v11 win is the landing vs the laziness.
+    */
+  def gspV12(spark: SparkSession, dir: String): DataFrame = {
+    val (byC, byP) = graft.operators.Pipeline.gspCpTables(spark, dir)
+    val cpC = spark.table(byC)
+    val cpP = spark.table(byP)
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cpC.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    for (k <- 1 to 4) {
+      val fromC = k % 2 == 1
+      val (scan, key, other) =
+        if (fromC) (cpP, "c", "p") else (cpC, "p", "c")
+      val own = if (fromC) dP else dC
+      val cand = scan
+        .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
+        .select(col(other).as("id")).distinct()
+      val fresh = cand
+        .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+        .localCheckpoint()
+      if (fromC) dP = dP.unionByName(fresh)
+      else dC = dC.unionByName(fresh)
+      frontier = fresh.select(col("id"))
+    }
+    val custs = cpC.select(col("c").as("id")).distinct()
+      .join(broadcast(dC), Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = cpP.select(col("p").as("id")).distinct()
+      .join(broadcast(dP), Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
+  /** gsp r15 candidate 13: the COMMITTED shape with the cp edge frame
+    * pinned from the PAIR LANDING instead of rebuilt (li⋈o + distinct)
+    * per run — kcore's step-1 lesson in isolation: keep the per-level
+    * pin discipline (v11/v12 showed lazy and bucketed-scan levels both
+    * lose), delete only the per-run build.
+    */
+  def gspV13(spark: SparkSession, dir: String): DataFrame = {
+    val cp = spark.read.parquet(
+        graft.operators.Pipeline.gspCpPairsPath(spark, dir))
+      .localCheckpoint()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cp.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    for (k <- 1 to 4) {
+      val fromC = k % 2 == 1
+      val (key, other) = if (fromC) ("c", "p") else ("p", "c")
+      val own = if (fromC) dP else dC
+      val cand = cp
+        .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
+        .select(col(other).as("id")).distinct()
+      val fresh = cand
+        .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+        .localCheckpoint()
+      if (fromC) dP = dP.unionByName(fresh)
+      else dC = dC.unionByName(fresh)
+      frontier = fresh.select(col("id"))
+    }
+    val custs = cp.select(col("c").as("id")).distinct()
+      .join(dC, Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = cp.select(col("p").as("id")).distinct()
+      .join(dP, Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
   /** kcore r15 candidate 12: the BUCKETED ADJACENCY landing (each edge
     * twice, clustered by src) — every degree aggregate's clustering is
     * satisfied by the scan, so the plan has ZERO shuffle exchanges:
@@ -1388,6 +1538,9 @@ object AB {
       "kcore_v10" -> (kcoreV10 _),
       "kcore_v11" -> (kcoreV11 _),
       "kcore_v12" -> (kcoreV12 _),
+      "gsp_v11" -> (gspV11 _),
+      "gsp_v12" -> (gspV12 _),
+      "gsp_v13" -> (gspV13 _),
       "gsp_v6" -> (gspV6 _),
       "gsp_v7" -> (gspV7 _),
       "triangles_v2" -> (trianglesV2 _))
