@@ -18,6 +18,7 @@ object SparkEntry {
       (operators.Windows.queries, operators.Windows.oracle),
       (operators.Cdc.queries, operators.Cdc.oracle),
       (operators.AvroWire.queries, operators.AvroWire.oracle),
+      (operators.CdcE2e.queries, operators.CdcE2e.oracle),
       (operators.Olap.queries, operators.Olap.oracle),
       (operators.Docs.queries, operators.Docs.oracle),
       (operators.NearDup.queries, operators.NearDup.oracle),

@@ -186,7 +186,7 @@ object AvroWire {
         sum(col("n_creates")).as("n_creates"),
         sum(col("n_deletes")).as("n_deletes"))
 
-  private def decodeFrame(df: DataFrame): DataFrame =
+  private[graft] def decodeFrame(df: DataFrame): DataFrame =
     df.select(Bridge.column(AvroEnvelopeDecode(
         Bridge.expression(col("value")))).as("m"))
       .select(col("m.schema_id").as("schema_id"), col("m.op").as("op"),

@@ -694,7 +694,111 @@ object TimeSeries {
        |    AS ewma_cents
        |FROM a ORDER BY user_id""".stripMargin
 
+  // ---- ST14 oracle row: transformWithState live profile --------------------
+
+  private val twsState =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val twsLock = new Object
+
+  /** events_tws_profile (ST14, r15) — the `transformWithState` live
+    * profile DRAINED against the real event log and hash-checked against
+    * the DuckDB batch fold: the arbitrary-state v2 API's oracle row (the
+    * ST14 spec pins slicing-invariance on a fixture; this row pins the
+    * full-corpus fold). The events table lands once per corpus as a
+    * 4-segment parquet topic; `readStream` tails it with
+    * maxFilesPerTrigger=1 (a genuinely multi-batch drain), every batch
+    * flows through [[graft.streaming.Streams.liveProfile]]'s
+    * ProfileProcessor (ValueState totals + MapState type census on the
+    * RocksDB store), and Update-mode emissions fold LWW-by-key into the
+    * served state — n_events is strictly monotone per key, so the last
+    * emission IS the live profile. One drain per JVM (warm_state); a
+    * retry re-drains from a fresh checkpoint.
+    */
+  def eventsTwsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val state = twsLock.synchronized {
+      twsState.getOrElseUpdate(dir, {
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val seg = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_tws_$safe/events_p4_" +
+            Tables.srcStamp(new java.io.File(dir, "events.parquet")))
+        Tables.publishOnce(seg) { tmp =>
+          // the landing materializes the NORMALIZED envelope (ts as a
+          // session-TZ timestamp), so the stream schema is the batch one
+          Tables.events(spark, dir).repartition(4)
+            .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        }
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_twsrun_${ProcessHandle.current.pid}_$safe")
+        val ckpt = new java.io.File(base, s"ckpt_${System.nanoTime()}")
+        val outDir = new java.io.File(base, "state")
+        // the v2 API requires the RocksDB state store; scope the session
+        // conf to the drain and restore whatever the caller had
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(confKey)
+        spark.conf.set(confKey, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
+        try {
+          import spark.implicits._
+          var st: Option[DataFrame] = None
+          val schema = Tables.events(spark, dir).schema
+          val q = graft.streaming.Streams.liveProfile(
+              spark.readStream
+                .option("maxFilesPerTrigger", "1")
+                .schema(schema)
+                .parquet(seg.getAbsolutePath)
+                .as[graft.streaming.Streams.ChangeEvent])
+            .writeStream
+            .option("checkpointLocation", ckpt.getAbsolutePath)
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                  graft.streaming.Streams.UserProfile], _: Long) =>
+                // Update-mode upsert: this batch's emissions supersede
+                // the served rows for the same keys (the S6 apply shape)
+                val b = batch.toDF().localCheckpoint()
+                st = Some(st.fold(b)(s => b.unionByName(
+                  s.join(b, Seq("user_id"), "left_anti"))
+                  .localCheckpoint()))
+                ()
+            }
+            .start()
+          q.awaitTermination()
+          st.getOrElse(sys.error("events_tws_profile: empty landing"))
+            .write.mode("overwrite").parquet(outDir.getAbsolutePath)
+          outDir.getAbsolutePath
+        } finally prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      })
+    }
+    spark.read.parquet(state)
+      .select(col("user_id"), col("n_events"), col("total_cents"),
+        col("n_types"), col("top_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Oracle: the batch fold — per-user event/cents totals, type-census
+    * size, and the (max count, lexicographically smallest) top type,
+    * exactly the ProfileProcessor's contract.
+    */
+  val eventsTwsProfileSql: String =
+    """WITH pt AS (SELECT user_id, event_type, COUNT(*) AS tc,
+      |    SUM(CAST(round(value * 100) AS BIGINT)) AS tcents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY tc DESC, event_type ASC) AS rn FROM pt),
+      |p AS (SELECT user_id, CAST(SUM(tc) AS BIGINT) AS n_events,
+      |    CAST(SUM(tcents) AS BIGINT) AS total_cents,
+      |    COUNT(*) AS n_types FROM pt GROUP BY 1)
+      |SELECT p.user_id, p.n_events, p.total_cents, p.n_types,
+      |  r.event_type AS top_type
+      |FROM p JOIN r ON r.user_id = p.user_id AND r.rn = 1
+      |ORDER BY p.user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tws_profile" -> (eventsTwsProfile _),
     "events_rolling_corr" -> (eventsRollingCorr _),
     "events_ewma" -> (eventsEwma _),
     "events_paths" -> (eventsPaths _),
@@ -707,6 +811,7 @@ object TimeSeries {
     "events_cusum" -> (eventsCusum _))
 
   def oracle: Map[String, String] = Map(
+    "events_tws_profile" -> eventsTwsProfileSql,
     "events_rolling_corr" -> eventsRollingCorrSql,
     "events_ewma" -> eventsEwmaSql,
     "events_paths" -> eventsPathsSql,

@@ -1376,7 +1376,55 @@ object TxFeatures {
       |FROM t CROSS JOIN n
       |GROUP BY yr, n.cnt ORDER BY yr""".stripMargin
 
+  // ---- S75 cont.: SHOW CREATE TABLE as an oracle row ------------------------
+
+  /** sql_show_create (S75 completion, r15) — the reconstructed
+    * declaration parsed into (part, content) facts and hash-checked:
+    * the column list, the format, and every TBLPROPERTIES declaration.
+    * The data-derived piece that makes this a real oracle row (not a
+    * constant echo): the bloom demo sizes its index bits from the
+    * measured worst-file key occupancy, so the DuckDB twin RECOMPUTES
+    * `bits = greatest(131072, 64 * max per-bucket distinct)` from raw
+    * orders and the hash-match proves the statement surface reflects
+    * the live, corpus-scaled spec — not a cached literal. LOCATION is
+    * excluded (pid-scoped tmp path, meaningless to re-derive).
+    */
+  def sqlShowCreate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = bloomDemo(spark, dir)
+    val stmt = TxSql.demoLock.synchronized {
+      TxSql.register("bloom_orders", t)
+      TxSql.sql(spark, "SHOW CREATE TABLE bloom_orders").head().getString(0)
+    }
+    val cols = stmt.substring(stmt.indexOf("(") + 1,
+        stmt.indexOf(")\nUSING"))
+      .split(",").map(_.trim).mkString(",")
+    val using = "USING (\\S+)".r.findFirstMatchIn(stmt)
+      .map(_.group(1)).getOrElse(sys.error("no USING clause"))
+    val props = """'([^']+)' = '([^']+)'""".r.findAllMatchIn(stmt)
+      .map(m => (m.group(1), m.group(2))).toSeq
+    (Seq(("columns", cols), ("using", using)) ++ props)
+      .toDF("part", "content").orderBy(col("part"), col("content"))
+  }
+
+  val sqlShowCreateSql: String =
+    """WITH occ AS (SELECT CAST(GREATEST(131072, 64 * MAX(d)) AS BIGINT)
+      |    AS bits
+      |  FROM (SELECT o_orderkey % 8 AS bucket,
+      |      COUNT(DISTINCT o_custkey) AS d
+      |    FROM orders
+      |    WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 8 <> 0
+      |    GROUP BY 1))
+      |SELECT part, content FROM (
+      |  SELECT 'columns' AS part,
+      |    'bucket BIGINT,o_custkey BIGINT,cents BIGINT' AS content
+      |  UNION ALL SELECT 'using', 'graft'
+      |  UNION ALL SELECT 'bloomindex.o_custkey',
+      |    'bits=' || bits || ',k=3' FROM occ)
+      |ORDER BY part, content""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_show_create" -> (sqlShowCreate _),
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
     "sql_table_changes" -> (sqlTableChanges _),
@@ -1399,6 +1447,7 @@ object TxFeatures {
     "txlog_cdc_apply" -> (txlogCdcApply _))
 
   def oracle: Map[String, String] = Map(
+    "sql_show_create" -> sqlShowCreateSql,
     "txlog_column_mapping" -> txlogColumnMappingSql,
     "sql_timestamp_travel" -> sqlTimestampTravelSql,
     // the statement surface must equal the batch feed row-for-row

@@ -814,7 +814,7 @@ object TxSql {
 
   private val zorderDone =
     scala.collection.concurrent.TrieMap.empty[String, File]
-  private[sources] val demoLock = new Object
+  private[graft] val demoLock = new Object
 
   /** Z-order demo: orders census appended RANGE-BY-KEY (8 files — the
     * year is scattered across every file, worst case for a year

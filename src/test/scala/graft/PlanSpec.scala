@@ -653,6 +653,22 @@ class PlanSpec extends SparkSpec {
       s"decode projection fell out of WholeStageCodegen: $avroScanLine")
   }
 
+  test("cdc_e2e_pipeline's consumer view reads ONLY the pipeline table " +
+      "(seed + delta files) — never the raw wire or the events table") {
+    // The composed-row contract (r15): the maintained view's inputs are
+    // the v0 seed files plus the apply commit's delta files resolved
+    // through the CDF — delta-proportional by construction. A scan of
+    // the binary landing, the events parquet, or a full post-apply
+    // snapshot appearing here means the "incremental" view silently
+    // became a full recompute.
+    val df = SparkEntry.queries("cdc_e2e_pipeline")(spark, sfTiny)
+    val files = df.inputFiles
+    assert(files.nonEmpty, "consumer view resolved zero input files")
+    val outside = files.filterNot(_.contains("graft_txe2e_"))
+    assert(outside.isEmpty,
+      s"view re-read outside the pipeline table: ${outside.take(3).mkString(", ")}")
+  }
+
   test("CBO consumes ANALYZE FOR COLUMNS histograms: skewed-predicate " +
       "selectivity flips the broadcast decision (r14)") {
     // Equi-height histograms are the piece plain column stats (ndv/min/
