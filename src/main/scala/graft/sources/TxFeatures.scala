@@ -1423,8 +1423,66 @@ object TxFeatures {
       |    'bits=' || bits || ',k=3' FROM occ)
       |ORDER BY part, content""".stripMargin
 
+  // ---- S75 cont.: VACUUM DRY RUN as an oracle row ---------------------------
+
+  private val vacDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** sql_vacuum_dry_run (S75 completion, r15) — the reclaim PREVIEW as
+    * a data-checked census: HIGH-priority orders land one file per
+    * order year, one OPTIMIZE collapses them, and `VACUUM … RETAIN
+    * VERSION <compact> DRY RUN` must preview EXACTLY the per-year
+    * fragments (every pre-compact file is unreferenced at the retained
+    * horizon) while touching nothing — the snapshot row count after the
+    * preview proves non-destructiveness. The oracle recomputes both
+    * numbers from raw orders: |distinct years| reclaimable fragments,
+    * the full row count preserved. Built once per (JVM, corpus).
+    */
+  private[graft] def vacDemo(spark: SparkSession, dir: String): File =
+    TxSql.demoLock.synchronized {
+      vacDone.getOrElseUpdate(dir, {
+        val t = demoDir(dir, "vacdry")
+        val o = ordersCensus(spark, dir)
+          .filter(col("o_orderpriority") === "2-HIGH")
+        val yrs = o.select(col("yr")).distinct()
+          .collect().map(_.getLong(0)).sorted // ≤|years| driver rows
+        yrs.zipWithIndex.foreach { case (y, i) =>
+          if (TxLog.versions(t).size < i + 1)
+            TxLog.append(o.filter(col("yr") === y).coalesce(1), t)
+        }
+        if (TxLog.versions(t).size < yrs.length + 1)
+          TxLog.compact(spark, t, targetFiles = 1)
+        TxSql.register("vacdry_orders", t)
+        t
+      })
+    }
+
+  def sqlVacuumDryRun(spark: SparkSession, dir: String): DataFrame = {
+    val t = vacDemo(spark, dir)
+    val retain = TxLog.versions(t).last
+    val preview = TxSql.demoLock.synchronized {
+      TxSql.sql(spark,
+        s"VACUUM vacdry_orders RETAIN VERSION $retain DRY RUN")
+    }
+    val nCandidates = preview.count()
+    TxLog.snapshot(spark, t)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .select(lit(nCandidates).as("n_reclaimable_files"),
+        col("n_rows"), col("total_cents"))
+  }
+
+  val sqlVacuumDryRunSql: String =
+    """WITH t AS (SELECT year(o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderpriority = '2-HIGH')
+      |SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) AS n_reclaimable_files,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_show_create" -> (sqlShowCreate _),
+    "sql_vacuum_dry_run" -> (sqlVacuumDryRun _),
     "txlog_column_mapping" -> (txlogColumnMapping _),
     "sql_timestamp_travel" -> (sqlTimestampTravel _),
     "sql_table_changes" -> (sqlTableChanges _),
@@ -1448,6 +1506,7 @@ object TxFeatures {
 
   def oracle: Map[String, String] = Map(
     "sql_show_create" -> sqlShowCreateSql,
+    "sql_vacuum_dry_run" -> sqlVacuumDryRunSql,
     "txlog_column_mapping" -> txlogColumnMappingSql,
     "sql_timestamp_travel" -> sqlTimestampTravelSql,
     // the statement surface must equal the batch feed row-for-row
