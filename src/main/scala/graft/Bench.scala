@@ -251,9 +251,9 @@ object Bench {
           // commit off the avro landing) builds once per JVM; the timed
           // path is the consumer view (v0 census + CDF delta merge)
           "cdc_e2e_pipeline",
-          // r15: the transformWithState profile drains once per JVM;
-          // the timed path reads the landed state
-          "events_tws_profile",
+          // r15: the transformWithState profile / timer-session drains
+          // run once per JVM; the timed paths read the landed state
+          "events_tws_profile", "events_timer_sessions",
           // the evolution demo table builds + ALTERs once per JVM
           "txlog_schema_evolution",
           // r14: these read the bucketed lineitem/orders landing (one

@@ -1526,10 +1526,15 @@ object Pipeline {
       val cand = cp
         .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
         .select(col(other).as("id")).distinct()
-      val fresh = cand
+      // the LAST level's frame stays unpinned (r15, gspV14): its only
+      // consumer is the census union — the same dead-job deletion the
+      // kcore last round took in r10. Interleaved 1.727 vs 1.784
+      // min-of-9 at load ~3 — inside the load band, adopted for the
+      // strict job count (one fewer checkpoint sync), not the delta.
+      val fresh0 = cand
         .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
         .select(col("id"), lit(k.toLong).as("dist"))
-        .localCheckpoint()
+      val fresh = if (k < 4) fresh0.localCheckpoint() else fresh0
       if (fromC) dP = dP.unionByName(fresh)
       else dC = dC.unionByName(fresh)
       frontier = fresh.select(col("id"))

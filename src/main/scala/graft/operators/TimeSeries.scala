@@ -797,7 +797,148 @@ object TimeSeries {
       |FROM p JOIN r ON r.user_id = p.user_id AND r.rn = 1
       |ORDER BY p.user_id""".stripMargin
 
+  // ---- ST15 oracle row: timer-closed sessionization -------------------------
+
+  private val timerState =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val timerLock = new Object
+
+  /** events_timer_sessions (ST15, r15) — event-time TIMER sessionization
+    * (`transformWithState` registerTimer / handleExpiredTimer) drained
+    * against the real event log and hash-checked against the DuckDB
+    * gap-split recompute: the v2 timer surface's oracle row. Two
+    * determinism levers make a finite drain equal the batch answer:
+    *
+    *   1. TIME-ORDERED SEGMENTS — the landing is four ts-quartile files
+    *      with ascending mtimes (FileStreamSource replays oldest-first),
+    *      so batches arrive in event-time order, the watermark never
+    *      overtakes an unprocessed row (quartiles are disjoint), and
+    *      nothing is late-dropped; within a batch the processor sorts.
+    *   2. SENTINEL FLUSH — two far-future single-row segments for a
+    *      reserved user close the drain: the first jumps the watermark
+    *      past every real session's expiry, the second gives the timers
+    *      a batch to fire in (watermark advances are visible one batch
+    *      later). Every REAL session therefore emits — event-closed
+    *      mid-stream or timer-closed at the flush — and the sentinel's
+    *      own rows are filtered from the output.
+    *
+    * One drain per JVM (warm_state); the oracle is the plain
+    * gaps-and-islands recompute (split strictly at >30 min), proving
+    * timers + watermark + state clears lose nothing.
+    */
+  def eventsTimerSessions(spark: SparkSession, dir: String): DataFrame = {
+    val gapMinutes = 30
+    val state = timerLock.synchronized {
+      timerState.getOrElseUpdate(dir, {
+        val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val seg = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_timer_$safe/events_seq_" +
+            Tables.srcStamp(new java.io.File(dir, "events.parquet")))
+        Tables.publishOnce(seg) { tmp =>
+          tmp.mkdirs()
+          val ev = Tables.events(spark, dir)
+          val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+          // global ts order is a build-once cost (the landing is the
+          // replayable topic; a real bus delivers per-partition order)
+          val q = ev.withColumn("_q",
+            ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+          def land(df: DataFrame, i: Int): Unit = {
+            val stage = new java.io.File(tmp, s"_stage_$i")
+            df.coalesce(1).write.parquet(stage.getAbsolutePath)
+            val part = stage.listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(tmp, f"seg-$i%02d.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            stage.listFiles().foreach(_.delete()); stage.delete()
+            // ascending mtimes pin the replay order (2 s apart — the
+            // source sorts its initial listing by modification time)
+            dst.setLastModified(1700000000000L + i * 2000L); ()
+          }
+          (1 to 4).foreach(i => land(q.filter(col("_q") === i).drop("_q"), i))
+          import spark.implicits._
+          def sentinel(i: Int, days: Int): DataFrame =
+            Seq((-1000L - i, new java.sql.Timestamp(
+                maxTs.getTime + days * 86400000L), -999L, "sentinel", 0.0,
+              "{}")).toDF(
+              "event_id", "ts", "user_id", "event_type", "value", "props")
+              .select(ev.columns.map(col): _*)
+          land(sentinel(1, 10), 5)
+          land(sentinel(2, 20), 6)
+        }
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_timerrun_${ProcessHandle.current.pid}_$safe")
+        val ckpt = new java.io.File(base, s"ckpt_${System.nanoTime()}")
+        val outDir = new java.io.File(base, "state")
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(confKey)
+        spark.conf.set(confKey, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
+        try {
+          import spark.implicits._
+          var st: Option[DataFrame] = None
+          val schema = Tables.events(spark, dir).schema
+          val q = graft.streaming.Streams.timerSessions(
+              spark.readStream
+                .option("maxFilesPerTrigger", "1")
+                .schema(schema)
+                .parquet(seg.getAbsolutePath)
+                .as[graft.streaming.Streams.ChangeEvent], gapMinutes)
+            .writeStream
+            .option("checkpointLocation", ckpt.getAbsolutePath)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[
+                  graft.streaming.Streams.UserSession], _: Long) =>
+                // Append mode: each batch carries newly-CLOSED sessions
+                val b = batch.toDF().localCheckpoint()
+                st = Some(st.fold(b)(_ unionByName b).localCheckpoint())
+                ()
+            }
+            .start()
+          q.awaitTermination()
+          st.getOrElse(sys.error("events_timer_sessions: empty landing"))
+            .write.mode("overwrite").parquet(outDir.getAbsolutePath)
+          outDir.getAbsolutePath
+        } finally prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      })
+    }
+    spark.read.parquet(state)
+      .filter(col("user_id") >= 0) // drop the sentinel flush user
+      .select(col("user_id"),
+        fmtTs(col("session_start")).as("session_start"),
+        fmtTs(col("session_end")).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Oracle: plain gaps-and-islands — a session breaks strictly at
+    * >30 min since the previous event (the processor merges at
+    * `t <= last + gap`).
+    */
+  val eventsTimerSessionsSql: String =
+    s"""WITH m AS (SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |g AS (SELECT user_id, ts,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m)
+       |SELECT user_id,
+       |  ${sqlFmtTs("MIN(ts)")} AS session_start,
+       |  ${sqlFmtTs("MAX(ts)")} AS session_end,
+       |  COUNT(*) AS n_events
+       |FROM g GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_timer_sessions" -> (eventsTimerSessions _),
     "events_tws_profile" -> (eventsTwsProfile _),
     "events_rolling_corr" -> (eventsRollingCorr _),
     "events_ewma" -> (eventsEwma _),
@@ -811,6 +952,7 @@ object TimeSeries {
     "events_cusum" -> (eventsCusum _))
 
   def oracle: Map[String, String] = Map(
+    "events_timer_sessions" -> eventsTimerSessionsSql,
     "events_tws_profile" -> eventsTwsProfileSql,
     "events_rolling_corr" -> eventsRollingCorrSql,
     "events_ewma" -> eventsEwmaSql,
