@@ -250,7 +250,7 @@ object Bench {
           // r15: the composed pipeline's table (seed + one CDC-apply
           // commit off the avro landing) builds once per JVM; the timed
           // path is the consumer view (v0 census + CDF delta merge)
-          "cdc_e2e_pipeline",
+          "cdc_e2e_pipeline", "cdc_e2e_stream",
           // r15: the transformWithState profile / timer-session drains
           // run once per JVM; the timed paths read the landed state
           "events_tws_profile", "events_timer_sessions",

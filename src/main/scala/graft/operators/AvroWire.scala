@@ -37,9 +37,17 @@ object AvroWire {
     * write. Runs distributed (mapPartitions over the typed projection);
     * per-partition writer state is allocated once per task.
     */
-  private def avroDocs(spark: SparkSession, dir: String): DataFrame = {
+  private def avroDocs(spark: SparkSession, dir: String): DataFrame =
+    encodeFrames(spark, Tables.events(spark, dir))
+
+  /** Encode one canonical-envelope event frame as wire frames (the
+    * capture agent's write, factored so CdcE2e's time-ordered topic can
+    * encode ts-quartile slices through the SAME writer).
+    */
+  private[graft] def encodeFrames(spark: SparkSession,
+      events: DataFrame): DataFrame = {
     import spark.implicits._
-    val e = Tables.events(spark, dir).select(
+    val e = events.select(
       col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id"),
       col("event_type"),
       scaledLong(col("value"), 100L).as("cents"), col("value"),

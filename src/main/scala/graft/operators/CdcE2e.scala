@@ -172,9 +172,122 @@ object CdcE2e {
       |LEFT JOIN fd ON fd.band = v.band
       |ORDER BY v.band""".stripMargin
 
+  // ---- the same topology DEPLOYED: a live stream applying into the
+  // ---- table format with exactly-once txn markers ---------------------------
+
+  /** Time-ordered binary topic: the events log encoded through the SAME
+    * capture-agent writer, landed as four ts-quartile segment files
+    * with ascending mtimes — the per-partition ORDER a real Kafka topic
+    * delivers per key, which is what makes per-batch LWW collapse +
+    * sequential apply ≡ the global LWW (quartiles split on (ts,
+    * event_id), the exact order the apply's argmax tie-breaks on, so a
+    * later batch's rows always supersede).
+    */
+  private def orderedAvroLanding(spark: SparkSession, dir: String)
+      : String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val seg = new File(sys.props("java.io.tmpdir"),
+      s"graft_avroseq_$safe/envelopes_seq_" +
+        graft.Tables.srcStamp(new File(dir, "events.parquet")))
+    graft.Tables.publishOnce(seg) { tmp =>
+      tmp.mkdirs()
+      val ev = graft.Tables.events(spark, dir).withColumn("_q",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+      (1 to 4).foreach { i =>
+        val stage = new File(tmp, s"_stage_$i")
+        AvroWire.encodeFrames(spark, ev.filter(col("_q") === i).drop("_q"))
+          .coalesce(1).write.parquet(stage.getAbsolutePath)
+        val part = stage.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new File(tmp, f"seg-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+        dst.setLastModified(1700000000000L + i * 2000L); ()
+      }
+    }
+    seg.getAbsolutePath
+  }
+
+  private val streamDone =
+    scala.collection.concurrent.TrieMap.empty[String, File]
+
+  /** cdc_e2e_stream (r15) — the replication loop LIVE: `readStream`
+    * tails the binary topic, every micro-batch decodes through the
+    * native expression, collapses to its per-key LWW batch, and lands
+    * as one atomic [[TxLog.applyChanges]] commit stamped with the
+    * exactly-once txn marker (app, batchId) — the streaming
+    * foreachBatch contract where a replayed batch id no-ops (S26). The
+    * oracle is the canonical full recompute: stream slicing, per-batch
+    * collapse, marker bookkeeping, and file-pruned applies lose
+    * nothing.
+    */
+  def cdcE2eStream(spark: SparkSession, dir: String): DataFrame = {
+    val t = TxSql.demoLock.synchronized {
+      streamDone.getOrElseUpdate(dir, {
+        val table = demoDir(dir, "e2es")
+        if (TxLog.versions(table).isEmpty)
+          TxLog.createEmpty(table, "user_id BIGINT, last_ts_ms BIGINT, " +
+            "last_event_id BIGINT, last_value DOUBLE")
+        val landing = orderedAvroLanding(spark, dir)
+        val base = new File(sys.props("java.io.tmpdir"),
+          s"graft_e2es_${ProcessHandle.current.pid}_" +
+            dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+        val ckpt = new File(base, s"ckpt_${System.nanoTime()}")
+        val q = spark.readStream
+          .option("maxFilesPerTrigger", "1")
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.BinaryType))))
+          .parquet(landing)
+          .writeStream
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                id: Long) =>
+              TxLog.applyChanges(spark, table,
+                lwwOf(AvroWire.decodeFrame(batch.toDF())),
+                Seq("user_id"),
+                txnApp = Some("cdc_e2e_stream"), txnBatch = id)
+              ()
+          }
+          .start()
+        q.awaitTermination()
+        table
+      })
+    }
+    TxLog.snapshot(spark, t)
+      .groupBy((col("user_id") % 10).as("band"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(scaledLong(col("last_value"), 100L)).as("total_cents"))
+      .orderBy(col("band"))
+  }
+
+  /** Oracle: the final replicated state from raw events — the
+    * cdc_avro_apply value semantics, censused per band.
+    */
+  val cdcE2eStreamSql: String =
+    """WITH log AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN value
+      |      ELSE CAST(round(value * 100) AS BIGINT) / 100.0 END AS value,
+      |    event_type = 'error' AS is_del
+      |  FROM events),
+      |s1 AS (SELECT user_id, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_ms DESC, event_id DESC) AS rn
+      |    FROM log) WHERE rn = 1 AND NOT is_del)
+      |SELECT user_id % 10 AS band, COUNT(*) AS n_users,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM s1 GROUP BY 1 ORDER BY band""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc_e2e_pipeline" -> (cdcE2ePipeline _))
+    "cdc_e2e_pipeline" -> (cdcE2ePipeline _),
+    "cdc_e2e_stream" -> (cdcE2eStream _))
 
   def oracle: Map[String, String] = Map(
-    "cdc_e2e_pipeline" -> cdcE2ePipelineSql)
+    "cdc_e2e_pipeline" -> cdcE2ePipelineSql,
+    "cdc_e2e_stream" -> cdcE2eStreamSql)
 }
