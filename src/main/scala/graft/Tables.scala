@@ -161,6 +161,25 @@ object Tables {
     out.getAbsolutePath
   }
 
+  /** Land one frame as the i-th single-file segment of a replayable
+    * topic directory: staged coalesce(1) write, the part file moved to
+    * `seg-<i>.parquet`, and an ASCENDING pinned mtime —
+    * FileStreamSource sorts its initial listing by modification time,
+    * so segment order IS replay order. Shared by the r15 ordered-topic
+    * landings (factored from two line-identical copies, r15 review).
+    */
+  private[graft] def landSegment(tmp: java.io.File,
+      df: DataFrame, i: Int): Unit = {
+    val stage = new java.io.File(tmp, s"_stage_$i")
+    df.coalesce(1).write.parquet(stage.getAbsolutePath)
+    val part = stage.listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(tmp, f"seg-$i%02d.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath)
+    stage.listFiles().foreach(_.delete()); stage.delete()
+    dst.setLastModified(1700000000000L + i * 2000L); ()
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) {
       val cs = f.listFiles()

@@ -29,9 +29,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object AvroWire {
 
-  private def scaledLong(c: org.apache.spark.sql.Column, s: Long) =
-    when(c >= 0, ((c * s.toDouble) + 0.5).cast("long"))
-      .otherwise(((c * s.toDouble) - 0.5).cast("long"))
+  import graft.functions.Det.scaledLong
 
   /** Encode the raw event log as wire frames — the capture agent's
     * write. Runs distributed (mapPartitions over the typed projection);

@@ -39,14 +39,8 @@ import java.io.File
   * pipeline inherits each stage's 100-TB story instead of adding one.
   */
 object CdcE2e {
-
-  private def scaledLong(c: org.apache.spark.sql.Column, s: Long) =
-    when(c >= 0, ((c * s.toDouble) + 0.5).cast("long"))
-      .otherwise(((c * s.toDouble) - 0.5).cast("long"))
-
-  private def demoDir(dir: String, tag: String): File =
-    new File(new File(sys.props("java.io.tmpdir")),
-      s"graft_tx${tag}_${ProcessHandle.current.pid}_${new File(dir).getName}")
+  import graft.functions.Det.scaledLong
+  import graft.sources.TxFeatures.demoDir
 
   private val e2eDone =
     scala.collection.concurrent.TrieMap.empty[String, File]
@@ -187,24 +181,23 @@ object CdcE2e {
       : String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val seg = new File(sys.props("java.io.tmpdir"),
-      s"graft_avroseq_$safe/envelopes_seq_" +
+      // path v2: the quartile split moved to (millis, event_id) — a v1
+      // landing under the same source stamp must not be re-claimed
+      s"graft_avroseq_$safe/envelopes_seq2_" +
         graft.Tables.srcStamp(new File(dir, "events.parquet")))
     graft.Tables.publishOnce(seg) { tmp =>
       tmp.mkdirs()
+      // quartile on (MILLIS, event_id) — the exact order the apply's
+      // LWW argmax tie-breaks on (ts_ms, lsn). Splitting on raw micros
+      // could put the (same-ms, lower-lsn) twin of a pair in a LATER
+      // batch, letting sequential apply crown the wrong winner the day
+      // the corpus carries sub-millisecond timestamps (r15 review).
       val ev = graft.Tables.events(spark, dir).withColumn("_q",
         ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))))
-      (1 to 4).foreach { i =>
-        val stage = new File(tmp, s"_stage_$i")
-        AvroWire.encodeFrames(spark, ev.filter(col("_q") === i).drop("_q"))
-          .coalesce(1).write.parquet(stage.getAbsolutePath)
-        val part = stage.listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new File(tmp, f"seg-$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        stage.listFiles().foreach(_.delete()); stage.delete()
-        dst.setLastModified(1700000000000L + i * 2000L); ()
-      }
+          .orderBy(unix_millis(col("ts")), col("event_id"))))
+      (1 to 4).foreach(i => graft.Tables.landSegment(tmp,
+        AvroWire.encodeFrames(spark,
+          ev.filter(col("_q") === i).drop("_q")), i))
     }
     seg.getAbsolutePath
   }

@@ -1423,22 +1423,12 @@ object Pipeline {
     * load band; same verdict as kcore's lazy-pin tie. The eager shape
     * stays (steady by run 1, no shared-stage duplication risk).
     */
-  // per-JVM memo of the BFS edge landings (bucketed by each endpoint)
-  private val gspCpDone =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
-
-  /** The customer↔part purchase graph as TWO bucketed landings (r15):
-    * the distinct (c, p) pair set CLUSTERED BY (c) and CLUSTERED BY (p)
-    * — the kcore adjacency lesson applied to the bipartite BFS. A
-    * frontier expansion from the customer side scans the p-bucketed
-    * copy (the broadcast frontier filter preserves the scan's
-    * distribution), so the candidate DISTINCT on p — the per-level
-    * shuffle — disappears; expansions from the part side and the final
-    * node censuses use the other copy symmetrically. Built once per
-    * source state from one join of the raw facts.
-    */
-  /** The distinct (c, p) purchase-pair landing alone — the piece the
-    * committed BFS consumes (the bucketed copies below lost their A/B).
+  /** The distinct (c, p) purchase-pair landing — the BFS's stamped
+    * per-corpus edge index (r15). Bucketed by-c/by-p copies (the kcore
+    * adjacency lesson transplanted) were built, A/B'd, and REJECTED —
+    * on this bipartite BFS the per-level candidate distincts are too
+    * small to repay full-table re-scans; the variants and their builder
+    * live with the ledger in tools/AB.scala (gspV11/gspV12).
     */
   private[graft] def gspCpPairsPath(spark: SparkSession, dir: String)
       : String = {
@@ -1459,36 +1449,9 @@ object Pipeline {
     pairsDir.getAbsolutePath
   }
 
-  private[graft] def gspCpTables(spark: SparkSession, dir: String)
-      : (String, String) = {
-    val stamp = Tables.srcStamp(new java.io.File(dir, "lineitem.parquet"))
-    gspCpDone.getOrElseUpdate((dir, stamp), {
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val pairsDir = new java.io.File(gspCpPairsPath(spark, dir))
-      def bucketed(key: String): String = {
-        val name = s"graft_gsp_cp_by_${key}_${safe}_$stamp"
-          .replace('.', '_').replace('-', '_')
-        if (!spark.catalog.tableExists(name)) {
-          val loc = new java.io.File(sys.props("java.io.tmpdir"),
-            s"graft_gsp_$safe/by_${key}_$stamp")
-          spark.sql(
-            s"""CREATE TABLE $name (c BIGINT, p BIGINT)
-               |USING parquet
-               |CLUSTERED BY ($key) INTO 8 BUCKETS
-               |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
-          if (!new java.io.File(loc, "_SUCCESS").exists()) {
-            spark.read.parquet(pairsDir.getAbsolutePath)
-              .repartition(8, col(key))
-              .createOrReplaceTempView(s"${name}_src")
-            spark.sql(s"INSERT OVERWRITE TABLE $name " +
-              s"SELECT * FROM ${name}_src")
-          }
-        }
-        name
-      }
-      (bucketed("c"), bucketed("p"))
-    })
-  }
+  // (the bucketed by-c/by-p copies the REJECTED gspV11/gspV12 variants
+  // consume live with their ledger in tools/AB.scala — only the pair
+  // landing above is production surface)
 
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     // r15: the cp edge frame pins from the STAMPED PAIR LANDING
@@ -1685,28 +1648,16 @@ object Pipeline {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val name = s"graft_kcore_adj_${safe}_$stamp"
         .replace('.', '_').replace('-', '_')
-      if (!spark.catalog.tableExists(name)) {
-        val loc = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_kcore_$safe/adj_$stamp")
-        spark.sql(
-          s"""CREATE TABLE $name (src BIGINT, dst BIGINT)
-             |USING parquet
-             |CLUSTERED BY (src) INTO 8 BUCKETS
-             |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
-        if (!new java.io.File(loc, "_SUCCESS").exists()) {
-          val pairs = spark.read.parquet(kcoreEdges0Path(spark, dir))
-          // same murmur3-pmod alignment as Bucketed.ensureTable: each
-          // write task holds exactly one bucket's rows → 1 file/bucket
-          pairs.select(col("x").as("src"), col("y").as("dst"))
-            .unionByName(
-              pairs.select(col("y").as("src"), col("x").as("dst")))
-            .repartition(8, col("src"))
-            .createOrReplaceTempView(s"${name}_src")
-          spark.sql(s"INSERT OVERWRITE TABLE $name " +
-            s"SELECT * FROM ${name}_src")
-        }
+      graft.sources.Bucketed.ensureClusteredTable(spark, name,
+        "src BIGINT, dst BIGINT", "CLUSTERED BY (src) INTO 8 BUCKETS",
+        new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_kcore_$safe/adj_$stamp")) {
+        val pairs = spark.read.parquet(kcoreEdges0Path(spark, dir))
+        pairs.select(col("x").as("src"), col("y").as("dst"))
+          .unionByName(
+            pairs.select(col("y").as("src"), col("x").as("dst")))
+          .repartition(8, col("src"))
       }
-      name
     })
   }
 

@@ -842,18 +842,8 @@ object TimeSeries {
           // replayable topic; a real bus delivers per-partition order)
           val q = ev.withColumn("_q",
             ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
-          def land(df: DataFrame, i: Int): Unit = {
-            val stage = new java.io.File(tmp, s"_stage_$i")
-            df.coalesce(1).write.parquet(stage.getAbsolutePath)
-            val part = stage.listFiles()
-              .find(_.getName.endsWith(".parquet")).get
-            val dst = new java.io.File(tmp, f"seg-$i%02d.parquet")
-            java.nio.file.Files.move(part.toPath, dst.toPath)
-            stage.listFiles().foreach(_.delete()); stage.delete()
-            // ascending mtimes pin the replay order (2 s apart — the
-            // source sorts its initial listing by modification time)
-            dst.setLastModified(1700000000000L + i * 2000L); ()
-          }
+          def land(df: DataFrame, i: Int): Unit =
+            Tables.landSegment(tmp, df, i)
           (1 to 4).foreach(i => land(q.filter(col("_q") === i).drop("_q"), i))
           import spark.implicits._
           def sentinel(i: Int, days: Int): DataFrame =
@@ -920,14 +910,14 @@ object TimeSeries {
     * `t <= last + gap`).
     */
   val eventsTimerSessionsSql: String =
-    s"""WITH m AS (SELECT user_id, ts,
+    s"""WITH m AS (SELECT user_id, ts, event_id,
        |    CASE WHEN lag(ts) OVER w IS NULL
        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
        |      THEN 1 ELSE 0 END AS brk
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |g AS (SELECT user_id, ts,
-       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS UNBOUNDED PRECEDING) AS sid
        |  FROM m)
        |SELECT user_id,

@@ -50,13 +50,41 @@ object Bucketed {
     s"${sz}_$mt"
   }
 
+  /** The shared CREATE-CLUSTERED-TABLE + gated-INSERT idiom (r15,
+    * factored from three near-identical copies after a review finding):
+    * the catalog entry carries the bucket spec (`spark.table` then
+    * reports HashPartitioning(key, buckets), which is what kills the
+    * exchanges); the data lands under an EXTERNAL location so a fresh
+    * JVM re-registers the same files instead of rewriting them. The
+    * _SUCCESS gate is checked INDEPENDENTLY of tableExists — the
+    * original nesting served an EMPTY table after a failed first
+    * INSERT (create succeeded, insert threw, retry saw tableExists and
+    * skipped both): a fast, silently-wrong result.
+    */
+  private[graft] def ensureClusteredTable(spark: SparkSession,
+      name: String, schemaDdl: String, clusterClause: String,
+      loc: java.io.File)(src: => org.apache.spark.sql.DataFrame): String = {
+    if (!spark.catalog.tableExists(name))
+      spark.sql(
+        s"""CREATE TABLE $name ($schemaDdl)
+           |USING parquet
+           |$clusterClause
+           |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+    if (!new java.io.File(loc, "_SUCCESS").exists()) {
+      // repartition on the bucket key with numPartitions = bucket count:
+      // HashPartitioning and datasource bucketing share the murmur3 pmod
+      // hash, so each write task holds exactly one bucket's rows → ONE
+      // file per bucket — the condition under which a SORTED BY scan
+      // trusts the files and reports outputOrdering (and at real scale,
+      // one-task-per-bucket IS the landing job).
+      src.createOrReplaceTempView(s"${name}_src")
+      spark.sql(s"INSERT OVERWRITE TABLE $name SELECT * FROM ${name}_src")
+    }
+    name
+  }
+
   /** Land (once per source state) and register (once per JVM) one bucketed
-    * table; returns its catalog name. The catalog entry is what carries the
-    * bucket spec — `spark.table` on it gives a scan whose outputPartitioning
-    * is HashPartitioning(key, BUCKETS), which is what kills the exchanges.
-    * The data lands under tmpdir as an EXTERNAL table location so a fresh
-    * JVM re-registers the same files instead of rewriting them (_SUCCESS
-    * gates the insert, the stamp gates staleness).
+    * table; returns its catalog name. The stamp gates staleness.
     */
   private def ensureTable(spark: SparkSession, dir: String, table: String,
       key: String): String = {
@@ -65,29 +93,12 @@ object Bucketed {
     // v2 layout: SORTED BY + one file per bucket (the path version gates
     // against a v1 landing of the same source being re-claimed as sorted)
     val name = s"graft_${table}_b2_${safe}_$stamp".replace('.', '_').replace('-', '_')
-    if (!spark.catalog.tableExists(name)) {
-      val src = Tables.load(spark, dir, table)
-      val loc = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_bucket_$safe/${table}_v2_$stamp")
-      spark.sql(
-        s"""CREATE TABLE $name (${src.schema.toDDL})
-           |USING parquet
-           |CLUSTERED BY ($key) SORTED BY ($key) INTO $BUCKETS BUCKETS
-           |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
-      if (!new java.io.File(loc, "_SUCCESS").exists()) {
-        // repartition on the bucket key with numPartitions = bucket count:
-        // HashPartitioning and datasource bucketing share the murmur3 pmod
-        // hash, so each write task holds exactly one bucket's rows → ONE
-        // file per bucket. That is the condition under which the scan
-        // trusts SORTED BY and reports outputOrdering — the sort-merge
-        // join then reads pre-sorted buckets with no per-query SortExec
-        // (and at real scale, one-task-per-bucket IS the landing job).
-        src.repartition(BUCKETS, col(key))
-          .createOrReplaceTempView(s"${name}_src")
-        spark.sql(s"INSERT OVERWRITE TABLE $name SELECT * FROM ${name}_src")
-      }
-    }
-    name
+    val src = Tables.load(spark, dir, table)
+    ensureClusteredTable(spark, name, src.schema.toDDL,
+      s"CLUSTERED BY ($key) SORTED BY ($key) INTO $BUCKETS BUCKETS",
+      new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_bucket_$safe/${table}_v2_$stamp"))(
+      src.repartition(BUCKETS, col(key)))
   }
 
   private[graft] def ensure(spark: SparkSession, dir: String): (String, String) =

@@ -49,7 +49,7 @@ object TxFeatures {
       year(col("o_orderdate")).cast("long").as("yr"),
       scaledLong(col("o_totalprice"), 100L).as("cents"))
 
-  private def demoDir(dir: String, tag: String): File =
+  private[graft] def demoDir(dir: String, tag: String): File =
     new File(new File(sys.props("java.io.tmpdir")),
       s"graft_tx${tag}_${ProcessHandle.current.pid}_${new File(dir).getName}")
 
@@ -874,10 +874,13 @@ object TxFeatures {
           // per-file key (k = 3 → FP ≈ 1e-4 per file-probe) keeps the
           // prune exact at every shipped SF; the one occupancy job runs
           // once per (JVM, corpus) at demo-build time.
+          // coalesce: an empty bloomed-bucket set (degenerate corpus)
+          // yields a NULL max — fall back to the 131072-bit floor
+          // instead of an NPE at demo-build time (r15 review)
           val perFile = o.filter(col("bucket") =!= 0)
             .groupBy(col("bucket"))
             .agg(count_distinct(col("o_custkey")).as("d"))
-            .agg(max(col("d"))).head.getLong(0)
+            .agg(coalesce(max(col("d")), lit(0L))).head.getLong(0)
           val bits = math.max(131072L, math.max(1L, perFile) * 64L)
           TxSql.sql(spark, "CREATE BLOOMFILTER INDEX ON bloom_orders " +
             s"FOR COLUMNS (o_custkey OPTIONS (bits = $bits, k = 3))")
@@ -1461,6 +1464,10 @@ object TxFeatures {
     val t = vacDemo(spark, dir)
     val retain = TxLog.versions(t).last
     val preview = TxSql.demoLock.synchronized {
+      // re-register per call: one JVM probing two corpora would
+      // otherwise leave the name pointed at whichever built last
+      // while the census reads the right table (r15 review)
+      TxSql.register("vacdry_orders", t)
       TxSql.sql(spark,
         s"VACUUM vacdry_orders RETAIN VERSION $retain DRY RUN")
     }

@@ -769,8 +769,33 @@ object AB {
     * zero hash exchanges anywhere; per-run cost is the level broadcast
     * builds inside ONE census action.
     */
+  // REJECTED-variant infrastructure: the by-c/by-p bucketed copies only
+  // gspV11/gspV12 consume (moved here from Pipeline after the r15
+  // review — production keeps only the pair landing)
+  private val gspCpDone = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, String)]
+
+  private def gspCpTables(spark: SparkSession, dir: String)
+      : (String, String) = {
+    val stamp = Tables.srcStamp(
+      new java.io.File(dir, "lineitem.parquet"))
+    gspCpDone.getOrElseUpdate((dir, stamp), {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val pairs = graft.operators.Pipeline.gspCpPairsPath(spark, dir)
+      def bucketed(key: String): String =
+        graft.sources.Bucketed.ensureClusteredTable(spark,
+          s"graft_gsp_cp_by_${key}_${safe}_$stamp"
+            .replace('.', '_').replace('-', '_'),
+          "c BIGINT, p BIGINT", s"CLUSTERED BY ($key) INTO 8 BUCKETS",
+          new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_gsp_$safe/by_${key}_$stamp"))(
+          spark.read.parquet(pairs).repartition(8, col(key)))
+      (bucketed("c"), bucketed("p"))
+    })
+  }
+
   def gspV11(spark: SparkSession, dir: String): DataFrame = {
-    val (byC, byP) = graft.operators.Pipeline.gspCpTables(spark, dir)
+    val (byC, byP) = gspCpTables(spark, dir)
     val cpC = spark.table(byC)
     val cpP = spark.table(byP)
     val seeds = Tables.customer(spark, dir)
@@ -819,7 +844,7 @@ object AB {
     * of any v11 win is the landing vs the laziness.
     */
   def gspV12(spark: SparkSession, dir: String): DataFrame = {
-    val (byC, byP) = graft.operators.Pipeline.gspCpTables(spark, dir)
+    val (byC, byP) = gspCpTables(spark, dir)
     val cpC = spark.table(byC)
     val cpP = spark.table(byP)
     val seeds = Tables.customer(spark, dir)
