@@ -1431,22 +1431,46 @@ object Pipeline {
     * live with the ledger in tools/AB.scala (gspV11/gspV12).
     */
   private[graft] def gspCpPairsPath(spark: SparkSession, dir: String)
-      : String = {
+      : String = gspIndexRoot(spark, dir) + "/pairs"
+
+  /** The node lists of each side — landed WITH the pairs (one derived
+    * index, three parts). The census variant consuming them (AB.gspV15:
+    * node scans + broadcast dist joins instead of distinct-over-edges)
+    * LOST its A/B, 1.529 vs 1.321 min-of-9 — the two broadcast builds
+    * it adds are sequential driver round-trips, while the distincts
+    * they replace ran in parallel inside the one census job. Kept as
+    * the landing's natural catalog (and the probe's reproduction path).
+    */
+  private[graft] def gspNodesPath(spark: SparkSession, dir: String,
+      side: String): String = gspIndexRoot(spark, dir) + s"/nodes_$side"
+
+  private def gspIndexRoot(spark: SparkSession, dir: String): String = {
     val stamp = Tables.srcStamp(new java.io.File(dir, "lineitem.parquet"))
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val pairsDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_gsp_$safe/cp_$stamp")
-    Tables.publishOnce(pairsDir) { tmp =>
+    // path v2: the layout grew the node lists — a v1 pairs-only landing
+    // under the same stamp must not be re-claimed
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_gsp_$safe/cp2_$stamp")
+    Tables.publishOnce(root) { tmp =>
       val o = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"))
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct().coalesce(8)
-        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        .distinct()
+      pairs.coalesce(8).write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "pairs").getAbsolutePath)
+      val landed = spark.read
+        .parquet(new java.io.File(tmp, "pairs").getAbsolutePath)
+      landed.select(col("c").as("id")).distinct().coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "nodes_c").getAbsolutePath)
+      landed.select(col("p").as("id")).distinct().coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "nodes_p").getAbsolutePath)
     }
-    pairsDir.getAbsolutePath
+    root.getAbsolutePath
   }
 
   // (the bucketed by-c/by-p copies the REJECTED gspV11/gspV12 variants

@@ -983,6 +983,56 @@ object AB {
       .orderBy(col("kind"), col("dist"))
   }
 
+  /** gsp r15 candidate 15: committed shape + the census reads the
+    * LANDED node lists (part of the same derived index as the pairs)
+    * with broadcast dist joins — deletes the final job's two
+    * distinct-over-edges exchanges and its cp re-scans.
+    */
+  def gspV15(spark: SparkSession, dir: String): DataFrame = {
+    val cp = spark.read.parquet(
+        graft.operators.Pipeline.gspCpPairsPath(spark, dir))
+      .localCheckpoint()
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("id"))
+      .join(cp.select(col("c").as("id")), Seq("id"), "left_semi")
+    var dC = seeds.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    var dP = spark.range(0).select(col("id"), lit(0L).as("dist"))
+    var frontier = dC.select(col("id"))
+    for (k <- 1 to 4) {
+      val fromC = k % 2 == 1
+      val (key, other) = if (fromC) ("c", "p") else ("p", "c")
+      val own = if (fromC) dP else dC
+      val cand = cp
+        .join(broadcast(frontier.withColumnRenamed("id", key)), Seq(key))
+        .select(col(other).as("id")).distinct()
+      val fresh0 = cand
+        .join(broadcast(own.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("dist"))
+      val fresh = if (k < 4) fresh0.localCheckpoint() else fresh0
+      if (fromC) dP = dP.unionByName(fresh)
+      else dC = dC.unionByName(fresh)
+      frontier = fresh.select(col("id"))
+    }
+    val custs = spark.read.parquet(
+        graft.operators.Pipeline.gspNodesPath(spark, dir, "c"))
+      .join(broadcast(dC), Seq("id"), "left")
+      .select(lit("customer").as("kind"), col("id"), col("dist"))
+    val parts = spark.read.parquet(
+        graft.operators.Pipeline.gspNodesPath(spark, dir, "p"))
+      .join(broadcast(dP), Seq("id"), "left")
+      .select(lit("part").as("kind"), col("id"), col("dist"))
+    custs.unionByName(parts)
+      .select(col("kind"), coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("id"))
+      .groupBy(col("kind"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor(col("id")).as("id_xor"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("kind"), col("dist"))
+  }
+
   /** kcore r15 candidate 12: the BUCKETED ADJACENCY landing (each edge
     * twice, clustered by src) — every degree aggregate's clustering is
     * satisfied by the scan, so the plan has ZERO shuffle exchanges:
@@ -1614,6 +1664,7 @@ object AB {
       "gsp_v12" -> (gspV12 _),
       "gsp_v13" -> (gspV13 _),
       "gsp_v14" -> (gspV14 _),
+      "gsp_v15" -> (gspV15 _),
       "gsp_v6" -> (gspV6 _),
       "gsp_v7" -> (gspV7 _),
       "triangles_v2" -> (trianglesV2 _))
