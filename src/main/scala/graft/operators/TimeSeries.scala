@@ -851,7 +851,7 @@ object TimeSeries {
                 maxTs.getTime + days * 86400000L), -999L, "sentinel", 0.0,
               "{}")).toDF(
               "event_id", "ts", "user_id", "event_type", "value", "props")
-              .select(ev.columns.map(col): _*)
+              .select(ev.columns.toIndexedSeq.map(col): _*)
           land(sentinel(1, 10), 5)
           land(sentinel(2, 20), 6)
         }

@@ -880,7 +880,7 @@ object TxFeatures {
           val perFile = o.filter(col("bucket") =!= 0)
             .groupBy(col("bucket"))
             .agg(count_distinct(col("o_custkey")).as("d"))
-            .agg(coalesce(max(col("d")), lit(0L))).head.getLong(0)
+            .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
           val bits = math.max(131072L, math.max(1L, perFile) * 64L)
           TxSql.sql(spark, "CREATE BLOOMFILTER INDEX ON bloom_orders " +
             s"FOR COLUMNS (o_custkey OPTIONS (bits = $bits, k = 3))")

@@ -2537,8 +2537,8 @@ object TxLog {
       val updates = source.join(affectedKeys, keys, "left_semi")
       val inserts = source.join(affectedKeys, keys, "left_anti")
       val rewritten = keptTarget
-        .unionByName(updates.select(snap.columns.map(col): _*))
-        .unionByName(inserts.select(snap.columns.map(col): _*))
+        .unionByName(updates.select(snap.columns.toIndexedSeq.map(col): _*))
+        .unionByName(inserts.select(snap.columns.toIndexedSeq.map(col): _*))
       val files = writeFiles(toPhysical(rewritten, mappingAsOf(table, v)),
         table, "merge", partitionColsOf(table))
       committed = commitIfBase(table, v, files, affectedRel, "merge")
@@ -2927,7 +2927,7 @@ object TxLog {
       // survivors of the affected files + every upsert; deletes simply
       // never re-enter — one rewrite covers replace, insert, AND delete
       val rewritten = affected.join(srcKeys, keys, "left_anti")
-        .unionByName(upserts.select(snap.columns.map(col): _*))
+        .unionByName(upserts.select(snap.columns.toIndexedSeq.map(col): _*))
       // an all-delete batch that empties every affected file would hand
       // the partitioned writeFiles an empty frame (zero part files → the
       // stats pass throws 'Unable to infer schema'); commit removes-only

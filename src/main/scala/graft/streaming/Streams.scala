@@ -588,7 +588,7 @@ object Streams {
       // stale one from a lost delete) emits nothing
       if (!session.exists()) return Iterator.empty
       val (start, last, n) = session.get()
-      if (expiredTimerInfo.getExpiryTimeInMs != last + gapMs)
+      if (expiredTimerInfo.getExpiryTimeInMs() != last + gapMs)
         return Iterator.empty
       session.clear()
       Iterator.single(UserSession(
