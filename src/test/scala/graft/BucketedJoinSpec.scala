@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 class BucketedJoinSpec extends SparkSpec {
 
+  test("ensureClusteredTable retries a failed first INSERT instead of " +
+      "serving the empty table (r15 review regression)") {
+    import spark.implicits._
+    // simulate the failure mode: CREATE TABLE succeeded but the INSERT
+    // never finished — the table exists, the location has no _SUCCESS.
+    // The old nested gating skipped the insert on retry and served an
+    // empty scan (kcore then returned all-zero censuses).
+    val loc = new java.io.File(java.nio.file.Files
+      .createTempDirectory("graft_ect").toFile, "data")
+    val name = "graft_ect_probe"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name (id BIGINT) USING parquet
+         |CLUSTERED BY (id) INTO 4 BUCKETS
+         |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+    val got = graft.sources.Bucketed.ensureClusteredTable(spark, name,
+      "id BIGINT", "CLUSTERED BY (id) INTO 4 BUCKETS", loc)(
+      Seq(1L, 2L, 3L).toDF("id").repartition(4, col("id")))
+    assert(spark.table(got).count() == 3,
+      "retry served the half-created (empty) table")
+    // and the landed state is idempotent: a second call neither
+    // duplicates nor rewrites
+    graft.sources.Bucketed.ensureClusteredTable(spark, name,
+      "id BIGINT", "CLUSTERED BY (id) INTO 4 BUCKETS", loc)(
+      sys.error("must not rebuild a landed table"))
+    assert(spark.table(name).count() == 3)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sfTiny)
     val l = Tables.lineitem(spark, sfTiny)
