@@ -144,22 +144,24 @@ object TxLog {
     identities: Seq[(String, Long)] = Seq.empty)
 
   private val addRe =
-    ("""\{"add":\s*\{"path":\s*"([^"]+)",\s*"rows":\s*(\d+)""" +
+    ("""\{"add":\s*\{"path":\s*"((?:[^"\\]|\\.)+)",\s*"rows":\s*(\d+)""" +
       """(?:,\s*"stats":\s*\{([^}]*)\})?""" +
       """(?:,\s*"blooms":\s*\{([^}]*)\})?\}\}""").r
   private val bloomEntryRe = """"((?:[^"\\]|\\.)+)":\s*"([0-9a-f]*)"""".r
   private val statRe = """"((?:[^"\\]|\\.)+)":\s*\[(-?\d+),\s*(-?\d+)\]""".r
   private val dvRe =
-    ("""\{"dv":\s*\{"path":\s*"([^"]+)",\s*"dvPath":\s*"([^"]+)",""" +
+    ("""\{"dv":\s*\{"path":\s*"((?:[^"\\]|\\.)+)",\s*"dvPath":\s*"((?:[^"\\]|\\.)+)",""" +
       """\s*"rows":\s*(\d+)\}\}""").r
-  private val removeRe = """\{"remove":\s*\{"path":\s*"([^"]+)"\}\}""".r
+  private val removeRe =
+    """\{"remove":\s*\{"path":\s*"((?:[^"\\]|\\.)+)"\}\}""".r
   private val opRe = """\{"commit":\s*\{"op":\s*"([^"]+)"[^}]*\}\}""".r
   private val tsRe =
     """\{"commit":\s*\{"op":\s*"[^"]+",\s*"ts":\s*(\d+)\}\}""".r
   private val metaRe =
-    ("""\{"metaData":\s*\{"schemaDdl":\s*"([^"]+)"""" +
-      """(?:,\s*"mapping":\s*"([^"]*)")?\}\}""").r
-  private val partRe = """\{"partition":\s*\{"cols":\s*"([^"]+)"\}\}""".r
+    ("""\{"metaData":\s*\{"schemaDdl":\s*"((?:[^"\\]|\\.)+)"""" +
+      """(?:,\s*"mapping":\s*"((?:[^"\\]|\\.)*)")?\}\}""").r
+  private val partRe =
+    """\{"partition":\s*\{"cols":\s*"((?:[^"\\]|\\.)+)"\}\}""".r
   private val constraintAddRe =
     ("""\{"constraint":\s*\{"name":\s*"([^"]+)",\s*""" +
       """"expr":\s*"((?:[^"\\]|\\.)+)"\}\}""").r
@@ -183,12 +185,12 @@ object TxLog {
   private def parseStats(s: String): Map[String, (Long, Long)] =
     if (s == null || s.isEmpty) Map.empty
     else statRe.findAllMatchIn(s).map(m =>
-      m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+      unq(m.group(1)) -> (m.group(2).toLong, m.group(3).toLong)).toMap
 
   private def parseBlooms(s: String): Map[String, String] =
     if (s == null || s.isEmpty) Map.empty
     else bloomEntryRe.findAllMatchIn(s).map(m =>
-      m.group(1) -> m.group(2)).toMap
+      unq(m.group(1)) -> m.group(2)).toMap
 
   private[graft] def readCommit(table: File, v: Long): Commit = {
     val lines = Files.readAllLines(versionFile(table, v).toPath)
@@ -208,13 +210,18 @@ object TxLog {
     var identities = Vector.empty[(String, Long)]
     lines.asScala.foreach { line =>
       line match {
+        // every captured string field UNESCAPES (r15 review: q()
+        // escapes quote/backslash/control on the write side, so a
+        // symmetric parse is what keeps an exotic path or DDL from
+        // silently vanishing as an unmatched line)
         case addRe(p, r, s, b) =>
-          adds :+= Add(p, r.toLong, parseStats(s), parseBlooms(b))
-        case removeRe(p) => removes :+= p
-        case dvRe(p, dp, r) => dvs :+= Dv(p, dp, r.toLong)
+          adds :+= Add(unq(p), r.toLong, parseStats(s), parseBlooms(b))
+        case removeRe(p) => removes :+= unq(p)
+        case dvRe(p, dp, r) => dvs :+= Dv(unq(p), unq(dp), r.toLong)
         case opRe(o) => op = o
-        case metaRe(d, m) => meta = Some(d); mapping = Option(m)
-        case partRe(c) => partCols = Some(c)
+        case metaRe(d, m) =>
+          meta = Some(unq(d)); mapping = Option(m).map(unq)
+        case partRe(c) => partCols = Some(unq(c))
         case constraintAddRe(n, e) =>
           constraints :+= Constraint(n, Some(unq(e)))
         case constraintDropRe(n) => constraints :+= Constraint(n, None)
@@ -355,8 +362,8 @@ object TxLog {
     val lines = Files.readAllLines(checkpointFile(table, v).toPath)
       .asScala.toSeq
     (lines.collect { case addRe(p, r, s, b) =>
-      Add(p, r.toLong, parseStats(s), parseBlooms(b)) },
-      lines.collect { case dvRe(p, dp, r) => Dv(p, dp, r.toLong) })
+      Add(unq(p), r.toLong, parseStats(s), parseBlooms(b)) },
+      lines.collect { case dvRe(p, dp, r) => Dv(unq(p), unq(dp), r.toLong) })
   }
 
   private def maybeCheckpoint(table: File, v: Long): Unit =
@@ -868,10 +875,29 @@ object TxLog {
     * slot, re-derives, and finds nothing fresh — exactly-once per file
     * under concurrency.
     */
+  /** Identity assignment lives in the append path ([[withIdentity]]):
+    * every other writer REJECTS on an identity table (r15 review) — a
+    * staged/merged/applied batch missing the column passes schema
+    * enforcement (missing declared columns are legal) and would land
+    * NULL where GENERATED ALWAYS promises engine-assigned ids, while a
+    * batch CARRYING the column would land arbitrary values without
+    * advancing the high-water mark, so a later append re-assigns
+    * duplicates. Loud rejection with the remedy named beats either
+    * silent corruption.
+    */
+  private def requireNoIdentity(table: File, v: Long, op: String): Unit = {
+    val ids = identitiesAsOf(table, v)
+    require(ids.isEmpty,
+      s"TxLog $op: table declares IDENTITY column(s) " +
+        s"${ids.keys.toSeq.sorted.mkString(", ")} — identity assignment " +
+        "is an append-path feature; route the rows through append")
+  }
+
   def copyInto(spark: SparkSession, table: File, srcDir: File): Long = {
     var committed = -1L
     while (committed < 0) {
       val base = versions(table).lastOption
+      requireNoIdentity(table, base.getOrElse(-1L), "COPY INTO")
       val already = copiedAsOf(table, base.getOrElse(-1L))
       val staged = Option(srcDir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -1055,15 +1081,20 @@ object TxLog {
     partColsMemo.get(key) match {
       case Some(c) => c
       case None =>
-        val found = versions(table).iterator
-          .map(v => readCommit(table, v).partCols)
-          .collectFirst { case Some(c) => c.split(",").toSeq }
-          .getOrElse(Seq.empty)
-        // only memoize a POSITIVE find: an empty answer on a still-empty
-        // table would wrongly pin "unpartitioned" before the creating
-        // commit lands
-        if (found.nonEmpty) partColsMemo.put(key, found)
-        found
+        // the layout is declared ONLY by the creating commit (v0 —
+        // createPartitioned and clone are the two emit sites), so once
+        // v0 exists ONE commit read decides and the answer memoizes
+        // either way. The old form re-scanned the WHOLE log on every
+        // call for unpartitioned tables — an O(log length) driver read
+        // per write, forever (r15 review). An empty table stays
+        // unmemoized: "unpartitioned" must not pin before v0 lands.
+        if (versions(table).isEmpty) Seq.empty
+        else {
+          val found = readCommit(table, 0L).partCols
+            .map(_.split(",").toSeq).getOrElse(Seq.empty)
+          partColsMemo.put(key, found)
+          found
+        }
     }
   }
 
@@ -1151,16 +1182,23 @@ object TxLog {
       val v = versions(table).last
       val st = liveState(table, v)
       requireLocalized(st, "OVERWRITE PARTITIONS")
+      requireNoIdentity(table, v, "OVERWRITE PARTITIONS")
+      // defaults materialize like append's (r15 review): an overwrite
+      // omitting a defaulted column otherwise lands files that postdate
+      // the declaration yet physically lack it — the read-time fill
+      // (keyed on the write epoch) would never patch them and the rows
+      // read NULL where append's would read the default
+      val dfd = withWriteDefaults(df, table, Some(v))
       // gate INSIDE the loop (r12 advice), like append/overwriteAll: a
       // racing ADD CONSTRAINT between a pre-loop gate and the winning
       // slot would let violating rows commit after the constraint
-      enforceConstraints(spark, table, df, "OVERWRITE PARTITIONS")
+      enforceConstraints(spark, table, dfd, "OVERWRITE PARTITIONS")
       val removed = st.live.filter { a =>
         val pv = partValsOf(a.path)
         combos.exists(c => c.forall { case (k, vv) =>
           pv.get(k).exists(got => got == vv) })
       }.map(_.path)
-      val files = writeFiles(toPhysical(df, mappingAsOf(table, v)),
+      val files = writeFiles(toPhysical(dfd, mappingAsOf(table, v)),
         table, "overwrite", partCols)
       committed = commitIfBase(table, v, files, removed, "overwrite")
       if (committed < 0) discardFileGroup(table, files)
@@ -1180,8 +1218,11 @@ object TxLog {
       val v = versions(table).last
       val st = liveState(table, v)
       requireLocalized(st, "OVERWRITE")
-      enforceConstraints(spark, table, df, "OVERWRITE")
-      val files = writeFiles(toPhysical(df, mappingAsOf(table, v)),
+      requireNoIdentity(table, v, "OVERWRITE")
+      // same write-side default materialization as append (r15 review)
+      val dfd = withWriteDefaults(df, table, Some(v))
+      enforceConstraints(spark, table, dfd, "OVERWRITE")
+      val files = writeFiles(toPhysical(dfd, mappingAsOf(table, v)),
         table, "overwrite", partitionColsOf(table))
       committed = commitIfBase(table, v, files, st.live.map(_.path),
         "overwrite")
@@ -1499,12 +1540,34 @@ object TxLog {
   private val addedAtMemo = scala.collection.concurrent.TrieMap
     .empty[(String, Long), Map[String, Long]]
 
-  private def addedAtVersions(table: File, v: Long): Map[String, Long] =
-    addedAtMemo.getOrElseUpdate((table.getCanonicalPath, v),
-      versions(table).filter(_ <= v).flatMap(vv =>
-        readCommit(table, vv).adds.map(a =>
-          new File(table, a.path).getCanonicalPath -> vv))
-        .groupMapReduce(_._1)(_._2)(math.min))
+  private def addedAtVersions(table: File, v: Long): Map[String, Long] = {
+    // incremental per-version fold like bloomsAsOf (r15 review: the
+    // per-(table, v) memo rebuilt the whole map by re-reading every
+    // commit ≤ v on each NEW version — O(log²) cumulative driver reads
+    // over a table's life). first(v) = first(v−1) min-merged with v's
+    // adds; commit files are immutable so entries never go stale.
+    if (v < 0) return Map.empty
+    val key = table.getCanonicalPath
+    addedAtMemo.get((key, v)) match {
+      case Some(m) => m
+      case None =>
+        var base = v - 1
+        while (base >= 0 && !addedAtMemo.contains((key, base))) base -= 1
+        var acc =
+          if (base < 0) Map.empty[String, Long]
+          else addedAtMemo((key, base))
+        var i = base + 1
+        while (i <= v) {
+          acc = readCommit(table, i).adds.foldLeft(acc) { (a, add) =>
+            val p = new File(table, add.path).getCanonicalPath
+            if (a.contains(p)) a else a + (p -> i) // FIRST add wins
+          }
+          addedAtMemo.put((key, i), acc)
+          i += 1
+        }
+        acc
+    }
+  }
 
   /** Partition `paths` by the DEFAULT fills each file needs as of `v`
     * (S63): a column's default fills only files added BEFORE its
@@ -1855,6 +1918,22 @@ object TxLog {
         if ("""\b""" + java.util.regex.Pattern.quote(colName) +
           """\b""").r.findFirstIn(e).isDefined => n }.toSeq.sorted
 
+  /** OTHER columns whose DEFAULT/generation expression references
+    * `colName` (r15 review): dropping or renaming such a column would
+    * make every later write throw unresolved-column in
+    * withWriteDefaults AND every read of pre-declaration files throw in
+    * the fill — the same brick the constraint guard prevents, through
+    * the default channel.
+    */
+  private def defaultsReferencing(table: File, colName: String)
+      : Seq[String] =
+    versions(table).lastOption.map(defaultsAsOf(table, _))
+      .getOrElse(Map.empty)
+      .collect { case (c, (e, _))
+        if c != colName &&
+          ("""\b""" + java.util.regex.Pattern.quote(colName) +
+            """\b""").r.findFirstIn(e).isDefined => c }.toSeq.sorted
+
   def alterRenameColumn(spark: SparkSession, table: File,
       from: String, to: String): Long = {
     // partition columns are un-renameable: their NAME is baked into
@@ -1868,6 +1947,11 @@ object TxLog {
     require(refs.isEmpty,
       s"TxLog RENAME: $from is referenced by CONSTRAINT " +
         s"${refs.mkString(", ")} — DROP the constraint first")
+    val drefs = defaultsReferencing(table, from)
+    require(drefs.isEmpty,
+      s"TxLog RENAME: $from is referenced by the DEFAULT/generation " +
+        s"expression of column(s) ${drefs.mkString(", ")} — drop " +
+        "those defaults first")
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.getOrElse(
@@ -1923,6 +2007,11 @@ object TxLog {
     require(refs.isEmpty,
       s"TxLog DROP: $name is referenced by CONSTRAINT " +
         s"${refs.mkString(", ")} — DROP the constraint first")
+    val drefs = defaultsReferencing(table, name)
+    require(drefs.isEmpty,
+      s"TxLog DROP: $name is referenced by the DEFAULT/generation " +
+        s"expression of column(s) ${drefs.mkString(", ")} — drop " +
+        "those defaults first")
     var committed = -1L
     while (committed < 0) {
       val v = versions(table).lastOption.getOrElse(
@@ -2402,6 +2491,21 @@ object TxLog {
       s"TxLog CLONE: target $target already has a log")
     val v = versions(source).lastOption.getOrElse(
       sys.error(s"TxLog CLONE: source $source has no commits"))
+    // Column DEFAULTS (and generated columns, which ride the default
+    // channel) do NOT survive a shallow clone (r15 review): the fill is
+    // keyed on each file's write epoch IN THE SOURCE LOG, and the
+    // clone's log assigns every inherited file epoch v0 — there is no
+    // per-file position that distinguishes the source's pre-declaration
+    // files (which must fill) from its post-declaration ones (which
+    // must not). Cloning anyway would silently read NULL where the
+    // source reads the default. Rejected with the remedy named, the
+    // same honesty discipline as requireLocalized.
+    val dflts = defaultsAsOf(source, v)
+    require(dflts.isEmpty,
+      "TxLog CLONE: source declares column DEFAULT/generation " +
+        s"expressions (${dflts.keys.toSeq.sorted.mkString(", ")}) whose " +
+        "per-file fill epochs cannot transfer to a zero-copy clone — " +
+        "compact the source first (materializes the fills), then clone")
     val st = liveState(source, v)
     target.mkdirs()
     val tp = target.getCanonicalFile.toPath
@@ -2411,15 +2515,30 @@ object TxLog {
     val dvs = st.dvs.values.flatten.toSeq.map(d =>
       d.copy(path = rel(d.path), dvPath = rel(d.dvPath)))
     val meta = metaAsOf(source, v)
-    // the clone inherits the source's partition declaration and active
-    // CHECK constraints too — its own later writes stay gated the same
+    // the clone inherits the source's partition declaration, active
+    // CHECK constraints, and IDENTITY high-water marks (r15 review:
+    // dropping the marks would restart allocation and duplicate ids) —
+    // its own later writes stay gated the same. Bloom SPECS deliberately
+    // do NOT carry: the inherited bitsets were written under the
+    // source's epoch history, which the clone's log cannot replay, so
+    // the conservative state is spec-less (every probe keeps every
+    // file); re-declare the index on the clone and OPTIMIZE to rebuild.
     val pc = partitionColsOf(source) match {
       case Seq() => None; case cs => Some(cs.mkString(","))
     }
     val cons = constraintsAsOf(source, v).toSeq.sortBy(_._1)
       .map { case (n, e) => Constraint(n, Some(e)) }
-    commitAdds(target, adds, Seq.empty, "clone",
-      meta.map(_._1), meta.flatMap(_._2), None, dvs, pc, cons)
+    val idents = identitiesAsOf(source, v).toSeq.sortBy(_._1)
+    // slot-0-ONLY commit (r15 review): losing the create race to a
+    // concurrent writer must REJECT, not stack the clone's metadata
+    // onto someone else's table — the createEmpty/createAs discipline
+    val committed = commitIfBase(target, -1L, adds, Seq.empty, "clone",
+      meta.map(_._1), meta.flatMap(_._2), None, dvs,
+      constraints = cons, partCols = pc, identities = idents)
+    require(committed == 0L,
+      s"TxLog CLONE: lost the create race for $target — another writer " +
+        "committed first")
+    committed
   }
 
   /** Reject file-identity DML while any live file is an external
@@ -2510,6 +2629,7 @@ object TxLog {
       val v = versions(table).last
       val st = liveState(table, v)
       requireLocalized(st, "MERGE")
+      requireNoIdentity(table, v, "MERGE")
       // only the INCOMING side needs the gate: kept target rows passed
       // it on their own way in
       enforceConstraints(spark, table, source, "MERGE")
@@ -2907,7 +3027,22 @@ object TxLog {
       val v = versions(table).last
       val st = liveState(table, v)
       requireLocalized(st, "CDC APPLY")
-      val upserts = changes.filter(col("_op") === "upsert").drop("_op")
+      requireNoIdentity(table, v, "CDC APPLY")
+      val upserts0 = changes.filter(col("_op") === "upsert").drop("_op")
+      // schema-ENFORCED like append (r15 review): a misspelled extra
+      // column would otherwise be silently dropped by the snap-columns
+      // projection below, and an omitted defaulted column would land
+      // physically missing with a post-declaration write epoch the
+      // read-time fill never patches
+      schemaDdlAsOf(table, v).foreach { ddl =>
+        val declared = StructType.fromDDL(ddl).fieldNames.toSet
+        val unknown = upserts0.schema.fieldNames.filterNot(declared)
+        require(unknown.isEmpty,
+          "TxLog CDC APPLY: column(s) not in the table's declared " +
+            s"schema: ${unknown.mkString(", ")} — ALTER TABLE ADD " +
+            "COLUMNS first")
+      }
+      val upserts = withWriteDefaults(upserts0, table, Some(v))
       // the constraint gate sees only the rows that will LAND
       enforceConstraints(spark, table, upserts, "CDC APPLY")
       val snap = assemble(spark, table, v, st.live, st.dvs)
@@ -3225,7 +3360,8 @@ object TxLog {
   /** Commits whose add/remove sets carry identical row bags — skipped
     * unread by the change feed (batch and streaming alike).
     */
-  private[sources] val dataPreservingOps = Set("compact", "zorder")
+  private[sources] val dataPreservingOps =
+    Set("compact", "compact-where", "zorder")
 
   /** OPTIMIZE … ZORDER BY (S49 cont.): rewrite the latest snapshot
     * CLUSTERED by the Morton interleave of two numeric columns, as one
@@ -3360,6 +3496,7 @@ object TxLog {
     while (committed < 0) {
       if (lastTxnBatch(table, app).exists(_ >= batchId)) return false
       val base = versions(table).lastOption
+      requireNoIdentity(table, base.getOrElse(-1L), "stream-append")
       base.flatMap(schemaDdlAsOf(table, _)).foreach { ddl =>
         val declared = StructType.fromDDL(ddl).fieldNames.toSet
         val unknown = df.schema.fieldNames.filterNot(declared)
@@ -3429,7 +3566,11 @@ object TxLog {
     * log itself — a table dir whose last commit is "compact" is complete;
     * the dir is process-unique so concurrent JVMs never share a log.
     */
-  private[graft] def demoTable(spark: SparkSession, dir: String): File = {
+  private[graft] def demoTable(spark: SparkSession, dir: String): File =
+    txnDemoLock.synchronized {
+    // serialized like txnDemoDb (r15 review — the identical first-build
+    // race the r10 advice fixed there): two threads both seeing "not
+    // built yet" would double-run the appends and duplicate every row
     val db = new File(dir).getName
     val table = new File(
       new File(sys.props("java.io.tmpdir")),
@@ -3713,7 +3854,8 @@ object TxLog {
     * TxLogSpec).
     */
   private[graft] def mergeDemoTable(spark: SparkSession, dir: String)
-      : File = {
+      : File = txnDemoLock.synchronized {
+    // serialized like demoTable/txnDemoDb (r15 review)
     val db = new File(dir).getName
     val table = new File(
       new File(sys.props("java.io.tmpdir")),

@@ -1875,6 +1875,73 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("r15 review batch: default fills reach every writer, dependency " +
+      "guards on DROP/RENAME, clone and identity rejections") {
+    import spark.implicits._
+    // 1. overwriteAll materializes defaults like append: rows land with
+    // the fill PHYSICALLY, never as post-epoch NULL holes
+    val t1 = freshTable("rvw_ow")
+    TxLog.append(rows(2).coalesce(1), t1)                          // v0
+    TxLog.alterAddColumns(spark, t1, "flag BIGINT", Map("flag" -> "7"))
+    TxLog.overwriteAll(spark, t1,
+      Seq((50L, "o")).toDF("id", "payload"))
+    assert(TxLog.snapshot(spark, t1).agg(sum(col("flag"))).head()
+      .getLong(0) == 7L, "overwrite dropped the default fill")
+    // 2. applyChanges: unknown columns reject loudly (were silently
+    // dropped by the snap-columns projection), defaults materialize
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.applyChanges(spark, t1,
+        Seq((50L, "x", 1L, "upsert")).toDF("id", "payload", "wrong", "_op"),
+        Seq("id"))
+    }
+    assert(e1.getMessage.contains("wrong"))
+    TxLog.applyChanges(spark, t1,
+      Seq((60L, "n", "upsert")).toDF("id", "payload", "_op"), Seq("id"))
+    assert(TxLog.snapshot(spark, t1).filter(col("id") === 60L)
+      .head().getAs[Long]("flag") == 7L,
+      "CDC APPLY landed a post-epoch file missing the default")
+    // 3. DROP/RENAME of a column another column's default references
+    // must reject (it would brick every later write and fill)
+    val t2 = freshTable("rvw_dep")
+    TxLog.append(rows(2).coalesce(1), t2)
+    TxLog.alterAddColumns(spark, t2, "d BIGINT", Map("d" -> "id + 1"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.alterDropColumn(spark, t2, "id")
+    }
+    assert(e2.getMessage.contains("DEFAULT"))
+    val e3 = intercept[IllegalArgumentException] {
+      TxLog.alterRenameColumn(spark, t2, "id", "ident")
+    }
+    assert(e3.getMessage.contains("DEFAULT"))
+    // 4. shallow clone of a defaulted table rejects (per-file fill
+    // epochs cannot transfer to a zero-copy log)
+    val t2c = freshTable("rvw_clone"); assert(t2c.delete())
+    val e4 = intercept[IllegalArgumentException] {
+      TxLog.cloneShallow(spark, t2, t2c)
+    }
+    assert(e4.getMessage.contains("DEFAULT"))
+    // 5. clone carries IDENTITY high-water marks: the clone's first
+    // append continues allocation instead of duplicating ids
+    val t3 = freshTable("rvw_ident"); assert(t3.delete())
+    TxLog.createEmpty(t3, "id BIGINT, payload STRING",
+      identityCols = Seq("id"))
+    TxLog.append(Seq(("a"), ("b")).toDF("payload"), t3)
+    val t3c = freshTable("rvw_identc"); assert(t3c.delete())
+    TxLog.cloneShallow(spark, t3, t3c)
+    TxLog.append(Seq(("c")).toDF("payload"), t3c)
+    val ids = TxLog.snapshot(spark, t3c).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.length == 3 && ids.distinct.length == 3,
+      s"clone restarted identity allocation: ${ids.mkString(",")}")
+    // 6. non-append writers reject identity tables loudly (they cannot
+    // assign ids or advance the mark)
+    val e5 = intercept[IllegalArgumentException] {
+      TxLog.overwriteAll(spark, t3,
+        Seq((99L, "z")).toDF("id", "payload"))
+    }
+    assert(e5.getMessage.contains("IDENTITY"))
+  }
+
   test("column DEFAULT survives RESTORE: a re-added pre-declaration " +
       "file still fills at read (write epoch, not re-add version)") {
     import spark.implicits._
