@@ -180,7 +180,7 @@ object Tables {
     dst.setLastModified(1700000000000L + i * 2000L); ()
   }
 
-  private def rmTree(f: java.io.File): Unit = {
+  private[graft] def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) {
       val cs = f.listFiles()
       if (cs != null) cs.foreach(rmTree)

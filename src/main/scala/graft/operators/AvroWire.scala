@@ -89,13 +89,15 @@ object AvroWire {
   }
 
   private val prepared =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   /** Land (once per source state) the binary envelope topic — 4 segment
     * files, the topic-partition shape (same idiom as the JSON landing).
     */
   private[graft] def avroLanding(spark: SparkSession, dir: String): String =
-    prepared.getOrElseUpdate(dir, {
+    // (dir, stamp) key (r15 review): a regenerated source must land fresh
+    prepared.getOrElseUpdate((dir,
+      Tables.srcStamp(new java.io.File(dir, "events.parquet"))), {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
@@ -164,7 +166,7 @@ object AvroWire {
   // ---- streaming twin -------------------------------------------------------
 
   private val streamState =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val streamLock = new Object
 
   /** Mergeable per-key partials of the apply (max re-maxes, sums re-sum
@@ -213,7 +215,8 @@ object AvroWire {
     */
   def cdcAvroStream(spark: SparkSession, dir: String): DataFrame = {
     val state = streamLock.synchronized {
-      streamState.getOrElseUpdate(dir, {
+      streamState.getOrElseUpdate((dir,
+        Tables.srcStamp(new java.io.File(dir, "events.parquet"))), {
         val landing = avroLanding(spark, dir)
         val base = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_avros_${ProcessHandle.current.pid}_" +
@@ -244,6 +247,7 @@ object AvroWire {
           }
           .start()
         q.awaitTermination()
+        graft.Tables.rmTree(ckpt) // drain done — reap the checkpoint
         st.getOrElse(sys.error("cdc_avro_stream: empty landing"))
           .write.mode("overwrite").parquet(outDir.getAbsolutePath)
         outDir.getAbsolutePath

@@ -35,7 +35,12 @@ object Cdc {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
         countDistinct(col("k2")).as("distinct_k"),
-        sum(when(col("k") =!= col("k2"), 1).otherwise(0)).cast("long").as("parser_disagreements"))
+        // NULL-SAFE inequality (r15 review): a row where one parser
+        // yields NULL and the other a value IS a disagreement — the
+        // null-blind =!= evaluated such rows to NULL and counted them
+        // as agreement, hollowing out the proof this column exists for
+        sum(when(!(col("k") <=> col("k2")), 1).otherwise(0))
+          .cast("long").as("parser_disagreements"))
       .orderBy(col("event_type"))
   }
 
@@ -492,13 +497,10 @@ object Cdc {
     val offsets = e.groupBy((col("user_id") % 8).as("partition"))
       .agg(count(lit(1)).as("n_ops"),
         max(col("event_id")).as("committed_offset"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val live = e.select(col("user_id"), col("ts"), col("event_id"),
-        when(col("event_type") === "error", "delete").otherwise("upsert")
-          .as("op"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "delete")
+    // the live census IS the shared LWW collapse (r15 review: an
+    // inline re-implementation would silently drift from applyLww's
+    // semantics the day the tiebreak or delete encoding changes)
+    val live = applyLww(e)
       .groupBy((col("user_id") % 8).as("partition"))
       .agg(count(lit(1)).as("n_live_users"),
         bit_xor(col("user_id")).as("live_xor"))
@@ -701,9 +703,13 @@ object Cdc {
     val cells = Tables.events(spark, dir)
       .select(col("event_type"),
         expr("unix_micros(ts) div 1000000").as("s"))
+      // integer `div`, not a double division + truncating cast (r15
+      // review): the double form truncates toward zero where DuckDB's
+      // `//` floors — divergent for a negative epoch second. The event
+      // domain is non-negative, where div and // agree; the integer
+      // form also deletes the double round-trip.
       .select(col("event_type"),
-        (((col("s").cast("long") / 300L).cast("long") + 1L) * 300L -
-          col("s")).as("lag_s"))
+        ((expr("s div 300") + 1L) * 300L - col("s")).as("lag_s"))
       .groupBy(col("event_type"), col("lag_s"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("lag_s"))
@@ -1116,7 +1122,10 @@ object Cdc {
         (1L, Some("metric_a")), (2L, Some("metric_b")),
         (3L, Option.empty[String])))
       .toDF("schema_version", "k_target")
-    val log = Tables.events(spark, dir).select(
+    // WIDE view (r15 review): the first map stage decodes props JSON —
+    // exactly the per-row work eventsWide's multi-row-group landing
+    // exists to parallelize (the narrow single-file scan serialized it)
+    val log = Tables.eventsWide(spark, dir).select(
         col("user_id"), col("ts"), col("event_id"),
         (lit(1L) + col("event_id") % 3).as("schema_version"),
         get_json_object(col("props"), "$.k").cast("long").as("k"),
@@ -1255,13 +1264,12 @@ object Cdc {
       when(col("event_type") === "error", "delete").otherwise("upsert")
         .as("op"),
       (col("event_id") % 4 === 3).as("is_new"))
-    def lwwState(l: DataFrame) = {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      l.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") =!= "delete")
+    // the per-dump state IS the shared compaction collapse (r15 review:
+    // the inline window re-implemented compactState's invariant) with
+    // the tombstones dropped after
+    def lwwState(l: DataFrame) =
+      compactState(l).filter(col("op") =!= "delete")
         .select(col("user_id"), col("event_id"), col("value"))
-    }
     val s1 = lwwState(log.filter(!col("is_new")))
       .select(col("user_id").as("u1"), col("event_id").as("old_event_id"),
         col("value").as("old_value"))
@@ -1859,12 +1867,16 @@ object Cdc {
   }
 
   private val dbzPrepared =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  /** Land (once per source state) the encoded envelope topic. */
+  /** Land (once per source state) the encoded envelope topic. Memo key
+    * carries the SOURCE STAMP (r15 review): a dir-only key served the
+    * stale landing after the source parquet regenerated in one JVM —
+    * the exact staleness ijStates' (dir, stamp) key guards against.
+    */
   private[graft] def debeziumLanding(spark: SparkSession,
       dir: String): String =
-    dbzPrepared.getOrElseUpdate(dir, {
+    dbzPrepared.getOrElseUpdate((dir, eventsStamp(dir)), {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val out = new java.io.File(
         sys.props("java.io.tmpdir"),
@@ -1997,7 +2009,7 @@ object Cdc {
     // under a race, and two drains sharing one checkpoint dir corrupt
     // each other (r11 code-review finding)
     val state = dbzStreamLock.synchronized {
-      dbzStreamState.getOrElseUpdate(dir, {
+      dbzStreamState.getOrElseUpdate((dir, eventsStamp(dir)), {
         val landing = debeziumLanding(spark, dir)
         val base = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_dbzs_${ProcessHandle.current.pid}_" +
@@ -2030,6 +2042,10 @@ object Cdc {
           }
           .start()
         q.awaitTermination()
+        // drain succeeded: the checkpoint is dead weight (only the
+        // landed state parquet is ever read again) — reap it instead
+        // of accreting ckpt_<nanos> dirs across sessions (r15 review)
+        graft.Tables.rmTree(ckpt)
         // land the final state so later calls (and other sessions) read a
         // plain frame instead of holding the checkpoint lineage
         st.getOrElse(sys.error("cdc_debezium_stream: empty landing"))
@@ -2041,7 +2057,7 @@ object Cdc {
   }
 
   private val dbzStreamState =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val dbzStreamLock = new Object
 
   val cdcDebeziumEnvelopeSql: String =

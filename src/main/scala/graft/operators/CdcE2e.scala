@@ -247,6 +247,7 @@ object CdcE2e {
           }
           .start()
         q.awaitTermination()
+        graft.Tables.rmTree(ckpt) // drain done — reap the checkpoint
         table
       })
     }

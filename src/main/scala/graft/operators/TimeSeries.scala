@@ -697,7 +697,7 @@ object TimeSeries {
   // ---- ST14 oracle row: transformWithState live profile --------------------
 
   private val twsState =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val twsLock = new Object
 
   /** events_tws_profile (ST14, r15) — the `transformWithState` live
@@ -716,7 +716,8 @@ object TimeSeries {
     */
   def eventsTwsProfile(spark: SparkSession, dir: String): DataFrame = {
     val state = twsLock.synchronized {
-      twsState.getOrElseUpdate(dir, {
+      twsState.getOrElseUpdate((dir,
+        Tables.srcStamp(new java.io.File(dir, "events.parquet"))), {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val seg = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_tws_$safe/events_p4_" +
@@ -764,6 +765,7 @@ object TimeSeries {
             }
             .start()
           q.awaitTermination()
+          Tables.rmTree(ckpt) // drain done — reap the checkpoint
           st.getOrElse(sys.error("events_tws_profile: empty landing"))
             .write.mode("overwrite").parquet(outDir.getAbsolutePath)
           outDir.getAbsolutePath
@@ -800,7 +802,7 @@ object TimeSeries {
   // ---- ST15 oracle row: timer-closed sessionization -------------------------
 
   private val timerState =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val timerLock = new Object
 
   /** events_timer_sessions (ST15, r15) — event-time TIMER sessionization
@@ -829,7 +831,8 @@ object TimeSeries {
   def eventsTimerSessions(spark: SparkSession, dir: String): DataFrame = {
     val gapMinutes = 30
     val state = timerLock.synchronized {
-      timerState.getOrElseUpdate(dir, {
+      timerState.getOrElseUpdate((dir,
+        Tables.srcStamp(new java.io.File(dir, "events.parquet"))), {
         val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
         val seg = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft_timer_$safe/events_seq_" +
@@ -887,6 +890,7 @@ object TimeSeries {
             }
             .start()
           q.awaitTermination()
+          Tables.rmTree(ckpt) // drain done — reap the checkpoint
           st.getOrElse(sys.error("events_timer_sessions: empty landing"))
             .write.mode("overwrite").parquet(outDir.getAbsolutePath)
           outDir.getAbsolutePath
