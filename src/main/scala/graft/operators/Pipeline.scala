@@ -284,12 +284,13 @@ object Pipeline {
     *
     * Distributed min-label propagation WITH POINTER JUMPING: every node
     * starts labeled with its own id; each round a node adopts the
-    * minimum of its own label, its neighbors' labels, AND its label's
-    * label (label(label(v)) — the path-halving step). Plain neighbor
-    * propagation needs diameter-many rounds (a 10k-long chain of
-    * near-dups = 10k shuffles); the jump makes label chains halve each
-    * round, so convergence is O(log diameter) — the large-star/
-    * small-star bound. Each round is two shuffle joins over the label
+    * minimum of its own label and its neighbors' labels, then
+    * dereferences that tentative label through the round's own new map
+    * (h(h(v)) — the path-halving step, against the FRESH pointers; see
+    * the in-loop note). Plain neighbor propagation needs diameter-many
+    * rounds (a 10k-long chain of near-dups = 10k shuffles); the jump
+    * makes label chains halve each round, so convergence is
+    * O(log diameter) — the large-star/small-star bound. Each round is two shuffle joins over the label
     * frame — O(E + V) distributed work, the driver sees only a one-row
     * convergence count, and localCheckpoint pins each round's result so
     * lineage cannot grow with the iteration count. The fixpoint is the
@@ -362,18 +363,35 @@ object Pipeline {
         val prop = edges.join(labels, col("src") === col("id"))
           .groupBy(col("dst"))
           .agg(min(col("label")).as("nbr_min"))
-        val next = labels.as("x")
+        // pointer jump THROUGH THE ROUND'S OWN tentative labels (r15):
+        // the previous shape dereferenced the PRE-ROUND label table,
+        // which the prior round's jump had already made (near-)idempotent
+        // — label(label(v)) = label(v), so the jump added a join but
+        // compressed nothing, and the loop ran at neighbor-propagation
+        // speed. Dereferencing the NEW map h = least(own, nbr_min) is
+        // true path halving (h(h(v)) walks two fresh steps), measured
+        // 9 → 6 rounds on the sf0.1 simhash pair graph and ~2.0 → ~1.3 s
+        // for the loop (Micro probe, 4 reps, identical label checksums —
+        // both shapes only ever lower a label toward the component min,
+        // so the fixpoint and the oracle are unchanged). `half` is
+        // checkpointed before the self-join: an un-checkpointed
+        // dereference doubles the whole prop-join subtree per jump
+        // (measured 1.97 vs 1.46 s warm), and chaining more jumps without
+        // a pin is exponential in plan depth (a 3-jump probe ran 9-13 s).
+        val half = labels.as("x")
           .join(prop, col("x.id") === col("dst"), "left")
-          .withColumn("l1",
-            least(col("x.label"), coalesce(col("nbr_min"), col("x.label"))))
-          // pointer jump: also adopt label(label(v)) — label chains halve
-          // every round, turning O(diameter) rounds into O(log diameter)
-          .join(labels.as("y").select(col("id").as("yid"),
-            col("label").as("ylabel")), col("l1") === col("yid"), "left")
-          .withColumn("l2",
-            least(col("l1"), coalesce(col("ylabel"), col("l1"))))
-          .select(col("x.id").as("id"), col("l2").as("label"),
-            (col("l2") < col("x.label")).as("chg"))
+          .select(col("x.id").as("id"), col("x.label").as("old"),
+            least(col("x.label"), coalesce(col("nbr_min"), col("x.label")))
+              .as("l1"))
+          .localCheckpoint()
+        val next = half
+          .join(half.select(col("id").as("yid"), col("l1").as("ylabel")),
+            col("l1") === col("yid"), "left")
+          .select(col("id"),
+            least(col("l1"), coalesce(col("ylabel"), col("l1"))).as("label"),
+            col("old"))
+          .withColumn("chg", col("label") < col("old"))
+          .select(col("id"), col("label"), col("chg"))
           .localCheckpoint()
         changed = next.filter(col("chg")).count()
         labels = next.select(col("id"), col("label"))
@@ -576,7 +594,17 @@ object Pipeline {
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), col("n") - 7)).as("s"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(8)))).as("g"))
+        // xxhash64, not md5 (r15, the doc_containment rationale): the
+        // gram hash is a pure JOIN KEY — never emitted, never mirrored
+        // cross-engine; the contamination decision depends only on gram
+        // EQUALITY, which any collision-free hash preserves (DuckDB keeps
+        // md5 on its side for the same envelope). One codegen'd 64-bit
+        // hash replaces a 128-bit digest + 32-char hex string per
+        // position; the broadcast bench set shrinks 4× (8 B vs 32 B +
+        // string overhead per gram). Isolated minima 0.675 → 0.526 s at
+        // sf0.1 (5-pass qbench both sides; the xl twin 0.867 → 0.652).
+        xxhash64(concat_ws(" ", slice(col("toks"), col("s"), lit(8))))
+          .as("g"))
     val benchGrams = grams(toked.filter(col("doc_id") % 50 === 0))
       .select(col("g")).distinct()
     val contaminated = grams(toked.filter(col("doc_id") % 50 =!= 0))
@@ -652,7 +680,11 @@ object Pipeline {
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), col("n") - 7)).as("s"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(8)))).as("g"))
+        // xxhash64 join key, md5 only oracle-side (r15 — see
+        // docDecontaminate's note); the exact-verify legs compare 8-byte
+        // longs instead of 32-char hex strings
+        xxhash64(concat_ws(" ", slice(col("toks"), col("s"), lit(8))))
+          .as("g"))
     val benchGrams = grams(toked.filter(col("doc_id") % 50 === 0))
       .select(col("g")).distinct()
     val bucket = pmod(xxhash64(col("g")), lit(1L << 22))
@@ -825,7 +857,10 @@ object Pipeline {
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(1), col("n") - 7)).as("s"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(8)))).as("g"))
+        // xxhash64 join key, md5 only oracle-side (r15 — see
+        // docDecontaminate's note)
+        xxhash64(concat_ws(" ", slice(col("toks"), col("s"), lit(8))))
+          .as("g"))
     val corpus = toked.filter(col("doc_id") % 50 =!= 0)
     // stage 2: decontaminate (same plan as doc_decontaminate: the bench
     // gram set is ≪ corpus, broadcasts; corpus grams never shuffle)
