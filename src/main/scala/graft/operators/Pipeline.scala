@@ -448,9 +448,17 @@ object Pipeline {
     val labels = connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster"))
     // doc_quality's exact composite score (same op sequence -> identical
-    // doubles in both engines), restricted to clustered docs only
+    // doubles in both engines), restricted to clustered docs only — the
+    // broadcast semi-join narrows the corpus BEFORE the norm/split/regex
+    // feature arithmetic (r15: the previous shape computed quality over
+    // every document and let the members join discard the unclustered
+    // majority; labels is candidate-bounded, so pruning first makes the
+    // feature pass O(|clustered|), not O(corpus) — the verifyPairs
+    // discipline applied to the scoring leg)
     val en = Seq("the", "a", "of", "and", "to")
     val d = Tables.documents(spark, dir)
+      .join(broadcast(labels.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi")
       .withColumn("nt", norm(col("text")))
       .withColumn("toks", split(col("nt"), " "))
     val nTok = size(col("toks")).cast("double")
@@ -1199,6 +1207,15 @@ object Pipeline {
     val cp = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
+      // pinned (r15): Spark has no common-subexpression elimination
+      // across union legs, so un-pinned the li⋈o build executed TWICE
+      // inside `edges` — and the two downstream materializations
+      // (outdeg, edgesD) re-ran both legs, 4 probe-side executions of
+      // the join in all. Pinning the directed pair frame runs it once;
+      // the union's two legs replay the checkpointed RDD. Interleaved
+      // A/B (5 reps): min 2.93 → 2.39 s for the full query at sf0.1.
+      // Memory cost is half of edgesD, which was already pinned.
+      .localCheckpoint()
     val edges = cp.unionByName(
         cp.select(col("dst").as("src"), col("src").as("dst")))
     // deg rides WITH the edges via a BROADCAST of the node-sized degree

@@ -6,10 +6,9 @@ import org.apache.spark.sql.functions._
 /** Scratch micro-benchmark main for isolating operator costs; edit freely
   * between uses (builder-side only, never part of the driver contract).
   *
-  * Current probe (r15): connectedComponents loop variants —
-  *   A: shipped shape (1 pointer jump/round, count every round)
-  *   B: 3 pointer jumps per round
-  *   C: B + edges pre-partitioned on src (exchange reuse across rounds)
+  * Current probe (r15): graph_pagerank edge-build duplication — the
+  * shipped shape recomputes the li⋈o join in both union legs of `edges`,
+  * and again for edgesD (4 executions); variant B pins cp once.
   */
 object Micro {
   def main(args: Array[String]): Unit = {
@@ -29,80 +28,49 @@ object Micro {
       println(f"[micro] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
       r
     }
+    def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
-    // variant: "ship" = shipped shape (jump via OLD labels);
-    // "new" = jump via NEW tentative labels, un-checkpointed self-join;
-    // "newck" = NEW-deref with cur checkpointed before the jump;
-    // "both" = OLD-labels jump then NEW-deref jump
-    def ccLoop(edges0: DataFrame, variant: String): DataFrame = {
-      val spark = edges0.sparkSession
-      val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-      val partPrev = spark.conf.get("spark.sql.shuffle.partitions", "32")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val edges = edges0
-        var labels = edges
-          .groupBy(col("src"))
-          .agg(least(min(col("dst")), col("src")).as("label"))
-          .select(col("src").as("id"), col("label"))
-          .localCheckpoint()
-        var changed = 1L
-        var round = 0
-        while (changed > 0) {
-          round += 1
-          val prop = edges.join(labels, col("src") === col("id"))
-            .groupBy(col("dst"))
-            .agg(min(col("label")).as("nbr_min"))
-          var cur = labels.as("x")
-            .join(prop, col("x.id") === col("dst"), "left")
-            .select(col("x.id").as("id"), col("x.label").as("old"),
-              least(col("x.label"), coalesce(col("nbr_min"), col("x.label")))
-                .as("l"))
-          if (variant == "ship" || variant == "both") {
-            cur = cur
-              .join(labels.select(col("id").as("yid"),
-                col("label").as("ylabel")), col("l") === col("yid"), "left")
-              .select(col("id"), col("old"),
-                least(col("l"), coalesce(col("ylabel"), col("l"))).as("l"))
-          }
-          if (variant == "newck") cur = cur.localCheckpoint()
-          if (variant != "ship") {
-            val deref = cur.select(col("id").as("zid"), col("l").as("zl"))
-            cur = cur
-              .join(deref, col("l") === col("zid"), "left")
-              .select(col("id"), col("old"),
-                least(col("l"), coalesce(col("zl"), col("l"))).as("l"))
-          }
-          val next = cur
-            .select(col("id"), col("l").as("label"),
-              (col("l") < col("old")).as("chg"))
-            .localCheckpoint()
-          changed = next.filter(col("chg")).count()
-          labels = next.select(col("id"), col("label"))
-        }
-        println(s"[micro]   rounds = $round")
-        labels
-      } finally {
-        spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
-        spark.conf.set("spark.sql.shuffle.partitions", partPrev)
+    def pagerank(pinCp: Boolean): DataFrame = {
+      val o = graft.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val cp0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      val cp = if (pinCp) cp0.localCheckpoint() else cp0
+      val edges = cp.unionByName(
+          cp.select(col("dst").as("src"), col("src").as("dst")))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val edgesD = edges.join(broadcast(outdeg), Seq("src"))
+        .coalesce(8).localCheckpoint()
+      val n = outdeg.count()
+      val r0 = 1000000000000000L / n
+      val base = (15L * r0) / 100L
+      var ranks = outdeg.select(col("src").as("node"), lit(r0).as("rank"))
+      for (_ <- 1 to 3) {
+        ranks = edgesD
+          .join(broadcast(ranks.select(col("node").as("src"), col("rank"))),
+            Seq("src"))
+          .select(col("dst").as("node"), expr("rank div deg").as("contrib"))
+          .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
+          .select(col("node"),
+            (lit(base) + expr("(85 * s) div 100")).as("rank"))
       }
+      ranks
+        .select(
+          when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part"))
+            .as("kind"),
+          expr("node div 2").as("id"), col("rank"))
+        .orderBy(col("rank").desc, col("kind"), col("id"))
+        .limit(20)
     }
 
-    def checksum(l: DataFrame): Long =
-      l.agg(sum(col("id") * col("label"))).collect()(0).getLong(0)
-
-    for (rep <- 1 to 4) {
+    for (rep <- 1 to 5) {
       println(s"--- rep $rep ---")
-      val pairs = graft.operators.NearDup.docSimhashDup(spark, sfDir)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      pairs.count()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      for (variant <- Seq("ship", "new", "newck", "both")) {
-        val l = t(variant)(ccLoop(edges, variant))
-        println(s"[micro]   checksum = ${checksum(l)}")
-      }
+      t("A: shipped (cp unpinned)")(force(pagerank(false)))
+      t("B: cp pinned")(force(pagerank(true)))
     }
     spark.stop()
   }
